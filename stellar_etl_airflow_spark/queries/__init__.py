@@ -1,0 +1,22 @@
+"""Oracle-checked query corpus: relational operators + training-data ops.
+
+``QUERIES`` maps query name -> :class:`QuerySpec`. The driver contract
+(``__spark_entry__.py``) derives ``queries()`` and ``oracle_sql()`` from it.
+"""
+
+from __future__ import annotations
+
+from .base import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+from . import relational  # noqa: E402
+
+QUERIES.update(relational.SPECS)
+
+try:
+    from . import training  # noqa: E402
+
+    QUERIES.update(training.SPECS)
+except ImportError:  # pragma: no cover - training corpus added incrementally
+    pass

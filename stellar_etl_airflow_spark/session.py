@@ -1,0 +1,98 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``),
+but every setting here is chosen for the 1000-executor / 100 TB case:
+
+- AQE on (runtime join re-planning, skew-join splitting, partition
+  coalescing) — the reference delegated all physical planning to BigQuery;
+  we delegate to Catalyst + AQE.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a real
+  cluster AQE coalesces from a high initial number, so we also set
+  ``adaptive.coalescePartitions`` knobs rather than hand-tuning per query.
+- Arrow enabled for the few Pandas-UDF paths (training/multimodal ops).
+- Timezone pinned to UTC — the reference stores UTC TIMESTAMP plus a
+  timezone-less DATETIME ``batch_run_date`` (SURVEY §1.2); computing in UTC
+  keeps both consistent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    par = default_parallelism()
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(par, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long and convert (see load_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
+    """Load the driver testdata parquet tables and register temp views.
+
+    Returns ``{name: DataFrame}``. Missing files are skipped so the same
+    helper works across scale factors.
+    """
+    all_names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = normalize_nanos(spark.read.parquet(path))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def normalize_nanos(df):
+    """Convert TIMESTAMP(NANOS) columns (read as long via nanosAsLong) back
+    to microsecond timestamps, matching DuckDB's ns->us truncation."""
+    from pyspark.sql import functions as F
+
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
