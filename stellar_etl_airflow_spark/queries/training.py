@@ -1,0 +1,436 @@
+"""Training-data operator corpus — oracle-checked queries over the
+``documents`` and ``embeddings`` testdata tables, wiring the
+``stellar_etl_airflow_spark.training`` operators to DuckDB SQL twins.
+
+Hash-dependent operators (MinHash, SimHash, LSH, fingerprints) use the
+portable md5-based 60-bit hash so both engines produce identical
+signatures (queries/base.py). Embedding math is done in double precision
+with identical left-to-right folds; cosines are rounded to 6 decimals on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..training import dedup as D
+from ..training import multimodal as M
+from ..training import similarity as S
+from ..training import text as T
+from .base import QuerySpec, ph_duck, tables
+
+# Shared DuckDB CTEs: whitespace words + distinct word-3-gram shingles.
+WORDS_CTE = r"""
+w AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+"""
+
+GRAMS_CTE = (
+    WORDS_CTE
+    + r""",
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(ws) - 2),
+                                      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM w
+  WHERE len(ws) >= 3
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# t01 — exact dedup: content-hash groupBy.
+# ---------------------------------------------------------------------------
+
+
+def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs)
+
+
+T01_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS representative_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# t02 — exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+# ---------------------------------------------------------------------------
+
+
+def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+T02_SQL = f"""
+WITH {GRAMS_CTE},
+sizes AS MATERIALIZED (SELECT doc_id, len(grams) AS n_grams FROM g WHERE len(grams) > 0),
+postings AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM postings a JOIN postings b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       sa.n_grams AS na, sb.n_grams AS nb,
+       shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# t03 — MinHash + LSH candidate pairs (32 hashes, 8 bands x 4 rows).
+# ---------------------------------------------------------------------------
+
+
+def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+
+_G1 = ph_duck("gram")
+_G2 = ph_duck("gram || '#'")
+_MOD55 = 1 << 55
+T03_SQL = f"""
+WITH {GRAMS_CTE},
+postings AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+gh AS MATERIALIZED (SELECT doc_id, {_G1} AS g1, {_G2} AS g2 FROM postings),
+hashes AS MATERIALIZED (
+  SELECT doc_id, k, min(g1 + k * (g2 % {_MOD55})) AS mh
+  FROM gh CROSS JOIN (SELECT unnest(range(32)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS digest
+  FROM hashes GROUP BY doc_id, k // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t04/t05 — SimHash sketches + hamming near-dup pairs.
+# ---------------------------------------------------------------------------
+
+
+def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+_WH = ph_duck("word")
+T04_SQL = f"""
+WITH {WORDS_CTE},
+wc AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+hs AS MATERIALIZED (SELECT doc_id, {_WH} AS h FROM wc),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(2 * ((h >> CAST(b AS INT)) & 1) - 1) > 0
+              THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END AS bitval
+  FROM hs CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def t05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, max_hamming=8)
+
+
+T05_SQL = f"""
+WITH {WORDS_CTE},
+wc AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+hs AS MATERIALIZED (SELECT doc_id, {_WH} AS h FROM wc),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(2 * ((h >> CAST(b AS INT)) & 1) - 1) > 0
+              THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END AS bitval
+  FROM hs CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS MATERIALIZED (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+# ---------------------------------------------------------------------------
+# t06 — brute-force cosine top-k (queries = vec_id % 10 == 0, k = 5).
+# ---------------------------------------------------------------------------
+
+
+def t06_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+EMB_NORM_CTE = """
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+n AS MATERIALIZED (SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+"""
+
+T06_SQL = f"""
+WITH {EMB_NORM_CTE},
+j AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM j)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# t07 — LSH-bucketed ANN top-k (6 Rademacher hyperplanes -> 64 buckets).
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 6
+_DIM = 64
+
+
+def t07_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.lsh_cosine_topk(emb, queries, k=5, n_planes=_N_PLANES, dim=_DIM)
+
+
+def _planes_duck_literal() -> str:
+    planes = S.rademacher_planes(_N_PLANES, _DIM)
+    rows = ", ".join("[" + ", ".join(f"{w}.0" for w in row) + "]" for row in planes)
+    return f"[{rows}]"
+
+
+T07_SQL = f"""
+WITH {EMB_NORM_CTE},
+planes AS MATERIALIZED (SELECT {_planes_duck_literal()} AS pl),
+b AS MATERIALIZED (
+  SELECT vec_id, vec, nrm,
+         CAST(list_sum(list_transform(range(0, {_N_PLANES}),
+              p -> CASE WHEN list_sum(list_transform(range(1, len(vec) + 1),
+                                      i -> vec[i] * pl[p + 1][i])) >= 0
+                        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes
+),
+j AS (
+  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
+         list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, bucket, CAST(rank AS INT) AS rank, n_id, round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM j)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# t08 — embedding-cosine near-dup pairs, LSH-blocked.
+# ---------------------------------------------------------------------------
+
+
+def t08_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.9, n_planes=_N_PLANES, dim=_DIM)
+
+
+T08_SQL = f"""
+WITH {EMB_NORM_CTE},
+planes AS MATERIALIZED (SELECT {_planes_duck_literal()} AS pl),
+b AS MATERIALIZED (
+  SELECT vec_id, vec, nrm,
+         CAST(list_sum(list_transform(range(0, {_N_PLANES}),
+              p -> CASE WHEN list_sum(list_transform(range(1, len(vec) + 1),
+                                      i -> vec[i] * pl[p + 1][i])) >= 0
+                        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * c.vec[i]))
+             / (a.nrm * c.nrm), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * c.vec[i]))
+      / (a.nrm * c.nrm) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# t09 — language-ID heuristic (stopword-hit argmax).
+# ---------------------------------------------------------------------------
+
+
+def t09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.lang_id(docs)
+
+
+def _stop_score(lang: str) -> str:
+    inset = ", ".join(f"'{s}'" for s in T.STOPWORDS[lang])
+    return f"len(list_filter(ws, x -> x IN ({inset})))::DOUBLE / greatest(len(ws), 1)"
+
+
+T09_SQL = f"""
+WITH {WORDS_CTE},
+s AS (
+  SELECT doc_id,
+         {_stop_score('en')} AS score_en,
+         {_stop_score('es')} AS score_es,
+         {_stop_score('de')} AS score_de,
+         {_stop_score('fr')} AS score_fr
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+            WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       round(score_en, 6) AS score_en,
+       round(score_es, 6) AS score_es,
+       round(score_de, 6) AS score_de,
+       round(score_fr, 6) AS score_fr
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# t10 — quality scoring (length / punct / digit / stopword heuristics).
+# ---------------------------------------------------------------------------
+
+
+def t10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.quality_score(docs)
+
+
+_EN_SET = ", ".join(f"'{s}'" for s in T.STOPWORDS["en"])
+T10_SQL = rf"""
+WITH {WORDS_CTE},
+m AS (
+  SELECT d.doc_id,
+         length(d.text)::DOUBLE AS n_chars,
+         len(w.ws)::DOUBLE AS n_words,
+         list_sum(list_transform(w.ws, x -> length(x)))::DOUBLE AS sum_word_len,
+         length(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS n_punct,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits,
+         len(list_filter(w.ws, x -> x IN ({_EN_SET})))::DOUBLE AS n_stops
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       sum_word_len / greatest(n_words, 1.0) AS avg_word_len,
+       n_stops / greatest(n_words, 1.0) AS stopword_ratio,
+       n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+       n_digits / greatest(n_chars, 1.0) AS digit_ratio,
+       least(n_words / 100.0, 1.0) * 0.4
+         + least(n_stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+         + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+         + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.1 AS quality_score,
+       (least(n_words / 100.0, 1.0) * 0.4
+         + least(n_stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+         + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+         + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.1) >= 0.5 AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# t11 — token counting (whitespace + BPE-ish regex pre-tokenizer).
+# ---------------------------------------------------------------------------
+
+
+def t11_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.token_stats(docs)
+
+
+T11_SQL = rf"""
+WITH {WORDS_CTE}
+SELECT d.doc_id,
+       len(w.ws) AS ws_tokens,
+       len(regexp_extract_all(lower(d.text), '{T.BPE_REGEX}')) AS bpe_tokens,
+       length(lower(d.text)) AS n_chars,
+       length(lower(d.text))::DOUBLE
+         / greatest(len(regexp_extract_all(lower(d.text), '{T.BPE_REGEX}')), 1) AS chars_per_token
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t12 — document fingerprinting (normalized md5 + portable 60-bit hash).
+# ---------------------------------------------------------------------------
+
+
+def t12_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.fingerprint(docs)
+
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+T12_SQL = f"""
+SELECT doc_id,
+       md5({_NORM}) AS fp_md5,
+       {ph_duck(_NORM)} AS fp64
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t13 — multimodal metadata extraction: binary payload column -> Arrow-
+# batched mapInPandas decode (stubbed codec) -> typed metadata. The oracle
+# recomputes the deterministic metadata SQL-side.
+# ---------------------------------------------------------------------------
+
+
+def t13_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return M.extract_media_metadata(M.attach_payload(docs))
+
+
+T13_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS INT) AS width,
+       CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS INT) AS height
+FROM documents
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
+    "t02_ngram_jaccard_pairs": QuerySpec(t02_ngram_jaccard_pairs, T02_SQL, "n-gram Jaccard near-dup pairs"),
+    "t03_minhash_lsh_pairs": QuerySpec(t03_minhash_lsh_pairs, T03_SQL, "MinHash-LSH candidate pairs"),
+    "t04_simhash": QuerySpec(t04_simhash, T04_SQL, "SimHash sketches"),
+    "t05_simhash_neardup": QuerySpec(t05_simhash_neardup, T05_SQL, "SimHash hamming near-dup pairs"),
+    "t06_embedding_topk": QuerySpec(t06_embedding_topk, T06_SQL, "brute-force cosine top-k"),
+    "t07_embedding_lsh_topk": QuerySpec(t07_embedding_lsh_topk, T07_SQL, "LSH-bucketed ANN top-k"),
+    "t08_embedding_neardup": QuerySpec(t08_embedding_neardup, T08_SQL, "embedding cosine near-dup pairs"),
+    "t09_lang_id": QuerySpec(t09_lang_id, T09_SQL, "language-ID heuristic"),
+    "t10_quality_score": QuerySpec(t10_quality_score, T10_SQL, "quality scoring"),
+    "t11_token_stats": QuerySpec(t11_token_stats, T11_SQL, "token counting"),
+    "t12_fingerprint": QuerySpec(t12_fingerprint, T12_SQL, "document fingerprinting"),
+    "t13_multimodal_meta": QuerySpec(t13_multimodal_meta, T13_SQL, "multimodal metadata via mapInPandas"),
+}

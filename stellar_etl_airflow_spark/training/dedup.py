@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+- exact           — md5-keyed groupBy (one shuffle on a 128-bit key).
+- n-gram Jaccard  — inverted-index self-join on shared shingles; exact
+                    similarity, quadratic only within shingle buckets.
+- MinHash + LSH   — signatures computed per-row with higher-order array
+                    functions (NO shuffle), then a band-bucket self-join
+                    produces candidate pairs; the classic web-scale near-dup
+                    design (shingle -> minhash -> band -> bucket-join).
+- SimHash         — 60-bit per-doc sketch + hamming-distance candidate
+                    filter (bit_count(xor)).
+- embedding cosine— near-dup pairs over an embedding column; see
+                    similarity.py for the LSH-bucketed scale path.
+
+Hash functions derive from the portable md5-based PH primitive so results
+are reproducible across engines (and oracle-checkable in DuckDB). At 100 TB
+the per-row signature computation is embarrassingly parallel; the only
+shuffles are the band-bucket exchange (small: B rows per doc) and the final
+pair dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PH = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "grams") -> DataFrame:
+    """Distinct lower-cased word n-gram shingles as an array column.
+
+    Built as ONE aggregate fold over the word array: the accumulator keeps
+    the trailing (n-1)-word window and the gram list. The word array
+    appears exactly once in the expression tree — an indexed-transform
+    formulation (element_at(ws, i+j)) would re-inline the full text split
+    per index after Catalyst's projection collapse (measured ~20x slower).
+    Stays entirely in the JVM; documents with < n words yield an empty
+    array.
+    """
+    empty = "cast(array() as array<string>)"
+    fold = (
+        f"array_distinct(aggregate("
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"named_struct('win', {empty}, 'gs', {empty}), "
+        f"(acc, w) -> named_struct("
+        f"'win', CASE WHEN size(acc.win) = {n - 1} THEN concat(slice(acc.win, 2, {n - 2}), array(w)) "
+        f"ELSE array_append(acc.win, w) END, "
+        f"'gs', CASE WHEN size(acc.win) = {n - 1} THEN array_append(acc.gs, concat_ws(' ', array_append(acc.win, w))) "
+        f"ELSE acc.gs END), "
+        f"acc -> acc.gs))"
+    )
+    return df.withColumn(out_col, F.expr(fold))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct text, with the
+    representative (min id) and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("representative_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join.
+
+    shared(a,b) counted by joining the exploded (doc, gram) postings on
+    gram; |a|,|b| are distinct-gram counts. Quadratic work happens only
+    inside postings of a shared gram — at scale, extremely frequent
+    shingles should be dropped first (df-capping), which is a single
+    groupBy-count filter on the postings."""
+    grams = with_word_ngrams(df, text_col, n).select(F.col(id_col).alias("doc"), F.col("grams"))
+    sizes = grams.select("doc", F.size("grams").alias("n_grams")).filter(F.col("n_grams") > 0)
+    postings = grams.select("doc", F.explode("grams").alias("gram"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+    )
+
+
+MAXLONG = (1 << 63) - 1
+# second hash reduced mod 2^55 so g1 + 31 * g2' stays < 2^63 (ANSI-safe)
+MOD55 = 1 << 55
+
+
+def minhash_signature_expr(grams_col: str, num_hashes: int) -> str:
+    """SQL expression: MinHash signature (array of num_hashes mins) over a
+    gram array, computed per-row with zero shuffle.
+
+    Hash family via double hashing (Kirsch-Mitzenmacher): h_k(g) =
+    PH(g) + k * (PH(g||'#') mod 2^55) — two md5 evaluations per gram
+    instead of K, with the K views derived arithmetically. The whole
+    signature is ONE fold: each gram's hash pair enters the expression
+    tree exactly once (projection collapse would otherwise multiply the
+    md5 work by K)."""
+    g1 = PH.format(x="g")
+    g2 = PH.format(x="concat(g, '#')")
+    pairs = f"transform({grams_col}, g -> array({g1}, {g2}))"
+    return (
+        f"aggregate({pairs}, array_repeat({MAXLONG}L, {num_hashes}), "
+        f"(acc, pr) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        f"(m, k) -> least(m, element_at(pr, 1) + k * (element_at(pr, 2) % {MOD55}))))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature -> band digests -> bucket
+    self-join -> distinct pairs.
+
+    rows-per-band = num_hashes // bands; two docs collide in a band iff
+    that slice of their signatures is identical, so the expected candidate
+    set approximates pairs with Jaccard above the (bands, rows) S-curve
+    threshold. Only the B band rows per doc are shuffled."""
+    rows = num_hashes // bands
+    grams = with_word_ngrams(df, text_col, n)
+    sig = grams.filter(F.size("grams") > 0).select(
+        F.col(id_col).alias("doc"),
+        F.expr(minhash_signature_expr("grams", num_hashes)).alias("sig"),
+    )
+    # Shuffle barrier: band digests reference `sig` once per band, and
+    # Catalyst's projection collapse would otherwise inline (and recompute)
+    # the full K-hash signature per band — 8x the md5 work. The exchange
+    # materializes signatures exactly once; the shuffled payload is just
+    # (doc, K longs), tiny relative to the hash computation it saves.
+    sig = sig.repartition("doc")
+    band_digest = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string)))))"
+    )
+    bands_df = sig.select(
+        "doc", F.posexplode(F.expr(band_digest)).alias("band", "digest")
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """60-bit SimHash over word hashes, computed per-row (no shuffle).
+
+    bit b of the sketch is the sign of sum_w count(w) * (2*((PH(w)>>b)&1)-1);
+    the whole reduction is one nested aggregate over the word array."""
+    h = PH.format(x="w")
+    # Single-pass fold: the word-hash array appears exactly ONCE in the
+    # expression tree. Catalyst's projection collapse inlines intermediate
+    # columns into every consumer, so a transform-per-bit formulation would
+    # recompute the md5 array 60x per row (measured 100x slower). Here the
+    # accumulator is the 60-wide balance vector, updated word by word.
+    balance = (
+        f"aggregate(transform(_ws, w -> {h}), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + (2 * (shiftright(h, b) % 2) - 1)))"
+    )
+    assemble = (
+        f"aggregate(zip_with({balance}, sequence(0, {bits - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return (
+        df.withColumn("_ws", F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""))
+        .filter(F.size("_ws") > 0)
+        .select(F.col(id_col).alias("doc_id"), F.expr(assemble).alias("simhash"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (bit_count of xor).
+
+    All-pairs here for oracle-checkability; the scale path blocks on
+    simhash bytes (4 x 16-bit bands catch all pairs with hamming <= 3 by
+    pigeonhole) before the exact filter."""
+    s = simhash(df, text_col, id_col)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

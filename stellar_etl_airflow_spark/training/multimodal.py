@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The design for image/audio/video at 100 TB: payloads travel as ``binary``
+columns (or object-store URIs for very large blobs) next to typed metadata
+columns; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages so the Python codec cost is amortized
+per batch, not per row, and the pipeline stays a plain DataFrame plan
+(partitionable, spillable, AQE-planned).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+``decode_image_stub`` is a deterministic fake clearly marked as the seam
+where a real decoder plugs in. Everything around it — schema, batching,
+partitioning, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal record layout: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a media table from the documents fixture: the utf-8 bytes of
+    the text stand in for an encoded image payload."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB for the real image decoder (PIL et al. not installed).
+
+    Deterministic fake: pseudo width/height derived from the payload md5 —
+    replace the body with `PIL.Image.open(io.BytesIO(payload)).size` when a
+    codec is available. Raising NotImplementedError here would be correct
+    too; the fake keeps the downstream plumbing testable.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    return 64 + int(h[:4], 16) % 1920, 64 + int(h[4:8], 16) % 1080
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the payload column.
+
+    mapInPandas (not a row UDF): each Arrow batch is one Python call, and
+    the output schema is pinned so Catalyst can plan downstream stages.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [decode_image_stub(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(lambda p: hashlib.md5(bytes(p)).hexdigest()),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, META_SCHEMA)

@@ -1,0 +1,152 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+
+- ``cosine_topk``    — exact brute-force baseline: queries x corpus join,
+                       dot products via zip_with/aggregate (JVM-side),
+                       row_number top-k. Broadcast the query side — at
+                       100 TB the corpus never shuffles.
+- ``lsh_cosine_topk``— random-hyperplane LSH: each vector gets a b-bit
+                       bucket (sign pattern against b fixed Rademacher
+                       hyperplanes); candidates are corpus vectors in the
+                       SAME bucket only. One equi-join on the bucket key —
+                       this is the scale path (IVF-style alternative:
+                       k-means coarse quantizer, same join shape).
+
+Hyperplanes are data-independent and derived from md5 parity, so results
+are deterministic and oracle-checkable (no RNG state).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ph(s: str) -> int:
+    """Python twin of the portable 60-bit md5 hash (queries/base.py)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic +-1 hyperplanes: sign(i,j) from md5 parity."""
+    return [[1 - 2 * (_ph(f"{i},{j}") % 2) for j in range(dim)] for i in range(n_planes)]
+
+
+def planes_sql_literal(planes: list[list[int]]) -> str:
+    rows = ", ".join("array(" + ", ".join(f"{w}D" for w in row) + ")" for row in planes)
+    return f"array({rows})"
+
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Cast the embedding to double and attach its L2 norm."""
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(f"{prefix}_vec"),
+    ).withColumn(f"{prefix}_norm", F.expr(NORM.format(a=f"{prefix}_vec")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector (self excluded)."""
+    c = _prep(corpus, id_col, vec_col, "n")
+    q = _prep(queries, id_col, vec_col, "q")
+    cos = F.expr(DOT.format(a="q_vec", b="n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def bucket_expr(vec: str, planes_lit: str, n_planes: int) -> str:
+    """b-bit LSH bucket: bit i = 1 iff vec . plane_i >= 0."""
+    dot_i = DOT.format(a=vec, b=f"element_at({planes_lit}, i + 1)")
+    return (
+        f"aggregate(transform(sequence(0, {n_planes - 1}), "
+        f"i -> CASE WHEN {dot_i} >= 0D THEN shiftleft(1L, i) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors sharing the query's LSH
+    bucket are scored. Recall improves with multi-probe or more tables;
+    this single-table variant is the oracle-checked core."""
+    planes = planes_sql_literal(rademacher_planes(n_planes, dim))
+    c = _prep(corpus, id_col, vec_col, "n").withColumn(
+        "bucket", F.expr(bucket_expr("n_vec", planes, n_planes))
+    )
+    q = _prep(queries, id_col, vec_col, "q").withColumn(
+        "bucket", F.expr(bucket_expr("q_vec", planes, n_planes))
+    )
+    cos = F.expr(DOT.format(a="q_vec", b="n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "bucket", "rank", "n_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidate pairs
+    share an LSH bucket (near-identical vectors almost surely do), then the
+    exact cosine filter runs only within buckets."""
+    planes = planes_sql_literal(rademacher_planes(n_planes, dim))
+    v = _prep(df, id_col, vec_col, "n").withColumn("bucket", F.expr(bucket_expr("n_vec", planes, n_planes)))
+    a = v.select(
+        F.col("bucket"),
+        F.col("n_id").alias("id_a"),
+        F.col("n_vec").alias("vec_a"),
+        F.col("n_norm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("bucket"),
+        F.col("n_id").alias("id_b"),
+        F.col("n_vec").alias("vec_b"),
+        F.col("n_norm").alias("norm_b"),
+    )
+    cos = F.expr(DOT.format(a="vec_a", b="vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators: tokenization, language ID, quality scoring,
+fingerprinting.
+
+All column expressions are built from ``pyspark.sql.functions`` /
+higher-order array functions — zero Python UDFs, so at 100 TB every
+operator runs inside whole-stage codegen and scales linearly with
+executors. Each operator has an exact SQL twin used as its DuckDB oracle
+(see queries/training.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Portable 60-bit hash shared with the oracle side (queries/base.py).
+PH = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+# Per-language stopword lists for the n-gram/stopword language-ID heuristic.
+# Order matters: earlier languages win argmax ties.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "es": ("el", "la", "de", "los", "y", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+}
+
+
+def words_col(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens with empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword-hit ratios,
+    ties broken by the STOPWORDS declaration order, 'und' when no hits."""
+    ws = words_col(text_col)
+    df = df.withColumn("_ws", ws)
+    scores = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    for lang, stops in STOPWORDS.items():
+        inset = ", ".join(f"'{s}'" for s in stops)
+        hits = F.expr(f"size(filter(_ws, w -> w in ({inset})))")
+        df = df.withColumn(f"score_{lang}", hits / F.greatest(F.size("_ws"), F.lit(1)))
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs overwrite later on ties
+        pred = F.when((best > 0) & (scores[lang] == best), lang).otherwise(pred)
+    return df.select(
+        id_col,
+        pred.alias("predicted_lang"),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in STOPWORDS],
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: length, word stats, punctuation /
+    digit density, stopword ratio — composite score + keep flag.
+
+    Mirrors the length/punct/stopword family of classic pretraining-data
+    quality filters; every term is a scalar per-row expression so the
+    score is bit-identical across engines.
+    """
+    t = F.col(text_col)
+    ws = words_col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_words = F.size(ws).cast("double")
+    sum_word_len = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+    avg_word_len = sum_word_len / F.greatest(n_words, F.lit(1.0))
+    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")).cast("double")
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    stops = STOPWORDS["en"]
+    stop_ratio = F.size(F.filter(ws, lambda w: w.isin(*stops))).cast("double") / F.greatest(n_words, F.lit(1.0))
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 10.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(n_digits / F.greatest(n_chars, F.lit(1.0)) * 10.0, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1.0))).alias("punct_ratio"),
+        (n_digits / F.greatest(n_chars, F.lit(1.0))).alias("digit_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.
+BPE_REGEX = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace and BPE-ish regex token counts + chars-per-token."""
+    t = F.lower(F.col(text_col))
+    ws_tokens = F.size(words_col(text_col)).cast("long")
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), F.lit(0))).cast("long")
+    n_chars = F.length(t).cast("long")
+    return df.select(
+        id_col,
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        n_chars.alias("n_chars"),
+        (n_chars.cast("double") / F.greatest(bpe_tokens, F.lit(1)).cast("double")).alias("chars_per_token"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint over whitespace-normalized text:
+    full md5 hex + the portable 60-bit integer fingerprint."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    df = df.withColumn("_norm", norm)
+    return df.select(
+        id_col,
+        F.md5(F.col("_norm")).alias("fp_md5"),
+        F.expr(PH.format(x="_norm")).alias("fp64"),
+    )
