@@ -1,0 +1,87 @@
+"""MERGE semantics for state tables, expressed as DataFrame algebra.
+
+The reference applies ledger-entry change batches with a BigQuery MERGE
+(build_apply_gcs_changes_to_bq_task.py:116-149):
+
+  WHEN MATCHED AND source.deleted THEN DELETE
+  WHEN MATCHED THEN UPDATE SET <all columns>
+  WHEN NOT MATCHED THEN INSERT <all columns>
+
+and a dedup-append variant (:152-181):
+
+  WHEN NOT MATCHED THEN INSERT  (insert-unique)
+
+On a Delta/Iceberg deployment these are literal ``MERGE INTO`` statements;
+this module implements the identical semantics over plain parquet as
+
+  target(kept) = target left_anti changes(keys)
+  result       = kept UNION latest-change-per-key WHERE NOT deleted
+
+which is exactly the copy-on-write plan a MERGE compiles to. The rewrite
+is atomic via write-temp-then-swap (``safe_overwrite``).
+
+Changes within one batch may contain several versions of a key; the
+MERGE source is first collapsed to the latest version per key with the
+same ordering the current-state views use (last_modified_ledger DESC,
+ledger_entry_change DESC — v_accounts_current.sql:30-33).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+) -> DataFrame:
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*[F.col(c).desc() for c in order_cols])
+    return changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    deleted_col: str = "deleted",
+    order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+) -> DataFrame:
+    """Apply a change batch to the current state. Column sets must match
+    (the reference generates the UPDATE/INSERT column list from the pinned
+    schema, build_apply_gcs_changes_to_bq_task.py:42-75, including the
+    reserved-word escape for ``order``/``from``/``to`` — moot here because
+    DataFrame columns are never re-parsed as SQL)."""
+    cols = target.columns
+    src = latest_changes(changes.select(*cols), keys, order_cols)
+    kept = target.join(src.select(*keys), list(keys), "left_anti")
+    applied = src.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+    return kept.unionByName(applied)
+
+
+def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """MERGE ... WHEN NOT MATCHED THEN INSERT — dedup append for
+    history/orderbook data (build_apply_gcs_changes_to_bq_task.py:152-181).
+    Returns only the rows to append (caller appends; no rewrite needed)."""
+    return new_rows.join(target.select(*keys), list(keys), "left_anti")
+
+
+def safe_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Copy-on-write table rewrite: write to a temp dir, then swap. Plain
+    parquet cannot be read and overwritten in one job; Delta/Iceberg do
+    this natively via the transaction log."""
+    tmp = os.path.join(tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, old)
+    shutil.move(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -1,0 +1,81 @@
+"""SCD-2 snapshotter: the dbt-snapshot equivalent.
+
+The reference snapshots state tables daily (dag_snapshot.py:118-178,
+dag_snapshot_pricing_data.py:114-156): each natural key keeps a history of
+versions with [valid_from, valid_to) ranges, the open version having
+valid_to NULL. Semantically identical to the LEAD()-built validity windows
+of v_liquidity_pool_trade_volume.sql:37-41, but maintained incrementally.
+
+``scd2_apply`` is a pure DataFrame transform: given the existing snapshot
+and the new state-as-of ``snapshot_ts``, it returns the next snapshot:
+
+- unchanged open rows pass through;
+- changed/removed keys get their open row closed (valid_to = ts);
+- new/changed keys insert a fresh open row (valid_from = ts).
+
+Change detection hashes the tracked columns (md5 of concat) — one
+broadcast-friendly join, no per-column comparisons in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _row_hash(cols: list[str]):
+    return F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+
+
+def scd2_init(state: DataFrame, keys: tuple[str, ...], snapshot_ts) -> DataFrame:
+    ts = F.lit(snapshot_ts).cast("timestamp")
+    return state.withColumn("valid_from", ts).withColumn("valid_to", F.lit(None).cast("timestamp"))
+
+
+def scd2_apply(
+    snapshot: DataFrame,
+    state: DataFrame,
+    keys: tuple[str, ...],
+    snapshot_ts,
+) -> DataFrame:
+    ts = F.lit(snapshot_ts).cast("timestamp")
+    tracked = [c for c in state.columns if c not in keys]
+    closed = snapshot.filter(F.col("valid_to").isNotNull())
+    open_rows = snapshot.filter(F.col("valid_to").isNull())
+
+    cur = open_rows.withColumn("_h", _row_hash(tracked))
+    new = state.withColumn("_h", _row_hash(tracked))
+
+    key_cols = list(keys)
+    # keys whose content changed or disappeared -> close the open row
+    matched = cur.alias("c").join(new.select(*key_cols, "_h").alias("n"), key_cols, "left")
+    unchanged = matched.filter(F.col("n._h") == F.col("c._h")).select("c.*").drop("_h")
+    to_close = (
+        matched.filter(F.col("n._h").isNull() | (F.col("n._h") != F.col("c._h")))
+        .select("c.*")
+        .drop("_h")
+        .withColumn("valid_to", ts)
+    )
+    # new keys or changed content -> fresh open row
+    to_open = (
+        new.alias("n")
+        .join(cur.select(*key_cols, "_h").alias("c"), key_cols, "left")
+        .filter(F.col("c._h").isNull() | (F.col("c._h") != F.col("n._h")))
+        .select("n.*")
+        .drop("_h")
+        .withColumn("valid_from", ts)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    return closed.unionByName(unchanged).unionByName(to_close).unionByName(to_open)
+
+
+def current_of(snapshot: DataFrame) -> DataFrame:
+    return snapshot.filter(F.col("valid_to").isNull()).drop("valid_from", "valid_to")
+
+
+def as_of(snapshot: DataFrame, ts) -> DataFrame:
+    """Point-in-time read over the validity ranges (time travel)."""
+    t = F.lit(ts).cast("timestamp")
+    return snapshot.filter((F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t))).drop(
+        "valid_from", "valid_to"
+    )

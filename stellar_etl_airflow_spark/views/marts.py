@@ -1,0 +1,173 @@
+"""Analytic view/mart ports: as-of price joins, TVL, liquidity providers,
+relevant trades, OHLC.
+
+These are the remaining dags/ddls/queries views, expressed as DataFrame
+pipelines over the current-state views and history tables. The price
+dimensions are always broadcast — they are tiny (one row per asset per
+update) while trades are the 100 TB fact side, so the as-of range join
+stays a broadcast nested-loop on the range predicate with equi-key
+pre-hashing (SURVEY §4: the one join Catalyst won't make fast by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def validity_windows(
+    prices: DataFrame,
+    partition_keys: tuple[str, ...],
+    ts_col: str = "last_updated_ts",
+    price_col: str = "price_in_xlm",
+) -> DataFrame:
+    """LEAD(ts,1,'9999-12-31') SCD-2 windows
+    (v_liquidity_pool_trade_volume.sql:31-54)."""
+    w = Window.partitionBy(*partition_keys).orderBy(F.col(ts_col).asc())
+    return prices.select(
+        *partition_keys,
+        F.col(price_col).alias("price"),
+        F.col(ts_col).alias("valid_from_ts"),
+        F.coalesce(F.lead(ts_col, 1).over(w), F.lit("9999-12-31").cast("timestamp")).alias("valid_to_ts"),
+    )
+
+
+def asof_join(
+    facts: DataFrame,
+    windows: DataFrame,
+    fact_ts: str,
+    equi_keys: list[tuple[str, str]],
+    how: str = "left",
+) -> DataFrame:
+    """facts joined to price validity windows: equi keys + half-open range
+    (v_liquidity_pool_trade_volume.sql:88-95). The window side is broadcast."""
+    cond = (F.col(fact_ts) >= F.col("valid_from_ts")) & (F.col(fact_ts) < F.col("valid_to_ts"))
+    for fk, wk in equi_keys:
+        cond = cond & (facts[fk] == windows[wk])
+    return facts.join(F.broadcast(windows), cond, how)
+
+
+def liquidity_pool_trade_volume(
+    trades: DataFrame,
+    pools_current: DataFrame,
+    asset_prices_xlm: DataFrame,
+    asset_prices_usd: DataFrame,
+) -> DataFrame:
+    """Port of v_liquidity_pool_trade_volume.sql — AMM trade volume with
+    base/quote prices and fee attribution."""
+    tv = (
+        trades.join(
+            pools_current.select(
+                F.col("liquidity_pool_id"),
+                "asset_a_code",
+                "asset_a_issuer",
+                "asset_b_code",
+                "asset_b_issuer",
+                "asset_pair",
+            ),
+            trades["selling_liquidity_pool_id"] == F.col("liquidity_pool_id"),
+        )
+        .withColumn("fee_multiplier", F.lit(1) + F.col("liquidity_pool_fee") / F.lit(10000))
+    )
+    asset_price = validity_windows(asset_prices_xlm, ("asset_code", "asset_issuer")).withColumnsRenamed(
+        {"asset_code": "p_code", "asset_issuer": "p_issuer"}
+    )
+    xlm_price = validity_windows(asset_prices_usd, ("asset_id",), price_col="price_in_usd").select(
+        F.col("price").alias("xlm_price"),
+        F.col("valid_from_ts").alias("x_from"),
+        F.col("valid_to_ts").alias("x_to"),
+    )
+    t = tv.join(
+        F.broadcast(asset_price),
+        (tv["buying_asset_code"] == F.col("p_code"))
+        & (tv["buying_asset_issuer"] == F.col("p_issuer"))
+        & (tv["ledger_closed_at"] >= F.col("valid_from_ts"))
+        & (tv["ledger_closed_at"] < F.col("valid_to_ts")),
+        "left",
+    ).join(
+        F.broadcast(xlm_price),
+        (tv["ledger_closed_at"] >= F.col("x_from")) & (tv["ledger_closed_at"] < F.col("x_to")),
+        "left",
+    )
+    native = F.col("buying_asset_type") == "native"
+    gross_native = F.col("buying_amount") * F.coalesce(F.col("xlm_price"), F.lit(0))
+    gross_other = F.col("buying_amount") * F.coalesce(F.col("price"), F.lit(0)) * F.coalesce(F.col("xlm_price"), F.lit(0))
+    gross = F.when(native, gross_native).otherwise(gross_other)
+    sell_is_b = F.col("selling_asset_code") == F.col("asset_b_code")
+    return t.select(
+        "ledger_closed_at",
+        "selling_liquidity_pool_id",
+        "asset_a_code",
+        "asset_a_issuer",
+        "asset_b_code",
+        "asset_b_issuer",
+        "asset_pair",
+        "selling_asset_code",
+        "selling_amount",
+        "buying_asset_code",
+        "buying_amount",
+        F.col("price").alias("asset_price_in_xlm"),
+        "xlm_price",
+        (gross - gross / F.col("fee_multiplier")).alias("fee_earned"),
+        (gross / F.col("fee_multiplier")).alias("trade_amount"),
+        "price_n",
+        "price_d",
+        F.when(sell_is_b, F.col("price_d") / F.col("price_n")).otherwise(F.col("price_n") / F.col("price_d")).alias("quote_price"),
+        F.when(sell_is_b, F.col("price_n") / F.col("price_d")).otherwise(F.col("price_d") / F.col("price_n")).alias("base_price"),
+    )
+
+
+def liquidity_providers(operations: DataFrame, transactions: DataFrame) -> DataFrame:
+    """Port of v_liquidity_providers.sql — per-(account, pool) share
+    accounting from LP deposit (type 22) / withdraw (type 23) operations;
+    NULL ``successful`` counts as success (:17-19)."""
+    ok = transactions.filter((F.col("successful") == True) | F.col("successful").isNull()).select(  # noqa: E712
+        F.col("id").alias("tx_id")
+    )
+    ops = operations.join(ok, operations["transaction_id"] == F.col("tx_id"), "left_semi")
+    deposits = (
+        ops.filter(F.col("type") == 22)
+        .groupBy(F.col("source_account").alias("account"), F.col("details.liquidity_pool_id").alias("pool"))
+        .agg(
+            F.sum(F.coalesce(F.col("details.shares_received"), F.lit(0.0))).alias("shares_in"),
+            F.min("closed_at").alias("first_deposit"),
+            F.count(F.lit(1)).alias("n_deposits"),
+        )
+    )
+    withdrawals = (
+        ops.filter(F.col("type") == 23)
+        .groupBy(F.col("source_account").alias("account"), F.col("details.liquidity_pool_id").alias("pool"))
+        .agg(F.sum(F.coalesce(F.col("details.shares"), F.lit(0.0))).alias("shares_out"))
+    )
+    return (
+        deposits.join(withdrawals, ["account", "pool"], "left")
+        .withColumn("current_shares", F.col("shares_in") - F.coalesce(F.col("shares_out"), F.lit(0.0)))
+    )
+
+
+def ohlc(trades: DataFrame, ts_col: str = "ledger_closed_at") -> DataFrame:
+    """Daily OHLC per asset pair (the ohlc dbt mart; task_sla.ohlc)."""
+    price = F.col("price_n") / F.col("price_d")
+    return (
+        trades.withColumn("_price", price)
+        .groupBy(F.col("selling_asset_id"), F.col("buying_asset_id"), F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(
+            F.min_by("_price", ts_col).alias("open"),
+            F.max("_price").alias("high"),
+            F.min("_price").alias("low"),
+            F.max_by("_price", ts_col).alias("close"),
+            F.sum("selling_amount").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+def history_assets_dedup_insert(staging: DataFrame, existing: DataFrame) -> DataFrame:
+    """Port of dags/queries/history_assets.sql:5-62: oldest-wins window
+    dedup of the staging batch, then anti-join against already-loaded
+    assets (the staging + dedup-insert alternative to MERGE, SURVEY §4)."""
+    keys = ("asset_type", "asset_code", "asset_issuer")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col("batch_run_date").asc())
+    fresh = staging.withColumn("dupe_count", F.row_number().over(w)).filter(F.col("dupe_count") == 1).drop("dupe_count")
+    return fresh.join(existing.select(*keys), list(keys), "left_anti")
