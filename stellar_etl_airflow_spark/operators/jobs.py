@@ -1,0 +1,138 @@
+"""Job-level operators: SQL-template insert jobs, retention, catalog loops.
+
+- ``sql_insert_job``: the reference reads dags/queries/{table}.sql,
+  formats {project_id}/{dataset_id}/{batch_id}/{batch_run_date}/
+  {prev,next}_batch_run_date params, and runs it with a destination table
+  and write disposition (build_bq_insert_job_task.py:26-93). Spark twin:
+  parameterized spark.sql + mode-mapped save.
+- ``expire_partitions``: partition_expiration_days (sandbox tables,
+  dags/queries/create_table.sql:2-3) — drops partition directories older
+  than the retention window.
+- ``cleanup_meta``: engine-metadata retention (the Airflow metastore
+  cleanup analog, cleanup_metadata_dag.py) — prunes _meta.batch_runs by
+  age.
+- ``drop_tables_like`` / ``clone_dataset``: the procedural
+  INFORMATION_SCHEMA loops (dag_stellar_dbt_staging_refresh.py:35-55,
+  :89-174) become plain Python over the warehouse namespace.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.writer import PART_COL
+from .ingest import Warehouse
+
+_DISPOSITION = {"WRITE_APPEND": "append", "WRITE_TRUNCATE": "overwrite", "WRITE_EMPTY": "errorifexists"}
+
+
+def render_sql_template(template: str, *, batch_id: str, batch_run_date, prev_batch_run_date=None, next_batch_run_date=None, **extra) -> str:
+    """Format the reference's SQL-template parameters (project/dataset are
+    catalog-resolution concerns and resolve to nothing here)."""
+    return template.format(
+        project_id="spark_catalog",
+        dataset_id="default",
+        batch_id=batch_id,
+        batch_run_date=batch_run_date,
+        prev_batch_run_date=prev_batch_run_date,
+        next_batch_run_date=next_batch_run_date,
+        **extra,
+    )
+
+
+def sql_insert_job(
+    spark: SparkSession,
+    wh: Warehouse,
+    template: str,
+    dest_table: str,
+    write_disposition: str = "WRITE_APPEND",
+    **params,
+) -> DataFrame:
+    """Run a rendered SQL statement and land the result with the mapped
+    disposition. Source tables must be registered as temp views (the
+    engine's catalog layer does this at session setup)."""
+    df = spark.sql(render_sql_template(template, **params))
+    df.write.mode(_DISPOSITION[write_disposition]).parquet(wh.path(dest_table))
+    return df
+
+
+def expire_partitions(wh: Warehouse, table: str, older_than_days: int, now: datetime | None = None) -> list[str]:
+    """Drop `_p=` month/day partition directories entirely older than the
+    retention window. Returns dropped partition names."""
+    now = now or datetime.utcnow()
+    cutoff = now - timedelta(days=older_than_days)
+    root = wh.path(table)
+    dropped = []
+    if not os.path.isdir(root):
+        return dropped
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith(f"{PART_COL}="):
+            continue
+        val = entry.split("=", 1)[1]
+        fmt = "%Y-%m-%d" if len(val) == 10 else "%Y-%m"
+        try:
+            part_start = datetime.strptime(val, fmt)
+        except ValueError:
+            continue
+        # a month partition is expired only when its END is past the cutoff
+        part_end = (part_start + timedelta(days=32)).replace(day=1) if fmt == "%Y-%m" else part_start + timedelta(days=1)
+        if part_end < cutoff:
+            shutil.rmtree(os.path.join(root, entry))
+            dropped.append(entry)
+    return dropped
+
+
+def cleanup_meta(spark: SparkSession, wh: Warehouse, older_than_days: int, now: datetime | None = None) -> int:
+    """Prune _meta.batch_runs rows older than the retention window
+    (copy-on-write rewrite). Returns remaining row count."""
+    from pyspark.sql import functions as F
+
+    from .merge import safe_overwrite
+
+    now = now or datetime.utcnow()
+    cutoff = now - timedelta(days=older_than_days)
+    path = wh.meta_path()
+    df = spark.read.parquet(path)
+    kept = df.filter(F.col("batch_start") >= F.lit(cutoff))
+    n = kept.count()
+    safe_overwrite(spark, kept, path)
+    return n
+
+
+def list_tables(wh: Warehouse) -> list[str]:
+    """Warehouse-catalog iteration (INFORMATION_SCHEMA.TABLES loop)."""
+    if not os.path.isdir(wh.root):
+        return []
+    return sorted(
+        d for d in os.listdir(wh.root) if os.path.isdir(os.path.join(wh.root, d)) and not d.startswith("_")
+    )
+
+
+def drop_tables_like(wh: Warehouse, suffix: str) -> list[str]:
+    """FOR t IN (SELECT ... WHERE table_name LIKE '%suffix') DO DROP
+    (dag_stellar_dbt_staging_refresh.py:35-55)."""
+    dropped = []
+    for t in list_tables(wh):
+        if t.endswith(suffix):
+            shutil.rmtree(os.path.join(wh.root, t))
+            dropped.append(t)
+    return dropped
+
+
+def clone_dataset(spark: SparkSession, src: Warehouse, dest: Warehouse, tables: list[str] | None = None) -> dict[str, str]:
+    """Dataset clone loop (staging refresh): per-table copy with per-table
+    error capture, mirroring the reference's try/except accumulator
+    (dag_stellar_dbt_staging_refresh.py:128-174). True zero-copy CLONE +
+    time travel needs Delta/Iceberg; on parquet this is a deep clone."""
+    results: dict[str, str] = {}
+    for t in tables or list_tables(src):
+        try:
+            spark.read.parquet(src.path(t)).write.mode("overwrite").parquet(dest.path(t))
+            results[t] = "ok"
+        except Exception as exc:  # per-table isolation, loop continues
+            results[t] = f"error: {exc}"
+    return results

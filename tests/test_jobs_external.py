@@ -1,0 +1,81 @@
+"""Tests for job-level operators (SQL insert job, retention, catalog loops)
+and the external-source connector."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import types as T
+
+from stellar_etl_airflow_spark.operators import jobs as J
+from stellar_etl_airflow_spark.operators.batch import plan_batch
+from stellar_etl_airflow_spark.operators.ingest import Warehouse, ingest_batch
+from stellar_etl_airflow_spark.sources import external as EXT
+
+from . import fixtures as FX
+
+
+def _seed(spark, tmp_path) -> Warehouse:
+    wh = Warehouse(str(tmp_path / "wh"))
+    src = FX.write_ndjson(str(tmp_path / "in" / "accounts.txt"), FX.account_change_rows())
+    w = plan_batch("run_1", datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 10))
+    ingest_batch(spark, wh, "accounts", src, FX.ACCOUNTS_SCHEMA, w)
+    return wh
+
+
+def test_sql_insert_job(spark, tmp_path):
+    wh = _seed(spark, tmp_path)
+    spark.read.parquet(wh.path("accounts")).createOrReplaceTempView("accounts_v")
+    template = "SELECT account_id, balance FROM accounts_v WHERE batch_id = '{batch_id}'"
+    out = J.sql_insert_job(
+        spark, wh, template, "account_balances", "WRITE_TRUNCATE",
+        batch_id="run_1-cc", batch_run_date=datetime(2024, 1, 1, 9, 50),
+    )
+    assert out.count() == 6
+    assert spark.read.parquet(wh.path("account_balances")).count() == 6
+    # re-run with WRITE_TRUNCATE replaces, not doubles
+    J.sql_insert_job(
+        spark, wh, template, "account_balances", "WRITE_TRUNCATE",
+        batch_id="run_1-cc", batch_run_date=datetime(2024, 1, 1, 9, 50),
+    )
+    assert spark.read.parquet(wh.path("account_balances")).count() == 6
+
+
+def test_expire_partitions(spark, tmp_path):
+    wh = _seed(spark, tmp_path)  # partition _p=2024-01
+    dropped = J.expire_partitions(wh, "accounts", older_than_days=450, now=datetime(2024, 6, 1))
+    assert dropped == []  # 2024-01 not old enough
+    dropped = J.expire_partitions(wh, "accounts", older_than_days=30, now=datetime(2025, 6, 1))
+    assert dropped == ["_p=2024-01"]
+    assert not os.path.exists(os.path.join(wh.path("accounts"), "_p=2024-01"))
+
+
+def test_cleanup_meta_and_catalog(spark, tmp_path):
+    wh = _seed(spark, tmp_path)
+    assert J.list_tables(wh) == ["accounts"]  # _meta hidden
+    n = J.cleanup_meta(spark, wh, older_than_days=0, now=datetime.utcnow() + timedelta(days=1))
+    assert n == 0
+    dest = Warehouse(str(tmp_path / "wh2"))
+    results = J.clone_dataset(spark, wh, dest)
+    assert results == {"accounts": "ok"}
+    assert spark.read.parquet(dest.path("accounts")).count() == 6
+    assert J.drop_tables_like(dest, "counts") == ["accounts"]
+    assert J.list_tables(dest) == []
+
+
+def test_external_source_ingest(spark, tmp_path, monkeypatch):
+    schema = T.StructType(
+        [T.StructField("asset", T.StringType()), T.StructField("price_usd", T.DoubleType())]
+    )
+    fetched = [{"asset": "XLM", "price_usd": 0.12}, {"asset": "USDC", "price_usd": 1.0}]
+    dest = str(tmp_path / "prices")
+    df = EXT.ingest_external(
+        spark, dest, lambda: fetched, schema, batch_id="ext-1", batch_run_date=datetime(2024, 1, 1)
+    )
+    assert df.count() == 2
+    # replay is idempotent (same batch partitions replaced)
+    EXT.ingest_external(spark, dest, lambda: fetched, schema, batch_id="ext-1", batch_run_date=datetime(2024, 1, 1))
+    assert spark.read.parquet(dest).count() == 2
+    monkeypatch.setenv("API_KEY", "k")
+    assert EXT.get_secret("API_KEY") == "k"

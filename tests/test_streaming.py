@@ -1,0 +1,66 @@
+"""Structured Streaming micro-batch tests: AvailableNow ingest into the
+idempotent sink, watermarked dedup, windowed counts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.streaming import microbatch as MB
+
+from . import fixtures as FX
+
+
+def test_stream_ingest_available_now(spark, tmp_path):
+    landing = tmp_path / "landing"
+    FX.write_ndjson(str(landing / "0-10-accounts.txt"), FX.account_change_rows())
+    dest = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = MB.stream_ndjson(spark, str(landing), FX.ACCOUNTS_SCHEMA)
+    assert stream.isStreaming
+    q = MB.stream_ingest(stream, dest, ckpt, batch_run_date=datetime(2024, 1, 1)).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(dest)
+    assert out.count() == 6
+    assert {"batch_id", "batch_run_date", "batch_insert_ts"} <= set(out.columns)
+
+    # second run with a NEW file: only the new data lands (file source
+    # tracks processed files via the checkpoint)
+    FX.write_ndjson(str(landing / "10-20-accounts.txt"), FX.account_change_rows()[:2])
+    q2 = MB.stream_ingest(MB.stream_ndjson(spark, str(landing), FX.ACCOUNTS_SCHEMA), dest, ckpt, batch_run_date=datetime(2024, 1, 1)).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == 8
+
+
+def test_windowed_counts_and_dedup(spark, tmp_path):
+    landing = tmp_path / "events"
+    rows = [
+        {"account_id": "A", "balance": 1.0, "sequence_number": 1, "last_modified_ledger": 100, "ledger_entry_change": 0, "deleted": False},
+        {"account_id": "A", "balance": 1.0, "sequence_number": 1, "last_modified_ledger": 100, "ledger_entry_change": 0, "deleted": False},
+        {"account_id": "B", "balance": 2.0, "sequence_number": 1, "last_modified_ledger": 101, "ledger_entry_change": 0, "deleted": False},
+    ]
+    FX.write_ndjson(str(landing / "batch.txt"), rows)
+    stream = MB.stream_ndjson(spark, str(landing), FX.ACCOUNTS_SCHEMA).withColumn(
+        "ts", F.lit(datetime(2024, 1, 1, 0, 3)).cast("timestamp")
+    )
+    deduped = MB.dedup_within_watermark(stream, ["account_id"], "ts")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = deduped.writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2  # duplicate A dropped within watermark
+
+    counts = MB.windowed_counts(stream, "ts")
+    sink2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q2 = counts.writeStream.format("parquet").option("path", sink2).option(
+        "checkpointLocation", ck2
+    ).outputMode("append").trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    # append mode only emits closed windows; with availableNow + watermark
+    # the single window may remain open, so just assert the query ran
+    assert q2.lastProgress is not None
