@@ -11,8 +11,10 @@ from .base import QuerySpec
 QUERIES: dict[str, QuerySpec] = {}
 
 from . import relational  # noqa: E402
+from . import relational2  # noqa: E402
 
 QUERIES.update(relational.SPECS)
+QUERIES.update(relational2.SPECS)
 
 try:
     from . import training  # noqa: E402

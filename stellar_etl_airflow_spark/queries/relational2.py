@@ -1,0 +1,150 @@
+"""Second relational batch: remaining scalar families from the audit-log
+corpus, provider-style accounting, and a cross-table training join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import QuerySpec, dsum, dsum_sql, tables
+
+# ---------------------------------------------------------------------------
+# q21 — scalar corpus #2: REGEXP_EXTRACT_ALL / REGEXP_CONTAINS / REPLACE /
+# FORMAT / SAFE_CAST / TIMESTAMP_ADD / DATE_DIFF(month) / ARRAY_LENGTH /
+# from_json nested access (audit_log.sql:136-141,230,457-458,469-471,726;
+# contract_data NUL-strip REPLACE fixup generate_avro/contract_data.sql:28).
+# ---------------------------------------------------------------------------
+
+
+def q21_scalar_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    months = (F.year(F.col("ts")) * 12 + F.month(F.col("ts"))) - (12 * 2024 + 1)
+    return ev.select(
+        "event_id",
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0))).alias("n_number_runs"),
+        F.col("event_type").rlike("^(click|view)$").alias("is_passive"),
+        F.replace(F.col("event_type"), F.lit("e"), F.lit("")).alias("replaced"),
+        F.format_string("%s-%05d", F.col("event_type"), F.col("user_id")).alias("formatted"),
+        F.expr("try_cast(event_type as bigint)").alias("bad_cast_is_null"),
+        F.expr("try_cast(get_json_object(props, '$.k') as bigint)").alias("k_safe"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("ts_plus_30m"),
+        months.alias("months_since_jan24"),
+        F.size(F.split(F.col("event_type"), "")).alias("n_chars_arr"),
+        F.from_json(F.col("props"), "k bigint").getField("k").alias("k_from_json"),
+    )
+
+
+Q21_SQL = """
+SELECT event_id,
+       len(regexp_extract_all(props, '[0-9]+'))                  AS n_number_runs,
+       regexp_matches(event_type, '^(click|view)$')              AS is_passive,
+       replace(event_type, 'e', '')                              AS replaced,
+       printf('%s-%05d', event_type, user_id)                    AS formatted,
+       TRY_CAST(event_type AS BIGINT)                            AS bad_cast_is_null,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k_safe,
+       ts + INTERVAL 30 MINUTE                                   AS ts_plus_30m,
+       (year(ts) * 12 + month(ts)) - (12 * 2024 + 1)             AS months_since_jan24,
+       CAST(length(event_type) AS INT)                           AS n_chars_arr,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)         AS k_from_json
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — provider-style share accounting: two filtered aggregates joined on
+# the entity key, COALESCE'd subtraction (v_liquidity_providers.sql:3-43).
+# purchases play deposits; clicks play withdrawals (value = shares).
+# ---------------------------------------------------------------------------
+
+
+def q22_provider_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    deposits = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("shares_in"),
+            F.min("ts").alias("first_deposit"),
+            F.count(F.lit(1)).alias("n_deposits"),
+        )
+    )
+    withdrawals = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("shares_out"))
+    )
+    return (
+        deposits.join(withdrawals, "user_id", "left")
+        .select(
+            "user_id",
+            "shares_in",
+            F.coalesce(F.col("shares_out"), F.lit(0.0)).alias("shares_out"),
+            (F.col("shares_in") - F.coalesce(F.col("shares_out"), F.lit(0.0))).alias("current_shares"),
+            "first_deposit",
+            "n_deposits",
+        )
+    )
+
+
+Q22_SQL = f"""
+WITH deposits AS (
+  SELECT user_id,
+         {dsum_sql('coalesce(value, 0.0)')} AS shares_in,
+         min(ts) AS first_deposit,
+         count(*) AS n_deposits
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+withdrawals AS (
+  SELECT user_id, {dsum_sql('coalesce(value, 0.0)')} AS shares_out
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT d.user_id, d.shares_in,
+       coalesce(w.shares_out, 0.0) AS shares_out,
+       d.shares_in - coalesce(w.shares_out, 0.0) AS current_shares,
+       d.first_deposit, d.n_deposits
+FROM deposits d LEFT JOIN withdrawals w ON d.user_id = w.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — cross-table training pipeline: quality-gated documents joined to
+# their embeddings (doc_id = vec_id), emitting filter features + vector
+# norms — the select-then-embed join every curation pipeline runs. The
+# doc side carries only two small columns; at scale the join shuffles on
+# the shared key with both sides pre-pruned.
+# ---------------------------------------------------------------------------
+
+
+def q23_docs_embeddings_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    d = docs.select("doc_id", "lang", F.size(words).alias("n_words"))
+    norm = F.sqrt(F.expr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (acc, v) -> acc + v * v)"))
+    e = emb.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
+    return (
+        d.filter(F.col("n_words") >= 20)
+        .join(e, d.doc_id == e.vec_id)
+        .select("doc_id", "lang", "n_words", "label", "l2_norm")
+    )
+
+
+Q23_SQL = r"""
+SELECT d.doc_id, d.lang, d.n_words, e.label,
+       round(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS INT) AS n_words
+  FROM documents
+) d
+JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.n_words >= 20
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q21_scalar_functions2": QuerySpec(q21_scalar_functions2, Q21_SQL, "scalar corpus #2"),
+    "q22_provider_accounting": QuerySpec(q22_provider_accounting, Q22_SQL, "two-agg join accounting"),
+    "q23_docs_embeddings_join": QuerySpec(q23_docs_embeddings_join, Q23_SQL, "quality-gated docs x embeddings"),
+}

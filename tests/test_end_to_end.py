@@ -1,0 +1,73 @@
+"""End-to-end batch lifecycle (SURVEY §3.1/§3.3): plan the window, ingest
+history + state NDJSON through the idempotent del/ins path, build the
+current-state view, run a mart through the model runner, export a public
+slice — one pipeline, asserting at each seam."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.models.runner import ModelRegistry
+from stellar_etl_airflow_spark.operators.batch import plan_batch
+from stellar_etl_airflow_spark.operators.ingest import Warehouse, ingest_batch, read_table
+from stellar_etl_airflow_spark.sinks import exports
+from stellar_etl_airflow_spark.views import currentstate as CS
+
+from . import fixtures as FX
+
+
+def test_full_batch_lifecycle(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+
+    # 1. plan the 10-minute window
+    w = plan_batch("sched_1", datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 10))
+    assert w.start_ledger <= w.end_ledger
+
+    # 2. extract landed as NDJSON (exporter contract): ledgers + accounts
+    led_src = FX.write_ndjson(
+        str(tmp_path / "in" / f"{w.start_ledger}-{w.end_ledger}-ledgers.txt"), FX.ledger_rows()
+    )
+    acc_src = FX.write_ndjson(
+        str(tmp_path / "in" / f"{w.start_ledger}-{w.end_ledger}-accounts.txt"), FX.account_change_rows()
+    )
+
+    # 3. idempotent del/ins ingest
+    ingest_batch(spark, wh, "history_ledgers", led_src, FX.LEDGERS_SCHEMA, w, cluster_fields=("sequence",))
+    ingest_batch(spark, wh, "accounts", acc_src, FX.ACCOUNTS_SCHEMA, w)
+    # replay the batch — still idempotent end-to-end
+    ingest_batch(spark, wh, "accounts", acc_src, FX.ACCOUNTS_SCHEMA, w)
+    accounts = read_table(spark, wh, "accounts")
+    ledgers = read_table(spark, wh, "history_ledgers")
+    assert accounts.count() == 6 and ledgers.count() == 12
+
+    # 4. current-state view over the change log
+    cur = CS.v_accounts_current(accounts.drop("batch_id", "batch_run_date", "batch_insert_ts"), ledgers)
+    assert {r["account_id"]: r["balance"] for r in cur.collect()} == {"A": 25.0, "B": 0.0, "C": 7.5}
+
+    # 5. mart via the model runner (tag closure)
+    reg = ModelRegistry()
+
+    @reg.model("accounts_current", tags=("current_state",))
+    def accounts_current(ctx):
+        return cur
+
+    @reg.model("account_stats", tags=("marts",), deps=("accounts_current",))
+    def account_stats(ctx):
+        return ctx.ref("accounts_current").agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            F.sum(F.col("balance").cast("decimal(38,6)")).cast("double").alias("total_balance"),
+        )
+
+    out = reg.run(spark, "+tag:marts")
+    stats = out["account_stats"].collect()[0]
+    assert stats["n_accounts"] == 3 and stats["total_balance"] == 32.5
+
+    # 6. public export: hourly slice of the view, reference directory scheme
+    dest = exports.avro_export_dir(str(tmp_path / "avro"), "accounts", datetime(2024, 1, 1, 11))
+    fmt = exports.export_slice(
+        cur, ["account_id", "balance", "closed_at"], "closed_at",
+        datetime(2024, 1, 1), datetime(2024, 1, 2), dest,
+    )
+    assert spark.read.format(fmt).load(dest).count() == 3
