@@ -50,7 +50,9 @@ def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = Non
         # nanos timestamp — read as long and convert (see load_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode is one driver-only JVM — give it most of the host
+        # (container budget 128 GiB); real clusters size executors instead
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -209,7 +209,10 @@ def simhash_neardup_pairs(
     All-pairs here for oracle-checkability; the scale path blocks on
     simhash bytes (4 x 16-bit bands catch all pairs with hamming <= 3 by
     pigeonhole) before the exact filter."""
-    s = simhash(df, text_col, id_col)
+    # exchange barrier: both self-join sides hang off ONE materialized
+    # simhash computation (ReuseExchange), instead of hashing every doc
+    # twice
+    s = simhash(df, text_col, id_col).repartition("doc_id")
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     return (
