@@ -163,6 +163,166 @@ def ohlc(trades: DataFrame, ts_col: str = "ledger_closed_at") -> DataFrame:
     )
 
 
+def liquidity_pool_value(
+    pools_current: DataFrame,
+    asset_prices_xlm: DataFrame,
+    asset_prices_usd: DataFrame,
+) -> DataFrame:
+    """Port of v_liquidity_pool_value.sql — TVL per pool: each leg valued
+    at its latest XLM price (rank()=1 per asset), native legs at face
+    value, the latest XLM/USD price cross-joined onto every row (:74-79),
+    ordered by total_value_locked desc (:80)."""
+    live = pools_current.filter(F.col("deleted") == False)  # noqa: E712
+    wp = Window.partitionBy("asset_code", "asset_issuer").orderBy(F.col("last_updated_ts").desc())
+    latest_price = (
+        asset_prices_xlm.withColumn("rank_nr", F.rank().over(wp))
+        .filter(F.col("rank_nr") == 1)
+        .select(F.col("asset_code").alias("p_code"), F.col("asset_issuer").alias("p_issuer"), "price_in_xlm")
+    )
+    a = (
+        live.join(
+            F.broadcast(latest_price),
+            (live["asset_a_code"] == F.col("p_code")) & (live["asset_a_issuer"] == F.col("p_issuer")),
+            "left",
+        )
+        .select(
+            "liquidity_pool_id",
+            "asset_pair",
+            F.when(F.col("asset_a_type") == "native", F.col("asset_a_amount"))
+            .otherwise(F.col("asset_a_amount") * F.coalesce(F.col("price_in_xlm"), F.lit(0)))
+            .alias("asset_a_value_xlm"),
+        )
+    )
+    b = (
+        live.join(
+            F.broadcast(latest_price),
+            (live["asset_b_code"] == F.col("p_code")) & (live["asset_b_issuer"] == F.col("p_issuer")),
+            "left",
+        )
+        .select(
+            F.col("liquidity_pool_id").alias("b_pool_id"),
+            (F.col("asset_b_amount") * F.coalesce(F.col("price_in_xlm"), F.lit(0))).alias("asset_b_value_xlm"),
+        )
+    )
+    wx = Window.orderBy(F.col("last_updated_ts").desc())
+    xlm_usd = (
+        asset_prices_usd.withColumn("rank_nr", F.row_number().over(wx))
+        .filter(F.col("rank_nr") == 1)
+        .select(F.col("price_in_usd").alias("xlm_price_usd"))
+    )
+    return (
+        a.join(b, a["liquidity_pool_id"] == b["b_pool_id"])
+        .crossJoin(F.broadcast(xlm_usd))
+        .select(
+            "liquidity_pool_id",
+            "asset_pair",
+            "asset_a_value_xlm",
+            "asset_b_value_xlm",
+            "xlm_price_usd",
+            (F.col("asset_a_value_xlm") * F.col("xlm_price_usd")).alias("asset_a_usd_value"),
+            (F.col("asset_b_value_xlm") * F.col("xlm_price_usd")).alias("asset_b_usd_value"),
+            (
+                F.col("asset_a_value_xlm") * F.col("xlm_price_usd")
+                + F.col("asset_b_value_xlm") * F.col("xlm_price_usd")
+            ).alias("total_value_locked"),
+        )
+        .orderBy(F.col("total_value_locked").desc())
+    )
+
+
+def relevant_asset_trades(
+    trades: DataFrame,
+    meaningful_assets: DataFrame,
+    asset_prices_xlm: DataFrame,
+    asset_prices_usd: DataFrame,
+) -> DataFrame:
+    """Port of v_relevant_asset_trades.sql — keep trades whose BOTH legs
+    are meaningful (or native), USD-value each leg with as-of prices, tag
+    AMM vs DEX (:75). The OR of semi-join and native predicate is the
+    left-join + IS NOT NULL pattern (:6-27); both sides must qualify, so
+    the sell- and buy-qualifying sets are inner-joined on the trade key
+    (history_operation_id, `order` — the reserved-word column)."""
+    ma = F.broadcast(meaningful_assets.select(F.col("code").alias("m_code"), F.col("issuer").alias("m_issuer")))
+    sales = (
+        trades.join(
+            ma,
+            (trades["selling_asset_code"] == F.col("m_code")) & (trades["selling_asset_issuer"] == F.col("m_issuer")),
+            "left",
+        )
+        .filter(F.col("m_code").isNotNull() | (F.col("selling_asset_type") == "native"))
+        .drop("m_code", "m_issuer")
+    )
+    buys = (
+        trades.join(
+            ma,
+            (trades["buying_asset_code"] == F.col("m_code")) & (trades["buying_asset_issuer"] == F.col("m_issuer")),
+            "left",
+        )
+        .filter(F.col("m_code").isNotNull() | (F.col("buying_asset_type") == "native"))
+        .select(F.col("history_operation_id").alias("b_op_id"), F.col("order").alias("b_order"))
+    )
+    s = sales.join(
+        buys, (sales["history_operation_id"] == F.col("b_op_id")) & (sales["order"] == F.col("b_order"))
+    )
+    sell_win = validity_windows(asset_prices_xlm, ("asset_code", "asset_issuer")).select(
+        F.col("asset_code").alias("c_code"), F.col("asset_issuer").alias("c_issuer"),
+        F.col("price").alias("c_price"), F.col("valid_from_ts").alias("c_from"), F.col("valid_to_ts").alias("c_to"),
+    )
+    buy_win = validity_windows(asset_prices_xlm, ("asset_code", "asset_issuer")).select(
+        F.col("asset_code").alias("d_code"), F.col("asset_issuer").alias("d_issuer"),
+        F.col("price").alias("d_price"), F.col("valid_from_ts").alias("d_from"), F.col("valid_to_ts").alias("d_to"),
+    )
+    xlm_win = validity_windows(asset_prices_usd, ("asset_id",), price_col="price_in_usd").select(
+        F.col("price").alias("x_price"), F.col("valid_from_ts").alias("x_from"), F.col("valid_to_ts").alias("x_to")
+    )
+    t = (
+        s.join(
+            F.broadcast(sell_win),
+            (s["selling_asset_code"] == F.col("c_code")) & (s["selling_asset_issuer"] == F.col("c_issuer"))
+            & (s["ledger_closed_at"] >= F.col("c_from")) & (s["ledger_closed_at"] < F.col("c_to")),
+            "left",
+        )
+        .join(
+            F.broadcast(buy_win),
+            (s["buying_asset_code"] == F.col("d_code")) & (s["buying_asset_issuer"] == F.col("d_issuer"))
+            & (s["ledger_closed_at"] >= F.col("d_from")) & (s["ledger_closed_at"] < F.col("d_to")),
+            "left",
+        )
+        .join(
+            F.broadcast(xlm_win),
+            (s["ledger_closed_at"] >= F.col("x_from")) & (s["ledger_closed_at"] < F.col("x_to")),
+            "left",
+        )
+    )
+    x = F.coalesce(F.col("x_price"), F.lit(0))
+    sell_usd = F.when(F.col("selling_asset_type") == "native", F.col("selling_amount") * x).otherwise(
+        F.col("selling_amount") * x * F.coalesce(F.col("c_price"), F.lit(0))
+    )
+    buy_usd = F.when(F.col("buying_asset_type") == "native", F.col("buying_amount") * x).otherwise(
+        F.col("buying_amount") * x * F.coalesce(F.col("d_price"), F.lit(0))
+    )
+    return t.select(
+        "ledger_closed_at",
+        "selling_account_address",
+        "selling_asset_code",
+        "selling_asset_issuer",
+        "selling_asset_type",
+        "selling_amount",
+        sell_usd.alias("selling_amount_usd"),
+        "buying_account_address",
+        "buying_asset_code",
+        "buying_asset_issuer",
+        "buying_asset_type",
+        "buying_amount",
+        buy_usd.alias("buying_amount_usd"),
+        "price_n",
+        "price_d",
+        "selling_liquidity_pool_id",
+        "liquidity_pool_fee",
+        F.when(F.col("selling_liquidity_pool_id").isNotNull(), "AMM").otherwise("DEX").alias("trade_type"),
+    )
+
+
 def history_assets_dedup_insert(staging: DataFrame, existing: DataFrame) -> DataFrame:
     """Port of dags/queries/history_assets.sql:5-62: oldest-wins window
     dedup of the staging batch, then anti-join against already-loaded
