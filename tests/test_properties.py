@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): MERGE semantics, SCD-2 lifecycle,
+MinHash-LSH guarantees, backfill chunking — checked against independent
+Python models on randomized inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stellar_etl_airflow_spark.operators import batch as B
+from stellar_etl_airflow_spark.operators import merge as MG
+from stellar_etl_airflow_spark.training import dedup as D
+
+from . import fixtures as FX
+
+SLOW = settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+
+change_row = st.tuples(
+    st.sampled_from(["A", "B", "C", "D"]),  # key
+    st.floats(min_value=0, max_value=100, allow_nan=False).map(lambda x: round(x, 2)),
+    st.integers(min_value=0, max_value=5),  # sequence_number
+    st.integers(min_value=100, max_value=110),  # last_modified_ledger
+    st.integers(min_value=0, max_value=3),  # ledger_entry_change
+    st.booleans(),  # deleted
+)
+
+
+def _model_merge(target_rows, change_rows):
+    """Independent Python model of MERGE apply-changes."""
+    latest = {}
+    for r in change_rows:
+        k = r[0]
+        cur = latest.get(k)
+        # latest by (ledger, change) desc; ties keep first encountered by
+        # row_number determinism -> use strictly greater comparison on sort key
+        if cur is None or (r[3], r[4]) > (cur[3], cur[4]):
+            latest[k] = r
+    out = {r[0]: r for r in target_rows if r[0] not in latest}
+    for k, r in latest.items():
+        if not r[5]:
+            out[k] = r
+    return {k: (v[1], v[3], v[4]) for k, v in out.items()}
+
+
+@SLOW
+@given(
+    target=st.lists(change_row, max_size=6, unique_by=lambda r: r[0]),
+    changes=st.lists(change_row, max_size=8, unique_by=lambda r: (r[0], r[3], r[4])),
+)
+def test_merge_upsert_matches_model(spark, target, changes):
+    tdf = spark.createDataFrame(target, FX.ACCOUNTS_SCHEMA) if target else spark.createDataFrame([], FX.ACCOUNTS_SCHEMA)
+    cdf = spark.createDataFrame(changes, FX.ACCOUNTS_SCHEMA) if changes else spark.createDataFrame([], FX.ACCOUNTS_SCHEMA)
+    got = {
+        r["account_id"]: (r["balance"], r["last_modified_ledger"], r["ledger_entry_change"])
+        for r in MG.merge_upsert(tdf, cdf, ("account_id",)).collect()
+    }
+    assert got == _model_merge(target, changes)
+
+
+@SLOW
+@given(
+    hours=st.integers(min_value=1, max_value=24),
+    span=st.integers(min_value=1, max_value=200),
+)
+def test_backfill_chunks_partition_range(hours, span):
+    start = datetime(2024, 1, 1)
+    end = start + timedelta(hours=span)
+    chunks = B.chunk_backfill(start, end, hours)
+    assert chunks[0][0] == start and chunks[-1][1] == end
+    for (a0, a1), (b0, b1) in zip(chunks, chunks[1:]):
+        assert a1 == b0  # no gaps, no overlaps
+    assert all(c1 - c0 <= timedelta(hours=hours) for c0, c1 in chunks)
+
+
+words = st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]), min_size=5, max_size=30)
+
+
+@SLOW
+@given(ws=words)
+def test_identical_docs_always_lsh_candidates(spark, ws):
+    """Jaccard-1 pairs (identical gram sets) must always share every band."""
+    text = " ".join(ws)
+    docs = spark.createDataFrame([(1, text), (2, text), (3, "unrelated words only here now")], "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+
+@SLOW
+@given(ws=words)
+def test_jaccard_self_similarity(spark, ws):
+    """Exact n-gram Jaccard of a doc with itself is 1.0; pair output is
+    consistent with the set sizes it reports."""
+    text = " ".join(ws)
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    rows = D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["jaccard"] == 1.0 and r["na"] == r["nb"] == r["shared"]
