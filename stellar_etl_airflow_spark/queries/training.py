@@ -419,8 +419,41 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# t14 — df-capped n-gram Jaccard (the inverted-index blow-up mitigation):
+# shingles in > max_doc_freq docs are dropped before the self-join.
+# ---------------------------------------------------------------------------
+
+
+def t14_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_dfcapped(docs, threshold=0.5, max_doc_freq=10)
+
+
+T14_SQL = f"""
+WITH {GRAMS_CTE},
+postings AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+rare AS MATERIALIZED (SELECT gram FROM postings GROUP BY gram HAVING count(*) <= 10),
+capped AS MATERIALIZED (SELECT p.doc_id, p.gram FROM postings p JOIN rare r ON p.gram = r.gram),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_grams FROM capped GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       sa.n_grams AS na, sb.n_grams AS nb,
+       shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) >= 0.5
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
+    "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
     "t02_ngram_jaccard_pairs": QuerySpec(t02_ngram_jaccard_pairs, T02_SQL, "n-gram Jaccard near-dup pairs"),
     "t03_minhash_lsh_pairs": QuerySpec(t03_minhash_lsh_pairs, T03_SQL, "MinHash-LSH candidate pairs"),
     "t04_simhash": QuerySpec(t04_simhash, T04_SQL, "SimHash sketches"),

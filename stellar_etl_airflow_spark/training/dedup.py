@@ -80,7 +80,8 @@ def ngram_jaccard_pairs(
     groupBy-count filter on the postings."""
     grams = with_word_ngrams(df, text_col, n).select(F.col(id_col).alias("doc"), F.col("grams"))
     sizes = grams.select("doc", F.size("grams").alias("n_grams")).filter(F.col("n_grams") > 0)
-    postings = grams.select("doc", F.explode("grams").alias("gram"))
+    # exchange barrier: both self-join sides reuse one materialized explode
+    postings = grams.select("doc", F.explode("grams").alias("gram")).repartition("gram")
     a = postings.alias("a")
     b = postings.alias("b")
     shared = (
@@ -102,6 +103,45 @@ def ngram_jaccard_pairs(
 MAXLONG = (1 << 63) - 1
 # second hash reduced mod 2^55 so g1 + 31 * g2' stays < 2^63 (ANSI-safe)
 MOD55 = 1 << 55
+
+
+def ngram_jaccard_pairs_dfcapped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """df-capped variant of :func:`ngram_jaccard_pairs` — the 100 TB
+    mitigation: shingles appearing in more than ``max_doc_freq`` documents
+    are dropped from the inverted index BEFORE the self-join, bounding the
+    per-gram join fan-out at max_doc_freq^2. Jaccard is then computed over
+    the capped gram space (sizes count only surviving grams), a standard
+    approximation for web-scale dedup."""
+    grams = with_word_ngrams(df, text_col, n).select(F.col(id_col).alias("doc"), F.col("grams"))
+    # exchange barrier: postings feed the df-count, both self-join sides,
+    # and the size aggregate — materialize the explode once (ReuseExchange)
+    postings = grams.select("doc", F.explode("grams").alias("gram")).repartition("gram")
+    rare = postings.groupBy("gram").count().filter(F.col("count") <= max_doc_freq).select("gram")
+    capped = postings.join(rare, "gram").repartition("gram")
+    sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+    )
 
 
 def minhash_signature_expr(grams_col: str, num_hashes: int) -> str:
