@@ -451,6 +451,32 @@ WHERE shared::DOUBLE / (sa.n_grams + sb.n_grams - shared) >= 0.5
 """
 
 
+# ---------------------------------------------------------------------------
+# t15 — frame sampling: Arrow-batched 1->N expansion over binary payloads
+# (stubbed probe); oracle recomputes the deterministic frame digests with
+# generate_series.
+# ---------------------------------------------------------------------------
+
+
+def t15_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_payload(docs))
+
+
+T15_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS content,
+         CAST(1 + ('0x' || substr(md5(text), 1, 15))::BIGINT % 4 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_index,
+       n_frames,
+       md5(content || ':' || unnest(generate_series(0, n_frames - 1))::VARCHAR) AS frame_md5
+FROM base
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -466,4 +492,5 @@ SPECS: dict[str, QuerySpec] = {
     "t11_token_stats": QuerySpec(t11_token_stats, T11_SQL, "token counting"),
     "t12_fingerprint": QuerySpec(t12_fingerprint, T12_SQL, "document fingerprinting"),
     "t13_multimodal_meta": QuerySpec(t13_multimodal_meta, T13_SQL, "multimodal metadata via mapInPandas"),
+    "t15_frame_sample": QuerySpec(t15_frame_sample, T15_SQL, "frame sampling 1->N expansion"),
 }

@@ -74,6 +74,54 @@ def decode_image_stub(payload: bytes) -> tuple[int, int]:
     return 64 + int(h[:4], 16) % 1920, 64 + int(h[4:8], 16) % 1080
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_count_stub(payload: bytes) -> int:
+    """STUB for container probing (ffprobe et al.): deterministic 1-4
+    pseudo-frames from the payload hash."""
+    h = hashlib.md5(payload).hexdigest()
+    return 1 + int(h[:15], 16) % 4
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling as an Arrow-batched 1->N expansion: each payload
+    yields n_frames rows with per-frame digests. The real decoder replaces
+    the two stub calls; the batch-explode plumbing (one output DataFrame
+    per Arrow batch, rows multiplied) is the production shape for video
+    frame extraction at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_index": [], "n_frames": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = frame_count_stub(raw)
+                content = hashlib.md5(raw).hexdigest()
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["n_frames"].append(n)
+                    out["frame_md5"].append(hashlib.md5(f"{content}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_index": pd.Series(out["frame_index"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over the payload column.
 
