@@ -77,3 +77,26 @@ def windowed_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
     )
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with the built-in session_window — the
+    stream twin of the batch gap-cumsum sessionizer (queries q19): a
+    session closes after ``gap`` of per-key inactivity."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -120,6 +121,81 @@ def sample_frames(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB for the real resize (PIL .resize + re-encode): deterministic
+    fake that scales the byte budget with the target area."""
+    budget = max(16, (width * height) // 64)
+    reps = (budget // max(len(payload), 1)) + 1
+    return (payload * reps)[:budget]
+
+
+def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
+    """Batch resize: binary in, binary out, pinned dims — the standard
+    image-normalization stage before feature extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_image_stub(bytes(p), width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": resized,
+                    "n_bytes": pd.Series([len(r) for r in resized], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("rms_energy", DoubleType()),
+    ]
+)
+
+
+def audio_features_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB for the real audio probe (torchaudio/ffprobe): deterministic
+    pseudo duration / sample rate / energy from the payload hash."""
+    h = hashlib.md5(payload).hexdigest()
+    duration = 500 + int(h[:8], 16) % 60_000
+    rate = (8000, 16000, 44100, 48000)[int(h[8:10], 16) % 4]
+    energy = (int(h[10:14], 16) % 10_000) / 10_000.0
+    return duration, rate, energy
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [audio_features_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_ms": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "sample_rate": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "rms_energy": pd.Series([f[2] for f in feats], dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:
