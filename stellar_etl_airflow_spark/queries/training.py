@@ -477,6 +477,43 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# t16 — IVF single-probe ANN: deterministic codebook (vec_id % 37 == 3),
+# nearest-centroid assignment, probe = query's own cell only.
+# ---------------------------------------------------------------------------
+
+
+def t16_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=5)
+
+
+T16_SQL = f"""
+WITH {EMB_NORM_CTE},
+cents AS MATERIALIZED (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm FROM n WHERE vec_id % 37 = 3),
+assigned AS MATERIALIZED (
+  SELECT n_id, n_vec, n_nrm, cell FROM (
+    SELECT v.vec_id AS n_id, v.vec AS n_vec, v.nrm AS n_nrm, c.c_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[i] * c.c_vec[i]))
+                      / (v.nrm * c.c_nrm) DESC, c.c_id ASC
+           ) AS rn
+    FROM n v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT q.n_id AS q_id, q.cell AS cell, t.n_id AS n_id,
+         list_sum(list_transform(range(1, len(q.n_vec) + 1), i -> q.n_vec[i] * t.n_vec[i]))
+           / (q.n_nrm * t.n_nrm) AS cosine
+  FROM assigned q JOIN assigned t ON q.cell = t.cell AND q.n_id % 10 = 0 AND q.n_id <> t.n_id
+)
+SELECT q_id, cell, CAST(rank AS INT) AS rank, n_id, round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM j)
+WHERE rank <= 5
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -493,4 +530,5 @@ SPECS: dict[str, QuerySpec] = {
     "t12_fingerprint": QuerySpec(t12_fingerprint, T12_SQL, "document fingerprinting"),
     "t13_multimodal_meta": QuerySpec(t13_multimodal_meta, T13_SQL, "multimodal metadata via mapInPandas"),
     "t15_frame_sample": QuerySpec(t15_frame_sample, T15_SQL, "frame sampling 1->N expansion"),
+    "t16_embedding_ivf_topk": QuerySpec(t16_embedding_ivf_topk, T16_SQL, "IVF single-probe ANN top-k"),
 }

@@ -117,6 +117,56 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    by cosine (argmax over the broadcast centroid set). ``vectors`` /
+    ``centroids`` are `_prep`-shaped ('n_'/'c_' prefixes)."""
+    cos = F.expr(DOT.format(a="n_vec", b="c_vec")) / (F.col("n_norm") * F.col("c_norm"))
+    w = Window.partitionBy("n_id").orderBy(F.col("_cos").desc(), F.col("c_id").asc())
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("n_id", "n_vec", "n_norm", F.col("c_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_pred=None,
+    query_pred=None,
+) -> DataFrame:
+    """IVF single-probe ANN: a deterministic subset of the corpus acts as
+    the coarse-quantizer codebook (a fixed-seed k-means would refine it;
+    the assignment/probe join shape — the part that matters at scale — is
+    identical). Queries search only their own cell: one equi-join on the
+    cell id instead of a cross join."""
+    c = _prep(corpus, id_col, vec_col, "n")
+    cents = (
+        _prep(corpus.filter(centroid_pred if centroid_pred is not None else (F.col(id_col) % 37 == 3)), id_col, vec_col, "c")
+        .select(F.col("c_id"), F.col("c_vec"), F.col("c_norm"))
+    )
+    assigned = ivf_assign(c, cents)
+    q = assigned.filter(query_pred(F.col("n_id")) if query_pred is not None else (F.col("n_id") % 10 == 0)).select(
+        F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"), F.col("n_norm").alias("q_norm"), "cell"
+    )
+    cos = F.expr(DOT.format(a="q_vec", b="n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        F.broadcast(q)
+        .join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cell", "rank", "n_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.98,
