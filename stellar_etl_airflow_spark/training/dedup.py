@@ -19,6 +19,13 @@ are reproducible across engines (and oracle-checkable in DuckDB). At 100 TB
 the per-row signature computation is embarrassingly parallel; the only
 shuffles are the band-bucket exchange (small: B rows per doc) and the final
 pair dedup.
+
+References (public literature): Broder, "On the resemblance and
+containment of documents" (1997) — MinHash/shingling; Charikar,
+"Similarity estimation techniques from rounding algorithms" (STOC 2002) —
+SimHash; Kirsch & Mitzenmacher, "Less hashing, same performance" (2006) —
+the double-hashing family h_k = g1 + k*g2; Leskovec/Rajaraman/Ullman,
+"Mining of Massive Datasets" ch.3 — the (bands, rows) LSH S-curve.
 """
 
 from __future__ import annotations

@@ -15,6 +15,12 @@ Two paths:
 
 Hyperplanes are data-independent and derived from md5 parity, so results
 are deterministic and oracle-checkable (no RNG state).
+
+References (public literature): Charikar (STOC 2002) — random-hyperplane
+LSH for cosine; Indyk & Motwani (STOC 1998) — LSH framework; Jégou,
+Douze & Schmid, "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011) — the IVF coarse-quantizer/inverted-list design ``ivf_topk``
+mirrors (codebook + cell-restricted probe).
 """
 
 from __future__ import annotations

@@ -180,6 +180,10 @@ def test_scd2_lifecycle(spark):
     # A has exactly two versions, one open
     a_versions = snap.filter(F.col("k") == "A").collect()
     assert len(a_versions) == 2 and sum(1 for r in a_versions if r["valid_to"] is None) == 1
+    # re-applying an unchanged state is a no-op (snapshot idempotency)
+    again = S2.scd2_apply(snap, s3, ("k",), datetime(2024, 1, 4))
+    assert again.count() == snap.count()
+    assert {r["k"]: r["v"] for r in S2.current_of(again).collect()} == cur
 
 
 # ----------------------------------------------------------------------- views
