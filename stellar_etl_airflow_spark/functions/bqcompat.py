@@ -63,7 +63,7 @@ def bq_dayofweek(col: Column) -> Column:
 _RULES: list[tuple[re.Pattern, str]] = [
     # `project.dataset.table` (backticked or not) -> bare table name
     (re.compile(r"`[\w\-]+\.[\w\-]+\.([\w\-]+)`"), r"\1"),
-    (re.compile(r"\b[\w\-]+\.[\w\-]+\.([\w\-]+)\b(?=\s|$|,|\))"), r"\1"),
+    (re.compile(r"\b[\w\-]+\.[\w\-]+\.([\w\-]+)\b(?=[\s,;)]|$)"), r"\1"),
     (re.compile(r"\bSAFE_DIVIDE\s*\(", re.I), "try_divide("),
     (re.compile(r"\bSAFE_CAST\s*\(", re.I), "try_cast("),
     (re.compile(r"\bJSON_EXTRACT_SCALAR\s*\(", re.I), "get_json_object("),

@@ -34,7 +34,17 @@ class ModelContext:
     outputs: dict[str, DataFrame] = field(default_factory=dict)
 
     def ref(self, name: str) -> DataFrame:
-        return self.outputs[name]
+        """dbt's ref(): an in-run model output, else an existing catalog
+        view/table (how dbt resolves refs to excluded/unselected models)."""
+        if name in self.outputs:
+            return self.outputs[name]
+        try:
+            return self.spark.table(name)
+        except Exception:
+            raise KeyError(
+                f"model '{name}' not in this run's outputs and not a catalog "
+                f"table/view — was it excluded without a materialized copy?"
+            ) from None
 
 
 @dataclass(frozen=True)

@@ -31,11 +31,15 @@ _DISPOSITION = {"WRITE_APPEND": "append", "WRITE_TRUNCATE": "overwrite", "WRITE_
 
 
 def render_sql_template(template: str, *, batch_id: str, batch_run_date, prev_batch_run_date=None, next_batch_run_date=None, **extra) -> str:
-    """Format the reference's SQL-template parameters (project/dataset are
-    catalog-resolution concerns and resolve to nothing here)."""
-    return template.format(
-        project_id="spark_catalog",
-        dataset_id="default",
+    """Format the reference's SQL-template parameters. The
+    ``{project_id}.{dataset_id}.`` table prefix resolves to NOTHING — the
+    engine's catalog registers bare-named temp views (catalog.py), and
+    Spark cannot resolve temp views through qualified names, so the whole
+    dotted prefix is stripped rather than substituted."""
+    rendered = template.replace("{project_id}.{dataset_id}.", "").replace("`{project_id}.{dataset_id}.", "`")
+    return rendered.format(
+        project_id="",
+        dataset_id="",
         batch_id=batch_id,
         batch_run_date=batch_run_date,
         prev_batch_run_date=prev_batch_run_date,

@@ -37,7 +37,15 @@ def scd2_apply(
     state: DataFrame,
     keys: tuple[str, ...],
     snapshot_ts,
+    check_unique: bool = True,
 ) -> DataFrame:
+    # Duplicate natural keys in the incoming state would fan out the join
+    # below and break the one-open-row-per-key invariant; BigQuery's MERGE
+    # fails loudly on duplicate source keys — so do we.
+    if check_unique:
+        dupes = state.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        if dupes:
+            raise ValueError(f"duplicate natural keys in state on {keys}; dedup the batch first")
     ts = F.lit(snapshot_ts).cast("timestamp")
     tracked = [c for c in state.columns if c not in keys]
     closed = snapshot.filter(F.col("valid_to").isNotNull())

@@ -31,7 +31,13 @@ def salted_join(
 
     ``salt_basis`` defaults to a hash of all fact columns — any stable
     per-row expression works (an id column is cheapest).
+
+    Only fact-side-preserving joins are supported: with the dim side
+    exploded n_salts times, right/full outer would emit one null-padded
+    row PER SALT for unmatched dim keys.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"):
+        raise ValueError(f"salted_join does not support '{how}' (dim side is exploded {n_salts}x)")
     basis = salt_basis if salt_basis is not None else F.hash(*[F.col(c) for c in facts.columns])
     f = facts.withColumn("_salt", F.pmod(basis, F.lit(n_salts)))
     d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

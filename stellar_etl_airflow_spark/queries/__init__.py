@@ -10,15 +10,12 @@ from .base import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# All three corpora import unconditionally: a broken import must fail the
+# gate loudly, never silently shrink the checked query set.
 from . import relational  # noqa: E402
 from . import relational2  # noqa: E402
+from . import training  # noqa: E402
 
 QUERIES.update(relational.SPECS)
 QUERIES.update(relational2.SPECS)
-
-try:
-    from . import training  # noqa: E402
-
-    QUERIES.update(training.SPECS)
-except ImportError:  # pragma: no cover - training corpus added incrementally
-    pass
+QUERIES.update(training.SPECS)

@@ -55,9 +55,14 @@ def export_slice(
     try:
         out.write.mode("overwrite").format("avro").save(dest)
         return "avro"
-    except Exception:
-        out.write.mode("overwrite").parquet(dest)
-        return "parquet"
+    except Exception as exc:
+        # fall back ONLY when the avro connector itself is absent; any
+        # real write failure (permissions, disk, task errors) propagates
+        msg = str(exc).lower()
+        if "failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg:
+            out.write.mode("overwrite").parquet(dest)
+            return "parquet"
+        raise
 
 
 def ndjson_extract(df: DataFrame, dest: str) -> None:

@@ -48,18 +48,21 @@ def read_ndjson(
     df = spark.read.schema(with_rescue).option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", CORRUPT_COL
     ).json(path)
-    # Spark refuses plans that reference ONLY the corrupt column over a raw
-    # JSON scan; cache the parsed batch (one 10-min slice), gate, then
-    # return the clean projection from the same cached parse.
-    df = df.cache()
-    try:
-        bad = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
-        if bad > max_bad_records:
-            raise BadRecordsError(f"{bad} corrupt NDJSON rows in {path} (max {max_bad_records})")
-        return df.drop(CORRUPT_COL)
-    except BadRecordsError:
-        df.unpersist()
-        raise
+    # Gate scan: Spark refuses plans whose referenced columns are ONLY the
+    # corrupt column, and column pruning strips a merely-selected sibling —
+    # so the probe AGGREGATES over a real field alongside the corrupt
+    # indicator. Two scans of one 10-min NDJSON slice == BigQuery's
+    # validate-then-load; no cache, nothing leaks in long-lived sessions.
+    aggs = [F.sum(F.col(CORRUPT_COL).isNotNull().cast("int")).alias("bad")]
+    if schema.fields:
+        aggs.append(F.count(F.col(schema.fields[0].name)).alias("_touch"))
+    bad = df.agg(*aggs).collect()[0]["bad"] or 0
+    if bad > max_bad_records:
+        raise BadRecordsError(f"{bad} corrupt NDJSON rows in {path} (max {max_bad_records})")
+    # within-budget corrupt rows are SKIPPED (BigQuery max_bad_records
+    # semantics), never returned as all-null rows
+    clean = df.filter(F.col(CORRUPT_COL).isNull()) if bad else df
+    return clean.drop(CORRUPT_COL)
 
 
 def stamp_batch_columns(df: DataFrame, batch_id: str, batch_run_date, batch_insert_ts=None) -> DataFrame:

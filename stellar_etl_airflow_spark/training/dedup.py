@@ -86,9 +86,11 @@ def ngram_jaccard_pairs(
     shingles should be dropped first (df-capping), which is a single
     groupBy-count filter on the postings."""
     grams = with_word_ngrams(df, text_col, n).select(F.col(id_col).alias("doc"), F.col("grams"))
-    sizes = grams.select("doc", F.size("grams").alias("n_grams")).filter(F.col("n_grams") > 0)
     # exchange barrier: both self-join sides reuse one materialized explode
     postings = grams.select("doc", F.explode("grams").alias("gram")).repartition("gram")
+    # sizes derive from the SAME materialized postings (grams are already
+    # distinct per doc), not a second run of the shingling fold
+    sizes = postings.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
     a = postings.alias("a")
     b = postings.alias("b")
     shared = (
