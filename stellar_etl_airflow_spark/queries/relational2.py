@@ -142,8 +142,91 @@ WHERE d.n_words >= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q24 — enrichment join: row-level wide projection over a 4-table join
+# (the enriched_history_operations mart shape: operations + transactions +
+# ledgers denormalized into one wide table; dbt_enriched_base_tables_dag).
+# ---------------------------------------------------------------------------
+
+
+def q24_enriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na, cu, od, li = tables(spark, sf_dir, "nation", "customer", "orders", "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            "o_orderstatus",
+            "o_orderdate",
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+Q24_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       o_orderstatus, o_orderdate, c_custkey, c_mktsegment,
+       n_name AS nation
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q25 — two-stage mart: aggregate then rank within group, keep top 3
+# (the trade_agg/asset_stats mart family: aggregate per entity, rank per
+# dimension; SURVEY §2.4 window functions over aggregates).
+# ---------------------------------------------------------------------------
+
+
+def q25_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa, li = tables(spark, sf_dir, "part", "lineitem")
+    from pyspark.sql.window import Window
+
+    rev = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") <= 3)
+        .select("p_brand", "brand_rank", "p_partkey", "revenue")
+    )
+
+
+Q25_SQL = f"""
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, CAST(brand_rank AS INT) AS brand_rank, p_partkey, revenue
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS brand_rank
+  FROM rev
+)
+WHERE brand_rank <= 3
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q21_scalar_functions2": QuerySpec(q21_scalar_functions2, Q21_SQL, "scalar corpus #2"),
     "q22_provider_accounting": QuerySpec(q22_provider_accounting, Q22_SQL, "two-agg join accounting"),
     "q23_docs_embeddings_join": QuerySpec(q23_docs_embeddings_join, Q23_SQL, "quality-gated docs x embeddings"),
+    "q24_enriched_rows": QuerySpec(q24_enriched_rows, Q24_SQL, "enrichment wide-row join"),
+    "q25_top_parts_per_brand": QuerySpec(q25_top_parts_per_brand, Q25_SQL, "agg + ranked top-k per group"),
 }
