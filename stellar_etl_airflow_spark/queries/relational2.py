@@ -223,10 +223,39 @@ WHERE brand_rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# q26 — correlated subquery (Catalyst decorrelates to a join): customers
+# whose order count exceeds a threshold, with the count from a correlated
+# scalar subquery. Integer-only semantics — no float boundary risk in the
+# row-selection predicate.
+# ---------------------------------------------------------------------------
+
+
+def q26_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 12
+        """
+    )
+
+
+Q26_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 12
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q21_scalar_functions2": QuerySpec(q21_scalar_functions2, Q21_SQL, "scalar corpus #2"),
     "q22_provider_accounting": QuerySpec(q22_provider_accounting, Q22_SQL, "two-agg join accounting"),
     "q23_docs_embeddings_join": QuerySpec(q23_docs_embeddings_join, Q23_SQL, "quality-gated docs x embeddings"),
     "q24_enriched_rows": QuerySpec(q24_enriched_rows, Q24_SQL, "enrichment wide-row join"),
     "q25_top_parts_per_brand": QuerySpec(q25_top_parts_per_brand, Q25_SQL, "agg + ranked top-k per group"),
+    "q26_correlated_subquery": QuerySpec(q26_correlated_subquery, Q26_SQL, "correlated scalar subquery"),
 }
