@@ -41,9 +41,17 @@ class QuerySpec:
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Load the named driver-testdata parquet tables and register temp views."""
-    from ..session import normalize_nanos
+    """Load the named driver-testdata parquet tables and register temp views.
 
+    The session may be externally owned (the correctness driver builds its
+    own), so the confs required to read the testdata — nanos-as-long for
+    ``events.ts`` TIMESTAMP(NANOS) and a UTC session timezone for
+    deterministic timestamp<->local conversions — are (re)applied here at
+    runtime rather than assumed from :func:`..session.get_spark`.
+    """
+    from ..session import ensure_read_confs, normalize_nanos
+
+    ensure_read_confs(spark)
     out = []
     for name in names:
         df = normalize_nanos(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))

@@ -60,6 +60,19 @@ def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = Non
     return builder.getOrCreate()
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Apply the runtime SQL confs needed to read the driver testdata.
+
+    Safe on any session (our own or an externally created one): both confs
+    are per-session runtime confs in Spark 4. Without ``nanosAsLong`` the
+    ``events.parquet`` scan fails with PARQUET_TYPE_ILLEGAL (INT64
+    TIMESTAMP(NANOS)); without a pinned timezone, timestamp->date/local
+    conversions are host-dependent and break oracle hash comparison.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
     """Load the driver testdata parquet tables and register temp views.
 
@@ -78,6 +91,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    ensure_read_confs(spark)
     out = {}
     for name in all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
