@@ -61,9 +61,17 @@ def bq_dayofweek(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 _RULES: list[tuple[re.Pattern, str]] = [
-    # `project.dataset.table` (backticked or not) -> bare table name
+    # `project.dataset.table` (backticked) -> bare table name; backticks are
+    # unambiguous BQ table quoting, so this applies anywhere.
     (re.compile(r"`[\w\-]+\.[\w\-]+\.([\w\-]+)`"), r"\1"),
-    (re.compile(r"\b[\w\-]+\.[\w\-]+\.([\w\-]+)\b(?=[\s,;)]|$)"), r"\1"),
+    # Bare project.dataset.table: ONLY in table position (after FROM/JOIN/
+    # INTO/UPDATE/TABLE). A global 3-part rewrite would corrupt struct
+    # field paths — `resource.labels.project_id`, `a.details.liquidity_
+    # pool_id` — which the reference's audit_log.sql uses in SELECT/WHERE.
+    (
+        re.compile(r"\b(FROM|JOIN|INTO|UPDATE|TABLE)(\s+)[\w\-]+\.[\w\-]+\.([\w\-]+)\b", re.I),
+        r"\1\2\3",
+    ),
     (re.compile(r"\bSAFE_DIVIDE\s*\(", re.I), "try_divide("),
     (re.compile(r"\bSAFE_CAST\s*\(", re.I), "try_cast("),
     (re.compile(r"\bJSON_EXTRACT_SCALAR\s*\(", re.I), "get_json_object("),

@@ -51,6 +51,19 @@ class Warehouse:
     def meta_path(self) -> str:
         return os.path.join(self.root, "_meta", "batch_runs")
 
+    def recover(self) -> list[str]:
+        """Restore tables left mid-swap by an interrupted
+        :func:`..operators.merge.safe_overwrite` (a ``<table>.old`` dir with
+        no ``<table>``). Call once at startup. Returns recovered tables."""
+        from .merge import recover_overwrite
+
+        recovered = []
+        if os.path.isdir(self.root):
+            for entry in sorted(os.listdir(self.root)):
+                if entry.endswith(".old") and recover_overwrite(os.path.join(self.root, entry[:-4])):
+                    recovered.append(entry[:-4])
+        return recovered
+
 
 def record_batch_stats(
     spark: SparkSession, wh: Warehouse, window: BatchWindow, table: str, batch_start: datetime

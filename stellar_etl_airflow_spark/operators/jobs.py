@@ -31,21 +31,30 @@ _DISPOSITION = {"WRITE_APPEND": "append", "WRITE_TRUNCATE": "overwrite", "WRITE_
 
 
 def render_sql_template(template: str, *, batch_id: str, batch_run_date, prev_batch_run_date=None, next_batch_run_date=None, **extra) -> str:
-    """Format the reference's SQL-template parameters. The
+    """Substitute the reference's SQL-template parameters. The
     ``{project_id}.{dataset_id}.`` table prefix resolves to NOTHING — the
     engine's catalog registers bare-named temp views (catalog.py), and
     Spark cannot resolve temp views through qualified names, so the whole
-    dotted prefix is stripped rather than substituted."""
+    dotted prefix is stripped rather than substituted.
+
+    Only the documented placeholders are replaced (targeted str.replace,
+    not a global ``str.format``): literal braces elsewhere in the SQL —
+    regex quantifiers like ``.{2}``, JSON templates in string literals —
+    pass through untouched.
+    """
     rendered = template.replace("{project_id}.{dataset_id}.", "").replace("`{project_id}.{dataset_id}.", "`")
-    return rendered.format(
-        project_id="",
-        dataset_id="",
-        batch_id=batch_id,
-        batch_run_date=batch_run_date,
-        prev_batch_run_date=prev_batch_run_date,
-        next_batch_run_date=next_batch_run_date,
+    params = {
+        "project_id": "",
+        "dataset_id": "",
+        "batch_id": batch_id,
+        "batch_run_date": batch_run_date,
+        "prev_batch_run_date": prev_batch_run_date,
+        "next_batch_run_date": next_batch_run_date,
         **extra,
-    )
+    }
+    for name, value in params.items():
+        rendered = rendered.replace("{" + name + "}", str(value))
+    return rendered
 
 
 def sql_insert_job(

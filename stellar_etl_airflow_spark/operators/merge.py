@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,15 +72,47 @@ def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...])
     return new_rows.join(target.select(*keys), list(keys), "left_anti")
 
 
+def recover_overwrite(path: str) -> bool:
+    """Recover from a ``safe_overwrite`` interrupted between its two
+    renames: if only ``<path>.old`` exists, the new directory never landed
+    — rename the old data back. Returns True if a recovery happened.
+    Call at startup (``Warehouse.recover`` runs it per table) before
+    reading state tables."""
+    old = path + ".old"
+    if os.path.isdir(old) and not os.path.exists(path):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def safe_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Copy-on-write table rewrite: write to a temp dir, then swap. Plain
     parquet cannot be read and overwritten in one job; Delta/Iceberg do
-    this natively via the transaction log."""
-    tmp = os.path.join(tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(tmp)
+    this natively via the transaction log.
+
+    Crash-safety: the temp dir is a SIBLING of ``path`` (same filesystem),
+    so both swap steps are atomic ``os.rename`` calls — never a recursive
+    copy. The only non-atomic window is between the two renames; a crash
+    there leaves ``<path>.old`` holding the full previous table, which
+    :func:`recover_overwrite` restores on startup. ``.old`` is deleted
+    only after the new directory is in place."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".merge-tmp-{uuid.uuid4().hex}")
     old = path + ".old"
-    if os.path.exists(path):
-        os.rename(path, old)
-    shutil.move(tmp, path)
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover from a prior completed swap
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+    except BaseException:
+        # failed before the final rename: put the previous table back and
+        # drop the partial temp output
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     if os.path.exists(old):
         shutil.rmtree(old)

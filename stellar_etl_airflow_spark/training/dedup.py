@@ -45,8 +45,14 @@ def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3, out_col:
     formulation (element_at(ws, i+j)) would re-inline the full text split
     per index after Catalyst's projection collapse (measured ~20x slower).
     Stays entirely in the JVM; documents with < n words yield an empty
-    array.
+    array. ``n=1`` short-circuits to the distinct word array (the fold's
+    window slice assumes n >= 2).
     """
+    if n < 1:
+        raise ValueError(f"with_word_ngrams: n must be >= 1, got {n}")
+    if n == 1:
+        words = f"array_distinct(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''))"
+        return df.withColumn(out_col, F.expr(words))
     empty = "cast(array() as array<string>)"
     fold = (
         f"array_distinct(aggregate("

@@ -1,0 +1,90 @@
+"""Regression tests for the round-1 ADVICE findings: runtime read confs,
+struct-path-safe BQ translation, crash-safe overwrite, unigram shingles,
+brace-literal-safe template rendering."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.functions import translate_bq_sql
+from stellar_etl_airflow_spark.operators.ingest import Warehouse
+from stellar_etl_airflow_spark.operators.jobs import render_sql_template
+from stellar_etl_airflow_spark.operators.merge import recover_overwrite, safe_overwrite
+from stellar_etl_airflow_spark.queries.base import tables
+from stellar_etl_airflow_spark.training.dedup import with_word_ngrams
+
+from .conftest import SF_SMOKE
+
+
+def test_tables_sets_read_confs_on_caller_session(spark):
+    # simulate an externally owned session missing the nanos conf
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    (ev,) = tables(spark, SF_SMOKE, "events")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_translate_preserves_struct_field_paths():
+    sql = (
+        "SELECT resource.labels.project_id, a.details.liquidity_pool_id "
+        "FROM proj-x.dset.audit_t JOIN proj-x.dset.other_t USING (id) "
+        "WHERE a.details.liquidity_pool_id IS NOT NULL"
+    )
+    out = translate_bq_sql(sql)
+    # table refs stripped to bare names...
+    assert "FROM audit_t" in out and "JOIN other_t" in out
+    # ...but struct field paths are untouched (appear twice for the WHERE)
+    assert out.count("resource.labels.project_id") == 1
+    assert out.count("a.details.liquidity_pool_id") == 2
+
+
+def test_safe_overwrite_tmp_is_sibling_and_recovers(spark, tmp_path):
+    wh = Warehouse(str(tmp_path))
+    path = wh.path("state_t")
+    safe_overwrite(spark, spark.range(5), path)
+    safe_overwrite(spark, spark.range(7), path)  # second swap exercises .old
+    assert spark.read.parquet(path).count() == 7
+    assert not os.path.exists(path + ".old")
+    # no stray temp dirs outside the warehouse root, none left inside
+    assert not [d for d in os.listdir(tmp_path) if d.startswith(".merge-tmp-")]
+
+    # simulate a crash between the two renames: table gone, .old present
+    os.rename(path, path + ".old")
+    assert wh.recover() == ["state_t"]
+    assert spark.read.parquet(path).count() == 7
+    assert recover_overwrite(path) is False  # idempotent no-op afterwards
+
+
+def test_safe_overwrite_failure_restores_previous(spark, tmp_path):
+    path = str(tmp_path / "t")
+    safe_overwrite(spark, spark.range(3), path)
+    bad = spark.range(3).select((F.lit(1) / F.col("id")).alias("v"), F.raise_error(F.lit("boom")).alias("e"))
+    with pytest.raises(Exception, match="boom"):
+        safe_overwrite(spark, bad, path)
+    assert spark.read.parquet(path).count() == 3  # previous table intact
+    assert not [d for d in os.listdir(tmp_path) if d.startswith(".merge-tmp-")]
+
+
+def test_word_ngrams_unigram_and_validation(spark):
+    df = spark.createDataFrame([("the cat the dog",)], "text string")
+    (row,) = with_word_ngrams(df, "text", n=1).collect()
+    assert sorted(row["grams"]) == ["cat", "dog", "the"]
+    (row2,) = with_word_ngrams(df, "text", n=2).collect()
+    assert sorted(row2["grams"]) == ["cat the", "the cat", "the dog"]
+    with pytest.raises(ValueError, match="n must be >= 1"):
+        with_word_ngrams(df, "text", n=0)
+
+
+def test_render_template_leaves_literal_braces():
+    tpl = (
+        "SELECT regexp_like(x, 'a.{2}b') AS m, '{\"k\": 1}' AS js "
+        "FROM {project_id}.{dataset_id}.t WHERE batch_id = '{batch_id}'"
+    )
+    out = render_sql_template(tpl, batch_id="b9", batch_run_date=datetime(2024, 1, 1))
+    assert "a.{2}b" in out and '{"k": 1}' in out
+    assert "FROM t " in out and "'b9'" in out
