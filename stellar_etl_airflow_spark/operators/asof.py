@@ -1,0 +1,138 @@
+"""Scalable as-of (backward temporal) join operators.
+
+The reference expresses as-of joins as LEAD()-built validity windows plus a
+range join (v_liquidity_pool_trade_volume.sql:31-54,88-95 — see
+``queries/relational.py::q07`` and ``views/marts.py``). That formulation is
+ideal when the price/dimension side is broadcastable, but at 100 TB with a
+LARGE right side the range join degenerates: Catalyst plans a
+BroadcastNestedLoopJoin or an exploded theta join, both quadratic per key.
+
+Two scale-path alternatives, both one-shuffle:
+
+- :func:`asof_join` — the union trick: tag both sides, union, then one
+  running ``last(value, ignorenulls=True)`` window per key ordered by
+  (ts, side). Cost = ONE shuffle + sort of |L|+|R| rows, no pair blow-up,
+  AQE-skew-splittable. This is how as-of joins are done on
+  billions-of-rows-per-side (the same plan Flink's temporal join and
+  kdb's aj compile to).
+- :func:`asof_join_pandas` — cogrouped ``applyInPandas`` over
+  ``pandas.merge_asof``: per-key Arrow batches, supports ``tolerance``
+  and forward/nearest directions that the union trick doesn't express.
+  Python-side, so reserved for semantics the JVM path can't do.
+
+Both implement BACKWARD inclusive semantics (latest right row with
+``r.ts <= l.ts``), matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``
+(the corpus oracle for q27) and the reference's ``valid_from <= t``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+from pyspark.sql.window import Window
+
+_SIDE, _ATS = "_asof_side", "_asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Backward as-of LEFT join: for each left row, attach ``value_cols``
+    from the latest right row with ``right_ts <= left_ts`` (same key), NULL
+    if none. Right rows sharing one (key, ts): the greatest ``tiebreak_cols``
+    wins (pass the right side's sequence column to make ties deterministic).
+
+    Plan shape: unionByName -> single hash exchange on the key -> per-key
+    sort -> running last(). No range predicate ever reaches a join operator.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c not in set(keys) | {right_ts}
+    ]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"asof_join: value_cols collide with left columns: {sorted(overlap)}")
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_ATS),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
+    )
+    lft = left.select("*", F.col(left_ts).alias(_ATS), F.lit(1).alias(_SIDE))
+    u = lft.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort BEFORE left rows at equal ts (inclusive backward);
+    # among right ties the greatest tiebreak lands last and wins last()
+    order = [F.col(_ATS).asc(), F.col(_SIDE).asc()] + [F.col(f"_tb_{c}").asc_nulls_first() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = u.select(
+        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols]
+    )
+    drop = [_ATS, _SIDE] + [f"_r_{c}" for c in value_cols] + [f"_tb_{c}" for c in tiebreak_cols]
+    return filled.filter(F.col(_SIDE) == 1).drop(*drop)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tolerance=None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join via cogrouped ``applyInPandas`` + ``pandas.merge_asof``.
+
+    Use when ``tolerance`` (max staleness) or ``direction`` in
+    {"forward", "nearest"} is needed — semantics ``merge_asof`` has but the
+    union-window trick does not. Arrow-batched; each key group must fit in
+    executor memory (salt/split hot keys upstream if not).
+    """
+    import pandas as pd
+
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c not in set(keys) | {right_ts}
+    ]
+    out_schema = ST.StructType(
+        list(left.schema.fields) + [right.schema[c] for c in value_cols]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    rsel = right.select(*keys, F.col(right_ts).alias("_rts"), *value_cols)
+
+    def join_group(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=out_cols)
+        ldf = ldf.sort_values(left_ts, kind="mergesort")
+        if rdf.empty:
+            for c in value_cols:
+                ldf[c] = None
+            return ldf[out_cols]
+        rdf = rdf.sort_values("_rts", kind="mergesort")
+        merged = pd.merge_asof(
+            ldf,
+            rdf[["_rts", *value_cols]],
+            left_on=left_ts,
+            right_on="_rts",
+            tolerance=tolerance,
+            direction=direction,
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(rsel.groupBy(*keys))
+        .applyInPandas(join_group, out_schema)
+    )

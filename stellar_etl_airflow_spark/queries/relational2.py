@@ -251,6 +251,116 @@ WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 12
 """
 
 
+# ---------------------------------------------------------------------------
+# q27 — as-of join via the union + running-window operator (operators/asof.py)
+# — the LARGE-right-side scale path for the same price attribution q07 does
+# with a broadcast range join (v_liquidity_pool_trade_volume.sql:88-95).
+# Oracle: DuckDB's native ASOF LEFT JOIN. Ties on (user_id, ts) are broken
+# by greatest event_id in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q27_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    (ev,) = tables(spark, sf_dir, "events")
+    prices = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    joined = asof_join(
+        clicks, prices, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["price"], tiebreak_cols=["event_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "price",
+        (F.col("value") * F.coalesce(F.col("price"), F.lit(0.0))).alias("notional"),
+    )
+
+
+Q27_SQL = """
+WITH prices AS (
+  SELECT user_id, ts, price FROM (
+    SELECT user_id, ts, value AS price,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+),
+clicks AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, p.price,
+       c.value * coalesce(p.price, 0) AS notional
+FROM clicks c ASOF LEFT JOIN prices p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — ROLLUP + GROUPING indicator. The reference corpus has no grouping
+# sets (SURVEY §2.4 "No grouping sets / cube / rollup"), but a complete
+# engine needs them for the mart-style subtotal reports the dbt layer would
+# otherwise union by hand. Map-side partial aggregation applies per
+# grouping set, so the shuffle carries one pre-aggregated row per (set,
+# group) — this scales the same as the q01 aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q28_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() is an aggregate-context expression: it must appear
+            # in the agg list, not a downstream select
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+Q28_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       count(*) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — exact interpolated percentiles per group. Spark `percentile` and
+# DuckDB `quantile_cont` share the linear-interpolation definition, so the
+# doubles match bit-for-bit (verified at sf0.01). At 100 TB exact
+# percentiles shuffle every value to its group; the scale path swaps in
+# approx_percentile (t-digest) at the same call site — semantics
+# documented, not oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def q29_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+    )
+
+
+Q29_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.5) AS p50_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q21_scalar_functions2": QuerySpec(q21_scalar_functions2, Q21_SQL, "scalar corpus #2"),
     "q22_provider_accounting": QuerySpec(q22_provider_accounting, Q22_SQL, "two-agg join accounting"),
@@ -258,4 +368,7 @@ SPECS: dict[str, QuerySpec] = {
     "q24_enriched_rows": QuerySpec(q24_enriched_rows, Q24_SQL, "enrichment wide-row join"),
     "q25_top_parts_per_brand": QuerySpec(q25_top_parts_per_brand, Q25_SQL, "agg + ranked top-k per group"),
     "q26_correlated_subquery": QuerySpec(q26_correlated_subquery, Q26_SQL, "correlated scalar subquery"),
+    "q27_asof_union": QuerySpec(q27_asof_union, Q27_SQL, "as-of join via union + running window"),
+    "q28_rollup": QuerySpec(q28_rollup, Q28_SQL, "ROLLUP subtotals + GROUPING indicators"),
+    "q29_percentiles": QuerySpec(q29_percentiles, Q29_SQL, "exact interpolated percentiles"),
 }

@@ -1,0 +1,113 @@
+"""As-of join operators: the union+running-window scale path and the
+cogrouped merge_asof path must agree with each other, with the reference's
+LEAD()-validity-window range join, and handle tolerance/no-match cases."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stellar_etl_airflow_spark.operators.asof import asof_join, asof_join_pandas
+
+from .conftest import SF_SMOKE
+
+
+def _canon(df, cols=("event_id", "price")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from stellar_etl_airflow_spark.queries.base import tables
+
+    (ev,) = tables(spark, SF_SMOKE, "events")
+    return ev
+
+
+def test_union_asof_matches_range_join_formulation(spark, events):
+    prices = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price"), "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+
+    got = asof_join(clicks, prices, on="user_id", value_cols=["price"], tiebreak_cols=["event_id"])
+
+    # reference formulation: LEAD validity windows + range join, latest
+    # event_id wins ties within one (user_id, ts)
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    p1 = prices.withColumn("_rn", F.row_number().over(w_dedup)).filter("_rn = 1").drop("_rn")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    valid = p1.withColumn(
+        "valid_to", F.coalesce(F.lead("ts", 1).over(w), F.lit("9999-12-31").cast("timestamp"))
+    )
+    # both sides descend from one events scan — alias to disambiguate lineage
+    c, v = clicks.alias("c"), valid.alias("v")
+    expected = c.join(
+        v,
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("c.ts") >= F.col("v.ts"))
+        & (F.col("c.ts") < F.col("v.valid_to")),
+        "left",
+    ).select(F.col("c.event_id"), F.col("v.price"))
+
+    assert _canon(got) == _canon(expected)
+
+
+def test_pandas_asof_matches_union(spark, events):
+    prices = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    a = asof_join(clicks, prices, on="user_id", value_cols=["price"])
+    b = asof_join_pandas(clicks, prices, on="user_id", value_cols=["price"])
+    assert _canon(a) == _canon(b)
+
+
+def test_asof_no_prior_row_is_null_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 12), 1), ("k", datetime(2024, 1, 3, 12), 2), ("x", datetime(2024, 1, 2), 3)],
+        "key string, ts timestamp, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 10.0), ("k", datetime(2024, 1, 3), 30.0)],
+        "key string, ts timestamp, price double",
+    )
+    got = {r["row_id"]: r["price"] for r in asof_join(left, right, on="key").collect()}
+    assert got == {1: 10.0, 2: 30.0, 3: None}  # key x has no right rows at all
+
+    # tolerance: only matches within 12h staleness survive
+    tol = {
+        r["row_id"]: r["price"]
+        for r in asof_join_pandas(left, right, on="key", tolerance=pd.Timedelta(hours=12)).collect()
+    }
+    assert tol == {1: 10.0, 2: 30.0, 3: None}
+    tight = {
+        r["row_id"]: r["price"]
+        for r in asof_join_pandas(left, right, on="key", tolerance=pd.Timedelta(hours=1)).collect()
+    }
+    assert tight == {1: None, 2: None, 3: None}
+
+
+def test_asof_inclusive_tie_and_forward_direction(spark):
+    t0 = datetime(2024, 6, 1)
+    left = spark.createDataFrame([("k", t0, 1)], "key string, ts timestamp, row_id int")
+    right = spark.createDataFrame(
+        [("k", t0, 5.0), ("k", t0 + timedelta(hours=1), 7.0)],
+        "key string, ts timestamp, price double",
+    )
+    # backward inclusive: the equal-ts right row matches
+    (row,) = asof_join(left, right, on="key").collect()
+    assert row["price"] == 5.0
+    # forward direction only exists on the pandas path
+    (fwd,) = asof_join_pandas(left, right, on="key", direction="forward").collect()
+    assert fwd["price"] == 5.0  # inclusive forward also picks the tie first
+
+
+def test_asof_value_col_collision_raises(spark):
+    df = spark.createDataFrame([("k", datetime(2024, 1, 1), 1.0)], "key string, ts timestamp, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, on="key")
