@@ -478,6 +478,56 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# t17 — near-dup connected components + representative selection: the
+# transitive closure over SimHash near-dup pairs (the dedup pipeline's
+# final keep/drop stage). Spark: iterative min-label propagation
+# (training/components.py); oracle: recursive-CTE reachability closure.
+# ---------------------------------------------------------------------------
+
+
+def t17_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training import components as C
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sketches = D.simhash(docs)
+    pairs = D.simhash_neardup_pairs(docs, max_hamming=8, sketches=sketches)
+    vertices = sketches.select("doc_id")
+    return C.dedup_decisions(vertices, pairs)
+
+
+T17_SQL = f"""
+WITH RECURSIVE {WORDS_CTE},
+wc AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+hs AS MATERIALIZED (SELECT doc_id, {_WH} AS h FROM wc),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(2 * ((h >> CAST(b AS INT)) & 1) - 1) > 0
+              THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END AS bitval
+  FROM hs CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS MATERIALIZED (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS lab FROM sh
+  UNION
+  SELECT e.dst AS v, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS doc_id, min(lab) AS component, (v = min(lab)) AS is_representative
+FROM reach GROUP BY v
+"""
+
+
+# ---------------------------------------------------------------------------
 # t16 — IVF single-probe ANN: deterministic codebook (vec_id % 37 == 3),
 # nearest-centroid assignment, probe = query's own cell only.
 # ---------------------------------------------------------------------------
@@ -531,4 +581,7 @@ SPECS: dict[str, QuerySpec] = {
     "t13_multimodal_meta": QuerySpec(t13_multimodal_meta, T13_SQL, "multimodal metadata via mapInPandas"),
     "t15_frame_sample": QuerySpec(t15_frame_sample, T15_SQL, "frame sampling 1->N expansion"),
     "t16_embedding_ivf_topk": QuerySpec(t16_embedding_ivf_topk, T16_SQL, "IVF single-probe ANN top-k"),
+    "t17_neardup_components": QuerySpec(
+        t17_neardup_components, T17_SQL, "near-dup connected components + representatives"
+    ),
 }

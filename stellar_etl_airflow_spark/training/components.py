@@ -1,0 +1,96 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair generators (SimHash / MinHash / embedding near-dup, training/dedup.py)
+emit EDGES; turning them into dedup decisions needs the transitive closure:
+every document in one duplicate cluster maps to one component id, and one
+representative per component survives. This is the standard last stage of a
+web-scale dedup pipeline (e.g. the CCNet / RefinedWeb recipes).
+
+Implementation: iterative min-label propagation — each round every vertex
+adopts the minimum label in its closed neighborhood; fixpoint in O(diameter)
+rounds. Each round is one shuffle (groupBy vertex). Lineage is cut with
+``localCheckpoint`` per round, the standard Spark iterative-algorithm
+pattern (otherwise the plan doubles every round and Catalyst re-optimizes
+an exponentially growing tree). For graphs with huge diameter the
+literature alternative is large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) which converges
+in O(log^2 n) rounds; near-dup graphs are dense clusters with tiny
+diameter, so plain propagation converges in 2-4 rounds and does strictly
+less work per round.
+
+Determinism: labels are vertex ids, min() is order-insensitive — the
+result is exactly reproducible and oracle-checkable against a recursive-CTE
+closure in DuckDB (corpus t17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each vertex with the minimum vertex id reachable from it.
+
+    ``vertices``: one column ``vertex_col`` (isolated docs allowed — they
+    become their own singleton component). ``edges``: undirected pairs.
+    Returns ``(vertex_col, component)``. Raises if not converged within
+    ``max_iter`` rounds (near-dup graphs converge in a handful).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(F.col(vertex_col).alias("v"), F.col(vertex_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min neighbor label per vertex; closed neighborhood via coalesce
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.coalesce(F.col("_changed"), F.lit(False))).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            return labels.select(F.col("v").alias(vertex_col), "component")
+    raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
+
+
+def dedup_decisions(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Components + the keep/drop verdict: the minimum id in each component
+    is the representative (kept); everything else in the component is a
+    duplicate of it. Returns ``(vertex_col, component, is_representative)``."""
+    cc = connected_components(vertices, edges, vertex_col, src_col, dst_col)
+    return cc.select(
+        vertex_col,
+        "component",
+        (F.col(vertex_col) == F.col("component")).alias("is_representative"),
+    )

@@ -257,17 +257,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (bit_count of xor).
 
     All-pairs here for oracle-checkability; the scale path blocks on
     simhash bytes (4 x 16-bit bands catch all pairs with hamming <= 3 by
-    pigeonhole) before the exact filter."""
+    pigeonhole) before the exact filter. Pass ``sketches`` (a
+    :func:`simhash` result) to reuse an already-computed sketch table.
+    """
     # exchange barrier: both self-join sides hang off ONE materialized
     # simhash computation (ReuseExchange), instead of hashing every doc
     # twice
-    s = simhash(df, text_col, id_col).repartition("doc_id")
+    s = (sketches if sketches is not None else simhash(df, text_col, id_col)).repartition("doc_id")
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     return (
