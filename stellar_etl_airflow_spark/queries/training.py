@@ -246,6 +246,48 @@ WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# t18 — multi-probe LSH ANN: query probes its own bucket + all Hamming-1
+# bit flips (Lv et al., VLDB 2007) — recall of 1+n_planes tables at one
+# table's cost. Only the query side explodes; the corpus join stays equi.
+# ---------------------------------------------------------------------------
+
+
+def t18_embedding_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.lsh_cosine_topk_multiprobe(emb, queries, k=5, n_planes=_N_PLANES, dim=_DIM)
+
+
+T18_SQL = f"""
+WITH {EMB_NORM_CTE},
+planes AS MATERIALIZED (SELECT {_planes_duck_literal()} AS pl),
+b AS MATERIALIZED (
+  SELECT vec_id, vec, nrm,
+         CAST(list_sum(list_transform(range(0, {_N_PLANES}),
+              p -> CASE WHEN list_sum(list_transform(range(1, len(vec) + 1),
+                                      i -> vec[i] * pl[p + 1][i])) >= 0
+                        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes
+),
+probes AS (
+  SELECT vec_id, vec, nrm,
+         unnest([bucket] || list_transform(range(0, {_N_PLANES}),
+                p -> xor(bucket, 1::BIGINT << CAST(p AS INT)))) AS probe
+  FROM b WHERE vec_id % 10 = 0
+),
+j AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         list_sum(list_transform(range(1, len(q.vec) + 1), i -> q.vec[i] * c.vec[i]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM probes q JOIN b c ON c.bucket = q.probe AND q.vec_id <> c.vec_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank FROM j)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # t08 — embedding-cosine near-dup pairs, LSH-blocked.
 # ---------------------------------------------------------------------------
 
@@ -583,5 +625,8 @@ SPECS: dict[str, QuerySpec] = {
     "t16_embedding_ivf_topk": QuerySpec(t16_embedding_ivf_topk, T16_SQL, "IVF single-probe ANN top-k"),
     "t17_neardup_components": QuerySpec(
         t17_neardup_components, T17_SQL, "near-dup connected components + representatives"
+    ),
+    "t18_embedding_multiprobe_topk": QuerySpec(
+        t18_embedding_multiprobe_topk, T18_SQL, "multi-probe LSH ANN top-k"
     ),
 }

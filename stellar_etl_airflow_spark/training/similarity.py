@@ -123,6 +123,50 @@ def lsh_cosine_topk(
     )
 
 
+def lsh_cosine_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_probes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket PLUS the
+    ``n_probes`` Hamming-1 buckets (one sign bit flipped). Boosts recall
+    like running 1+n_probes hash tables but with ONE corpus index — the
+    standard trade (Lv et al., "Multi-Probe LSH", VLDB 2007). Only the
+    small query side explodes (1+n_probes rows per query); the corpus is
+    still hit by a single equi-join on the bucket key, so the scale shape
+    is unchanged. A corpus vector lives in exactly one bucket and probe
+    buckets are distinct, so no candidate dedup is needed."""
+    n_probes = n_planes if n_probes is None else n_probes
+    planes = planes_sql_literal(rademacher_planes(n_planes, dim))
+    c = _prep(corpus, id_col, vec_col, "n").withColumn(
+        "bucket", F.expr(bucket_expr("n_vec", planes, n_planes))
+    )
+    q = _prep(queries, id_col, vec_col, "q").withColumn(
+        "bucket", F.expr(bucket_expr("q_vec", planes, n_planes))
+    )
+    probe_list = (
+        f"concat(array(bucket), transform(sequence(0, {n_probes - 1}), "
+        f"p -> bucket ^ shiftleft(1L, p)))"
+    )
+    qp = q.select("q_id", "q_vec", "q_norm", F.explode(F.expr(probe_list)).alias("bucket"))
+    cos = F.expr(DOT.format(a="q_vec", b="n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        F.broadcast(qp)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     by cosine (argmax over the broadcast centroid set). ``vectors`` /
