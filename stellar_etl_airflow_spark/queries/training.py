@@ -606,6 +606,51 @@ WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# t19 — k-means-refined IVF assignment: one Lloyd round over the
+# deterministic seed codebook, then the final nearest-centroid assignment
+# with cosines. Centroid means are exact DECIMAL sums -> one double
+# division, so the refined codebook is bit-identical across engines and
+# the whole iterative algorithm is oracle-checkable (the oracle unrolls
+# the iteration as chained CTEs).
+# ---------------------------------------------------------------------------
+
+
+def t19_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.kmeans_ivf_assign(emb, iters=1)
+
+
+_COS_QC = "list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[i] * c.c_vec[i])) / (v.nrm * c.c_nrm)"
+T19_SQL = f"""
+WITH {EMB_NORM_CTE},
+c0 AS MATERIALIZED (SELECT vec_id AS c_id, vec AS c_vec, nrm AS c_nrm FROM n WHERE vec_id % 37 = 3),
+a1 AS MATERIALIZED (
+  SELECT n_id, n_vec, cell FROM (
+    SELECT v.vec_id AS n_id, v.vec AS n_vec, c.c_id AS cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_COS_QC} DESC, c.c_id ASC) AS rn
+    FROM n v CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+dim_means AS (
+  SELECT cell, i,
+         CAST(sum(CAST(n_vec[CAST(i AS INT)] AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY cell, i
+),
+c1 AS MATERIALIZED (
+  SELECT cell AS c_id, list(m ORDER BY i) AS c_vec,
+         sqrt(list_sum(list_transform(list(m ORDER BY i), x -> x * x))) AS c_nrm
+  FROM dim_means GROUP BY cell
+)
+SELECT n_id, cell, round(cosine, 6) AS cosine FROM (
+  SELECT v.vec_id AS n_id, c.c_id AS cell, {_COS_QC} AS cosine,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {_COS_QC} DESC, c.c_id ASC) AS rn
+  FROM n v CROSS JOIN c1 c
+) WHERE rn = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -629,4 +674,5 @@ SPECS: dict[str, QuerySpec] = {
     "t18_embedding_multiprobe_topk": QuerySpec(
         t18_embedding_multiprobe_topk, T18_SQL, "multi-probe LSH ANN top-k"
     ),
+    "t19_kmeans_ivf": QuerySpec(t19_kmeans_ivf, T19_SQL, "k-means-refined IVF assignment"),
 }

@@ -217,6 +217,74 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iters: int = 1) -> DataFrame:
+    """Lloyd refinement of an IVF codebook: ``iters`` rounds of
+    assign-to-nearest (cosine) then recompute-centroid-as-mean.
+
+    Determinism across engines: the per-dimension mean is an EXACT
+    DECIMAL(38,18) sum cast to double, then one double division by the
+    cell count — no order-dependent double accumulation — so the refined
+    codebook (and every downstream cosine) is bit-identical in Spark and
+    the DuckDB oracle. Cells keep their seed centroid's id as a stable
+    label; cells that lose all members disappear (standard Lloyd on a
+    fixed k). Each round is one assignment (broadcast argmax, no shuffle
+    of the corpus) plus one posexplode-groupBy((cell, dim)) shuffle whose
+    width is k*dim rows — trivial at any corpus size.
+
+    ``vectors`` is `_prep`-shaped ('n_' prefix), ``centroids`` ('c_').
+    Returns the refined centroid table ('c_' prefix).
+    """
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, centroids)
+        dim_means = (
+            assigned.select("cell", F.posexplode("n_vec").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("m")
+            )
+        )
+        centroids = (
+            dim_means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select(
+                F.col("cell").alias("c_id"),
+                F.expr("transform(im, s -> s.m)").alias("c_vec"),
+            )
+            .withColumn("c_norm", F.expr(NORM.format(a="c_vec")))
+        )
+    return centroids
+
+
+def kmeans_ivf_assign(
+    corpus: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_pred=None,
+) -> DataFrame:
+    """IVF coarse quantization with a k-means-refined codebook: seed the
+    codebook deterministically (same rule as :func:`ivf_topk`), run
+    ``iters`` Lloyd rounds, then emit the final assignment with the
+    point-to-centroid cosine. This is the index-build stage of an
+    IVF-based ANN system (Jégou et al., TPAMI 2011); ``ivf_topk``'s probe
+    join runs unchanged on the refined cells."""
+    c = _prep(corpus, id_col, vec_col, "n")
+    seeds = _prep(
+        corpus.filter(centroid_pred if centroid_pred is not None else (F.col(id_col) % 37 == 3)),
+        id_col, vec_col, "c",
+    ).select("c_id", "c_vec", "c_norm")
+    refined = kmeans_refine(c, seeds, iters=iters)
+    cos = F.expr(DOT.format(a="n_vec", b="c_vec")) / (F.col("n_norm") * F.col("c_norm"))
+    w = Window.partitionBy("n_id").orderBy(F.col("_cos").desc(), F.col("c_id").asc())
+    return (
+        c.crossJoin(F.broadcast(refined))
+        .withColumn("_cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("n_id", F.col("c_id").alias("cell"), F.round("_cos", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

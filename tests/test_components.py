@@ -35,3 +35,17 @@ def test_dedup_decisions_representatives(spark):
     edges = spark.createDataFrame([(6, 7)], "doc_a long, doc_b long")
     rows = {r["doc_id"]: (r["component"], r["is_representative"]) for r in dedup_decisions(vertices, edges).collect()}
     assert rows == {5: (5, True), 6: (6, True), 7: (6, False)}
+
+
+def test_kmeans_refinement_improves_cosine(spark):
+    from stellar_etl_airflow_spark.training.similarity import ivf_topk, kmeans_ivf_assign
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    seed = kmeans_ivf_assign(emb, iters=0)  # assignment against raw seeds
+    refined = kmeans_ivf_assign(emb, iters=1)
+    mean0 = seed.agg(F.avg("cosine")).collect()[0][0]
+    mean1 = refined.agg(F.avg("cosine")).collect()[0][0]
+    # Lloyd: each round weakly improves the assignment objective
+    assert mean1 >= mean0 - 1e-9
+    assert refined.count() == emb.count()
