@@ -361,6 +361,132 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q30 — rolling window frames (ROWS BETWEEN n PRECEDING AND CURRENT ROW)
+# + lag deltas. The reference corpus has no frame specs (SURVEY §2.4
+# "No frame specs appear anywhere") but rolling aggregates are core
+# analytics surface. The frame sum uses the DECIMAL(38,6) pattern INSIDE
+# the window: sliding-window double accumulation is engine-specific
+# (segment trees vs running subtraction), decimal sums are exact either
+# way. Tie-free ordering via (ts, event_id).
+# ---------------------------------------------------------------------------
+
+
+def q30_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (ev,) = tables(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w7 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-6, Window.currentRow)
+    wo = Window.partitionBy("user_id").orderBy(*order)
+    rsum = F.sum(F.col("value").cast("decimal(38,6)")).over(w7).cast("double")
+    rn = F.count(F.lit(1)).over(w7)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            rsum.alias("rolling_sum"),
+            rn.alias("rolling_n"),
+            (rsum / rn).alias("rolling_avg"),
+            F.lag("value", 1).over(wo).alias("prev_value"),
+            (F.col("value") - F.lag("value", 1).over(wo)).alias("delta"),
+        )
+    )
+
+
+Q30_SQL = """
+SELECT event_id, user_id, ts, value,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w7 AS DOUBLE) AS rolling_sum,
+       count(*) OVER w7 AS rolling_n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w7 AS DOUBLE) / (count(*) OVER w7) AS rolling_avg,
+       lag(value, 1) OVER wo AS prev_value,
+       value - lag(value, 1) OVER wo AS delta
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w7 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wo AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 — INTERSECT / EXCEPT set operators (absent from the reference corpus;
+# SURVEY §2.4 "no INTERSECT/EXCEPT"). Audience segmentation shape: users in
+# both behavior sets vs. one set only. Distinct set semantics both sides.
+# ---------------------------------------------------------------------------
+
+
+def q31_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # intersect/subtract are the DISTINCT set ops (SQL INTERSECT/EXCEPT);
+    # exceptAll would only cancel per-occurrence multiplicities
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
+    click_only = clickers.subtract(buyers).withColumn("segment", F.lit("click_only"))
+    buy_only = buyers.subtract(clickers).withColumn("segment", F.lit("buy_only"))
+    return both.unionByName(click_only).unionByName(buy_only)
+
+
+Q31_SQL = """
+SELECT user_id, 'click_and_buy' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_only' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'buy_only' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'click')
+"""
+
+
+# ---------------------------------------------------------------------------
+# q32 — PIVOT: per-user event-type matrix (count + exact sum per type).
+# Spark's relational pivot with an EXPLICIT value list (an inferred list
+# would mean an extra distinct-scan job and nondeterministic column order).
+# Oracle: conditional aggregation with FILTER; empty cells are NULL in
+# Spark's pivot, so counts go through nullif(.., 0).
+# ---------------------------------------------------------------------------
+
+
+def q32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("amount"))
+    )
+
+
+def _pivot_sum(event_type: str) -> str:
+    # FILTER binds to the aggregate, inside the outer CAST
+    return (
+        f"CAST(sum(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type = '{event_type}') AS DOUBLE)"
+    )
+
+
+Q32_SQL = f"""
+SELECT user_id,
+       nullif(count(*) FILTER (WHERE event_type = 'click'), 0) AS click_n,
+       {_pivot_sum('click')} AS click_amount,
+       nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS view_n,
+       {_pivot_sum('view')} AS view_amount,
+       nullif(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase_n,
+       {_pivot_sum('purchase')} AS purchase_amount
+FROM events
+GROUP BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q21_scalar_functions2": QuerySpec(q21_scalar_functions2, Q21_SQL, "scalar corpus #2"),
     "q22_provider_accounting": QuerySpec(q22_provider_accounting, Q22_SQL, "two-agg join accounting"),
@@ -371,4 +497,7 @@ SPECS: dict[str, QuerySpec] = {
     "q27_asof_union": QuerySpec(q27_asof_union, Q27_SQL, "as-of join via union + running window"),
     "q28_rollup": QuerySpec(q28_rollup, Q28_SQL, "ROLLUP subtotals + GROUPING indicators"),
     "q29_percentiles": QuerySpec(q29_percentiles, Q29_SQL, "exact interpolated percentiles"),
+    "q30_rolling_window": QuerySpec(q30_rolling_window, Q30_SQL, "rolling frame aggregates + lag deltas"),
+    "q31_setops": QuerySpec(q31_setops, Q31_SQL, "INTERSECT/EXCEPT segmentation"),
+    "q32_pivot": QuerySpec(q32_pivot, Q32_SQL, "relational PIVOT with explicit values"),
 }
