@@ -532,7 +532,9 @@ def t17_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = tables(spark, sf_dir, "documents")
     sketches = D.simhash(docs)
-    pairs = D.simhash_neardup_pairs(docs, max_hamming=8, sketches=sketches)
+    # banded blocking: identical pair set to the all-pairs join (pigeonhole
+    # guarantees recall at max_hamming=8 with 9 bands), equi-join cost
+    pairs = D.simhash_neardup_pairs_banded(docs, max_hamming=8, sketches=sketches)
     vertices = sketches.select("doc_id")
     return C.dedup_decisions(vertices, pairs)
 

@@ -227,6 +227,52 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_neardup_pairs_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    sketches: DataFrame | None = None,
+    bits: int = 60,
+) -> DataFrame:
+    """Exact-recall banded blocking for SimHash near-dup pairs — the scale
+    path with the SAME result set as :func:`simhash_neardup_pairs`.
+
+    Pigeonhole: split the sketch into ``max_hamming + 1`` bands; two
+    sketches within ``max_hamming`` differ in at most ``max_hamming``
+    bands, so they MUST agree on at least one band. Candidates are pairs
+    sharing any (band, band-bits) key — an equi-join on a 2^width-ary key
+    per band instead of the O(n^2) cross product — then the exact
+    bit_count(xor) filter keeps true pairs only (MMDS ch.3 banding, applied
+    to Hamming space). Shuffled payload: bands+1 longs per doc.
+    """
+    bands = max_hamming + 1
+    width = -(-bits // bands)  # ceil: last band may be narrower
+    s = sketches if sketches is not None else simhash(df, text_col, id_col)
+    slices = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> shiftright(simhash, b * {width}) % {1 << width})"
+    )
+    banded = s.select(
+        F.col("doc_id"), F.col("simhash"), F.posexplode(F.expr(slices)).alias("band", "band_bits")
+    )
+    a = banded.select(
+        "band", "band_bits", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = banded.select(
+        "band", "band_bits", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """60-bit SimHash over word hashes, computed per-row (no shuffle).
 

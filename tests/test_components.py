@@ -49,3 +49,15 @@ def test_kmeans_refinement_improves_cosine(spark):
     # Lloyd: each round weakly improves the assignment objective
     assert mean1 >= mean0 - 1e-9
     assert refined.count() == emb.count()
+
+
+def test_banded_simhash_pairs_equal_allpairs(spark):
+    from stellar_etl_airflow_spark.queries.base import tables
+    from stellar_etl_airflow_spark.training import dedup as D
+
+    from .conftest import SF_SMOKE
+
+    (docs,) = tables(spark, SF_SMOKE, "documents")
+    ap = {tuple(r) for r in D.simhash_neardup_pairs(docs, max_hamming=8).collect()}
+    bd = {tuple(r) for r in D.simhash_neardup_pairs_banded(docs, max_hamming=8).collect()}
+    assert ap == bd and len(ap) > 0
