@@ -82,20 +82,6 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bGENERATE_ARRAY\s*\(", re.I), "sequence("),
     (re.compile(r"\bARRAY_CONCAT\s*\(", re.I), "concat("),
     (re.compile(r"\bIFNULL\s*\(", re.I), "coalesce("),
-    # TIMESTAMP_ADD first: it nests inside TIMESTAMP_DIFF in the corpus,
-    # and the translated form is comma-free so the DIFF rule below can
-    # split arguments lazily. (Arguments containing commas are the
-    # documented limitation of the string-level translator.)
-    (
-        re.compile(r"\bTIMESTAMP_ADD\s*\(\s*(.+?)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)", re.I),
-        r"(\1 + INTERVAL \2 \3)",
-    ),
-    # TIMESTAMP_DIFF(a, b, unit) -> timestampdiff(unit, b, a)
-    (
-        re.compile(r"\bTIMESTAMP_DIFF\s*\(\s*(.+?)\s*,\s*(.+?)\s*,\s*(\w+)\s*\)", re.I),
-        r"timestampdiff(\3, \2, \1)",
-    ),
-    (re.compile(r"\bTIMESTAMP_TRUNC\s*\(\s*(.+?)\s*,\s*(\w+)\s*\)", re.I), r"date_trunc('\2', \1)"),
     # SPLIT(x, s)[SAFE_OFFSET(n)] -> get(split(x, s), n)
     (
         re.compile(r"\bSPLIT\s*\(\s*(.+?)\s*,\s*('.+?')\s*\)\s*\[\s*SAFE_OFFSET\s*\(\s*(\d+)\s*\)\s*\]", re.I),
@@ -104,11 +90,101 @@ _RULES: list[tuple[re.Pattern, str]] = [
 ]
 
 
+def _split_args(argstr: str) -> list[str]:
+    """Split a function-argument string on top-level commas only (tracks
+    paren depth and single-quoted strings, including '' escapes)."""
+    args, depth, start, i, n = [], 0, 0, 0, len(argstr)
+    while i < n:
+        ch = argstr[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if argstr[i] == "'":
+                    if i + 1 < n and argstr[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(argstr[start:i].strip())
+            start = i + 1
+        i += 1
+    args.append(argstr[start:].strip())
+    return args
+
+
+def _rewrite_call(sql: str, fname: str, render) -> str:
+    """Replace every ``fname( ... )`` call in ``sql``, matching the closing
+    paren by balance (regex alone can't — arguments may contain commas and
+    nested calls). ``render(args: list[str]) -> str | None`` builds the
+    output (None = leave the call as-is). Inner calls are handled because
+    scanning restarts on the rewritten text after each replacement
+    (inner-most first via rightmost match)."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.I)
+    keep = "\x00"  # sentinel guards kept-as-is calls from re-matching
+    while True:
+        matches = list(pat.finditer(sql))
+        if not matches:
+            return sql.replace(keep, "")
+        m = matches[-1]  # rightmost occurrence = inner-most on nesting
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "'":
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 1
+            elif sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave the remainder untouched
+            return sql.replace(keep, "")
+        args = _split_args(sql[m.end() : i - 1])
+        out = render(args)
+        if out is None:
+            # break the function name with the sentinel so it can't re-match
+            out = sql[m.start()] + keep + sql[m.start() + 1 : i]
+        sql = sql[: m.start()] + out + sql[i:]
+
+
+_INTERVAL = re.compile(r"^INTERVAL\s+(\d+)\s+(\w+)$", re.I)
+
+
+def _apply_timestamp_rules(sql: str) -> str:
+    """Balanced-paren rewrites for the BQ timestamp family (arguments may
+    themselves contain commas / nested calls — TIMESTAMP_ADD nests inside
+    TIMESTAMP_DIFF in the reference's audit_log.sql)."""
+
+    def ts_add(args):
+        if len(args) == 2:
+            iv = _INTERVAL.match(args[1])
+            if iv:
+                return f"({args[0]} + INTERVAL {iv.group(1)} {iv.group(2)})"
+        return None  # unknown shape: keep as-is
+
+    def ts_diff(args):
+        return f"timestampdiff({args[2]}, {args[1]}, {args[0]})" if len(args) == 3 else None
+
+    def ts_trunc(args):
+        return f"date_trunc('{args[1]}', {args[0]})" if len(args) == 2 else None
+
+    sql = _rewrite_call(sql, "TIMESTAMP_ADD", ts_add)
+    sql = _rewrite_call(sql, "TIMESTAMP_DIFF", ts_diff)
+    return _rewrite_call(sql, "TIMESTAMP_TRUNC", ts_trunc)
+
+
 def translate_bq_sql(sql: str) -> str:
     """Translate the documented BQ function families to Spark SQL. Covers
     the constructs appearing in the reference corpus (SURVEY §2.4); not a
-    general-purpose transpiler."""
+    general-purpose transpiler. Timestamp-family calls are parsed with
+    balanced parens, so comma-bearing nested arguments translate
+    correctly; the remaining rules are name-level renames."""
     out = sql
     for pat, repl in _RULES:
         out = pat.sub(repl, out)
-    return out
+    return _apply_timestamp_rules(out)

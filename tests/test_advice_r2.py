@@ -88,3 +88,31 @@ def test_render_template_leaves_literal_braces():
     out = render_sql_template(tpl, batch_id="b9", batch_run_date=datetime(2024, 1, 1))
     assert "a.{2}b" in out and '{"k": 1}' in out
     assert "FROM t " in out and "'b9'" in out
+
+
+def test_translate_timestamp_args_with_commas(spark):
+    # nested calls with commas inside the argument list — the regex-only
+    # translator's documented limitation, now handled by balanced parsing
+    sql = (
+        "SELECT TIMESTAMP_DIFF(coalesce(a, b), TIMESTAMP_ADD(c, INTERVAL 5 MINUTE), SECOND) AS d1, "
+        "TIMESTAMP_TRUNC(coalesce(a, b), MONTH) AS m1 FROM t"
+    )
+    out = translate_bq_sql(sql)
+    assert "timestampdiff(SECOND, (c + INTERVAL 5 MINUTE), coalesce(a, b))" in out
+    assert "date_trunc('MONTH', coalesce(a, b))" in out
+
+    # unknown arity stays untouched (and does not loop)
+    keep = translate_bq_sql("SELECT TIMESTAMP_ADD(a, b, c) FROM t")
+    assert "TIMESTAMP_ADD(a, b, c)" in keep
+
+    # string literals containing commas/parens don't confuse the parser
+    lit = translate_bq_sql("SELECT TIMESTAMP_DIFF(a, TIMESTAMP ',(', HOUR) FROM t")
+    assert "timestampdiff(HOUR, TIMESTAMP ',(', a)" in lit
+
+    # end-to-end: the translated nested form actually runs on Spark
+    spark.sql(
+        translate_bq_sql(
+            "SELECT TIMESTAMP_DIFF(TIMESTAMP_ADD(ts, INTERVAL 90 MINUTE), coalesce(ts, ts), MINUTE) AS m "
+            "FROM (SELECT TIMESTAMP '2024-01-01' AS ts)"
+        )
+    ).collect()
