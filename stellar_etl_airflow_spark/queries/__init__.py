@@ -14,8 +14,10 @@ QUERIES: dict[str, QuerySpec] = {}
 # gate loudly, never silently shrink the checked query set.
 from . import relational  # noqa: E402
 from . import relational2  # noqa: E402
+from . import relational3  # noqa: E402
 from . import training  # noqa: E402
 
 QUERIES.update(relational.SPECS)
 QUERIES.update(relational2.SPECS)
+QUERIES.update(relational3.SPECS)
 QUERIES.update(training.SPECS)

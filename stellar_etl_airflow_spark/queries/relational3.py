@@ -1,0 +1,236 @@
+"""Third relational batch: reshaping (UNPIVOT/stack), time-window
+aggregation (tumbling + hopping, the batch twins of Structured Streaming's
+window()), quantified subqueries (EXISTS / IN), rank-family windows, and
+correlated LATERAL joins.
+
+The reference corpus doesn't use these shapes directly (SURVEY §2.4 lists
+what it does use), but they complete the engine surface a user would
+expect when porting adjacent workloads; each is oracle-checked like the
+core corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import QuerySpec, dsum, dsum_sql, tables
+
+# ---------------------------------------------------------------------------
+# q33 — UNPIVOT: wide measure columns -> (measure, val) long form
+# (melt for per-measure statistics). Spark's native unpivot emits the
+# stack() expression; the oracle is the semantically equivalent UNION ALL.
+# ---------------------------------------------------------------------------
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("val")).alias("total"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )
+
+
+_UNION = "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {m} AS val FROM lineitem"
+    for m in _MEASURES
+)
+Q33_SQL = f"""
+WITH long AS ({_UNION})
+SELECT measure, count(*) AS n, {dsum_sql('val')} AS total,
+       min(val) AS vmin, max(val) AS vmax
+FROM long GROUP BY measure
+"""
+
+
+# ---------------------------------------------------------------------------
+# q34 — tumbling time-window aggregation: F.window(ts, 6h) — the batch twin
+# of the Structured Streaming windowed agg (streaming/microbatch.py::
+# windowed_counts). Spark aligns windows to the unix epoch; the oracle
+# recomputes the same bucketing arithmetically.
+# ---------------------------------------------------------------------------
+
+_SIX_H = 6 * 3600
+
+
+def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+Q34_SQL = f"""
+SELECT CAST(to_timestamp((epoch(ts)::BIGINT // {_SIX_H}) * {_SIX_H}) AS TIMESTAMP) AS win_start,
+       CAST(to_timestamp((epoch(ts)::BIGINT // {_SIX_H}) * {_SIX_H} + {_SIX_H}) AS TIMESTAMP) AS win_end,
+       event_type, count(*) AS n, {dsum_sql('value')} AS total
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q35 — quantified subqueries: EXISTS / NOT EXISTS / IN. Catalyst rewrites
+# these into semi/anti joins (RewritePredicateSubquery), so the physical
+# plan is the q05/q06 join shape — the SQL surface is what's being proven.
+# ---------------------------------------------------------------------------
+
+
+def q35_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 50000)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <> 0)
+        """
+    )
+
+
+Q35_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 50000)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <> 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q36 — rank-family windows: NTILE / PERCENT_RANK / CUME_DIST. The ordering
+# is made tie-free with the (orderkey, linenumber) suffix — NTILE assignment
+# under ties is otherwise engine-dependent.
+# ---------------------------------------------------------------------------
+
+
+def q36_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+Q36_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q37 — correlated LATERAL join with ORDER BY + LIMIT: top-2 orders per
+# qualifying customer. Catalyst decorrelates the lateral subquery into a
+# ranked window join — the declarative form a user writes vs. the q25
+# window formulation the optimizer produces.
+# ---------------------------------------------------------------------------
+
+
+def q37_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+Q37_SQL = """
+SELECT c.c_custkey, c.c_name, l.o_orderkey, l.o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q38 — hopping (sliding) time windows: 6h width, 3h slide — each event
+# lands in exactly 2 windows. Spark's window(ts, w, s) explodes
+# internally; the oracle unnests the 2 per-offset bucket computations.
+# ---------------------------------------------------------------------------
+
+_SLIDE = 3 * 3600
+
+
+def q38_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+Q38_SQL = f"""
+WITH hops AS (
+  SELECT event_type, value,
+         CAST(to_timestamp(((epoch(ts)::BIGINT - k * {_SLIDE}) // {_SIX_H}) * {_SIX_H} + k * {_SLIDE}) AS TIMESTAMP) AS win_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT win_start, win_start + INTERVAL {_SLIDE * 2} SECOND AS win_end,
+       event_type, count(*) AS n, {dsum_sql('value')} AS total
+FROM hops
+GROUP BY 1, 2, 3
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q33_unpivot": QuerySpec(q33_unpivot, Q33_SQL, "UNPIVOT long-form measure stats"),
+    "q34_tumbling_window": QuerySpec(q34_tumbling_window, Q34_SQL, "tumbling time-window aggregation"),
+    "q35_exists_subqueries": QuerySpec(q35_exists_subqueries, Q35_SQL, "EXISTS/NOT EXISTS/IN subqueries"),
+    "q36_window_ranks": QuerySpec(q36_window_ranks, Q36_SQL, "NTILE/PERCENT_RANK/CUME_DIST"),
+    "q37_lateral_topk": QuerySpec(q37_lateral_topk, Q37_SQL, "correlated LATERAL top-k"),
+    "q38_hopping_window": QuerySpec(q38_hopping_window, Q38_SQL, "hopping window aggregation"),
+}
