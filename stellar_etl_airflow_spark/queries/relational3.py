@@ -226,6 +226,77 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# q39 — FULL OUTER join reconciliation: per-(user, day) click vs purchase
+# activity, keys coalesced from both sides. Completes the join-type matrix
+# (inner/left/semi/anti/cross are covered by q03-q08).
+# ---------------------------------------------------------------------------
+
+
+def q39_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_buys"), dsum(F.col("value")).alias("spend"))
+    )
+    c, b = clicks.alias("c"), buys.alias("b")
+    return c.join(
+        b, (F.col("c.user_id") == F.col("b.user_id")) & (F.col("c.day") == F.col("b.day")), "full_outer"
+    ).select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("c.day"), F.col("b.day")).alias("day"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_buys"), F.lit(0)).alias("n_buys"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+    )
+
+
+Q39_SQL = f"""
+WITH c AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n_buys, {dsum_sql('value')} AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT coalesce(c.user_id, b.user_id) AS user_id,
+       coalesce(c.day, b.day) AS day,
+       coalesce(c.n_clicks, 0) AS n_clicks,
+       coalesce(b.n_buys, 0) AS n_buys,
+       coalesce(b.spend, 0.0) AS spend
+FROM c FULL OUTER JOIN b ON c.user_id = b.user_id AND c.day = b.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — approximate sketch aggregates: HyperLogLog++ distinct counts and
+# t-digest percentiles — the 100 TB swap-ins for q16's exact distinct and
+# q29's exact percentiles (single-pass, mergeable, fixed memory). Sketch
+# internals are engine-specific, so there is NO value oracle: the spec
+# carries no SQL and the driver applies its weaker rows-only check. The
+# accuracy contract is asserted against exact values in
+# tests/test_sketches.py instead.
+# ---------------------------------------------------------------------------
+
+
+def q40_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").alias("approx_p50_p90"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "q33_unpivot": QuerySpec(q33_unpivot, Q33_SQL, "UNPIVOT long-form measure stats"),
     "q34_tumbling_window": QuerySpec(q34_tumbling_window, Q34_SQL, "tumbling time-window aggregation"),
@@ -233,4 +304,8 @@ SPECS: dict[str, QuerySpec] = {
     "q36_window_ranks": QuerySpec(q36_window_ranks, Q36_SQL, "NTILE/PERCENT_RANK/CUME_DIST"),
     "q37_lateral_topk": QuerySpec(q37_lateral_topk, Q37_SQL, "correlated LATERAL top-k"),
     "q38_hopping_window": QuerySpec(q38_hopping_window, Q38_SQL, "hopping window aggregation"),
+    "q39_full_outer": QuerySpec(q39_full_outer, Q39_SQL, "FULL OUTER reconciliation join"),
+    "q40_sketch_aggregates": QuerySpec(
+        q40_sketch_aggregates, None, "HLL++ / t-digest approx aggregates (rows-only check)"
+    ),
 }
