@@ -60,14 +60,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        hop1 = labels.join(nbr_min, labels.v == nbr_min.src, "left").select(
+            "v",
+            F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                "component"
+            ),
+            F.col("component").alias("_prev"),
+        )
+        # pointer jumping (path halving): adopt the label OF my label —
+        # turns O(diameter) propagation into O(log diameter) rounds on
+        # chains, one extra self-join per round
+        parent = hop1.select(F.col("v").alias("_pv"), F.col("component").alias("_pc"))
         updated = (
-            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            hop1.join(parent, hop1.component == parent._pv, "left")
             .select(
                 "v",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                F.least(F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))).alias(
                     "component"
                 ),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+                (F.least(F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))) < F.col("_prev")).alias(
+                    "_changed"
+                ),
             )
         )
         updated = updated.localCheckpoint(eager=True)
