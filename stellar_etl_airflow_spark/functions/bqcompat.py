@@ -82,6 +82,15 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bGENERATE_ARRAY\s*\(", re.I), "sequence("),
     (re.compile(r"\bARRAY_CONCAT\s*\(", re.I), "concat("),
     (re.compile(r"\bIFNULL\s*\(", re.I), "coalesce("),
+    (re.compile(r"\bCOUNTIF\s*\(", re.I), "count_if("),
+    (re.compile(r"\bLOGICAL_AND\s*\(", re.I), "bool_and("),
+    (re.compile(r"\bLOGICAL_OR\s*\(", re.I), "bool_or("),
+    (re.compile(r"\bSTARTS_WITH\s*\(", re.I), "startswith("),
+    (re.compile(r"\bENDS_WITH\s*\(", re.I), "endswith("),
+    (re.compile(r"\bTO_HEX\s*\(", re.I), "hex("),
+    # ANY_VALUE / STRING_AGG / UNIX_SECONDS / UNIX_MILLIS / MOD / LEFT /
+    # RIGHT / INSTR / LAST_DAY exist under the same names in Spark 4 —
+    # no rule needed.
     # SPLIT(x, s)[SAFE_OFFSET(n)] -> get(split(x, s), n)
     (
         re.compile(r"\bSPLIT\s*\(\s*(.+?)\s*,\s*('.+?')\s*\)\s*\[\s*SAFE_OFFSET\s*\(\s*(\d+)\s*\)\s*\]", re.I),
@@ -154,6 +163,32 @@ def _rewrite_call(sql: str, fname: str, render) -> str:
 
 _INTERVAL = re.compile(r"^INTERVAL\s+(\d+)\s+(\w+)$", re.I)
 
+_DT_UNITS = {
+    "MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
+    "DAY", "WEEK", "MONTH", "QUARTER", "YEAR",
+}
+
+# BQ %-style strftime tokens -> Spark/Java datetime pattern letters.
+# Unknown tokens pass through untouched (documented translator limit).
+_BQ_FMT_TOKENS = [
+    ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"),
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%j", "DDD"),
+    ("%e", "d"),
+]
+
+
+def _bq_fmt_to_java(fmt: str) -> str:
+    for tok, java in _BQ_FMT_TOKENS:
+        fmt = fmt.replace(tok, java)
+    return fmt
+
 
 def _apply_timestamp_rules(sql: str) -> str:
     """Balanced-paren rewrites for the BQ timestamp family (arguments may
@@ -173,9 +208,42 @@ def _apply_timestamp_rules(sql: str) -> str:
     def ts_trunc(args):
         return f"date_trunc('{args[1]}', {args[0]})" if len(args) == 2 else None
 
+    def dt_trunc(args):
+        # BQ DATE_TRUNC/DATETIME_TRUNC take (expr, part) — flipped vs
+        # Spark. Only flip when the 2nd arg is a bare unit keyword, so
+        # already-Spark-ordered date_trunc('unit', x) passes through.
+        if len(args) == 2 and args[1].upper() in _DT_UNITS:
+            return f"date_trunc('{args[1]}', {args[0]})"
+        return None
+
+    def parse_ts(args):
+        if len(args) == 2 and args[0].startswith("'") and args[0].endswith("'"):
+            return f"to_timestamp({args[1]}, '{_bq_fmt_to_java(args[0][1:-1])}')"
+        return None
+
+    def fmt_date(args):
+        if len(args) == 2 and args[0].startswith("'") and args[0].endswith("'"):
+            return f"date_format({args[1]}, '{_bq_fmt_to_java(args[0][1:-1])}')"
+        return None
+
+    def sha256(args):
+        # BQ SHA256 returns BYTES; sha2 returns hex — unhex restores bytes
+        return f"unhex(sha2({args[0]}, 256))" if len(args) == 1 else None
+
+    def bq_div(args):
+        return f"({args[0]} div {args[1]})" if len(args) == 2 else None
+
     sql = _rewrite_call(sql, "TIMESTAMP_ADD", ts_add)
     sql = _rewrite_call(sql, "TIMESTAMP_DIFF", ts_diff)
-    return _rewrite_call(sql, "TIMESTAMP_TRUNC", ts_trunc)
+    sql = _rewrite_call(sql, "TIMESTAMP_TRUNC", ts_trunc)
+    sql = _rewrite_call(sql, "DATETIME_TRUNC", dt_trunc)
+    sql = _rewrite_call(sql, "DATE_TRUNC", dt_trunc)
+    sql = _rewrite_call(sql, "PARSE_TIMESTAMP", parse_ts)
+    sql = _rewrite_call(sql, "PARSE_DATETIME", parse_ts)
+    sql = _rewrite_call(sql, "FORMAT_TIMESTAMP", fmt_date)
+    sql = _rewrite_call(sql, "FORMAT_DATE", fmt_date)
+    sql = _rewrite_call(sql, "SHA256", sha256)
+    return _rewrite_call(sql, "DIV", bq_div)
 
 
 def translate_bq_sql(sql: str) -> str:

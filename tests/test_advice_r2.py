@@ -116,3 +116,29 @@ def test_translate_timestamp_args_with_commas(spark):
             "FROM (SELECT TIMESTAMP '2024-01-01' AS ts)"
         )
     ).collect()
+
+
+def test_translate_extended_function_families(spark):
+    bq = (
+        "SELECT COUNTIF(x > 1) AS c, LOGICAL_AND(b) AS la, LOGICAL_OR(b) AS lo, "
+        "ANY_VALUE(x) AS av, STRING_AGG(s, ',') AS sa FROM "
+        "(SELECT 2 AS x, true AS b, 'abc' AS s) GROUP BY 1.0"
+    )
+    row = spark.sql(translate_bq_sql(bq)).collect()[0]
+    assert (row["c"], row["la"], row["lo"], row["av"], row["sa"]) == (1, True, True, 2, "abc")
+
+    bq2 = (
+        "SELECT STARTS_WITH(s, 'ab') AS sw, ENDS_WITH(s, 'bc') AS ew, TO_HEX(255) AS hx, "
+        "DATE_TRUNC(t, MONTH) AS mt, DATETIME_TRUNC(t, DAY) AS dt, "
+        "PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', '2024-01-02 03:04:05') AS pt, "
+        "FORMAT_DATE('%Y-%m', t) AS fd, length(SHA256(s)) AS shalen, DIV(7, 2) AS dv "
+        "FROM (SELECT 'abc' AS s, TIMESTAMP '2024-05-17 10:30:00' AS t)"
+    )
+    row2 = spark.sql(translate_bq_sql(bq2)).collect()[0]
+    assert row2["sw"] is True and row2["ew"] is True
+    assert row2["hx"] == "FF"
+    assert str(row2["mt"]).startswith("2024-05-01") and str(row2["dt"]).startswith("2024-05-17")
+    assert str(row2["pt"]) == "2024-01-02 03:04:05"
+    assert row2["fd"] == "2024-05"
+    assert row2["shalen"] == 32  # BYTES semantics: 32 raw bytes
+    assert row2["dv"] == 3
