@@ -653,6 +653,98 @@ SELECT n_id, cell, round(cosine, 6) AS cosine FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# t20 — the full training-data prep pipeline as ONE dataflow: quality gate
+# -> exact dedup (min-id representative per content hash) -> SimHash
+# near-dup components (banded blocking + closure) -> token stats for the
+# surviving corpus. Every stage reuses an operator that is individually
+# oracle-checked (t10/t01/t17/t11); this entry proves the COMPOSITION is
+# still exact end-to-end — the shape a real pretraining-data job runs.
+# ---------------------------------------------------------------------------
+
+
+def t20_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training import components as C
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    passed = T.quality_score(docs).filter("keep").select("doc_id")
+    qdocs = docs.join(passed, "doc_id")
+    reps = (
+        qdocs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ex = qdocs.join(reps, "doc_id")
+    sketches = D.simhash(ex)
+    pairs = D.simhash_neardup_pairs_banded(ex, max_hamming=8, sketches=sketches)
+    keepers = (
+        C.dedup_decisions(sketches.select("doc_id"), pairs)
+        .filter("is_representative")
+        .select("doc_id")
+    )
+    return T.token_stats(ex.join(keepers, "doc_id"))
+
+
+_QKEEP = f"""
+  least(len(ws)::DOUBLE / 100.0, 1.0) * 0.4
+  + least(len(list_filter(ws, x -> x IN ({_EN_SET})))::DOUBLE
+          / greatest(len(ws)::DOUBLE, 1.0) * 5.0, 1.0) * 0.3
+  + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                 / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.2
+  + (1.0 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                 / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)) * 0.1 >= 0.5
+"""
+
+T20_SQL = f"""
+WITH RECURSIVE {WORDS_CTE},
+q AS MATERIALIZED (
+  SELECT d.doc_id FROM documents d JOIN w ON d.doc_id = w.doc_id
+  WHERE {_QKEEP}
+),
+ex AS MATERIALIZED (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  GROUP BY md5(d.text)
+),
+wc AS (SELECT w.doc_id, unnest(w.ws) AS word
+       FROM w JOIN ex ON w.doc_id = ex.doc_id WHERE len(w.ws) > 0),
+hs AS MATERIALIZED (SELECT doc_id, {_WH} AS h FROM wc),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(2 * ((h >> CAST(b AS INT)) & 1) - 1) > 0
+              THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END AS bitval
+  FROM hs CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS MATERIALIZED (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS lab FROM sh
+  UNION
+  SELECT e.dst AS v, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.v
+),
+keepers AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v = min(lab))
+SELECT d.doc_id,
+       len(w.ws) AS ws_tokens,
+       len(regexp_extract_all(lower(d.text), '{T.BPE_REGEX}')) AS bpe_tokens,
+       length(lower(d.text)) AS n_chars,
+       length(lower(d.text))::DOUBLE
+         / greatest(len(regexp_extract_all(lower(d.text), '{T.BPE_REGEX}')), 1) AS chars_per_token
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+JOIN w ON d.doc_id = w.doc_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -677,4 +769,7 @@ SPECS: dict[str, QuerySpec] = {
         t18_embedding_multiprobe_topk, T18_SQL, "multi-probe LSH ANN top-k"
     ),
     "t19_kmeans_ivf": QuerySpec(t19_kmeans_ivf, T19_SQL, "k-means-refined IVF assignment"),
+    "t20_training_pipeline": QuerySpec(
+        t20_training_pipeline, T20_SQL, "end-to-end prep: quality -> dedup -> near-dup -> tokens"
+    ),
 }
