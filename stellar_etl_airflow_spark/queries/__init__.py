@@ -15,9 +15,11 @@ QUERIES: dict[str, QuerySpec] = {}
 from . import relational  # noqa: E402
 from . import relational2  # noqa: E402
 from . import relational3  # noqa: E402
+from . import streamingq  # noqa: E402
 from . import training  # noqa: E402
 
 QUERIES.update(relational.SPECS)
 QUERIES.update(relational2.SPECS)
 QUERIES.update(relational3.SPECS)
+QUERIES.update(streamingq.SPECS)
 QUERIES.update(training.SPECS)

@@ -1,0 +1,100 @@
+"""Streaming corpus entries: Structured Streaming queries run with
+Trigger.AvailableNow over the bounded testdata, so their results are
+deterministic and — for the windowed aggregation — oracle-checkable
+against the SAME DuckDB SQL as the batch twin (q34). This proves the
+streaming operators compute identical semantics to batch, the core
+Structured Streaming guarantee the engine's micro-batch design leans on.
+
+Also here: the salted-join equivalence entry (q41) — the skew-mitigation
+rewrite must be result-identical to the plain join, checked through the
+driver against the unsalted oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import normalize_nanos
+from .base import QuerySpec, dsum, dsum_sql, tables
+from .relational3 import Q34_SQL
+
+
+def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q34: file-source readStream -> 6h tumbling window
+    aggregation -> complete-mode memory sink, drained with AvailableNow.
+    The single bounded run emits exactly the batch answer, verified against
+    q34's oracle."""
+    (ev,) = tables(spark, sf_dir, "events")  # applies read confs, registers view
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file source requires a directory; events.parquet is a single file
+    # (testdata is read-only) — stream a temp dir holding a symlink to it
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s01-src-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    stream = normalize_nanos(stream)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    qname = f"s01_tumbling_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# q41 — salted-join equivalence: the hot-key mitigation (operators/skew.py)
+# must produce byte-identical results to the plain equi-join; the oracle IS
+# the unsalted join, so the driver itself proves the rewrite is semantics-
+# preserving.
+# ---------------------------------------------------------------------------
+
+
+def q41_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    # salted_join joins on key-name equality: align the fact-side key name
+    facts = li.withColumnRenamed("l_partkey", "p_partkey")
+    joined = salted_join(facts, part.select("p_partkey", "p_brand"), "p_partkey", n_salts=8,
+                         salt_basis=F.col("l_orderkey"))
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_extendedprice")).alias("revenue"))
+    )
+
+
+Q41_SQL = f"""
+SELECT p.p_brand, count(*) AS n_items, {dsum_sql('l.l_extendedprice')} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "s01_stream_tumbling": QuerySpec(
+        s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
+    ),
+    "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
+}
