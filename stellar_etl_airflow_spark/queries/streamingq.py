@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import normalize_nanos
+from . import relational
 from .base import QuerySpec, dsum, dsum_sql, tables
 from .relational3 import Q34_SQL
 
@@ -92,9 +93,54 @@ GROUP BY p.p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# q42 — bucketed range join: q07's price-attribution semantics computed
+# with the large-x-large scale path (operators/rangejoin.py) instead of a
+# broadcast range join. Oracle = q07's SQL verbatim: the driver proves the
+# rewrite is result-identical.
+# ---------------------------------------------------------------------------
+
+
+def q42_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.rangejoin import bucketed_range_join
+
+    (ev,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prices = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("valid_to_ts", F.coalesce(F.lead("ts", 1).over(w), F.lit("9999-12-31").cast("timestamp")))
+        .select(
+            F.col("user_id"),
+            F.col("value").alias("price"),
+            F.col("ts").alias("valid_from_ts"),
+            "valid_to_ts",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    joined = bucketed_range_join(
+        clicks, prices, key="user_id", fact_ts="ts",
+        valid_from="valid_from_ts", valid_to="valid_to_ts", bucket="1 day", how="left",
+    )
+    fee_multiplier = F.lit(1) + F.lit(30) / F.lit(10000)
+    amount = F.col("value") * F.coalesce(F.col("price"), F.lit(0.0))
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "price",
+        (amount / fee_multiplier).alias("trade_amount"),
+        (amount - amount / fee_multiplier).alias("fee_earned"),
+    )
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
+    "q42_bucketed_range_join": QuerySpec(
+        q42_bucketed_range_join, relational.Q07_SQL, "bucketed range join == broadcast range join"
+    ),
 }

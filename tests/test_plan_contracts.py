@@ -1,0 +1,80 @@
+"""Plan-shape contracts for the scale-critical operators.
+
+Correctness is proven by the oracle gate; these tests pin the PHYSICAL
+plan properties the 100 TB design depends on (SCALE.md), so a future
+refactor that silently reintroduces a nested-loop join or an extra
+shuffle fails here rather than in production."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_union_is_single_exchange(spark):
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["q27_asof_union"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_no_nested_loop_in_scale_queries(spark):
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    for name in ("q37_lateral_topk", "q39_full_outer", "t17_neardup_components"):
+        plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # q42's only nested-loop operator is the intentional 1-row horizon
+    # broadcast (the open-interval clamp); the interval join itself must
+    # be a hash join on (key, bucket)
+    plan = _physical(QUERIES["q42_bucketed_range_join"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # every nested-loop occurrence must be the 1-row Cross clamp, never
+    # the interval join itself
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*user_id", plan)
+
+
+def test_dimension_join_broadcasts(spark):
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    # q15 multiway join: nation/region dims must broadcast, never shuffle
+    plan = _physical(QUERIES["q15_multiway_join"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_prunes_columns(spark):
+    # projection pushdown: a 2-column query must not read the whole schema
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = _physical(li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"l_orderkey", "l_quantity"}
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_brute_force_ann_broadcasts_queries_not_corpus(spark):
+    from stellar_etl_airflow_spark.training.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _physical(cosine_topk(emb, emb.filter(F.col("vec_id") % 10 == 0), k=3))
+    # the corpus side must not be exchanged for the join itself: only the
+    # small query side ships (broadcast), plus the final top-k window sort
+    assert "BroadcastExchange" in plan
