@@ -40,8 +40,9 @@ def connected_components(
     """Label each vertex with the minimum vertex id reachable from it.
 
     ``vertices``: one column ``vertex_col`` (isolated docs allowed — they
-    become their own singleton component). ``edges``: undirected pairs.
-    Returns ``(vertex_col, component)``. Raises if not converged within
+    become their own singleton component). ``edges``: undirected pairs;
+    every endpoint must appear in ``vertices``. Returns
+    ``(vertex_col, component)``. Raises if not converged within
     ``max_iter`` rounds (near-dup graphs converge in a handful).
     """
     sym = (
@@ -50,8 +51,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(F.col(vertex_col).alias("v"), F.col(vertex_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    # Only edge endpoints can ever change label — iterate over them alone.
+    # In a near-dup graph the overwhelming majority of documents are
+    # singletons (no edges): they are fixed points and rejoin at the end.
+    all_v = vertices.select(F.col(vertex_col).alias("v"))
+    active_v = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
+    labels = active_v.select("v", F.col("v").alias("component")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # min neighbor label per vertex; closed neighborhood via coalesce
@@ -87,7 +92,11 @@ def connected_components(
         n_changed = updated.filter(F.coalesce(F.col("_changed"), F.lit(False))).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            return labels.select(F.col("v").alias(vertex_col), "component")
+            # singletons (no incident edges) are their own component
+            singles = all_v.join(active_v, "v", "left_anti").select(
+                "v", F.col("v").alias("component")
+            )
+            return labels.unionByName(singles).select(F.col("v").alias(vertex_col), "component")
     raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
 
 
