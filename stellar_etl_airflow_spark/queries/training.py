@@ -150,6 +150,10 @@ FROM bits GROUP BY doc_id
 
 def t05_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
+    # all-pairs is the right choice at bench density (a 5k-doc cross join
+    # beats 9 band shuffles); the set-equal banded variant
+    # (simhash_neardup_pairs_banded, used by t17/t20) is the swap-in once
+    # n² dominates — the crossover is around n ~ 50k docs per executor
     return D.simhash_neardup_pairs(docs, max_hamming=8)
 
 
