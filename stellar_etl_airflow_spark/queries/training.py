@@ -749,6 +749,51 @@ JOIN w ON d.doc_id = w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t21/t22 — vocabulary building + per-doc TF-IDF top terms (the classic
+# text-prep statistics). TF-IDF uses scikit-learn's smoothed idf; scores
+# round to 6 decimals so libm ln() ulp differences can't flip equality.
+# ---------------------------------------------------------------------------
+
+
+def t21_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.vocab_stats(docs)
+
+
+T21_SQL = f"""
+WITH {WORDS_CTE},
+postings AS (SELECT doc_id AS doc, unnest(ws) AS term FROM w)
+SELECT term, count(*) AS tf_total, count(DISTINCT doc) AS df_docs,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS INT) AS rank
+FROM postings GROUP BY term
+"""
+
+
+def t22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=3)
+
+
+T22_SQL = f"""
+WITH {WORDS_CTE},
+tf AS MATERIALIZED (
+  SELECT doc_id AS doc, unnest(ws) AS term FROM w
+),
+tfc AS MATERIALIZED (SELECT doc, term, count(*) AS tf FROM tf GROUP BY doc, term),
+dfreq AS MATERIALIZED (SELECT term, count(*) AS df_docs FROM tfc GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tfc.doc, tfc.term, tfc.tf, dfreq.df_docs,
+         round(tfc.tf * (ln((n.n_docs + 1.0) / (dfreq.df_docs + 1.0)) + 1.0), 6) AS tfidf
+  FROM tfc JOIN dfreq ON tfc.term = dfreq.term CROSS JOIN n
+)
+SELECT doc AS doc_id, CAST(rank AS INT) AS rank, term, tf, df_docs, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+WHERE rank <= 3
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -776,4 +821,6 @@ SPECS: dict[str, QuerySpec] = {
     "t20_training_pipeline": QuerySpec(
         t20_training_pipeline, T20_SQL, "end-to-end prep: quality -> dedup -> near-dup -> tokens"
     ),
+    "t21_vocab_stats": QuerySpec(t21_vocab_stats, T21_SQL, "corpus vocabulary stats + rank"),
+    "t22_tfidf_top_terms": QuerySpec(t22_tfidf_top_terms, T22_SQL, "per-doc TF-IDF top terms"),
 }

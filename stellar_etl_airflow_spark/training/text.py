@@ -109,6 +109,55 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def vocab_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: per-term total frequency, document frequency, and
+    frequency rank (ties broken lexically). The shuffle carries one row per
+    (doc, distinct term) — the inverted-index shape; at 100 TB this is the
+    standard first pass of vocabulary building / BPE training."""
+    from pyspark.sql.window import Window
+
+    postings = (
+        df.select(F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term"))
+    )
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc").alias("df_docs"),
+    )
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("term").asc())
+    return stats.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing). Scores are
+    rounded to 6 decimals so cross-engine libm ln() ulp differences cannot
+    flip equality; ties break lexically. Two shuffles: term-level df agg
+    (broadcast back) and the per-doc top-k window."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df_docs") + 1.0)) + 1.0), 6
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "rank", "term", "tf", "df_docs", "tfidf")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over whitespace-normalized text:
     full md5 hex + the portable 60-bit integer fingerprint."""
