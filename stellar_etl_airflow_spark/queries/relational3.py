@@ -227,6 +227,54 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# q43 — RANGE window frames over event time (trailing 24h per user) +
+# FIRST_VALUE/LAST_VALUE with explicit frames. RANGE frames include peer
+# rows (identical order keys) in both engines; the frame sum uses the
+# DECIMAL pattern like q30.
+# ---------------------------------------------------------------------------
+
+_DAY_S = 86400
+
+
+def q43_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-_DAY_S, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(38,6)")).over(wr).cast("double").alias("sum_24h"),
+            F.count(F.lit(1)).over(wr).alias("n_24h"),
+            F.first("value").over(wfull).alias("first_val"),
+            F.last("value").over(wfull).alias("last_val"),
+        )
+    )
+
+
+Q43_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER wr AS DOUBLE) AS sum_24h,
+       count(*) OVER wr AS n_24h,
+       first_value(value) OVER wfull AS first_val,
+       last_value(value) OVER wfull AS last_val
+FROM events
+WHERE event_type = 'purchase'
+WINDOW wr AS (PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+              RANGE BETWEEN {_DAY_S} PRECEDING AND CURRENT ROW),
+       wfull AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q39 — FULL OUTER join reconciliation: per-(user, day) click vs purchase
 # activity, keys coalesced from both sides. Completes the join-type matrix
 # (inner/left/semi/anti/cross are covered by q03-q08).
@@ -305,6 +353,7 @@ SPECS: dict[str, QuerySpec] = {
     "q37_lateral_topk": QuerySpec(q37_lateral_topk, Q37_SQL, "correlated LATERAL top-k"),
     "q38_hopping_window": QuerySpec(q38_hopping_window, Q38_SQL, "hopping window aggregation"),
     "q39_full_outer": QuerySpec(q39_full_outer, Q39_SQL, "FULL OUTER reconciliation join"),
+    "q43_range_frames": QuerySpec(q43_range_frames, Q43_SQL, "RANGE time frames + first/last_value"),
     "q40_sketch_aggregates": QuerySpec(
         q40_sketch_aggregates, None, "HLL++ / t-digest approx aggregates (rows-only check)"
     ),
