@@ -98,3 +98,100 @@ def test_jaccard_self_similarity(spark, ws):
     assert len(rows) == 1
     r = rows[0]
     assert r["jaccard"] == 1.0 and r["na"] == r["nb"] == r["shared"]
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a pure-Python union-find on random graphs
+# ---------------------------------------------------------------------------
+
+graph_strategy = st.tuples(
+    st.integers(min_value=1, max_value=12),  # n vertices
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=16
+    ),
+)
+
+
+def _union_find(n, edge_list):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        if a < n and b < n and a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-vertex label per component
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+@SLOW
+@given(graph_strategy)
+def test_connected_components_matches_union_find(spark, g):
+    from stellar_etl_airflow_spark.training.components import connected_components
+
+    n, edge_list = g
+    edges_in = [(a, b) for a, b in edge_list if a < n and b < n and a != b]
+    vertices = spark.createDataFrame([(v,) for v in range(n)], "doc_id long")
+    if edges_in:
+        edges = spark.createDataFrame(edges_in, "doc_a long, doc_b long")
+    else:
+        edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert got == _union_find(n, edge_list)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (union-window path) vs a per-row Python reference
+# ---------------------------------------------------------------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts_offset_minutes)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 500)), min_size=1, max_size=12
+    ),
+    st.lists(  # right: (key, ts_offset_minutes, price)
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 500),
+            st.integers(1, 9),
+        ),
+        max_size=12,
+    ),
+)
+
+
+@SLOW
+@given(asof_strategy)
+def test_asof_union_matches_python_model(spark, data):
+    from stellar_etl_airflow_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, base + timedelta(minutes=m), i) for i, (k, m) in enumerate(lrows)],
+        "key string, ts timestamp, row_id int",
+    )
+    # make right unique per (key, ts): model ties deterministically by
+    # keeping the max price as tiebreak column
+    rdict = {}
+    for k, m, p in rrows:
+        rdict[(k, m)] = max(rdict.get((k, m), 0), p)
+    right = spark.createDataFrame(
+        [(k, base + timedelta(minutes=m), float(p)) for (k, m), p in rdict.items()],
+        "key string, ts timestamp, price double",
+    )
+    got = {r["row_id"]: r["price"] for r in asof_join(left, right, on="key").collect()}
+    want = {}
+    for i, (k, m) in enumerate(lrows):
+        cands = [(rm, p) for (rk, rm), p in rdict.items() if rk == k and rm <= m]
+        want[i] = float(max(cands)[1]) if cands else None
+    assert got == want
