@@ -142,3 +142,28 @@ def test_translate_extended_function_families(spark):
     assert row2["fd"] == "2024-05"
     assert row2["shalen"] == 32  # BYTES semantics: 32 raw bytes
     assert row2["dv"] == 3
+
+
+def test_compact_table_preserves_data_and_shrinks_files(spark, tmp_path):
+    from stellar_etl_airflow_spark.operators.maintenance import compact_table
+
+    path = str(tmp_path / "t")
+    # two partitions, deliberately fragmented into many small files
+    df = spark.range(2000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN '2024-01' ELSE '2024-02' END AS _p", "id * 2 AS v"
+    )
+    df.repartition(10).write.partitionBy("_p").parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(r["id"] for r in before.collect())
+
+    stats = compact_table(spark, path, target_file_mb=256, sort_cols=("id",))
+    assert len(stats) == 2  # both leaves rewritten
+    for leaf, (nb, na) in stats.items():
+        assert nb == 10 and na == 1
+
+    after = spark.read.parquet(path)
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    # partition column still discoverable from the directory layout
+    assert set(r["_p"] for r in after.select("_p").distinct().collect()) == {"2024-01", "2024-02"}
+    # idempotent: a second pass finds nothing to do
+    assert compact_table(spark, path) == {}
