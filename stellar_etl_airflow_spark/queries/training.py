@@ -794,6 +794,28 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# t23 — audio feature extraction through the Arrow mapInPandas path: the
+# deterministic probe stub is SQL-expressible, so even this Python-side
+# stage gets a full value oracle (the real torchaudio/ffprobe body swaps
+# in at the clearly marked seam, multimodal.py::audio_features_stub).
+# ---------------------------------------------------------------------------
+
+
+def t23_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return M.extract_audio_features(M.attach_payload(docs))
+
+
+T23_SQL = """
+SELECT doc_id,
+       CAST(500 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 60000 AS BIGINT) AS duration_ms,
+       CAST([8000, 16000, 44100, 48000][CAST(('0x' || substr(md5(text), 9, 2))::BIGINT % 4 AS INT) + 1] AS INT) AS sample_rate,
+       (('0x' || substr(md5(text), 11, 4))::BIGINT % 10000) / 10000.0 AS rms_energy
+FROM documents
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -822,5 +844,8 @@ SPECS: dict[str, QuerySpec] = {
         t20_training_pipeline, T20_SQL, "end-to-end prep: quality -> dedup -> near-dup -> tokens"
     ),
     "t21_vocab_stats": QuerySpec(t21_vocab_stats, T21_SQL, "corpus vocabulary stats + rank"),
+    "t23_audio_features": QuerySpec(
+        t23_audio_features, T23_SQL, "audio feature extraction via mapInPandas (stub codec)"
+    ),
     "t22_tfidf_top_terms": QuerySpec(t22_tfidf_top_terms, T22_SQL, "per-doc TF-IDF top terms"),
 }
