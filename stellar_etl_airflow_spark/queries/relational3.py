@@ -227,6 +227,37 @@ GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# q44 — CUBE: all 2^n grouping combinations (q28 covers the ROLLUP
+# prefix-hierarchy; CUBE completes the grouping-sets family). Same
+# Expand-based plan: partial aggregation applies per grouping set.
+# ---------------------------------------------------------------------------
+
+
+def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+Q44_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q43 — RANGE window frames over event time (trailing 24h per user) +
 # FIRST_VALUE/LAST_VALUE with explicit frames. RANGE frames include peer
 # rows (identical order keys) in both engines; the frame sum uses the
@@ -354,6 +385,7 @@ SPECS: dict[str, QuerySpec] = {
     "q38_hopping_window": QuerySpec(q38_hopping_window, Q38_SQL, "hopping window aggregation"),
     "q39_full_outer": QuerySpec(q39_full_outer, Q39_SQL, "FULL OUTER reconciliation join"),
     "q43_range_frames": QuerySpec(q43_range_frames, Q43_SQL, "RANGE time frames + first/last_value"),
+    "q44_cube": QuerySpec(q44_cube, Q44_SQL, "CUBE grouping-set matrix"),
     "q40_sketch_aggregates": QuerySpec(
         q40_sketch_aggregates, None, "HLL++ / t-digest approx aggregates (rows-only check)"
     ),

@@ -10,6 +10,9 @@ the reference-parity engine:
                    LSH-bucketed variant (the scale path).
 - ``text``       — language-ID heuristic, quality scoring, token counting,
                    document fingerprinting.
+- ``components`` — connected components over near-dup pair graphs
+                   (min-label propagation + pointer jumping) and the
+                   representative keep/drop decision.
 - ``multimodal`` — opaque binary columns + typed metadata; decode /
                    feature-extract as Arrow-batched ``mapInPandas`` with the
                    heavy codec step stubbed (image/audio libs are not in
