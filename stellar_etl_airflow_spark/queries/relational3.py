@@ -80,12 +80,14 @@ def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q34_SQL = f"""
-SELECT CAST(to_timestamp((epoch(ts)::BIGINT // {_SIX_H}) * {_SIX_H}) AS TIMESTAMP) AS win_start,
-       CAST(to_timestamp((epoch(ts)::BIGINT // {_SIX_H}) * {_SIX_H} + {_SIX_H}) AS TIMESTAMP) AS win_end,
+SELECT CAST(to_timestamp(((epoch_ms(ts) // 1000) // {_SIX_H}) * {_SIX_H}) AS TIMESTAMP) AS win_start,
+       CAST(to_timestamp(((epoch_ms(ts) // 1000) // {_SIX_H}) * {_SIX_H} + {_SIX_H}) AS TIMESTAMP) AS win_end,
        event_type, count(*) AS n, {dsum_sql('value')} AS total
 FROM events
 GROUP BY 1, 2, 3
 """
+# NB: epoch_ms // 1000 = FLOOR seconds; epoch(ts)::BIGINT would ROUND and
+# misplace events within 0.5s below a window boundary (hit at sf0.1).
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +218,7 @@ def q38_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q38_SQL = f"""
 WITH hops AS (
   SELECT event_type, value,
-         CAST(to_timestamp(((epoch(ts)::BIGINT - k * {_SLIDE}) // {_SIX_H}) * {_SIX_H} + k * {_SLIDE}) AS TIMESTAMP) AS win_start
+         CAST(to_timestamp((((epoch_ms(ts) // 1000) - k * {_SLIDE}) // {_SIX_H}) * {_SIX_H} + k * {_SLIDE}) AS TIMESTAMP) AS win_start
   FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
 )
 SELECT win_start, win_start + INTERVAL {_SLIDE * 2} SECOND AS win_end,
