@@ -378,6 +378,35 @@ def q40_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q45 — explode vs explode_outer: rows with empty arrays must survive the
+# outer variant with a NULL element (the LEFT JOIN UNNEST shape). Arrays
+# are derived from event props (digit runs), so some rows genuinely have
+# none.
+# ---------------------------------------------------------------------------
+
+
+def q45_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    with_arr = ev.select(
+        "event_id",
+        F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0)).alias("runs"),
+    )
+    return with_arr.select(
+        "event_id",
+        F.size("runs").alias("n_runs"),
+        F.explode_outer("runs").alias("run"),
+    )
+
+
+Q45_SQL = """
+WITH a AS (SELECT event_id, regexp_extract_all(props, '[0-9]+') AS runs FROM events)
+SELECT event_id, CAST(len(runs) AS INT) AS n_runs,
+       unnest(CASE WHEN len(runs) = 0 THEN [NULL] ELSE runs END) AS run
+FROM a
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q33_unpivot": QuerySpec(q33_unpivot, Q33_SQL, "UNPIVOT long-form measure stats"),
     "q34_tumbling_window": QuerySpec(q34_tumbling_window, Q34_SQL, "tumbling time-window aggregation"),
@@ -388,6 +417,7 @@ SPECS: dict[str, QuerySpec] = {
     "q39_full_outer": QuerySpec(q39_full_outer, Q39_SQL, "FULL OUTER reconciliation join"),
     "q43_range_frames": QuerySpec(q43_range_frames, Q43_SQL, "RANGE time frames + first/last_value"),
     "q44_cube": QuerySpec(q44_cube, Q44_SQL, "CUBE grouping-set matrix"),
+    "q45_explode_outer": QuerySpec(q45_explode_outer, Q45_SQL, "explode_outer null preservation"),
     "q40_sketch_aggregates": QuerySpec(
         q40_sketch_aggregates, None, "HLL++ / t-digest approx aggregates (rows-only check)"
     ),
