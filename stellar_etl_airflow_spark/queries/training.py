@@ -816,6 +816,42 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# t24 — reproducible sampling: hash-gated (never rand()/TABLESAMPLE, which
+# are engine- and partitioning-dependent) — a flat 5% sample and a
+# per-source stratified sample with different rates, in one pass. The
+# standard way to cut deterministic training subsets that are stable
+# across engines, reruns, and cluster sizes.
+# ---------------------------------------------------------------------------
+
+
+def t24_deterministic_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    gate = F.expr(T.PH.format(x="cast(doc_id as string)")) % 100
+    strat_rate = F.when(F.col("source") == "web", 10).otherwise(40)
+    return docs.select(
+        "doc_id",
+        "source",
+        (gate < 5).alias("in_flat_5pct"),
+        (gate < strat_rate).alias("in_stratified"),
+    ).filter(F.col("in_flat_5pct") | F.col("in_stratified"))
+
+
+T24_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         {ph_duck("doc_id::VARCHAR")} % 100 AS gate,
+         CASE WHEN source = 'web' THEN 10 ELSE 40 END AS strat_rate
+  FROM documents
+)
+SELECT doc_id, source,
+       gate < 5 AS in_flat_5pct,
+       gate < strat_rate AS in_stratified
+FROM g
+WHERE gate < 5 OR gate < strat_rate
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -846,6 +882,9 @@ SPECS: dict[str, QuerySpec] = {
     "t21_vocab_stats": QuerySpec(t21_vocab_stats, T21_SQL, "corpus vocabulary stats + rank"),
     "t23_audio_features": QuerySpec(
         t23_audio_features, T23_SQL, "audio feature extraction via mapInPandas (stub codec)"
+    ),
+    "t24_deterministic_sampling": QuerySpec(
+        t24_deterministic_sampling, T24_SQL, "hash-gated flat + stratified sampling"
     ),
     "t22_tfidf_top_terms": QuerySpec(t22_tfidf_top_terms, T22_SQL, "per-doc TF-IDF top terms"),
 }
