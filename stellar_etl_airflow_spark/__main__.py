@@ -1,0 +1,141 @@
+"""Command-line surface for the engine — the operational analog of the
+reference's DAG entry points (history_table_export / state_table_export /
+dbt runs), so a user can drive the same pipeline stages without Airflow:
+
+  python -m stellar_etl_airflow_spark corpus [--sf DIR] [--query NAME]
+      Run corpus queries (the SURVEY §2 operator inventory) and print
+      row counts; with --query, show the result head too.
+
+  python -m stellar_etl_airflow_spark demo-batch [--warehouse DIR]
+      Run one complete 10-minute-batch lifecycle on built-in
+      reference-shaped fixtures: plan window -> NDJSON ingest (del/ins
+      idempotent) -> MERGE apply-changes -> current-state view ->
+      retention + compaction. Prints a stage-by-stage summary.
+
+  python -m stellar_etl_airflow_spark bench
+      Defer to the repo-level bench (same as `python bench.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+
+def _cmd_corpus(args) -> None:
+    from .queries import QUERIES
+    from .session import get_spark
+
+    spark = get_spark("cli-corpus")
+    names = [args.query] if args.query else list(QUERIES)
+    for name in names:
+        spec = QUERIES[name]
+        df = spec.fn(spark, args.sf)
+        n = df.count()
+        print(f"{name:36s} {n:>8d} rows   {spec.doc}")
+        if args.query:
+            df.show(10, truncate=False)
+
+
+def _cmd_demo_batch(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .operators import batch as B
+    from .operators import maintenance as MX
+    from .operators.ingest import Warehouse, ingest_batch
+    from .operators.jobs import expire_partitions
+    from .operators.merge import latest_changes
+    from .session import get_spark
+    from .views.currentstate import v_accounts_current
+
+    # reference-shaped fixtures (same shapes as tests/fixtures.py)
+    t0 = datetime(2024, 1, 1)
+    ledgers = [
+        {"sequence": 100 + i, "ledger_hash": f"hash{100 + i}",
+         "closed_at": (t0 + timedelta(minutes=5 * i)).isoformat(), "transaction_count": i}
+        for i in range(12)
+    ]
+    changes = [
+        {"account_id": "A", "balance": 10.0, "sequence_number": 1, "last_modified_ledger": 100, "ledger_entry_change": 0, "deleted": False},
+        {"account_id": "A", "balance": 25.0, "sequence_number": 3, "last_modified_ledger": 103, "ledger_entry_change": 1, "deleted": False},
+        {"account_id": "B", "balance": 5.0, "sequence_number": 1, "last_modified_ledger": 101, "ledger_entry_change": 0, "deleted": False},
+        {"account_id": "B", "balance": 0.0, "sequence_number": 2, "last_modified_ledger": 105, "ledger_entry_change": 2, "deleted": True},
+        {"account_id": "C", "balance": 7.5, "sequence_number": 1, "last_modified_ledger": 102, "ledger_entry_change": 0, "deleted": False},
+    ]
+
+    spark = get_spark("cli-demo")
+    wh_root = args.warehouse or os.path.join(tempfile.gettempdir(), "spark-etl-demo-wh")
+    wh = Warehouse(wh_root)
+    recovered = wh.recover()
+    print(f"[0] warehouse at {wh_root}" + (f" (recovered: {recovered})" if recovered else ""))
+
+    window = B.plan_batch("demo", t0, t0 + timedelta(minutes=10))
+    print(f"[1] planned batch {window.batch_id}: ledgers [{window.start_ledger}, {window.end_ledger}]")
+
+    src = os.path.join(wh_root, "_landing", "accounts.ndjson")
+    os.makedirs(os.path.dirname(src), exist_ok=True)
+    with open(src, "w") as fh:
+        for r in changes:
+            fh.write(json.dumps(r) + "\n")
+
+    from pyspark.sql import types as T
+
+    accounts_schema = T.StructType(
+        [
+            T.StructField("account_id", T.StringType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("sequence_number", T.LongType()),
+            T.StructField("last_modified_ledger", T.LongType()),
+            T.StructField("ledger_entry_change", T.LongType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+    )
+    df = ingest_batch(spark, wh, "accounts", src, accounts_schema, window)
+    print(f"[2] ingested {df.count()} change rows into accounts (del/ins idempotent)")
+    # replay the same batch: dynamic partition overwrite keeps it idempotent
+    ingest_batch(spark, wh, "accounts", src, accounts_schema, window)
+    total = spark.read.parquet(wh.path("accounts")).count()
+    print(f"[3] replayed the batch; table still has {total} rows (idempotent)")
+
+    led = spark.createDataFrame(
+        [(r["sequence"], r["ledger_hash"], datetime.fromisoformat(r["closed_at"]), r["transaction_count"]) for r in ledgers],
+        "sequence long, ledger_hash string, closed_at timestamp, transaction_count long",
+    )
+    acc = spark.read.parquet(wh.path("accounts")).drop(
+        "batch_id", "batch_run_date", "batch_insert_ts", "_p"
+    )
+    current = v_accounts_current(acc, led)
+    rows = {r["account_id"]: (r["balance"], r["deleted"]) for r in current.collect()}
+    print(f"[4] v_accounts_current: {rows} (A latest-of-3; B's latest state is its deletion marker)")
+
+    latest = latest_changes(acc, ("account_id",))
+    print(f"[5] MERGE source collapse: {latest.count()} latest-per-key rows")
+
+    dropped = expire_partitions(wh, "accounts", older_than_days=100000)
+    stats = MX.compact_table(spark, wh.path("accounts"), min_files=2)
+    print(f"[6] maintenance: expired={dropped} compacted={ {k.split('/')[-1]: v for k, v in stats.items()} }")
+    print("demo-batch complete")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="stellar_etl_airflow_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("corpus", help="run corpus queries")
+    c.add_argument("--sf", default="/root/testdata/sf0.001")
+    c.add_argument("--query", default=None)
+    c.set_defaults(fn=_cmd_corpus)
+
+    d = sub.add_parser("demo-batch", help="one full batch lifecycle on fixtures")
+    d.add_argument("--warehouse", default=None)
+    d.set_defaults(fn=_cmd_demo_batch)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,3 +167,15 @@ def test_compact_table_preserves_data_and_shrinks_files(spark, tmp_path):
     assert set(r["_p"] for r in after.select("_p").distinct().collect()) == {"2024-01", "2024-02"}
     # idempotent: a second pass finds nothing to do
     assert compact_table(spark, path) == {}
+
+
+def test_cli_corpus_single_query(spark, capsys):
+    import stellar_etl_airflow_spark.__main__ as cli
+
+    class A:
+        sf = "/root/testdata/sf0.001"
+        query = "q01_pricing_summary"
+
+    cli._cmd_corpus(A())
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "rows" in out
