@@ -535,10 +535,10 @@ def t17_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..training import components as C
 
     (docs,) = tables(spark, sf_dir, "documents")
-    sketches = D.simhash(docs)
-    # banded blocking: identical pair set to the all-pairs join (pigeonhole
-    # guarantees recall at max_hamming=8 with 9 bands), equi-join cost
-    pairs = D.simhash_neardup_pairs_banded(docs, max_hamming=8, sketches=sketches)
+    sketches = D.simhash(docs).localCheckpoint(eager=True)
+    # cost-based pair generation: all-pairs below ~20k docs, banded
+    # blocking above (set-equal results either way — pigeonhole recall)
+    pairs = D.simhash_neardup_pairs_auto(docs, max_hamming=8, sketches=sketches)
     vertices = sketches.select("doc_id")
     return C.dedup_decisions(vertices, pairs)
 
@@ -679,8 +679,8 @@ def t20_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     ex = qdocs.join(reps, "doc_id")
-    sketches = D.simhash(ex)
-    pairs = D.simhash_neardup_pairs_banded(ex, max_hamming=8, sketches=sketches)
+    sketches = D.simhash(ex).localCheckpoint(eager=True)
+    pairs = D.simhash_neardup_pairs_auto(ex, max_hamming=8, sketches=sketches)
     keepers = (
         C.dedup_decisions(sketches.select("doc_id"), pairs)
         .filter("is_representative")

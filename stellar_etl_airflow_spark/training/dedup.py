@@ -273,6 +273,28 @@ def simhash_neardup_pairs_banded(
     )
 
 
+def simhash_neardup_pairs_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    sketches: DataFrame | None = None,
+    allpairs_max_docs: int = 20_000,
+) -> DataFrame:
+    """Cost-based choice between the two set-equal pair generators: the
+    O(n^2) cross join has a tiny per-pair constant (xor + bit_count on
+    longs) and wins below ~tens of thousands of docs per join; the banded
+    equi-join wins beyond, where n^2 is unpayable. The sketch table is
+    materialized once (localCheckpoint) and shared by the size probe and
+    the chosen join — the decision costs one count over (id, long) rows."""
+    s = (sketches if sketches is not None else simhash(df, text_col, id_col)).localCheckpoint(
+        eager=True
+    )
+    if s.count() <= allpairs_max_docs:
+        return simhash_neardup_pairs(df, text_col, id_col, max_hamming, sketches=s)
+    return simhash_neardup_pairs_banded(df, text_col, id_col, max_hamming, sketches=s)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """60-bit SimHash over word hashes, computed per-row (no shuffle).
 
