@@ -179,3 +179,19 @@ def test_cli_corpus_single_query(spark, capsys):
     cli._cmd_corpus(A())
     out = capsys.readouterr().out
     assert "q01_pricing_summary" in out and "rows" in out
+
+
+def test_oracle_compare_detects_mutations(spark):
+    """Guard the guard: the Spark-vs-DuckDB comparator must flag row-count,
+    column-name, and value differences (not just pass everything)."""
+    from .conftest import SF_SMOKE
+    from .oracle import compare
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert compare(df, "SELECT 1 AS id, 'a' AS s", SF_SMOKE)  # row count
+    assert compare(df, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, other)", SF_SMOKE)  # columns
+    assert compare(df, "SELECT * FROM (VALUES (1, 'a'), (2, 'X')) t(id, s)", SF_SMOKE)  # values
+    assert not compare(df, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, s)", SF_SMOKE)  # equal
+    # doubles: -0.0/0.0 collapse, NaN equality
+    d2 = spark.createDataFrame([(0.0,), (float("nan"),)], "v double")
+    assert not compare(d2, "SELECT * FROM (VALUES (-0.0), ('NaN'::DOUBLE)) t(v)", SF_SMOKE)
