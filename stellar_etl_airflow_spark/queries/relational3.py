@@ -407,6 +407,46 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# q46 — higher-order array functions as a first-class family: transform /
+# filter / exists / aggregate / zip_with (audit_log.sql's GENERATE_ARRAY +
+# correlated ARRAY(SELECT STRUCT(...)) maps to exactly these, SURVEY §2.4
+# Array bullet). These run inside codegen — the reason the training
+# operators need zero Python UDFs.
+# ---------------------------------------------------------------------------
+
+
+def q46_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (od,) = tables(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.expr("sequence(1, 1 + cast(o_orderkey % 5 as int))").alias("seq"),
+    ).select(
+        "o_orderkey",
+        F.expr("transform(seq, x -> x * x)").alias("squares"),
+        F.expr("filter(seq, x -> x % 2 = 0)").alias("evens"),
+        F.expr("exists(seq, x -> x >= 4)").alias("has_ge4"),
+        F.expr("aggregate(seq, 0L, (acc, x) -> acc + x)").alias("total"),
+        F.expr("aggregate(zip_with(seq, reverse(seq), (a, b) -> a * b), 0L, (acc, x) -> acc + x)").alias(
+            "dot_rev"
+        ),
+    )
+
+
+Q46_SQL = """
+WITH s AS (
+  SELECT o_orderkey, range(1, 2 + CAST(o_orderkey % 5 AS INT)) AS seq FROM orders
+)
+SELECT o_orderkey,
+       list_transform(seq, x -> x * x) AS squares,
+       list_filter(seq, x -> x % 2 = 0) AS evens,
+       len(list_filter(seq, x -> x >= 4)) > 0 AS has_ge4,
+       CAST(list_sum(seq) AS BIGINT) AS total,
+       CAST(list_sum(list_transform(range(1, len(seq) + 1), i -> seq[i] * list_reverse(seq)[i])) AS BIGINT) AS dot_rev
+FROM s
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q33_unpivot": QuerySpec(q33_unpivot, Q33_SQL, "UNPIVOT long-form measure stats"),
     "q34_tumbling_window": QuerySpec(q34_tumbling_window, Q34_SQL, "tumbling time-window aggregation"),
@@ -418,6 +458,7 @@ SPECS: dict[str, QuerySpec] = {
     "q43_range_frames": QuerySpec(q43_range_frames, Q43_SQL, "RANGE time frames + first/last_value"),
     "q44_cube": QuerySpec(q44_cube, Q44_SQL, "CUBE grouping-set matrix"),
     "q45_explode_outer": QuerySpec(q45_explode_outer, Q45_SQL, "explode_outer null preservation"),
+    "q46_higher_order": QuerySpec(q46_higher_order, Q46_SQL, "transform/filter/exists/aggregate/zip_with"),
     "q40_sketch_aggregates": QuerySpec(
         q40_sketch_aggregates, None, "HLL++ / t-digest approx aggregates (rows-only check)"
     ),
