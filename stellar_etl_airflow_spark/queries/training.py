@@ -852,6 +852,48 @@ WHERE gate < 5 OR gate < strat_rate
 """
 
 
+# ---------------------------------------------------------------------------
+# t25/t26 — chunking + sequence packing: the two steps between a cleaned
+# corpus and a training batch. Chunking is per-row array slicing (zero
+# shuffle); packing is one cumulative window over the doc ordering.
+# ---------------------------------------------------------------------------
+
+
+def t25_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, chunk_tokens=50, stride=40)
+
+
+T25_SQL = f"""
+WITH {WORDS_CTE},
+nz AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+starts AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 40.0) AS INT), 1))) AS i
+  FROM nz
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_index,
+       array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text,
+       CAST(len(list_slice(ws, i * 40 + 1, i * 40 + 50)) AS INT) AS n_tokens
+FROM starts
+WHERE len(list_slice(ws, i * 40 + 1, i * 40 + 50)) > 0
+"""
+
+
+def t26_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.pack_sequences(docs, budget_tokens=512)
+
+
+T26_SQL = f"""
+WITH {WORDS_CTE}
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(floor((sum(len(ws)) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ws)) / 512.0) AS BIGINT) AS bin
+FROM w
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -886,5 +928,7 @@ SPECS: dict[str, QuerySpec] = {
     "t24_deterministic_sampling": QuerySpec(
         t24_deterministic_sampling, T24_SQL, "hash-gated flat + stratified sampling"
     ),
+    "t25_chunking": QuerySpec(t25_chunking, T25_SQL, "overlapping token-window chunking"),
+    "t26_sequence_packing": QuerySpec(t26_sequence_packing, T26_SQL, "greedy token-budget packing"),
     "t22_tfidf_top_terms": QuerySpec(t22_tfidf_top_terms, T22_SQL, "per-doc TF-IDF top terms"),
 }

@@ -158,6 +158,69 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping word-token chunks (window
+    ``chunk_tokens``, step ``stride`` — overlap = chunk - stride), the
+    standard pre-training / RAG chunking step. Pure per-row array work
+    (sequence of start offsets -> slice per offset): zero shuffle, scales
+    with executors. Short docs yield one (possibly short) chunk; each
+    chunk carries its offset and token count."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"chunk_documents: need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}")
+    df = df.withColumn("_ws", words_col(text_col)).filter(F.size("_ws") > 0)
+    # start offsets: 0, stride, 2*stride, ... while start < n (last chunk
+    # may be short); greatest(...) guards the single-chunk case
+    starts = f"sequence(0, greatest(cast(ceil(size(_ws) / {stride}.0) as int) - 1, 0))"
+    chunks = (
+        f"transform({starts}, i -> named_struct("
+        f"'chunk_index', i, "
+        f"'chunk_text', concat_ws(' ', slice(_ws, i * {stride} + 1, {chunk_tokens})), "
+        f"'n_tokens', size(slice(_ws, i * {stride} + 1, {chunk_tokens}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(chunks)).alias("c"))
+        .filter(F.col("c.n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in ``id_col`` order) to
+    consecutive bins of ~``budget_tokens`` whitespace tokens — the standard
+    packing step that keeps training batches dense. Deterministic: bin =
+    floor((cumsum - n_tokens) / budget) over the id ordering, i.e. a doc
+    starts a new bin when the running total crosses the budget. One global
+    sort (single exchange); at scale, pack per shard/partition instead of
+    globally — same expression inside a partitionBy."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.size(words_col(text_col)).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        toks.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin", ((F.col("cum") - F.col("n_tokens")) / budget_tokens).cast("long"))
+        .select("doc_id", "n_tokens", "bin")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over whitespace-normalized text:
     full md5 hex + the portable 60-bit integer fingerprint."""
