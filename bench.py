@@ -1,9 +1,10 @@
 """Benchmark harness: runs the oracle-checked query corpus against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+and prints TWO JSON lines — a per-query timing map first, then the compact
+headline metric LAST (the driver keeps the last complete line):
 
-  {"metric": "corpus_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+  {"metric": "per_query_sec", "queries": {"q01_...": sec, ...}, "sf": 0.1}
+  {"metric": "corpus_wall_sec", "value": N, "unit": "sec", "sf": 0.1}
 
 Each query is executed to completion (count + a cheap checksum collect is
 avoided — we use ``df.write.format("noop")`` so results are fully
@@ -45,17 +46,12 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - total_t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Two lines, detail first: the driver captures a bounded tail of stdout
+    # and keeps the LAST complete JSON line, so the compact headline metric
+    # must come last (a single giant line gets head-truncated and parses as
+    # nothing).
+    print(json.dumps({"metric": "per_query_sec", "queries": timings, "sf": sf}))
+    print(json.dumps({"metric": "corpus_wall_sec", "value": total, "unit": "sec", "sf": sf}))
     spark.stop()
 
 

@@ -16,7 +16,7 @@ on a fine-grained key — no per-key pair blow-up, AQE-splittable, scales to
 both sides huge. Bucket width tunes the duplication-vs-selectivity trade:
 width ~ median interval length is a good default.
 
-Unbounded interval ends (the LEAD() default '9999-12-31') would explode
+Unbounded interval ends (the LEAD() default '2200-01-01') would explode
 into millions of buckets — they are clamped to the facts' max timestamp
 first, which preserves semantics for any fact row that exists.
 """

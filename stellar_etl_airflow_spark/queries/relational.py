@@ -201,7 +201,7 @@ FROM (
 # ---------------------------------------------------------------------------
 # q07 — as-of / range join against LEAD()-built validity windows. This is the
 # price-attribution join in v_liquidity_pool_trade_volume.sql:31-54,88-95
-# (valid_from <= t < valid_to, with the '9999-12-31' open-ended default and
+# (valid_from <= t < valid_to, with the '2200-01-01' open-ended default and
 # the fee-multiplier arithmetic). Purchases act as per-user price updates;
 # clicks are the trades being priced. The price side is broadcast — at 100 TB
 # the price dimension stays small, so the range join never shuffles the
@@ -214,7 +214,7 @@ def q07_asof_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prices = (
         ev.filter(F.col("event_type") == "purchase")
-        .withColumn("valid_to_ts", F.coalesce(F.lead("ts", 1).over(w), F.lit("9999-12-31").cast("timestamp")))
+        .withColumn("valid_to_ts", F.coalesce(F.lead("ts", 1).over(w), F.lit("2200-01-01").cast("timestamp")))
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("value").alias("price"),
@@ -248,7 +248,7 @@ Q07_SQL = """
 WITH prices AS (
   SELECT user_id AS p_user_id, value AS price, ts AS valid_from_ts,
          coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
-                  TIMESTAMP '9999-12-31') AS valid_to_ts
+                  TIMESTAMP '2200-01-01') AS valid_to_ts
   FROM events WHERE event_type = 'purchase'
 )
 SELECT c.event_id, c.user_id, c.ts, p.price,
@@ -381,7 +381,7 @@ def q11_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("value").alias("price"),
             F.col("ts").alias("valid_from_ts"),
-            F.coalesce(F.lead("ts", 1).over(w), F.lit("9999-12-31").cast("timestamp")).alias("valid_to_ts"),
+            F.coalesce(F.lead("ts", 1).over(w), F.lit("2200-01-01").cast("timestamp")).alias("valid_to_ts"),
             F.when(F.lead("ts", 1).over(w).isNull(), True).otherwise(False).alias("is_current"),
         )
     )
@@ -389,7 +389,7 @@ def q11_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_SQL = """
 SELECT user_id, value AS price, ts AS valid_from_ts,
-       coalesce(lead(ts, 1) OVER w, TIMESTAMP '9999-12-31') AS valid_to_ts,
+       coalesce(lead(ts, 1) OVER w, TIMESTAMP '2200-01-01') AS valid_to_ts,
        CASE WHEN lead(ts, 1) OVER w IS NULL THEN true ELSE false END AS is_current
 FROM events
 WHERE event_type = 'purchase'
@@ -601,9 +601,13 @@ GROUP BY l_orderkey
 
 def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = tables(spark, sf_dir, "events")
+    # Gap test is a full-precision timestamp comparison (ts > prev + 30 min)
+    # mirrored exactly in the oracle SQL — never truncate-then-subtract
+    # (unix_millis) on one side and boundary-count (datediff) on the other:
+    # sub-ms fractions straddling the threshold would flip is_new.
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
-    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    prev = F.lag("ts", 1).over(w)
+    is_new = F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -620,7 +624,7 @@ SELECT user_id, event_id, ts,
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
 FROM (
   SELECT *, CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-                   OR datediff('millisecond', lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts) > 30 * 60 * 1000
+                   OR ts > lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) + INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS is_new
   FROM events
 )

@@ -371,9 +371,12 @@ FROM c FULL OUTER JOIN b ON c.user_id = b.user_id AND c.day = b.day
 
 def q40_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = tables(spark, sf_dir, "lineitem")
+    # Percentiles come out as scalar columns (not an array) so the driver's
+    # pandas canonicalizer can hash the frame for its rows-only check.
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").alias("approx_p50_p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("approx_p90"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -418,13 +421,19 @@ FROM a
 
 def q46_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (od,) = tables(spark, sf_dir, "orders")
+    # Array results are serialized to CSV strings in the final projection:
+    # the correctness harness canonicalizes via pandas hashing, which cannot
+    # hash list cells. Serialization is presentation-only — the higher-order
+    # ops themselves still run on native arrays inside codegen.
     return od.select(
         "o_orderkey",
         F.expr("sequence(1, 1 + cast(o_orderkey % 5 as int))").alias("seq"),
     ).select(
         "o_orderkey",
-        F.expr("transform(seq, x -> x * x)").alias("squares"),
-        F.expr("filter(seq, x -> x % 2 = 0)").alias("evens"),
+        F.expr("array_join(transform(seq, x -> cast(x * x as string)), ',')").alias("squares"),
+        F.expr("array_join(transform(filter(seq, x -> x % 2 = 0), x -> cast(x as string)), ',')").alias(
+            "evens"
+        ),
         F.expr("exists(seq, x -> x >= 4)").alias("has_ge4"),
         F.expr("aggregate(seq, 0L, (acc, x) -> acc + x)").alias("total"),
         F.expr("aggregate(zip_with(seq, reverse(seq), (a, b) -> a * b), 0L, (acc, x) -> acc + x)").alias(
@@ -438,8 +447,8 @@ WITH s AS (
   SELECT o_orderkey, range(1, 2 + CAST(o_orderkey % 5 AS INT)) AS seq FROM orders
 )
 SELECT o_orderkey,
-       list_transform(seq, x -> x * x) AS squares,
-       list_filter(seq, x -> x % 2 = 0) AS evens,
+       array_to_string(list_transform(seq, x -> CAST(x * x AS VARCHAR)), ',') AS squares,
+       coalesce(array_to_string(list_transform(list_filter(seq, x -> x % 2 = 0), x -> CAST(x AS VARCHAR)), ','), '') AS evens,
        len(list_filter(seq, x -> x >= 4)) > 0 AS has_ge4,
        CAST(list_sum(seq) AS BIGINT) AS total,
        CAST(list_sum(list_transform(range(1, len(seq) + 1), i -> seq[i] * list_reverse(seq)[i])) AS BIGINT) AS dot_rev

@@ -110,7 +110,7 @@ def q42_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prices = (
         ev.filter(F.col("event_type") == "purchase")
-        .withColumn("valid_to_ts", F.coalesce(F.lead("ts", 1).over(w), F.lit("9999-12-31").cast("timestamp")))
+        .withColumn("valid_to_ts", F.coalesce(F.lead("ts", 1).over(w), F.lit("2200-01-01").cast("timestamp")))
         .select(
             F.col("user_id"),
             F.col("value").alias("price"),

@@ -22,14 +22,14 @@ def validity_windows(
     ts_col: str = "last_updated_ts",
     price_col: str = "price_in_xlm",
 ) -> DataFrame:
-    """LEAD(ts,1,'9999-12-31') SCD-2 windows
+    """LEAD(ts,1,'2200-01-01') SCD-2 windows
     (v_liquidity_pool_trade_volume.sql:31-54)."""
     w = Window.partitionBy(*partition_keys).orderBy(F.col(ts_col).asc())
     return prices.select(
         *partition_keys,
         F.col(price_col).alias("price"),
         F.col(ts_col).alias("valid_from_ts"),
-        F.coalesce(F.lead(ts_col, 1).over(w), F.lit("9999-12-31").cast("timestamp")).alias("valid_to_ts"),
+        F.coalesce(F.lead(ts_col, 1).over(w), F.lit("2200-01-01").cast("timestamp")).alias("valid_to_ts"),
     )
 
 

@@ -42,7 +42,7 @@ def test_union_asof_matches_range_join_formulation(spark, events):
     p1 = prices.withColumn("_rn", F.row_number().over(w_dedup)).filter("_rn = 1").drop("_rn")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
     valid = p1.withColumn(
-        "valid_to", F.coalesce(F.lead("ts", 1).over(w), F.lit("9999-12-31").cast("timestamp"))
+        "valid_to", F.coalesce(F.lead("ts", 1).over(w), F.lit("2200-01-01").cast("timestamp"))
     )
     # both sides descend from one events scan — alias to disambiguate lineage
     c, v = clicks.alias("c"), valid.alias("v")
