@@ -62,11 +62,17 @@ def asof_join(
     if overlap:
         raise ValueError(f"asof_join: value_cols collide with left columns: {sorted(overlap)}")
 
+    # All value columns ride in ONE struct so a single right row wins
+    # atomically: filling each column independently with last(ignorenulls)
+    # would let a NULL value in the latest matching row silently fall back
+    # to an older row, and could mix values from different right rows.
+    # The struct itself is non-null for every right row, so genuine NULLs
+    # inside it survive — matching the DuckDB ASOF oracle semantics.
     r = right.select(
         *keys,
         F.col(right_ts).alias(_ATS),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r_pack"),
         *[F.col(c).alias(f"_tb_{c}") for c in tiebreak_cols],
     )
     lft = left.select("*", F.col(left_ts).alias(_ATS), F.lit(1).alias(_SIDE))
@@ -76,11 +82,11 @@ def asof_join(
     # among right ties the greatest tiebreak lands last and wins last()
     order = [F.col(_ATS).asc(), F.col(_SIDE).asc()] + [F.col(f"_tb_{c}").asc_nulls_first() for c in tiebreak_cols]
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    filled = u.select(
-        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols]
+    filled = u.withColumn("_pack", F.last("_r_pack", ignorenulls=True).over(w))
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *left.columns,
+        *[F.col("_pack").getField(c).alias(c) for c in value_cols],
     )
-    drop = [_ATS, _SIDE] + [f"_r_{c}" for c in value_cols] + [f"_tb_{c}" for c in tiebreak_cols]
-    return filled.filter(F.col(_SIDE) == 1).drop(*drop)
 
 
 def asof_join_pandas(

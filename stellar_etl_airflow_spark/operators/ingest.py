@@ -52,16 +52,22 @@ class Warehouse:
         return os.path.join(self.root, "_meta", "batch_runs")
 
     def recover(self) -> list[str]:
-        """Restore tables left mid-swap by an interrupted
-        :func:`..operators.merge.safe_overwrite` (a ``<table>.old`` dir with
-        no ``<table>``). Call once at startup. Returns recovered tables."""
-        from .merge import recover_overwrite
+        """Restore directories left mid-swap by an interrupted
+        :func:`..operators.merge.safe_overwrite` (a ``.bak-<name>`` dir with
+        no ``<name>``). Walks the WHOLE tree, not just top-level tables —
+        compaction swaps leaf partition dirs, so a crash can leave a backup
+        nested arbitrarily deep. Call once at startup. Returns the
+        root-relative paths recovered."""
+        from .merge import BACKUP_PREFIX, recover_overwrite
 
         recovered = []
         if os.path.isdir(self.root):
-            for entry in sorted(os.listdir(self.root)):
-                if entry.endswith(".old") and recover_overwrite(os.path.join(self.root, entry[:-4])):
-                    recovered.append(entry[:-4])
+            for dirpath, dirnames, _files in os.walk(self.root):
+                for d in sorted(dirnames):
+                    if d.startswith(BACKUP_PREFIX):
+                        target = os.path.join(dirpath, d[len(BACKUP_PREFIX):])
+                        if recover_overwrite(target):
+                            recovered.append(os.path.relpath(target, self.root))
         return recovered
 
 

@@ -72,13 +72,26 @@ def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...])
     return new_rows.join(target.select(*keys), list(keys), "left_anti")
 
 
+#: backup-directory prefix. Dot-prefixed so Spark/Hadoop path filters skip
+#: it during partition discovery — a crash that leaves a backup nested deep
+#: in a partition tree (e.g. mid-compaction) must not surface as a bogus
+#: partition value or duplicate rows in table scans.
+BACKUP_PREFIX = ".bak-"
+
+
+def backup_path(path: str) -> str:
+    """Sibling backup dir used by :func:`safe_overwrite` during the swap."""
+    parent, name = os.path.split(os.path.abspath(path))
+    return os.path.join(parent, BACKUP_PREFIX + name)
+
+
 def recover_overwrite(path: str) -> bool:
     """Recover from a ``safe_overwrite`` interrupted between its two
-    renames: if only ``<path>.old`` exists, the new directory never landed
-    — rename the old data back. Returns True if a recovery happened.
-    Call at startup (``Warehouse.recover`` runs it per table) before
-    reading state tables."""
-    old = path + ".old"
+    renames: if only the ``.bak-<name>`` sibling exists, the new directory
+    never landed — rename the old data back. Returns True if a recovery
+    happened. Call at startup (``Warehouse.recover`` runs it across the
+    whole tree) before reading state tables."""
+    old = backup_path(path)
     if os.path.isdir(old) and not os.path.exists(path):
         os.rename(old, path)
         return True
@@ -93,13 +106,15 @@ def safe_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     Crash-safety: the temp dir is a SIBLING of ``path`` (same filesystem),
     so both swap steps are atomic ``os.rename`` calls — never a recursive
     copy. The only non-atomic window is between the two renames; a crash
-    there leaves ``<path>.old`` holding the full previous table, which
-    :func:`recover_overwrite` restores on startup. ``.old`` is deleted
-    only after the new directory is in place."""
+    there leaves ``.bak-<name>`` holding the full previous table, which
+    :func:`recover_overwrite` restores on startup. The backup is deleted
+    only after the new directory is in place, and its dot prefix keeps it
+    invisible to Spark partition discovery even when ``path`` is a leaf
+    deep inside a partition tree (compaction)."""
     parent = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = os.path.join(parent, f".merge-tmp-{uuid.uuid4().hex}")
-    old = path + ".old"
+    old = backup_path(path)
     try:
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(old):

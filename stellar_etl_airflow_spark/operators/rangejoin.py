@@ -48,6 +48,14 @@ def bucketed_range_join(
         raise ValueError(f"bucketed_range_join supports inner/left, got {how!r}")
     secs = _bucket_seconds(bucket)
 
+    # Left mode tags each fact with a surrogate row id and anti-joins the
+    # add-back on that id alone. Anti-joining on the full fact column list
+    # breaks on NULLs (a matched row with any NULL column never
+    # equality-matches itself and would be re-appended as a spurious
+    # unmatched duplicate) and on genuinely duplicate fact rows.
+    if how == "left":
+        facts = facts.withColumn("_rid", F.monotonically_increasing_id())
+
     f = facts.withColumn("_bkt", (F.unix_timestamp(F.col(fact_ts)) / secs).cast("long"))
     # clamp open-ended validity to the data horizon, then explode each
     # interval into every bucket it overlaps
@@ -74,9 +82,8 @@ def bucketed_range_join(
     if how == "inner":
         return joined
     # left: add back facts with no qualifying interval (NULL interval cols)
-    matched_keys = joined.select(*facts.columns)
-    unmatched = f.drop("_bkt").join(matched_keys, facts.columns, "left_anti")
-    return joined.unionByName(unmatched, allowMissingColumns=True)
+    unmatched = f.drop("_bkt").join(joined.select("_rid"), "_rid", "left_anti")
+    return joined.unionByName(unmatched, allowMissingColumns=True).drop("_rid")
 
 
 def _bucket_seconds(bucket: str) -> int:

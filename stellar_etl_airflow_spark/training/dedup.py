@@ -248,7 +248,10 @@ def simhash_neardup_pairs_banded(
     """
     bands = max_hamming + 1
     width = -(-bits // bands)  # ceil: last band may be narrower
-    s = sketches if sketches is not None else simhash(df, text_col, id_col)
+    # bits MUST be forwarded to simhash(): banding a sketch of a different
+    # width than the band arithmetic assumes breaks the exact-recall
+    # pigeonhole guarantee silently.
+    s = sketches if sketches is not None else simhash(df, text_col, id_col, bits=bits)
     slices = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> shiftright(simhash, b * {width}) % {1 << width})"
@@ -280,6 +283,7 @@ def simhash_neardup_pairs_auto(
     max_hamming: int = 8,
     sketches: DataFrame | None = None,
     allpairs_max_docs: int = 20_000,
+    bits: int = 60,
 ) -> DataFrame:
     """Cost-based choice between the two set-equal pair generators: the
     O(n^2) cross join has a tiny per-pair constant (xor + bit_count on
@@ -287,12 +291,12 @@ def simhash_neardup_pairs_auto(
     equi-join wins beyond, where n^2 is unpayable. The sketch table is
     materialized once (localCheckpoint) and shared by the size probe and
     the chosen join — the decision costs one count over (id, long) rows."""
-    s = (sketches if sketches is not None else simhash(df, text_col, id_col)).localCheckpoint(
+    s = (sketches if sketches is not None else simhash(df, text_col, id_col, bits=bits)).localCheckpoint(
         eager=True
     )
     if s.count() <= allpairs_max_docs:
         return simhash_neardup_pairs(df, text_col, id_col, max_hamming, sketches=s)
-    return simhash_neardup_pairs_banded(df, text_col, id_col, max_hamming, sketches=s)
+    return simhash_neardup_pairs_banded(df, text_col, id_col, max_hamming, sketches=s, bits=bits)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:

@@ -44,20 +44,49 @@ def test_translate_preserves_struct_field_paths():
 
 
 def test_safe_overwrite_tmp_is_sibling_and_recovers(spark, tmp_path):
+    from stellar_etl_airflow_spark.operators.merge import backup_path
+
     wh = Warehouse(str(tmp_path))
     path = wh.path("state_t")
     safe_overwrite(spark, spark.range(5), path)
-    safe_overwrite(spark, spark.range(7), path)  # second swap exercises .old
+    safe_overwrite(spark, spark.range(7), path)  # second swap exercises the backup
     assert spark.read.parquet(path).count() == 7
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(backup_path(path))
     # no stray temp dirs outside the warehouse root, none left inside
     assert not [d for d in os.listdir(tmp_path) if d.startswith(".merge-tmp-")]
 
-    # simulate a crash between the two renames: table gone, .old present
-    os.rename(path, path + ".old")
+    # simulate a crash between the two renames: table gone, backup present
+    os.rename(path, backup_path(path))
     assert wh.recover() == ["state_t"]
     assert spark.read.parquet(path).count() == 7
     assert recover_overwrite(path) is False  # idempotent no-op afterwards
+
+
+def test_recover_walks_nested_partition_leaves(spark, tmp_path):
+    """A crash mid-compaction leaves the backup deep inside the partition
+    tree; recovery must walk the tree, and until it runs the dot-prefixed
+    backup must be invisible to Spark partition discovery (no bogus
+    partition values, no duplicate rows)."""
+    from stellar_etl_airflow_spark.operators.merge import backup_path
+
+    wh = Warehouse(str(tmp_path))
+    path = wh.path("hist")
+    spark.range(100).selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS _p").write.partitionBy(
+        "_p"
+    ).parquet(path)
+    leaf = os.path.join(path, "_p=a")
+    # crash between the two renames: leaf gone, backup sibling present
+    os.rename(leaf, backup_path(leaf))
+
+    # Spark must neither see the backup as a partition nor read its rows
+    visible = spark.read.parquet(path)
+    assert set(r["_p"] for r in visible.select("_p").distinct().collect()) == {"b"}
+    assert visible.count() == 50
+
+    assert wh.recover() == [os.path.join("hist", "_p=a")]
+    restored = spark.read.parquet(path)
+    assert restored.count() == 100
+    assert set(r["_p"] for r in restored.select("_p").distinct().collect()) == {"a", "b"}
 
 
 def test_safe_overwrite_failure_restores_previous(spark, tmp_path):
