@@ -20,6 +20,19 @@ this module implements the identical semantics over plain parquet as
 which is exactly the copy-on-write plan a MERGE compiles to. The rewrite
 is atomic via write-temp-then-swap (``safe_overwrite``).
 
+At 100 TB a full-table rewrite per 10-minute change batch is the scale
+killer (BigQuery's MERGE only rewrites matched blocks). The scoped variant
+(:func:`merge_upsert_scoped`) removes it without a transactional table
+format: the state table is hash-bucket partitioned on the merge key
+(``_p = pmod(xxhash64(keys), n_buckets)``), so every key's current row
+lives in exactly one known partition, a change batch touches only the
+buckets its keys hash to, and ONLY those leaf directories are rewritten —
+untouched partitions keep their files byte-identical. Each touched leaf
+swaps via the same backup-rename protocol as ``safe_overwrite``; a crash
+mid-swap is recoverable per-partition (``Warehouse.recover``), and because
+MERGE application is idempotent (latest-version-per-key wins), re-running
+the interrupted batch converges to the same state.
+
 Changes within one batch may contain several versions of a key; the
 MERGE source is first collapsed to the latest version per key with the
 same ordering the current-state views use (last_modified_ledger DESC,
@@ -63,6 +76,89 @@ def merge_upsert(
     kept = target.join(src.select(*keys), list(keys), "left_anti")
     applied = src.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
     return kept.unionByName(applied)
+
+
+#: partition column for hash-bucketed state tables (scoped MERGE)
+BUCKET_COL = "_p"
+
+
+def key_bucket(keys: tuple[str, ...], n_buckets: int):
+    """Stable hash bucket of the merge key — the partition value a key's
+    current row always lives in."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def merge_upsert_scoped(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    n_buckets: int = 64,
+    deleted_col: str = "deleted",
+    order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+) -> list[int]:
+    """Partition-scoped MERGE over a hash-bucketed parquet state table.
+
+    Reference semantics: build_apply_gcs_changes_to_bq_task.py:116-149
+    (MATCHED+deleted -> DELETE, MATCHED -> UPDATE, NOT MATCHED -> INSERT),
+    with BigQuery's targeted-rewrite cost profile: only the ``_p`` buckets
+    containing changed keys are read and rewritten. ``n_buckets`` fixes the
+    layout for the table's lifetime (storing it in a table manifest is the
+    caller's concern); at 100 TB size it so one bucket ~ a few GB.
+
+    Returns the sorted list of bucket values rewritten.
+    """
+    ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+    touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        return []
+    os.makedirs(path, exist_ok=True)
+    leaf = lambda root, v: os.path.join(root, f"{BUCKET_COL}={v}")  # noqa: E731
+    # a bucket emptied by a previous batch is a file-less dir — treat it as
+    # absent (reading it would fail schema inference)
+    existing = [
+        v
+        for v in touched
+        if os.path.isdir(leaf(path, v))
+        and any(f.endswith(".parquet") for f in os.listdir(leaf(path, v)))
+    ]
+    if existing:
+        tgt = spark.read.option("basePath", path).parquet(*[leaf(path, v) for v in existing])
+        # basePath keeps the _p column; align column order with changes
+        tgt = tgt.select(*ch.columns)
+    else:
+        tgt = spark.createDataFrame([], ch.schema)
+    merged = merge_upsert(tgt, ch, keys, deleted_col, order_cols)
+
+    # one job writes every touched bucket into a dot-prefixed sibling stage
+    # (invisible to Spark partition discovery), then each leaf swaps in via
+    # the backup-rename protocol
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    stage = os.path.join(parent, f".merge-stage-{uuid.uuid4().hex}")
+    try:
+        merged.write.partitionBy(BUCKET_COL).parquet(stage)
+        for v in touched:
+            # a bucket whose rows were all deleted produces no stage output;
+            # an empty leaf dir keeps the swap uniform and scans clean
+            os.makedirs(leaf(stage, v), exist_ok=True)
+            _swap_dir(leaf(stage, v), leaf(path, v))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return touched
+
+
+def _swap_dir(src: str, dst: str) -> None:
+    """Atomically replace ``dst`` with ``src`` (same-filesystem renames),
+    leaving a ``.bak-`` sibling during the non-atomic window — the same
+    crash-recovery contract as :func:`safe_overwrite`."""
+    old = backup_path(dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(src, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...]) -> DataFrame:

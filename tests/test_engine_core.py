@@ -229,7 +229,7 @@ def test_asof_price_join_mart(spark):
     win = marts.validity_windows(prices, ("asset_code", "asset_issuer"))
     rows = sorted(win.collect(), key=lambda r: r["valid_from_ts"])
     assert rows[0]["valid_to_ts"] == datetime(2024, 1, 2)
-    assert rows[1]["valid_to_ts"].year == 9999
+    assert rows[1]["valid_to_ts"].year == 2200
     facts = spark.createDataFrame(
         [("t1", "USD", "I1", datetime(2024, 1, 1, 12)), ("t2", "USD", "I1", datetime(2024, 1, 3)), ("t0", "USD", "I1", datetime(2023, 12, 31))],
         "trade_id string, code string, issuer string, ts timestamp",
