@@ -52,12 +52,17 @@ def export_slice(
         .repartitionByRange(F.col(order_col))
         .sortWithinPartitions(order_col)
     )
+    return write_avro_or_parquet(out, dest)
+
+
+def write_avro_or_parquet(out: DataFrame, dest: str) -> str:
+    """Write avro; fall back to parquet ONLY when the avro connector itself
+    is absent. Any real write failure (permissions, disk, task errors)
+    propagates. Returns the format actually written."""
     try:
         out.write.mode("overwrite").format("avro").save(dest)
         return "avro"
     except Exception as exc:
-        # fall back ONLY when the avro connector itself is absent; any
-        # real write failure (permissions, disk, task errors) propagates
         msg = str(exc).lower()
         if "failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg:
             out.write.mode("overwrite").parquet(dest)
