@@ -144,21 +144,34 @@ def _rewrite_safe_offset(sql: str) -> str:
         pos = m.start()
 
 
+def _skip_string(s: str, i: int) -> int:
+    """``s[i]`` is a quote char: return the index of its closing quote.
+    Handles doubled-quote escapes ('' / "") and backslash escapes (BQ
+    string literals allow both quote chars and backslash escaping)."""
+    q, n = s[i], len(s)
+    i += 1
+    while i < n:
+        if s[i] == "\\":
+            i += 2
+            continue
+        if s[i] == q:
+            if i + 1 < n and s[i + 1] == q:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n - 1
+
+
 def _split_args(argstr: str) -> list[str]:
     """Split a function-argument string on top-level commas only (tracks
-    paren depth and single-quoted strings, including '' escapes)."""
+    paren/bracket depth and skips string literals in either quote style —
+    a bracket inside ``"["`` is text, not nesting)."""
     args, depth, start, i, n = [], 0, 0, 0, len(argstr)
     while i < n:
         ch = argstr[i]
-        if ch == "'":
-            i += 1
-            while i < n:
-                if argstr[i] == "'":
-                    if i + 1 < n and argstr[i + 1] == "'":
-                        i += 2
-                        continue
-                    break
-                i += 1
+        if ch in "'\"":
+            i = _skip_string(argstr, i)
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -187,10 +200,8 @@ def _rewrite_call(sql: str, fname: str, render) -> str:
         m = matches[-1]  # rightmost occurrence = inner-most on nesting
         depth, i = 1, m.end()
         while i < len(sql) and depth:
-            if sql[i] == "'":
-                i += 1
-                while i < len(sql) and sql[i] != "'":
-                    i += 1
+            if sql[i] in "'\"":
+                i = _skip_string(sql, i)
             elif sql[i] == "(":
                 depth += 1
             elif sql[i] == ")":

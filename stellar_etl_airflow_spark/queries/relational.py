@@ -620,8 +620,11 @@ def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q19_SQL = """
 SELECT user_id, event_id, ts,
-       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       -- CAST: DuckDB SUM over integers yields HUGEINT, which pandas can
+       -- only hold as float64 (1.0 vs Spark's bigint 1 -> driver hash
+       -- mismatch); BIGINT round-trips as int64 on both engines.
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT *, CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
                    OR ts > lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) + INTERVAL 30 MINUTE

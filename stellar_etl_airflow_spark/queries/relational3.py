@@ -362,23 +362,61 @@ FROM c FULL OUTER JOIN b ON c.user_id = b.user_id AND c.day = b.day
 # q40 — approximate sketch aggregates: HyperLogLog++ distinct counts and
 # t-digest percentiles — the 100 TB swap-ins for q16's exact distinct and
 # q29's exact percentiles (single-pass, mergeable, fixed memory). Sketch
-# internals are engine-specific, so there is NO value oracle: the spec
-# carries no SQL and the driver applies its weaker rows-only check. The
-# accuracy contract is asserted against exact values in
-# tests/test_sketches.py instead.
+# internals are engine-specific, so raw sketch values cannot hash-match a
+# DuckDB oracle. Instead the query emits (a) exact companion aggregates —
+# fully value-checked — and (b) accuracy booleans asserting the sketch is
+# within its error contract of the exact value, which the oracle pins to
+# TRUE. A sketch drifting out of tolerance flips a boolean and fails the
+# driver hash gate; fine-grained accuracy curves live in
+# tests/test_sketches.py.
 # ---------------------------------------------------------------------------
 
 
 def q40_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = tables(spark, sf_dir, "lineitem")
-    # Percentiles come out as scalar columns (not an array) so the driver's
-    # pandas canonicalizer can hash the frame for its rows-only check.
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("approx_p90"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("exact_p50"),
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("exact_p90"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    # HLL++ contract: relative error <= 3 * rsd. approx_percentile contract:
+    # rank error <= 1/accuracy — with 10k accuracy over ~150k rows/group the
+    # returned element sits within a tight relative band of the continuous
+    # percentile; 2% is comfortably loose for this distribution.
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.round(F.col("exact_p50").cast("double"), 4).alias("exact_p50"),
+        F.round(F.col("exact_p90").cast("double"), 4).alias("exact_p90"),
+        "n_rows",
+        (F.abs(F.col("approx_orders") - F.col("exact_orders")) <= 0.06 * F.col("exact_orders")).alias(
+            "hll_within_tol"
+        ),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.02 * F.col("exact_p50")).alias(
+            "p50_within_tol"
+        ),
+        (F.abs(F.col("approx_p90") - F.col("exact_p90")) <= 0.02 * F.col("exact_p90")).alias(
+            "p90_within_tol"
+        ),
+    )
+
+
+Q40_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+       count(*) AS n_rows,
+       TRUE AS hll_within_tol,
+       TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +507,8 @@ SPECS: dict[str, QuerySpec] = {
     "q45_explode_outer": QuerySpec(q45_explode_outer, Q45_SQL, "explode_outer null preservation"),
     "q46_higher_order": QuerySpec(q46_higher_order, Q46_SQL, "transform/filter/exists/aggregate/zip_with"),
     "q40_sketch_aggregates": QuerySpec(
-        q40_sketch_aggregates, None, "HLL++ / t-digest approx aggregates (rows-only check)"
+        q40_sketch_aggregates,
+        Q40_SQL,
+        "HLL++ / t-digest sketches vs exact companions + accuracy booleans",
     ),
 }

@@ -63,14 +63,19 @@ def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = Non
 def ensure_read_confs(spark: SparkSession) -> None:
     """Apply the runtime SQL confs needed to read the driver testdata.
 
-    Safe on any session (our own or an externally created one): both confs
-    are per-session runtime confs in Spark 4. Without ``nanosAsLong`` the
-    ``events.parquet`` scan fails with PARQUET_TYPE_ILLEGAL (INT64
-    TIMESTAMP(NANOS)); without a pinned timezone, timestamp->date/local
-    conversions are host-dependent and break oracle hash comparison.
+    Safe on any session (our own or an externally created one): all three
+    confs are per-session runtime confs in Spark 4. Without ``nanosAsLong``
+    a TIMESTAMP(NANOS) ``events.parquet`` scan fails with
+    PARQUET_TYPE_ILLEGAL; without a pinned timezone, timestamp->date/local
+    conversions are host-dependent and break oracle hash comparison; with
+    NTZ inference on, a tz-less ``timestamp[us]`` parquet column reads as
+    TIMESTAMP_NTZ, which half the timestamp function surface
+    (``unix_seconds`` et al.) rejects — read it as TIMESTAMP instead,
+    identical under the UTC session zone (DuckDB does the same).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict:
@@ -104,11 +109,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
 
 def normalize_nanos(df):
-    """Convert TIMESTAMP(NANOS) columns (read as long via nanosAsLong) back
-    to microsecond timestamps, matching DuckDB's ns->us truncation."""
+    """Normalize timestamp physical encodings to session-zone TIMESTAMP:
+    TIMESTAMP(NANOS) columns (read as long via nanosAsLong) become
+    microsecond timestamps, matching DuckDB's ns->us truncation, and any
+    TIMESTAMP_NTZ column (tz-less parquet read on a session created before
+    :func:`ensure_read_confs` ran) is cast to TIMESTAMP — identity under
+    the pinned UTC zone."""
     from pyspark.sql import functions as F
 
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
