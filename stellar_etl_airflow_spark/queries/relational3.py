@@ -374,15 +374,25 @@ FROM c FULL OUTER JOIN b ON c.user_id = b.user_id AND c.day = b.day
 
 def q40_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = tables(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # exact_orders lives in its OWN aggregation: a DISTINCT aggregate mixed
+    # with the sketch aggregates triggers Catalyst's distinct rewrite, which
+    # re-keys the partial aggregation by (group, distinct-key) — one
+    # t-digest/percentile buffer PER ORDERKEY (~150k heavy sketch buffers
+    # through the exchange; measured 385 s at sf0.1 vs ~5 s split). The
+    # rejoin is 3 rows — broadcast, free.
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("approx_p90"),
-        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("exact_p50"),
-        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("exact_p90"),
+        # percentile() is the exact interpolated (CONT) percentile with a
+        # counts-hashmap implementation; percentile_cont's sort-based
+        # ObjectHashAggregate path is ~40x slower on wide value domains
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    orders = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    agg = sketch.join(orders, "l_returnflag")
     # HLL++ contract: relative error <= 3 * rsd. approx_percentile contract:
     # rank error <= 1/accuracy — with 10k accuracy over ~150k rows/group the
     # returned element sits within a tight relative band of the continuous

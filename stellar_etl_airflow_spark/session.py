@@ -108,6 +108,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     return out
 
 
+def spread(df, min_factor: int = 2):
+    """Ensure CPU-bound per-row stages see enough input partitions.
+
+    A small parquet table arrives as ONE scan split (files below
+    ``maxPartitionBytes`` never split), so an expensive narrow stage —
+    shingling folds, sketch scoring, Arrow ``mapInPandas`` — runs on one
+    core no matter how many the session has. Repartitioning the (tiny)
+    input is a round-robin shuffle of the raw bytes, trivially cheap at
+    the sizes where it triggers. At scale the scan already has >= cores
+    splits and this is an exact no-op — no exchange is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_nanos(df):
     """Normalize timestamp physical encodings to session-zone TIMESTAMP:
     TIMESTAMP(NANOS) columns (read as long via nanosAsLong) become

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import spread
+
 
 def _ph(s: str) -> int:
     """Python twin of the portable 60-bit md5 hash (queries/base.py)."""
@@ -66,17 +68,64 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for every query vector (self excluded)."""
-    c = _prep(corpus, id_col, vec_col, "n")
-    q = _prep(queries, id_col, vec_col, "q")
-    cos = F.expr(DOT.format(a="q_vec", b="n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    """Exact top-k cosine neighbors for every query vector (self excluded).
+
+    Scoring is a vectorized Arrow ``mapInPandas`` over the CORPUS: the
+    (small) query matrix is materialized on the driver and shipped in the
+    task closure — the same thing a broadcast join does with its build
+    side — and each corpus batch computes one numpy matmul, then emits only
+    its per-batch top-k per query. The corpus never shuffles; the only
+    exchange is the final exact window over ``#batches * |Q| * k``
+    candidate rows (per-batch top-k is a superset of the global top-k).
+    The previous pure-expression formulation (``aggregate(zip_with(...))``
+    per pair) is interpreted, not codegen'd — boxed-double lambda calls and
+    an allocation per pair made it ~10x slower at 2000x200x64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = (
+        queries.select(F.col(id_col).cast("long").alias("q_id"), F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    if not len(qpd):
+        return corpus.select(
+            F.lit(0).cast("long").alias("q_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0).cast("long").alias("n_id"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    q_ids = qpd["q_id"].to_numpy()
+    Q = np.stack(qpd["v"].to_numpy()).astype(np.float64)  # |Q| x d
+    q_norm = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["n_id"].to_numpy()
+            N = np.stack(pdf["v"].to_numpy()).astype(np.float64)  # B x d
+            n_norm = np.sqrt((N * N).sum(axis=1))
+            S = (N @ Q.T) / (n_norm[:, None] * q_norm[None, :])  # B x |Q|
+            S[n_ids[:, None] == q_ids[None, :]] = -np.inf  # self-exclusion
+            kk = min(k, len(n_ids))
+            # exact per-batch top-k per query with the (cosine desc, n_id
+            # asc) tie order the final window uses
+            order = np.lexsort((n_ids[:, None].repeat(len(q_ids), 1), -S), axis=0)[:kk]
+            rows = {
+                "q_id": np.tile(q_ids, kk),
+                "n_id": n_ids[order].ravel(),
+                "cosine": np.take_along_axis(S, order, axis=0).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cosine"])]
+
+    cand = spread(
+        corpus.select(F.col(id_col).cast("long").alias("n_id"), F.col(vec_col).alias("v"))
+    ).mapInPandas(score, "q_id long, n_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("cosine", 6).alias("cosine"))
     )

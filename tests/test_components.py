@@ -26,8 +26,13 @@ def test_components_long_path_converges(spark):
     out = connected_components(vertices, edges)
     assert out.filter(F.col("component") != 0).count() == 0
 
+    # the distributed loop (forced via driver_max_edges=0) must agree with
+    # the driver union-find fast path, and still bound its rounds
+    dist = connected_components(vertices, edges, driver_max_edges=0)
+    assert dist.filter(F.col("component") != 0).count() == 0
+
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(vertices, edges, max_iter=1)
+        connected_components(vertices, edges, max_iter=1, driver_max_edges=0)
 
 
 def test_dedup_decisions_representatives(spark):

@@ -70,11 +70,19 @@ def test_scan_prunes_columns(spark):
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
 
 
-def test_brute_force_ann_broadcasts_queries_not_corpus(spark):
+def test_brute_force_ann_never_shuffles_corpus(spark):
     from stellar_etl_airflow_spark.training.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     plan = _physical(cosine_topk(emb, emb.filter(F.col("vec_id") % 10 == 0), k=3))
-    # the corpus side must not be exchanged for the join itself: only the
-    # small query side ships (broadcast), plus the final top-k window sort
-    assert "BroadcastExchange" in plan
+    # queries ship in the task closure (driver-materialized build side, the
+    # broadcast-join pattern); the corpus is scored in place by an Arrow
+    # mapInPandas and only per-batch top-k candidates reach the single
+    # exchange feeding the final exact window
+    assert "MapInPandas" in plan
+    below_map = plan.split("MapInPandas")[-1]  # plan prints leaves last
+    # a round-robin spread of a tiny single-split scan is allowed (local
+    # parallelism fix, no-op at scale); a hash exchange of the corpus for a
+    # join is not
+    assert "Exchange hashpartitioning" not in below_map, "corpus must not hash-shuffle"
+    assert plan.count("Exchange hashpartitioning") == 1  # only the window
