@@ -136,15 +136,38 @@ def drop_tables_like(wh: Warehouse, suffix: str) -> list[str]:
     return dropped
 
 
-def clone_dataset(spark: SparkSession, src: Warehouse, dest: Warehouse, tables: list[str] | None = None) -> dict[str, str]:
+def clone_dataset(
+    spark: SparkSession,
+    src: Warehouse,
+    dest: Warehouse,
+    tables: list[str] | None = None,
+    zero_copy: bool = False,
+    as_of_ts: float | None = None,
+) -> dict[str, str]:
     """Dataset clone loop (staging refresh): per-table copy with per-table
     error capture, mirroring the reference's try/except accumulator
-    (dag_stellar_dbt_staging_refresh.py:128-174). True zero-copy CLONE +
-    time travel needs Delta/Iceberg; on parquet this is a deep clone."""
+    (dag_stellar_dbt_staging_refresh.py:128-174).
+
+    ``zero_copy=True`` is the parity path for the reference's
+    ``CREATE TABLE ... CLONE src FOR SYSTEM_TIME AS OF ts``
+    (dag_stellar_dbt_staging_refresh.py:83-88): each table publishes a
+    manifest referencing the source's immutable files (sinks/snapshots.py)
+    — O(manifest) per table, optionally pinned to the latest snapshot at
+    ``as_of_ts``. Source tables without snapshots get one bootstrapped
+    from their current files. ``zero_copy=False`` keeps the deep copy for
+    destinations that must not share storage with the source."""
+    from ..sinks import snapshots as S
+
     results: dict[str, str] = {}
     for t in tables or list_tables(src):
         try:
-            spark.read.parquet(src.path(t)).write.mode("overwrite").parquet(dest.path(t))
+            if zero_copy:
+                if S.latest_version(src.path(t)) is None:
+                    S.snapshot(src.path(t))
+                version = S.as_of(src.path(t), as_of_ts) if as_of_ts is not None else None
+                S.clone(src.path(t), dest.path(t), version)
+            else:
+                spark.read.parquet(src.path(t)).write.mode("overwrite").parquet(dest.path(t))
             results[t] = "ok"
         except Exception as exc:  # per-table isolation, loop continues
             results[t] = f"error: {exc}"

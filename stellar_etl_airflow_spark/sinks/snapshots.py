@@ -1,0 +1,183 @@
+"""Manifest-based table snapshots: versioned overwrite, time travel,
+zero-copy CLONE, and vacuum over plain parquet.
+
+The reference's staging refresh uses BigQuery zero-copy clones pinned to a
+point in time — ``CREATE TABLE ... CLONE src FOR SYSTEM_TIME AS OF ...``
+(/root/reference/dags/dag_stellar_dbt_staging_refresh.py:83-88). BigQuery
+(like Delta/Iceberg) gets this from a transaction log: table state is a
+LIST OF FILES, not a directory, so an old version is just an old list and
+a clone is just a copied list. This module provides exactly that core on
+top of parquet, with no extra dependencies:
+
+  table_dir/
+    part-<uuid>-*.parquet        data files (immutable once written)
+    _snapshots/
+      v00000001.json             {"version", "ts", "files": [abs paths]}
+      v00000002.json
+      _latest                    text pointer, written atomically
+
+Protocol invariants:
+
+- Data files are IMMUTABLE: a versioned overwrite writes NEW uniquely
+  named files and a new manifest; it never deletes or rewrites files an
+  older manifest references. Readers of any version are therefore never
+  torn, even mid-write (snapshot isolation for free).
+- Manifest publication is atomic: manifests are written to a temp name
+  and ``os.replace``d into place, then ``_latest`` is swapped the same
+  way. A crash before the ``_latest`` swap leaves the table at the prior
+  version with some unreferenced files — re-running converges, and
+  ``vacuum`` collects the orphans.
+- A clone writes a manifest whose file list points into the SOURCE
+  table's directory — no data moves. Writes to the clone add files under
+  the clone's own directory; the shared source files stay immutable
+  (copy-on-write).
+
+At 100 TB this is the shape that matters: overwrite cost is proportional
+to the data actually rewritten, clones are O(manifest), and time travel
+is a constant-time manifest lookup. On an object store the same protocol
+holds (immutable objects + small atomic pointer), which is precisely how
+Delta Lake's ``_delta_log`` works — see Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores" (VLDB 2020).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAPDIR = "_snapshots"
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, _SNAPDIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version:08d}.json")
+
+
+def _atomic_write(target: str, payload: str) -> None:
+    tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    os.replace(tmp, target)
+
+
+def latest_version(path: str) -> int | None:
+    """Current published version, or None for an un-snapshotted directory."""
+    try:
+        with open(os.path.join(_snap_dir(path), "_latest")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    with open(_manifest_path(path, v)) as fh:
+        return json.load(fh)
+
+
+def _list_data_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _publish(path: str, files: list[str]) -> int:
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    version = (latest_version(path) or 0) + 1
+    manifest = {"version": version, "ts": time.time(), "files": files}
+    _atomic_write(_manifest_path(path, version), json.dumps(manifest))
+    _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
+    return version
+
+
+def snapshot(path: str) -> int:
+    """Publish the directory's current data files as the next version
+    (bootstrap for tables written by plain writers)."""
+    return _publish(path, _list_data_files(path))
+
+
+def overwrite_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Replace the table's contents WITHOUT touching prior versions' files:
+    write ``df`` to a unique subdirectory, publish a manifest listing only
+    the new files. Old files stay for time travel until ``vacuum``."""
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(stage)
+    files = []
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet"):
+            # move out of the stage dir under a collision-free final name
+            final = os.path.join(path, f"part-{uuid.uuid4().hex}-{f.lstrip('-')}")
+            os.replace(os.path.join(stage, f), final)
+            files.append(final)
+    for leftover in os.listdir(stage):  # _SUCCESS, .crc files
+        os.remove(os.path.join(stage, leftover))
+    os.rmdir(stage)
+    return _publish(path, files)
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """DataFrame over one table version (default: latest). Empty versions
+    read as an empty frame only when the table has a readable schema."""
+    files = read_manifest(path, version)["files"]
+    return spark.read.parquet(*files)
+
+
+def as_of(path: str, ts: float) -> int:
+    """Largest version published at or before ``ts`` — the FOR SYSTEM_TIME
+    AS OF resolution step."""
+    best = None
+    v = latest_version(path)
+    while v:
+        m = read_manifest(path, v)
+        if m["ts"] <= ts:
+            best = m["version"]
+            break
+        v -= 1
+    if best is None:
+        raise LookupError(f"no snapshot of {path} at or before {ts}")
+    return best
+
+
+def clone(src: str, dst: str, version: int | None = None) -> int:
+    """Zero-copy clone: publish ``src``'s manifest (latest or pinned
+    ``version``) as ``dst``'s first version. No data files move; the clone
+    diverges copy-on-write via its own ``overwrite_versioned`` calls."""
+    m = read_manifest(src, version)
+    os.makedirs(dst, exist_ok=True)
+    return _publish(dst, list(m["files"]))
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files under ``path`` referenced only by expired versions
+    (everything older than the newest ``keep_versions``), then drop those
+    manifests. Files living in OTHER directories (clone sources) are never
+    touched. Returns the deleted paths."""
+    newest = latest_version(path)
+    if newest is None:
+        return []
+    cutoff = newest - max(keep_versions, 1)
+    keep_files: set[str] = set()
+    for v in range(cutoff + 1, newest + 1):
+        keep_files.update(read_manifest(path, v)["files"])
+    deleted = []
+    for f in _list_data_files(path):
+        if f not in keep_files:
+            os.remove(f)
+            deleted.append(f)
+    for v in range(1, cutoff + 1):
+        try:
+            os.remove(_manifest_path(path, v))
+        except FileNotFoundError:
+            pass
+    return deleted
