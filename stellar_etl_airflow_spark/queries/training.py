@@ -678,7 +678,12 @@ def t20_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    ex = qdocs.join(reps, "doc_id")
+    # ex feeds three consumers (sketching, pair generation, the final
+    # token-stats join): materialize it once. The checkpoint also gives the
+    # simhash scorer a concrete partitioning to spread from — AQE coalesces
+    # the tiny post-join shuffle to ONE partition, which would serialize
+    # the per-doc scoring stage on a single core.
+    ex = qdocs.join(reps, "doc_id").localCheckpoint(eager=True)
     sketches = D.simhash(ex).localCheckpoint(eager=True)
     pairs = D.simhash_neardup_pairs_auto(ex, max_hamming=8, sketches=sketches)
     keepers = (

@@ -118,7 +118,15 @@ def spread(df, min_factor: int = 2):
     input is a round-robin shuffle of the raw bytes, trivially cheap at
     the sizes where it triggers. At scale the scan already has >= cores
     splits and this is an exact no-op — no exchange is added.
+
+    Only scan-shaped plans are probed: ``df.rdd`` on a plan containing
+    joins/aggregates EXECUTES the upstream query stages under AQE just to
+    learn the partition count (measured: the whole join ran twice). Plans
+    already behind an exchange have adequate parallelism by construction.
     """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in plan for k in ("Join", "Aggregate", "Window", "Repartition", "Exchange", "Sort")):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)
