@@ -37,6 +37,9 @@ QUERIES.update(training.SPECS)
 _FRONT = [
     "q19_sessionize",
     "q40_sketch_aggregates",
+    # brand-new streaming entries (round 4)
+    "s02_stream_dedup",
+    "s03_stream_sessionize",
     # round-4 rewrites, never driver-checked in this form
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",

@@ -135,9 +135,128 @@ def q42_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest under at-least-once delivery: the
+    source directory holds TWO copies of events.parquet (every event
+    delivered twice — the redelivery scenario the reference's idempotent
+    del+ins load guards against, SURVEY §2.3 D1/D2), and
+    ``dedup_within_watermark`` (withWatermark + dropDuplicates on
+    event_id) must restore exactly-once before a per-type aggregate. The
+    oracle aggregates the raw events table directly: if ANY duplicate
+    slips through (or a distinct event is wrongly dropped), counts and
+    sums diverge. Duplicate rows are byte-identical, so which delivery
+    wins is immaterial — the result is deterministic. The watermark spans
+    the whole bounded window (state eviction mid-run could re-admit a
+    late duplicate); production cadence would size it to the redelivery
+    horizon."""
+    from ..streaming.microbatch import dedup_within_watermark
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s02-src-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "events-delivery1.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "events-delivery2.parquet"))
+    stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", watermark="365 days")
+    qname = f"s02_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+    )
+
+
+S02_SQL = f"""
+SELECT event_type, count(*) AS n, {dsum_sql('value')} AS total
+FROM events
+GROUP BY event_type
+"""
+
+
+def s03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with the built-in ``session_window`` —
+    the stream twin of q19's batch gap-cumsum sessionizer, drained with
+    AvailableNow in complete mode so every session is emitted. The oracle
+    rebuilds the identical sessions relationally: a session is a maximal
+    event chain per user with inter-event gaps < 30 min; its window is
+    [first_event, last_event + gap). Note session_window opens a NEW
+    session when the gap is >= the duration (an event landing exactly on
+    the closing boundary is outside the half-open window), hence the
+    oracle's ``>=`` — q19's cumsum twin uses ``>`` and stays a distinct,
+    also-checked convention."""
+    from ..streaming.microbatch import session_counts
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s03-src-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    agg = session_counts(stream, "ts", "user_id", gap="30 minutes", watermark="1 hour")
+    qname = f"s03_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select("user_id", "session_start", "session_end", "n_events")
+
+
+S03_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
+    ),
+    "s02_stream_dedup": QuerySpec(
+        s02_stream_dedup,
+        S02_SQL,
+        "streaming watermark dedup restores exactly-once under duplicate delivery == batch oracle",
+    ),
+    "s03_stream_sessionize": QuerySpec(
+        s03_stream_sessionize,
+        S03_SQL,
+        "streaming session_window == relational gap-session oracle",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(
