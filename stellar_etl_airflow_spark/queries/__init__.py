@@ -40,6 +40,7 @@ _FRONT = [
     # brand-new streaming entries (round 4)
     "s02_stream_dedup",
     "s03_stream_sessionize",
+    "s04_stateful_running_counts",
     # round-4 rewrites, never driver-checked in this form
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",

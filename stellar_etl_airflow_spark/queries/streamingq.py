@@ -244,6 +244,56 @@ GROUP BY user_id, sid
 """
 
 
+def s04_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) drained to its
+    batch fixpoint: per-user running (count, exact-decimal sum) state,
+    updated per micro-batch. After the bounded AvailableNow drain the
+    LATEST update per key (n_events is strictly increasing, so max wins)
+    must equal the plain batch aggregate — proving the custom state
+    machine computes the same function as the relational path. The state
+    accumulates micro-units as int64 (see streaming/stateful.py), which is
+    what makes float-order effects impossible and the oracle exact."""
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.stateful import running_counts
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s04-src-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    qname = f"s04_state_{uuid.uuid4().hex[:8]}"
+    query = (
+        running_counts(stream, key_col="user_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    w = W.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(qname)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("key").alias("user_id"), "n_events", "total_value")
+    )
+
+
+S04_SQL = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -257,6 +307,11 @@ SPECS: dict[str, QuerySpec] = {
         s03_stream_sessionize,
         S03_SQL,
         "streaming session_window == relational gap-session oracle",
+    ),
+    "s04_stateful_running_counts": QuerySpec(
+        s04_stateful_running_counts,
+        S04_SQL,
+        "applyInPandasWithState running state drained == exact batch aggregate",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(

@@ -35,7 +35,12 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # exact accumulator: micro-units as int64, not a float running sum.
+        # Float accumulation is order-dependent (batch arrival order would
+        # leak into the answer); the decimal quantization below matches the
+        # corpus dsum contract (CAST(value AS DECIMAL(38,6))), so drained
+        # state is bit-identical to the batch aggregate and oracle-checkable.
+        StructField("total_micros", LongType()),
     ]
 )
 
@@ -43,12 +48,20 @@ STATE_SCHEMA = StructType(
 def _update(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    micro = Decimal("0.000001")
+    n, total_micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total_value": [total]})
+        for v in pdf["value"]:
+            # Decimal(float) is the exact binary value; HALF_UP at 1e-6
+            # mirrors Spark's cast(double as decimal(38,6))
+            total_micros += int(Decimal(float(v)).quantize(micro, ROUND_HALF_UP) * 1_000_000)
+    state.update((n, total_micros))
+    yield pd.DataFrame(
+        {"key": [key[0]], "n_events": [n], "total_value": [total_micros / 1_000_000]}
+    )
 
 
 def running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
