@@ -95,8 +95,16 @@ def ngram_jaccard_pairs(
     shingles should be dropped first (df-capping), which is a single
     groupBy-count filter on the postings."""
     grams = with_word_ngrams(df, text_col, n).select(F.col(id_col).alias("doc"), F.col("grams"))
-    # exchange barrier: both self-join sides reuse one materialized explode
-    postings = grams.select("doc", F.explode("grams").alias("gram")).repartition("gram")
+    # materialize the exploded postings ONCE: three consumers (sizes + both
+    # self-join sides) would otherwise each rerun the shingling fold —
+    # ReuseExchange does not fire because the join plans one side broadcast
+    # (verified in the physical plan: the fold appeared on every branch).
+    # The checkpoint stores what the repartition exchange holds anyway.
+    postings = (
+        grams.select("doc", F.explode("grams").alias("gram"))
+        .repartition("gram")
+        .localCheckpoint(eager=True)
+    )
     # sizes derive from the SAME materialized postings (grams are already
     # distinct per doc), not a second run of the shingling fold
     sizes = postings.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -138,11 +146,17 @@ def ngram_jaccard_pairs_dfcapped(
     the capped gram space (sizes count only surviving grams), a standard
     approximation for web-scale dedup."""
     grams = with_word_ngrams(df, text_col, n).select(F.col(id_col).alias("doc"), F.col("grams"))
-    # exchange barrier: postings feed the df-count, both self-join sides,
-    # and the size aggregate — materialize the explode once (ReuseExchange)
-    postings = grams.select("doc", F.explode("grams").alias("gram")).repartition("gram")
+    # postings feed the df-count AND the capped index; capped feeds sizes
+    # and both self-join sides. Materialize each once — without the
+    # checkpoints the shingling fold reruns on every branch (broadcast
+    # sides defeat ReuseExchange; verified in the physical plan).
+    postings = (
+        grams.select("doc", F.explode("grams").alias("gram"))
+        .repartition("gram")
+        .localCheckpoint(eager=True)
+    )
     rare = postings.groupBy("gram").count().filter(F.col("count") <= max_doc_freq).select("gram")
-    capped = postings.join(rare, "gram").repartition("gram")
+    capped = postings.join(rare, "gram").repartition("gram").localCheckpoint(eager=True)
     sizes = capped.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
     a = capped.alias("a")
     b = capped.alias("b")
@@ -203,12 +217,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.expr(minhash_signature_expr("grams", num_hashes)).alias("sig"),
     )
-    # Shuffle barrier: band digests reference `sig` once per band, and
-    # Catalyst's projection collapse would otherwise inline (and recompute)
-    # the full K-hash signature per band — 8x the md5 work. The exchange
-    # materializes signatures exactly once; the shuffled payload is just
-    # (doc, K longs), tiny relative to the hash computation it saves.
-    sig = sig.repartition("doc")
+    # Materialization barrier: band digests reference `sig` once per band,
+    # and Catalyst's projection collapse would otherwise inline (and
+    # recompute) the full K-hash signature per band — 8x the md5 work;
+    # additionally both bucket-join sides read the banded table, and a
+    # broadcast side would rerun the signatures (ReuseExchange does not
+    # fire across broadcast/shuffle asymmetry). The checkpoint pins
+    # (doc, K longs) — tiny relative to the hash computation it saves.
+    sig = sig.localCheckpoint(eager=True)
     band_digest = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> md5(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string)))))"
