@@ -899,6 +899,67 @@ FROM w
 """
 
 
+
+# ---------------------------------------------------------------------------
+# t27 — Gopher-style repetition filters: top-word / top-adjacent-bigram token
+# fractions + distinct-token ratio with a composite keep flag (Rae et al.
+# 2021, table A1 duplicate-n-gram family). Relational formulation
+# (explode -> count -> window max, lexicographic tie-break) so both engines
+# compute identical winners.
+# ---------------------------------------------------------------------------
+
+
+def t27_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.repetition_stats(docs)
+
+
+T27_SQL = f"""
+WITH {WORDS_CTE},
+base AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+sizes AS (
+  SELECT doc_id, len(ws) AS n_words,
+         greatest(len(ws) - 1, 0) AS n_bigrams,
+         round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS distinct_ratio
+  FROM base
+),
+wc AS (
+  SELECT doc_id, unnest(ws) AS tok FROM base
+),
+wtop AS (
+  SELECT doc_id, tok AS top_word, cnt AS top_word_count FROM (
+    SELECT doc_id, tok, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tok ASC) AS rn
+    FROM wc GROUP BY doc_id, tok
+  ) WHERE rn = 1
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS tok
+  FROM base, unnest(range(1, len(ws))) t(i)
+),
+btop AS (
+  SELECT doc_id, tok AS top_bigram, cnt AS top_bigram_count FROM (
+    SELECT doc_id, tok, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tok ASC) AS rn
+    FROM bg GROUP BY doc_id, tok
+  ) WHERE rn = 1
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       s.distinct_ratio,
+       wtop.top_word,
+       round(wtop.top_word_count::DOUBLE / s.n_words, 6) AS top_word_frac,
+       coalesce(btop.top_bigram, '') AS top_bigram,
+       round(coalesce(btop.top_bigram_count, 0)::DOUBLE / greatest(s.n_bigrams, 1), 6)
+         AS top_bigram_frac,
+       (round(wtop.top_word_count::DOUBLE / s.n_words, 6) <= 0.2
+        AND round(coalesce(btop.top_bigram_count, 0)::DOUBLE / greatest(s.n_bigrams, 1), 6) <= 0.18
+        AND s.distinct_ratio >= 0.2) AS keep_repetition
+FROM sizes s
+JOIN wtop USING (doc_id)
+LEFT JOIN btop USING (doc_id)
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "t01_exact_dedup": QuerySpec(t01_exact_dedup, T01_SQL, "exact dedup via content hash"),
     "t14_jaccard_dfcapped": QuerySpec(t14_jaccard_dfcapped, T14_SQL, "df-capped n-gram Jaccard"),
@@ -936,4 +997,7 @@ SPECS: dict[str, QuerySpec] = {
     "t25_chunking": QuerySpec(t25_chunking, T25_SQL, "overlapping token-window chunking"),
     "t26_sequence_packing": QuerySpec(t26_sequence_packing, T26_SQL, "greedy token-budget packing"),
     "t22_tfidf_top_terms": QuerySpec(t22_tfidf_top_terms, T22_SQL, "per-doc TF-IDF top terms"),
+    "t27_repetition_stats": QuerySpec(
+        t27_repetition_stats, T27_SQL, "Gopher-style repetition fractions + keep flag"
+    ),
 }

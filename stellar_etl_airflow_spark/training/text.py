@@ -231,3 +231,85 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.col("_norm")).alias("fp_md5"),
         F.expr(PH.format(x="_norm")).alias("fp64"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters: fraction of tokens taken by the most
+    frequent word / adjacent bigram, plus the distinct-token ratio, with a
+    composite keep flag.
+
+    The repetition-fraction family comes from the Gopher data pipeline
+    (Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+    from Training Gopher", 2021, table A1: duplicate-n-gram fraction
+    filters); thresholds here are the word/bigram analogs. Implemented
+    relationally (explode -> count -> window max) rather than per-row
+    higher-order folds: the counts stay inside whole-stage codegen and
+    the two shuffles are on (doc, token) — linear at 100 TB. Ties on the
+    top token break lexicographically so results are exactly reproducible
+    cross-engine. Documents with no second word report bigram fraction 0.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"), words_col(text_col).alias("_ws")).filter(
+        F.size("_ws") > 0
+    )
+    bigrams = F.expr(
+        "zip_with(_ws, slice(_ws, 2, greatest(size(_ws) - 1, 0)), (a, b) -> concat(a, ' ', b))"
+    )
+    # zip_with pads the shorter side with nulls -> trailing null pair dropped
+    base = base.withColumn("_bg0", bigrams).withColumn(
+        "_bg", F.expr("filter(_bg0, x -> x IS NOT NULL)")
+    )
+    sizes = base.select("doc_id", F.size("_ws").alias("n_words"), F.size("_bg").alias("n_bigrams"))
+
+    def top_frac(tokens_col: str, out_prefix: str):
+        w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        counts = (
+            base.select("doc_id", F.explode(tokens_col).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                F.col("tok").alias(f"top_{out_prefix}"),
+                F.col("cnt").alias(f"top_{out_prefix}_count"),
+            )
+        )
+
+    tw = top_frac("_ws", "word")
+    tb = top_frac("_bg", "bigram")
+    out = (
+        sizes.join(tw, "doc_id")
+        .join(tb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "top_word",
+            F.round(F.col("top_word_count") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(F.col("top_bigram_count"), F.lit(0)) / F.greatest("n_bigrams", F.lit(1)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(F.col("_ws"))) / F.size(F.col("_ws")), 6
+    )
+    dr = base.select("doc_id", distinct_ratio.alias("distinct_ratio"))
+    return out.join(dr, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "distinct_ratio",
+        "top_word",
+        "top_word_frac",
+        "top_bigram",
+        "top_bigram_frac",
+        (
+            (F.col("top_word_frac") <= 0.2)
+            & (F.col("top_bigram_frac") <= 0.18)
+            & (F.col("distinct_ratio") >= 0.2)
+        ).alias("keep_repetition"),
+    )
