@@ -147,6 +147,88 @@ def merge_upsert_scoped(
     return touched
 
 
+def merge_upsert_versioned(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    n_buckets: int = 64,
+    deleted_col: str = "deleted",
+    order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+) -> tuple[int, list[int]]:
+    """Scoped MERGE with full MVCC: targeted-rewrite cost AND time travel.
+
+    The Delta-style composition of :func:`merge_upsert_scoped` with the
+    manifest log (sinks/snapshots.py): touched buckets write NEW immutable
+    files under their ``_p=`` dirs (nothing is deleted or renamed), and
+    the next manifest lists untouched buckets' current files plus the new
+    files. Readers of any published version are never torn; an old version
+    is still exactly readable after any number of merges (until
+    ``vacuum``); a crash before publication leaves the table at the prior
+    version with only orphan files. Reference semantics unchanged:
+    build_apply_gcs_changes_to_bq_task.py:116-149. Read the table with
+    ``snapshots.read_snapshot`` — raw directory scans would see every
+    historical file.
+
+    Returns ``(published_version, touched_buckets)``.
+    """
+    from ..sinks import snapshots as S
+
+    ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+    touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
+    os.makedirs(path, exist_ok=True)
+    if S.latest_version(path) is None:
+        # bootstrap: adopt whatever bucketed files already exist
+        S.snapshot(path)
+    m = S.read_manifest(path)
+
+    def bucket_of(f: str):
+        rel = os.path.relpath(f, m.get("base", path))
+        for seg in rel.split(os.sep):
+            if seg.startswith(f"{BUCKET_COL}="):
+                return int(seg.split("=", 1)[1])
+        return None  # flat (pre-bucketing) file: always rewritten
+
+    touched_set = set(touched)
+    if os.path.abspath(m.get("base", path)) != os.path.abspath(path):
+        # merging into a zero-copy clone: its files live under the SOURCE's
+        # partition root, and one manifest has one discovery base — localize
+        # the clone completely on its first write (full CoW, source untouched)
+        keep, rewrite = [], list(m["files"])
+    else:
+        keep = [
+            f for f in m["files"] if bucket_of(f) not in touched_set and bucket_of(f) is not None
+        ]
+        rewrite = [f for f in m["files"] if f not in set(keep)]
+    if rewrite:
+        tgt = spark.read.option("basePath", m.get("base", path)).parquet(*rewrite)
+        if BUCKET_COL not in tgt.columns:  # flat bootstrap files
+            tgt = tgt.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+        tgt = tgt.select(*ch.columns)
+    else:
+        tgt = spark.createDataFrame([], ch.schema)
+    merged = merge_upsert(tgt, ch, keys, deleted_col, order_cols)
+
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
+    new_files: list[str] = []
+    try:
+        merged.write.partitionBy(BUCKET_COL).parquet(stage)
+        for part in sorted(os.listdir(stage)):
+            if not part.startswith(f"{BUCKET_COL}="):
+                continue
+            dst_dir = os.path.join(path, part)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(stage, part))):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(dst_dir, f"part-{uuid.uuid4().hex}.parquet")
+                    os.replace(os.path.join(stage, part, f), dst)
+                    new_files.append(dst)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    version = S._publish(path, sorted(keep) + new_files, base=path)
+    return version, touched
+
+
 def _swap_dir(src: str, dst: str) -> None:
     """Atomically replace ``dst`` with ``src`` (same-filesystem renames),
     leaving a ``.bak-`` sibling during the non-atomic window — the same

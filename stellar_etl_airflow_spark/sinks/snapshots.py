@@ -85,17 +85,35 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 
 def _list_data_files(path: str) -> list[str]:
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    """All data files under ``path``, recursing through partition dirs
+    (``col=val``); skips dot-prefixed entries (swap backups), the snapshot
+    log, and in-flight stage dirs."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if not d.startswith(".") and d != _SNAPDIR and not d.startswith("_stage-")
+        ]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return sorted(out)
 
 
-def _publish(path: str, files: list[str]) -> int:
+def _publish(path: str, files: list[str], base: str | None = None) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
-    manifest = {"version": version, "ts": time.time(), "files": files}
+    manifest = {
+        "version": version,
+        "ts": time.time(),
+        "files": files,
+        # partition-discovery root for the listed files: reading leaf files
+        # directly would otherwise drop `col=val` partition columns
+        "base": os.path.abspath(base or path),
+    }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
     return version
@@ -129,8 +147,11 @@ def overwrite_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """DataFrame over one table version (default: latest). Empty versions
     read as an empty frame only when the table has a readable schema."""
-    files = read_manifest(path, version)["files"]
-    return spark.read.parquet(*files)
+    m = read_manifest(path, version)
+    reader = spark.read
+    if m.get("base"):
+        reader = reader.option("basePath", m["base"])
+    return reader.parquet(*m["files"])
 
 
 def as_of(path: str, ts: float) -> int:
@@ -155,7 +176,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     diverges copy-on-write via its own ``overwrite_versioned`` calls."""
     m = read_manifest(src, version)
     os.makedirs(dst, exist_ok=True)
-    return _publish(dst, list(m["files"]))
+    return _publish(dst, list(m["files"]), base=m.get("base", src))
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:

@@ -1,0 +1,98 @@
+"""MVCC scoped MERGE (operators/merge.py::merge_upsert_versioned): targeted
+bucket rewrite + manifest publication = BigQuery-MERGE cost profile with
+Delta-style time travel. Reference semantics:
+/root/reference/dags/stellar_etl_airflow/build_apply_gcs_changes_to_bq_task.py:116-149."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.operators.merge import BUCKET_COL, merge_upsert_versioned
+from stellar_etl_airflow_spark.sinks import snapshots as S
+
+KEYS = ("account_id",)
+ORDER = ("last_modified_ledger", "ledger_entry_change")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "account_id long, balance double, last_modified_ledger long, ledger_entry_change int, deleted boolean"
+    )
+
+
+def _state(spark, path, version=None):
+    return {
+        r["account_id"]: r["balance"]
+        for r in S.read_snapshot(spark, path, version).collect()
+    }
+
+
+def test_versioned_merge_applies_and_time_travels(spark, tmp_path):
+    tbl = str(tmp_path / "accounts")
+    v1, _ = merge_upsert_versioned(
+        spark, _changes(spark, [(1, 10.0, 100, 1, False), (2, 20.0, 100, 1, False)]), tbl, KEYS, n_buckets=8
+    )
+    v2, _ = merge_upsert_versioned(
+        spark,
+        _changes(spark, [(1, 11.0, 101, 1, False), (3, 30.0, 101, 1, False), (2, 0.0, 101, 1, True)]),
+        tbl,
+        KEYS,
+        n_buckets=8,
+    )
+    assert (v1, v2) == (2, 3)  # v1 bootstrap publishes an empty snapshot first
+    assert _state(spark, tbl) == {1: 11.0, 3: 30.0}  # update + insert + delete
+    assert _state(spark, tbl, v1) == {1: 10.0, 2: 20.0}  # old version intact
+
+
+def test_versioned_merge_touches_only_matching_buckets(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    seed = [(i, float(i), 100, 1, False) for i in range(1, 33)]
+    merge_upsert_versioned(spark, _changes(spark, seed), tbl, KEYS, n_buckets=8)
+    before = S.read_manifest(tbl)
+    _, touched = merge_upsert_versioned(
+        spark, _changes(spark, [(1, 99.0, 101, 1, False)]), tbl, KEYS, n_buckets=8
+    )
+    after = S.read_manifest(tbl)
+    assert len(touched) == 1
+    untouched_before = {f for f in before["files"] if f"{BUCKET_COL}={touched[0]}" not in f}
+    # every untouched bucket's files are carried over byte-identically
+    assert untouched_before <= set(after["files"])
+    # and the old files still exist on disk (no destructive rename)
+    assert all(os.path.exists(f) for f in before["files"])
+    assert _state(spark, tbl)[1] == 99.0
+
+
+def test_versioned_merge_replay_idempotent(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    batch = _changes(spark, [(1, 10.0, 100, 1, False), (2, 20.0, 100, 2, False)])
+    merge_upsert_versioned(spark, batch, tbl, KEYS, n_buckets=4)
+    state1 = _state(spark, tbl)
+    merge_upsert_versioned(spark, batch, tbl, KEYS, n_buckets=4)  # crash-replay
+    assert _state(spark, tbl) == state1
+
+
+def test_versioned_merge_into_clone_localizes_and_preserves_source(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge_upsert_versioned(
+        spark, _changes(spark, [(1, 10.0, 100, 1, False), (2, 20.0, 100, 1, False)]), src, KEYS, n_buckets=4
+    )
+    S.clone(src, dst)
+    merge_upsert_versioned(spark, _changes(spark, [(1, 50.0, 200, 1, False)]), dst, KEYS, n_buckets=4)
+    assert _state(spark, dst) == {1: 50.0, 2: 20.0}
+    assert _state(spark, src) == {1: 10.0, 2: 20.0}  # source untouched
+    # clone localized: its current files live under its own root
+    assert all(f.startswith(os.path.abspath(dst)) for f in S.read_manifest(dst)["files"])
+
+
+def test_versioned_merge_vacuum_bounds_history(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    for i in range(4):
+        merge_upsert_versioned(
+            spark, _changes(spark, [(1, float(i), 100 + i, 1, False)]), tbl, KEYS, n_buckets=4
+        )
+    newest = S.latest_version(tbl)
+    deleted = S.vacuum(tbl, keep_versions=1)
+    assert deleted
+    assert _state(spark, tbl, newest) == {1: 3.0}
