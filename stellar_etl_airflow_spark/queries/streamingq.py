@@ -13,6 +13,7 @@ driver against the unsalted oracle SQL.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -61,6 +62,9 @@ def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # the memory sink owns the drained rows; per-run scratch goes away
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
     return spark.table(qname)
 
 
@@ -170,6 +174,9 @@ def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # the memory sink owns the drained rows; per-run scratch goes away
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
     return (
         spark.table(qname)
         .groupBy("event_type")
@@ -217,6 +224,9 @@ def s03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # the memory sink owns the drained rows; per-run scratch goes away
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
     return spark.table(qname).select("user_id", "session_start", "session_end", "n_events")
 
 
@@ -277,6 +287,9 @@ def s04_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # the memory sink owns the drained rows; per-run scratch goes away
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
     w = W.partitionBy("key").orderBy(F.col("n_events").desc())
     return (
         spark.table(qname)
