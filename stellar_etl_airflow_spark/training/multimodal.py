@@ -54,7 +54,11 @@ META_SCHEMA = StructType(
 
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Build a media table from the documents fixture: the utf-8 bytes of
-    the text stand in for an encoded image payload."""
+    the text stand in for an encoded image payload. Spread so the codec
+    ``mapInPandas`` stages downstream never serialize on one scan split."""
+    from ..session import spread
+
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.lit("image").alias("media_type"),

@@ -86,3 +86,42 @@ def test_brute_force_ann_never_shuffles_corpus(spark):
     # join is not
     assert "Exchange hashpartitioning" not in below_map, "corpus must not hash-shuffle"
     assert plan.count("Exchange hashpartitioning") == 1  # only the window
+
+
+def test_inverted_index_fold_materialized_once(spark):
+    # t02/t14: the shingling fold must never appear in the final join plan —
+    # the postings checkpoint (Scan ExistingRDD) already holds its output.
+    # A broadcast self-join side would otherwise rerun the fold per branch
+    # (ReuseExchange does not fire across broadcast/shuffle asymmetry).
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    for name in ("t02_ngram_jaccard_pairs", "t14_jaccard_dfcapped"):
+        plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "Scan ExistingRDD" in plan, name
+        assert "lambdafunction" not in plan, f"{name}: shingle fold leaked into the join plan"
+
+
+def test_sketch_agg_not_rekeyed_by_distinct(spark):
+    # q40: countDistinct must live in its own aggregation — the mixed
+    # distinct rewrite keys partial sketch buffers by (group, orderkey)
+    # (measured 385 s at sf0.1). The sketch aggregate's partial phase must
+    # be keyed by l_returnflag alone.
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["q40_sketch_aggregates"].fn(spark, SF_SMOKE))
+    for line in plan.split("\n"):
+        if "partial_approx_percentile" in line:
+            assert "l_orderkey" not in line.split("functions=")[0], (
+                "sketch partials re-keyed by the distinct column"
+            )
+
+
+def test_simhash_scorer_input_not_hash_shuffled(spark):
+    # the simhash mapInPandas scorer reads its input in place (round-robin
+    # spread of a tiny local scan allowed; no hash exchange below it)
+    from stellar_etl_airflow_spark.training.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(simhash(docs))
+    below = plan.split("MapInPandas")[-1]
+    assert "Exchange hashpartitioning" not in below
