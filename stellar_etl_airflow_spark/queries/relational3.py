@@ -260,6 +260,42 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# q47 — explicit GROUPING SETS: an arbitrary (non-hierarchical,
+# non-exhaustive) set list — the general form ROLLUP (q28) and CUBE (q44)
+# are sugar for. Same Expand-based plan, one aggregation pass.
+# ---------------------------------------------------------------------------
+
+
+def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+Q47_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+# ---------------------------------------------------------------------------
 # q43 — RANGE window frames over event time (trailing 24h per user) +
 # FIRST_VALUE/LAST_VALUE with explicit frames. RANGE frames include peer
 # rows (identical order keys) in both engines; the frame sum uses the
@@ -514,6 +550,9 @@ SPECS: dict[str, QuerySpec] = {
     "q39_full_outer": QuerySpec(q39_full_outer, Q39_SQL, "FULL OUTER reconciliation join"),
     "q43_range_frames": QuerySpec(q43_range_frames, Q43_SQL, "RANGE time frames + first/last_value"),
     "q44_cube": QuerySpec(q44_cube, Q44_SQL, "CUBE grouping-set matrix"),
+    "q47_grouping_sets": QuerySpec(
+        q47_grouping_sets, Q47_SQL, "explicit GROUPING SETS (general grouping-set form)"
+    ),
     "q45_explode_outer": QuerySpec(q45_explode_outer, Q45_SQL, "explode_outer null preservation"),
     "q46_higher_order": QuerySpec(q46_higher_order, Q46_SQL, "transform/filter/exists/aggregate/zip_with"),
     "q40_sketch_aggregates": QuerySpec(
