@@ -42,6 +42,7 @@ _FRONT = [
     "s03_stream_sessionize",
     "s04_stateful_running_counts",
     "t27_repetition_stats",
+    "q47_grouping_sets",
     # round-4 rewrites, never driver-checked in this form
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
