@@ -153,8 +153,11 @@ def clone_dataset(
     (dag_stellar_dbt_staging_refresh.py:83-88): each table publishes a
     manifest referencing the source's immutable files (sinks/snapshots.py)
     — O(manifest) per table, optionally pinned to the latest snapshot at
-    ``as_of_ts``. Source tables without snapshots get one bootstrapped
-    from their current files. ``zero_copy=False`` keeps the deep copy for
+    ``as_of_ts``. Source tables without a snapshot log are cloned via
+    :func:`snapshots.clone_untracked`: the bootstrap manifest is published
+    under the DESTINATION, so cloning never writes into the source
+    directory (it may be read-only or concurrently written; see that
+    function's caveats). ``zero_copy=False`` keeps the deep copy for
     destinations that must not share storage with the source."""
     from ..sinks import snapshots as S
 
@@ -163,9 +166,10 @@ def clone_dataset(
         try:
             if zero_copy:
                 if S.latest_version(src.path(t)) is None:
-                    S.snapshot(src.path(t))
-                version = S.as_of(src.path(t), as_of_ts) if as_of_ts is not None else None
-                S.clone(src.path(t), dest.path(t), version)
+                    S.clone_untracked(src.path(t), dest.path(t), as_of_ts)
+                else:
+                    version = S.as_of(src.path(t), as_of_ts) if as_of_ts is not None else None
+                    S.clone(src.path(t), dest.path(t), version)
             else:
                 spark.read.parquet(src.path(t)).write.mode("overwrite").parquet(dest.path(t))
             results[t] = "ok"

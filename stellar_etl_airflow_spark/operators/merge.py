@@ -201,9 +201,26 @@ def merge_upsert_versioned(
         ]
         rewrite = [f for f in m["files"] if f not in set(keep)]
     if rewrite:
-        tgt = spark.read.option("basePath", m.get("base", path)).parquet(*rewrite)
-        if BUCKET_COL not in tgt.columns:  # flat bootstrap files
-            tgt = tgt.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+        # A bootstrap snapshot may mix flat root files with `_p=` partition
+        # dirs (e.g. a table first written unpartitioned, then bucketed).
+        # One basePath read over the mix is rejected by Spark ("conflicting
+        # directory structures") or reads null partition values — read the
+        # two layouts separately and derive BUCKET_COL for the flat subset.
+        flat = [f for f in rewrite if bucket_of(f) is None]
+        bucketed = [f for f in rewrite if bucket_of(f) is not None]
+        parts = []
+        if bucketed:
+            parts.append(
+                spark.read.option("basePath", m.get("base", path)).parquet(*bucketed)
+            )
+        if flat:
+            fdf = spark.read.parquet(*flat)
+            if BUCKET_COL not in fdf.columns:
+                fdf = fdf.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+            parts.append(fdf)
+        tgt = parts[0]
+        for p in parts[1:]:
+            tgt = tgt.unionByName(p.select(*parts[0].columns))
         tgt = tgt.select(*ch.columns)
     else:
         tgt = spark.createDataFrame([], ch.schema)

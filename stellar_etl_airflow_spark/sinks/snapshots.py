@@ -156,11 +156,18 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
 
 def as_of(path: str, ts: float) -> int:
     """Largest version published at or before ``ts`` — the FOR SYSTEM_TIME
-    AS OF resolution step."""
+    AS OF resolution step.
+
+    Raises :class:`LookupError` when ``ts`` predates retained history —
+    including after ``vacuum`` has dropped old manifests (a missing
+    manifest is end-of-history, not an I/O error)."""
     best = None
     v = latest_version(path)
     while v:
-        m = read_manifest(path, v)
+        try:
+            m = read_manifest(path, v)
+        except FileNotFoundError:
+            break  # vacuumed away: nothing at or before ts survives
         if m["ts"] <= ts:
             best = m["version"]
             break
@@ -170,20 +177,125 @@ def as_of(path: str, ts: float) -> int:
     return best
 
 
+def _owning_tables(files: list[str]) -> set[str]:
+    """The snapshot-tracked table directory owning each file: nearest
+    ancestor containing a ``_snapshots`` dir (files may sit under
+    ``col=val`` partition subdirs)."""
+    owners: set[str] = set()
+    for f in files:
+        d = os.path.dirname(os.path.abspath(f))
+        while d and d != os.path.sep:
+            if os.path.isdir(os.path.join(d, _SNAPDIR)):
+                owners.add(d)
+                break
+            d = os.path.dirname(d)
+    return owners
+
+
+def _register_clone(owner: str, clone_dir: str) -> None:
+    """Back-reference marker so ``vacuum(owner)`` knows ``clone_dir``'s
+    manifests may pin files under ``owner`` (the Delta shallow-clone
+    hazard: vacuuming a clone SOURCE must not break clones)."""
+    marker_dir = os.path.join(_snap_dir(owner), "_clones")
+    os.makedirs(marker_dir, exist_ok=True)
+    key = uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(clone_dir)).hex
+    _atomic_write(
+        os.path.join(marker_dir, f"{key}.json"),
+        json.dumps({"path": os.path.abspath(clone_dir)}),
+    )
+
+
+def _registered_clones(path: str) -> list[tuple[str, str]]:
+    """(marker_file, clone_dir) pairs registered against ``path``."""
+    marker_dir = os.path.join(_snap_dir(path), "_clones")
+    out = []
+    try:
+        names = sorted(os.listdir(marker_dir))
+    except FileNotFoundError:
+        return []
+    for n in names:
+        if not n.endswith(".json"):
+            continue
+        mf = os.path.join(marker_dir, n)
+        try:
+            with open(mf) as fh:
+                out.append((mf, json.load(fh)["path"]))
+        except (OSError, ValueError, KeyError):
+            continue
+    return out
+
+
+def _all_manifest_files(path: str) -> set[str]:
+    """Every data file referenced by ANY retained manifest of ``path``."""
+    refs: set[str] = set()
+    try:
+        names = os.listdir(_snap_dir(path))
+    except FileNotFoundError:
+        return refs
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                with open(os.path.join(_snap_dir(path), n)) as fh:
+                    refs.update(json.load(fh).get("files", []))
+            except (OSError, ValueError):
+                continue
+    return refs
+
+
 def clone(src: str, dst: str, version: int | None = None) -> int:
     """Zero-copy clone: publish ``src``'s manifest (latest or pinned
     ``version``) as ``dst``'s first version. No data files move; the clone
-    diverges copy-on-write via its own ``overwrite_versioned`` calls."""
+    diverges copy-on-write via its own ``overwrite_versioned`` calls.
+
+    Registers a back-reference under every table directory owning files in
+    the cloned manifest, so a later ``vacuum`` of the SOURCE keeps files
+    the clone still references. (Without this, source-side vacuum would
+    silently break clones — the classic Delta shallow-clone hazard.)"""
     m = read_manifest(src, version)
     os.makedirs(dst, exist_ok=True)
-    return _publish(dst, list(m["files"]), base=m.get("base", src))
+    v = _publish(dst, list(m["files"]), base=m.get("base", src))
+    for owner in _owning_tables(m["files"]):
+        if os.path.abspath(owner) != os.path.abspath(dst):
+            _register_clone(owner, dst)
+    return v
+
+
+def clone_untracked(src: str, dst: str, as_of_ts: float | None = None) -> int:
+    """Zero-copy clone of a source directory that has NO snapshot log,
+    without writing anything into the source: the bootstrap manifest
+    (listing the source's current data files) is published under the
+    DESTINATION only. Use when the source may be read-only or owned by a
+    concurrent writer.
+
+    Caveats vs :func:`clone` of a tracked source: the clone pins the files
+    present at call time (a concurrent source compaction/delete breaks it
+    — the untracked source makes no immutability promise), and no
+    back-reference can be registered, so a source later converted to
+    snapshot tracking must not be vacuumed while this clone lives.
+    ``as_of_ts`` in the past raises :class:`LookupError` (an untracked
+    source has no history to travel to)."""
+    if as_of_ts is not None and as_of_ts < time.time():
+        raise LookupError(f"no snapshot of {src} at or before {as_of_ts}")
+    files = _list_data_files(src)
+    os.makedirs(dst, exist_ok=True)
+    return _publish(dst, files, base=src)
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files under ``path`` referenced only by expired versions
     (everything older than the newest ``keep_versions``), then drop those
-    manifests. Files living in OTHER directories (clone sources) are never
-    touched. Returns the deleted paths."""
+    manifests. Returns the deleted paths.
+
+    Two clone-safety guarantees (both directions of the Delta
+    shallow-clone hazard):
+
+    - vacuuming a CLONE never touches files in other directories — only
+      files physically under ``path`` are candidates;
+    - vacuuming a clone SOURCE keeps every file still referenced by a
+      registered clone's retained manifests (back-references written by
+      :func:`clone`). Markers for clones that no longer exist are garbage-
+      collected here.
+    """
     newest = latest_version(path)
     if newest is None:
         return []
@@ -191,9 +303,20 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     keep_files: set[str] = set()
     for v in range(cutoff + 1, newest + 1):
         keep_files.update(read_manifest(path, v)["files"])
+    for marker, clone_dir in _registered_clones(path):
+        if os.path.isdir(_snap_dir(clone_dir)):
+            keep_files.update(_all_manifest_files(clone_dir))
+        else:  # clone dropped: retire the stale back-reference
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
+    # compare by abspath: manifests may record absolute paths while the
+    # caller passed a relative table path (or vice versa)
+    keep_abs = {os.path.abspath(f) for f in keep_files}
     deleted = []
     for f in _list_data_files(path):
-        if f not in keep_files:
+        if os.path.abspath(f) not in keep_abs:
             os.remove(f)
             deleted.append(f)
     for v in range(1, cutoff + 1):

@@ -260,7 +260,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     base = base.withColumn("_bg0", bigrams).withColumn(
         "_bg", F.expr("filter(_bg0, x -> x IS NOT NULL)")
     )
-    sizes = base.select("doc_id", F.size("_ws").alias("n_words"), F.size("_bg").alias("n_bigrams"))
+    # cast("long"): the oracle declares BIGINT and the external driver's
+    # pandas canonicalizer is dtype-sensitive (int32 vs int64 hash-mismatch)
+    sizes = base.select(
+        "doc_id",
+        F.size("_ws").cast("long").alias("n_words"),
+        F.size("_bg").cast("long").alias("n_bigrams"),
+    )
 
     def top_frac(tokens_col: str, out_prefix: str):
         w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
