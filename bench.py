@@ -3,21 +3,27 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints TWO JSON lines — a per-query timing map first, then the compact
 headline metric LAST (the driver keeps the last complete line):
 
-  {"metric": "per_query_sec", "queries": {"q01_...": sec, ...}, "sf": 0.1}
-  {"metric": "corpus_wall_sec", "value": N, "unit": "sec", "sf": 0.1}
+  {"metric": "per_query_sec", "queries": {"q01_...": sec, ...}, "par": 1, "sf": 0.1}
+  {"metric": "corpus_wall_sec", "value": N, "unit": "sec", "par": 8, "sf": 0.1}
 
-Each query is executed to completion (count + a cheap checksum collect is
-avoided — we use ``df.write.format("noop")`` so results are fully
-materialized without driver transfer, matching how a sink would consume
-them at scale).
+Each query is executed to completion via ``df.write.format("noop")`` so
+results are fully materialized without driver transfer, matching how a
+sink would consume them at scale.
 
-Queries overlap on a thread pool ($SPARK_GRAFT_BENCH_PAR slots, default
-8; set 1 for sequential): most corpus entries are scheduling-latency
-bound, not compute bound, so overlapping independent read-only dataflows
-is how the corpus extracts throughput from the cores — measured ~2x wall
-vs sequential at sf0.1. Per-query seconds are wall times under that
-concurrency (they include cross-query contention and sum to more than
-corpus_wall_sec; the headline is the wall clock).
+Two measurement passes, each stamped with its concurrency so rounds are
+compared like with like (the round-4 numbers mixed the two and looked
+like regressions):
+
+- per-query pass, UNCONTENDED (par=1): each entry timed alone — the
+  regression-tracking signal, comparable across rounds and to the
+  pre-pooling baselines (BENCH_r3 and earlier were sequential).
+- headline pass, pooled ($SPARK_GRAFT_BENCH_PAR slots, default 8):
+  corpus wall clock with independent read-only dataflows overlapped —
+  most entries are scheduling-latency bound, so this is how the corpus
+  extracts throughput from the cores (~2x+ vs sequential at sf0.1).
+
+Set SPARK_GRAFT_BENCH_FAST=1 to skip the uncontended pass (per-query
+times then come from the pooled pass and carry its ``par`` stamp).
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from stellar_etl_airflow_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     par = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "8")))
+    fast = os.environ.get("SPARK_GRAFT_BENCH_FAST", "") == "1"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -53,6 +60,13 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return name, round(time.perf_counter() - t0, 3)
 
+    # pass 1: uncontended per-query timings (the cross-round signal)
+    per_query_par = par if fast else 1
+    timings: dict[str, float] | None = None
+    if not fast:
+        timings = dict(map(run, sorted(QUERIES.items())))
+
+    # pass 2: pooled corpus wall (the throughput headline)
     ordered = sorted(QUERIES.items())
     if par > 1:
         # longest-first keeps the big iterative jobs (components, pipeline,
@@ -67,19 +81,29 @@ def main() -> None:
 
     total_t0 = time.perf_counter()
     if par == 1:
-        timings = dict(map(run, ordered))
+        pooled = dict(map(run, ordered))
     else:
         with ThreadPoolExecutor(max_workers=par) as pool:
-            timings = dict(pool.map(run, ordered))
+            pooled = dict(pool.map(run, ordered))
     total = round(time.perf_counter() - total_t0, 3)
+    if timings is None:
+        timings = pooled
     timings = {n: timings[n] for n in sorted(timings)}
 
     # Two lines, detail first: the driver captures a bounded tail of stdout
     # and keeps the LAST complete JSON line, so the compact headline metric
     # must come last (a single giant line gets head-truncated and parses as
     # nothing).
-    print(json.dumps({"metric": "per_query_sec", "queries": timings, "sf": sf}))
-    print(json.dumps({"metric": "corpus_wall_sec", "value": total, "unit": "sec", "sf": sf}))
+    print(
+        json.dumps(
+            {"metric": "per_query_sec", "queries": timings, "par": per_query_par, "sf": sf}
+        )
+    )
+    print(
+        json.dumps(
+            {"metric": "corpus_wall_sec", "value": total, "unit": "sec", "par": par, "sf": sf}
+        )
+    )
     spark.stop()
 
 
