@@ -114,6 +114,18 @@ def _cmd_demo_batch(args) -> None:
     latest = latest_changes(acc, ("account_id",))
     print(f"[5] MERGE source collapse: {latest.count()} latest-per-key rows")
 
+    # materialized state table via THE default apply path (scoped MVCC merge)
+    from .operators.merge import apply_changes
+    from .sinks import snapshots as S
+
+    state_tbl = wh.path("accounts_state")
+    version, touched = apply_changes(spark, acc, state_tbl, ("account_id",), n_buckets=8)
+    n_state = S.read_snapshot(spark, state_tbl, version).count()
+    print(
+        f"[5b] apply_changes -> accounts_state v{version}: {n_state} live rows, "
+        f"buckets rewritten {touched} (B deleted by its marker)"
+    )
+
     dropped = expire_partitions(wh, "accounts", older_than_days=100000)
     stats = MX.compact_table(spark, wh.path("accounts"), min_files=2)
     print(f"[6] maintenance: expired={dropped} compacted={ {k.split('/')[-1]: v for k, v in stats.items()} }")

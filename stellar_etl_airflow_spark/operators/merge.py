@@ -260,6 +260,79 @@ def _swap_dir(src: str, dst: str) -> None:
         shutil.rmtree(old)
 
 
+#: table-properties file, beside the snapshot manifests. Pins the physical
+#: layout parameters a state table was created with.
+_PROPS_FILE = "_props.json"
+
+
+def _props_path(path: str) -> str:
+    from ..sinks import snapshots as S
+
+    return os.path.join(S._snap_dir(path), _PROPS_FILE)
+
+
+def load_table_props(path: str) -> dict | None:
+    """Layout properties pinned at table creation (``n_buckets``, merge
+    ``keys``), or None for a table that has never been merged into."""
+    import json
+
+    try:
+        with open(_props_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def save_table_props(path: str, props: dict) -> None:
+    import json
+
+    from ..sinks import snapshots as S
+
+    os.makedirs(S._snap_dir(path), exist_ok=True)
+    S._atomic_write(_props_path(path), json.dumps(props))
+
+
+def apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    n_buckets: int = 64,
+    deleted_col: str = "deleted",
+    order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+) -> tuple[int, list[int]]:
+    """THE default state-table apply path: scoped + MVCC merge
+    (:func:`merge_upsert_versioned`) with the bucket layout pinned in the
+    table's properties file.
+
+    The reference applies every 10-minute change batch with a BigQuery
+    MERGE (build_apply_gcs_changes_to_bq_task.py:116-149) whose cost is
+    proportional to the matched blocks, not the table. This wrapper gives
+    the same cost profile by default: first use pins ``(keys, n_buckets)``
+    into ``_snapshots/_props.json``; every later batch loads the pinned
+    ``n_buckets`` (a changed bucket count would scatter keys across
+    partitions and silently duplicate state) and rejects mismatched keys.
+    Read the table with ``snapshots.read_snapshot``.
+
+    Returns ``(published_version, touched_buckets)``.
+    """
+    props = load_table_props(path)
+    if props is None:
+        save_table_props(
+            path, {"n_buckets": n_buckets, "keys": list(keys), "deleted_col": deleted_col}
+        )
+    else:
+        if tuple(props.get("keys", ())) != tuple(keys):
+            raise ValueError(
+                f"{path} was created with merge keys {props.get('keys')}; got {list(keys)}"
+            )
+        n_buckets = int(props["n_buckets"])
+    return merge_upsert_versioned(
+        spark, changes, path, keys, n_buckets=n_buckets,
+        deleted_col=deleted_col, order_cols=order_cols,
+    )
+
+
 def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     """MERGE ... WHEN NOT MATCHED THEN INSERT — dedup append for
     history/orderbook data (build_apply_gcs_changes_to_bq_task.py:152-181).

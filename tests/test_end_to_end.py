@@ -46,6 +46,43 @@ def test_full_batch_lifecycle(spark, tmp_path):
     cur = CS.v_accounts_current(accounts.drop("batch_id", "batch_run_date", "batch_insert_ts"), ledgers)
     assert {r["account_id"]: r["balance"] for r in cur.collect()} == {"A": 25.0, "B": 0.0, "C": 7.5}
 
+    # 4b. materialized state table through THE default apply-changes path
+    # (scoped + MVCC merge, bucket layout pinned in table props) — the
+    # reference's MERGE step (build_apply_gcs_changes_to_bq_task.py:116-149)
+    from stellar_etl_airflow_spark.operators.merge import apply_changes, load_table_props
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    state_tbl = wh.path("accounts_state")
+    chg = accounts.drop("batch_id", "batch_run_date", "batch_insert_ts")
+    v1, touched1 = apply_changes(spark, chg, state_tbl, ("account_id",), n_buckets=8)
+    assert load_table_props(state_tbl)["n_buckets"] == 8
+    state = {
+        r["account_id"]: r["balance"]
+        for r in S.read_snapshot(spark, state_tbl, v1).collect()
+    }
+    # B's latest change is its deletion marker -> MERGE deletes the row
+    # (the view keeps it flagged; the state table drops it)
+    assert state == {"A": 25.0, "C": 7.5}
+
+    # second batch: an update for A only — rewrite must stay scoped to A's
+    # bucket, and n_buckets comes from the pinned props (arg ignored)
+    chg2 = spark.createDataFrame(
+        [("A", 30.0, 4, 110, 0, False)],
+        chg.schema,
+    )
+    v2, touched2 = apply_changes(spark, chg2, state_tbl, ("account_id",), n_buckets=999)
+    assert v2 == v1 + 1 and len(touched2) == 1
+    state2 = {
+        r["account_id"]: r["balance"]
+        for r in S.read_snapshot(spark, state_tbl).collect()
+    }
+    assert state2 == {"A": 30.0, "C": 7.5}
+    # MVCC: the pre-batch version is still exactly readable (time travel)
+    assert {
+        r["account_id"]: r["balance"]
+        for r in S.read_snapshot(spark, state_tbl, v1).collect()
+    } == {"A": 25.0, "C": 7.5}
+
     # 5. mart via the model runner (tag closure)
     reg = ModelRegistry()
 

@@ -96,3 +96,26 @@ def test_versioned_merge_vacuum_bounds_history(spark, tmp_path):
     deleted = S.vacuum(tbl, keep_versions=1)
     assert deleted
     assert _state(spark, tbl, newest) == {1: 3.0}
+
+
+def test_apply_changes_pins_layout_and_rejects_key_mismatch(spark, tmp_path):
+    """apply_changes (THE default state-table path) pins (keys, n_buckets)
+    in the table props on first use: later batches use the pinned bucket
+    count regardless of the argument, and mismatched keys are an error."""
+    import pytest
+
+    from stellar_etl_airflow_spark.operators.merge import apply_changes, load_table_props
+
+    tbl = str(tmp_path / "accounts_state")
+    apply_changes(spark, _changes(spark, [(1, 10.0, 100, 1, False)]), tbl, KEYS, n_buckets=4)
+    assert load_table_props(tbl) == {
+        "n_buckets": 4, "keys": ["account_id"], "deleted_col": "deleted",
+    }
+    # second batch with a different n_buckets arg: pinned value wins, state correct
+    v2, _ = apply_changes(
+        spark, _changes(spark, [(1, 11.0, 101, 1, False), (2, 20.0, 101, 1, False)]), tbl, KEYS, n_buckets=64
+    )
+    assert load_table_props(tbl)["n_buckets"] == 4
+    assert _state(spark, tbl, v2) == {1: 11.0, 2: 20.0}
+    with pytest.raises(ValueError):
+        apply_changes(spark, _changes(spark, [(1, 12.0, 102, 1, False)]), tbl, ("balance",))
