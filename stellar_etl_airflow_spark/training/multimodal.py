@@ -7,10 +7,14 @@ Arrow-batched ``mapInPandas`` stages so the Python codec cost is amortized
 per batch, not per row, and the pipeline stays a plain DataFrame plan
 (partitionable, spillable, AQE-planned).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-``decode_image_stub`` is a deterministic fake clearly marked as the seam
-where a real decoder plugs in. Everything around it — schema, batching,
-partitioning, UDF signature — is real and tested.
+Codec status: common container HEADERS are parsed for real with pure
+stdlib ``struct`` (``training/codecs.py``): PNG/GIF/BMP/JPEG dimensions,
+WAV sample rate / channels / duration, and true RMS energy for 16-bit PCM
+WAVs. Only payloads in formats that genuinely need an external library
+(video containers, compressed audio, pixel decoding for resize) fall back
+to ``*_stub`` deterministic fakes — the clearly-marked seam where
+PIL/ffmpeg/torchaudio plug in. Everything around the seam — schema,
+batching, partitioning, UDF signature — is real and tested.
 """
 
 from __future__ import annotations
@@ -68,15 +72,25 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB for the real image decoder (PIL et al. not installed).
+    """Fallback for payloads that are NOT a recognized image container.
 
     Deterministic fake: pseudo width/height derived from the payload md5 —
     replace the body with `PIL.Image.open(io.BytesIO(payload)).size` when a
-    codec is available. Raising NotImplementedError here would be correct
-    too; the fake keeps the downstream plumbing testable.
+    full pixel decoder is available. Raising NotImplementedError here would
+    be correct too; the fake keeps the downstream plumbing testable.
     """
     h = hashlib.md5(payload).hexdigest()
     return 64 + int(h[:4], 16) % 1920, 64 + int(h[4:8], 16) % 1080
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Image dimensions: REAL header parse for PNG/GIF/BMP/JPEG
+    (training/codecs.py, pure stdlib struct), deterministic stub for
+    unrecognized formats."""
+    from . import codecs
+
+    dims = codecs.image_dimensions(payload)
+    return dims if dims is not None else decode_image_stub(payload)
 
 
 FRAME_SCHEMA = StructType(
@@ -177,8 +191,9 @@ AUDIO_SCHEMA = StructType(
 
 
 def audio_features_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB for the real audio probe (torchaudio/ffprobe): deterministic
-    pseudo duration / sample rate / energy from the payload hash."""
+    """Fallback for payloads that are NOT RIFF-WAVE (compressed audio needs
+    a real codec): deterministic pseudo duration / sample rate / energy
+    from the payload hash."""
     h = hashlib.md5(payload).hexdigest()
     duration = 500 + int(h[:8], 16) % 60_000
     rate = (8000, 16000, 44100, 48000)[int(h[8:10], 16) % 4]
@@ -186,10 +201,23 @@ def audio_features_stub(payload: bytes) -> tuple[int, int, float]:
     return duration, rate, energy
 
 
+def audio_features(payload: bytes) -> tuple[int, int, float]:
+    """Audio probe: REAL RIFF-WAVE header parse (rate/duration) plus true
+    RMS energy for 16-bit PCM (training/codecs.py); stub otherwise."""
+    from . import codecs
+
+    info = codecs.wav_info(payload)
+    if info is None:
+        return audio_features_stub(payload)
+    rate, _channels, _bits, duration_ms = info
+    energy = codecs.wav_rms_energy(payload)
+    return duration_ms, rate, (energy if energy is not None else 0.0)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [audio_features_stub(bytes(p)) for p in pdf["payload"]]
+            feats = [audio_features(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -212,7 +240,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [decode_image_stub(bytes(p)) for p in payloads]
+            dims = [decode_image(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
