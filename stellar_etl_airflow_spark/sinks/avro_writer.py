@@ -1,0 +1,424 @@
+"""Pure-Python Avro Object Container File writer (+ reader for tests).
+
+The sandbox ships Spark without the ``spark-avro`` DataSource, but the
+reference's public export contract is Avro on the wire
+(/root/reference/dags/stellar_etl_airflow/build_bq_generate_avro_job_task.py:13-57).
+The Avro format itself is a small public spec (container file: magic,
+metadata map, sync-marked blocks; binary encoding: zigzag varints,
+length-prefixed bytes/strings — https://avro.apache.org/docs/1.11.1/specification/),
+so rather than falling back to parquet we encode real Avro here and run it
+distributed from ``exports.write_avro_distributed`` (one container file
+per partition via mapInPandas).
+
+Schema mapping mirrors spark-avro's public conversion: nullable fields
+become ``["null", T]`` unions, timestamps are ``long`` with logicalType
+``timestamp-micros``, dates ``int``/``date``, decimals ``bytes`` with the
+unscaled big-endian two's-complement encoding.
+
+Correctness is cross-checked in tests against the OFFICIAL Java Avro
+library (``org.apache.avro`` ships in pyspark's jars) reading our files
+through py4j — an independent implementation of the spec.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+from decimal import Decimal
+from typing import Any, Iterable
+
+MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------- encoding
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def write_long(out: io.BytesIO, n: int) -> None:
+    z = _zigzag(int(n)) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def write_bytes(out: io.BytesIO, b: bytes) -> None:
+    write_long(out, len(b))
+    out.write(b)
+
+
+def write_string(out: io.BytesIO, s: str) -> None:
+    write_bytes(out, s.encode("utf-8"))
+
+
+# ---------------------------------------------------------- schema mapping
+
+def spark_schema_to_avro(schema, name: str = "topLevelRecord", _path: str = "") -> dict:
+    """Spark StructType -> Avro record schema (spark-avro's public mapping)."""
+    from pyspark.sql import types as T
+
+    def convert(dt, nullable: bool, fname: str):
+        if isinstance(dt, T.StringType):
+            a: Any = "string"
+        elif isinstance(dt, T.LongType):
+            a = "long"
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            a = "int"
+        elif isinstance(dt, T.DoubleType):
+            a = "double"
+        elif isinstance(dt, T.FloatType):
+            a = "float"
+        elif isinstance(dt, T.BooleanType):
+            a = "boolean"
+        elif isinstance(dt, T.BinaryType):
+            a = "bytes"
+        elif isinstance(dt, T.TimestampType):
+            a = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.DateType):
+            a = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.DecimalType):
+            a = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
+        elif isinstance(dt, T.ArrayType):
+            a = {"type": "array", "items": convert(dt.elementType, dt.containsNull, fname)}
+        elif isinstance(dt, T.MapType):
+            a = {"type": "map", "values": convert(dt.valueType, dt.valueContainsNull, fname)}
+        elif isinstance(dt, T.StructType):
+            a = spark_schema_to_avro(dt, name=f"{name}_{fname}")
+        else:
+            raise TypeError(f"no Avro mapping for Spark type {dt}")
+        return ["null", a] if nullable else a
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": convert(f.dataType, f.nullable, f.name)}
+            for f in schema.fields
+        ],
+    }
+
+
+# ------------------------------------------------------------ datum writer
+
+def _encode(out: io.BytesIO, schema: Any, value: Any) -> None:
+    if isinstance(schema, list):  # union — spark mapping is always [null, T]
+        if value is None:
+            write_long(out, schema.index("null"))
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        write_long(out, idx)
+        _encode(out, schema[idx], value)
+        return
+    stype = schema["type"] if isinstance(schema, dict) else schema
+    if stype == "null":
+        return
+    if stype == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif stype in ("int", "long"):
+        logical = isinstance(schema, dict) and schema.get("logicalType")
+        if logical == "timestamp-micros":
+            value = _to_micros(value)
+        elif logical == "date":
+            value = _to_epoch_days(value)
+        write_long(out, int(value))
+    elif stype == "float":
+        out.write(struct.pack("<f", float(value)))
+    elif stype == "double":
+        out.write(struct.pack("<d", float(value)))
+    elif stype == "string":
+        write_string(out, str(value))
+    elif stype == "bytes":
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            write_bytes(out, _decimal_bytes(value, schema["scale"]))
+        else:
+            write_bytes(out, bytes(value))
+    elif stype == "record":
+        for f in schema["fields"]:
+            _encode(out, f["type"], value.get(f["name"]) if isinstance(value, dict) else getattr(value, f["name"]))
+    elif stype == "array":
+        items = list(value)
+        if items:
+            write_long(out, len(items))
+            for it in items:
+                _encode(out, schema["items"], it)
+        write_long(out, 0)
+    elif stype == "map":
+        entries = dict(value)
+        if entries:
+            write_long(out, len(entries))
+            for k, v in entries.items():
+                write_string(out, str(k))
+                _encode(out, schema["values"], v)
+        write_long(out, 0)
+    else:
+        raise TypeError(f"unsupported Avro type {schema!r}")
+
+
+def _to_micros(value) -> int:
+    if isinstance(value, int):
+        return value
+    if hasattr(value, "value"):  # pandas Timestamp: ns since epoch
+        return value.value // 1000
+    import calendar
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is None:
+            ts = calendar.timegm(value.timetuple())
+        else:
+            ts = value.timestamp()
+        return int(ts) * 1_000_000 + value.microsecond
+    raise TypeError(f"cannot encode {type(value)} as timestamp-micros")
+
+
+def _to_epoch_days(value) -> int:
+    import datetime as _dt
+
+    if isinstance(value, int):
+        return value
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    raise TypeError(f"cannot encode {type(value)} as date")
+
+
+def _decimal_bytes(value, scale: int) -> bytes:
+    unscaled = int(Decimal(value).scaleb(scale).to_integral_value())
+    length = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+# ----------------------------------------------------------- container file
+
+def write_container(path: str, avro_schema: dict, rows: Iterable[Any], codec: str = "null") -> int:
+    """Write one Avro Object Container File; returns the record count.
+    Rows are dicts (or anything with attribute access matching the record
+    fields). Blocks of up to 4096 records between sync markers."""
+    sync = os.urandom(16)
+    n = 0
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        meta = io.BytesIO()
+        write_long(meta, 2)
+        write_string(meta, "avro.schema")
+        write_bytes(meta, json.dumps(avro_schema).encode())
+        write_string(meta, "avro.codec")
+        write_bytes(meta, codec.encode())
+        write_long(meta, 0)  # end of metadata map
+        fh.write(meta.getvalue())
+        fh.write(sync)
+
+        block = io.BytesIO()
+        count = 0
+
+        def flush():
+            nonlocal count
+            if not count:
+                return
+            head = io.BytesIO()
+            write_long(head, count)
+            write_long(head, len(block.getvalue()))
+            fh.write(head.getvalue())
+            fh.write(block.getvalue())
+            fh.write(sync)
+            block.seek(0)
+            block.truncate()
+            count = 0
+
+        for row in rows:
+            _encode(block, avro_schema, row)
+            count += 1
+            n += 1
+            if count >= 4096:
+                flush()
+        flush()
+    return n
+
+
+# ------------------------------------------------------- reader (for tests)
+
+def _read_long(fh) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = fh.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(fh) -> bytes:
+    return fh.read(_read_long(fh))
+
+
+def _decode(fh, schema: Any):
+    if isinstance(schema, list):
+        return _decode(fh, schema[_read_long(fh)])
+    stype = schema["type"] if isinstance(schema, dict) else schema
+    if stype == "null":
+        return None
+    if stype == "boolean":
+        return fh.read(1) == b"\x01"
+    if stype in ("int", "long"):
+        return _read_long(fh)
+    if stype == "float":
+        return struct.unpack("<f", fh.read(4))[0]
+    if stype == "double":
+        return struct.unpack("<d", fh.read(8))[0]
+    if stype == "string":
+        return _read_bytes(fh).decode("utf-8")
+    if stype == "bytes":
+        return _read_bytes(fh)
+    if stype == "record":
+        return {f["name"]: _decode(fh, f["type"]) for f in schema["fields"]}
+    if stype == "array":
+        out = []
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                _read_long(fh)
+                n = -n
+            out.extend(_decode(fh, schema["items"]) for _ in range(n))
+    if stype == "map":
+        out = {}
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_long(fh)
+                n = -n
+            for _ in range(n):
+                # NB: key must be read BEFORE the value — in `d[k]=v` Python
+                # evaluates v first, which would desync the byte stream
+                k = _read_bytes(fh).decode()
+                out[k] = _decode(fh, schema["values"])
+    raise TypeError(f"unsupported Avro type {schema!r}")
+
+
+def read_container(path: str) -> tuple[dict, list]:
+    """Parse an Avro container file back into (schema, rows) — the test
+    half of the round-trip; production reads go through the JVM."""
+    with open(path, "rb") as fh:
+        assert fh.read(4) == MAGIC, "not an Avro container file"
+        meta = {}
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(fh)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(fh).decode()
+                meta[k] = _read_bytes(fh)
+        schema = json.loads(meta["avro.schema"])
+        assert meta.get("avro.codec", b"null") == b"null"
+        sync = fh.read(16)
+        rows = []
+        while True:
+            first = fh.read(1)
+            if not first:
+                break
+            fh.seek(-1, 1)
+            count = _read_long(fh)
+            _read_long(fh)  # block byte size
+            rows.extend(_decode(fh, schema) for _ in range(count))
+            assert fh.read(16) == sync, "sync marker mismatch"
+        return schema, rows
+
+
+def new_part_name() -> str:
+    return f"part-{uuid.uuid4().hex}.avro"
+
+
+# ----------------------------------------------- Avro -> Spark (read path)
+
+def avro_schema_to_spark(avsc: dict):
+    """Avro record schema -> Spark StructType (inverse of
+    spark_schema_to_avro, same public mapping)."""
+    from pyspark.sql import types as T
+
+    def convert(s) -> tuple:
+        if isinstance(s, list):  # [null, T] union
+            inner = next(x for x in s if x != "null")
+            dt, _ = convert(inner)
+            return dt, True
+        stype = s["type"] if isinstance(s, dict) else s
+        logical = s.get("logicalType") if isinstance(s, dict) else None
+        if logical == "timestamp-micros":
+            return T.TimestampType(), False
+        if logical == "date":
+            return T.DateType(), False
+        if logical == "decimal":
+            return T.DecimalType(s["precision"], s["scale"]), False
+        simple = {
+            "string": T.StringType(), "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "boolean": T.BooleanType(), "bytes": T.BinaryType(),
+        }
+        if stype in simple:
+            return simple[stype], False
+        if stype == "array":
+            dt, null = convert(s["items"])
+            return T.ArrayType(dt, null), False
+        if stype == "map":
+            dt, null = convert(s["values"])
+            return T.MapType(T.StringType(), dt, null), False
+        if stype == "record":
+            fields = []
+            for f in s["fields"]:
+                fdt, fnull = convert(f["type"])
+                fields.append(T.StructField(f["name"], fdt, fnull))
+            return T.StructType(fields), False
+        raise TypeError(f"unsupported Avro type {s!r}")
+
+    dt, _ = convert(avsc)
+    return dt
+
+
+def decode_logicals(avsc: dict, row: dict) -> dict:
+    """Convert a read_container row's raw values (micros/days/unscaled
+    bytes) into Python datetime/date/Decimal per the schema's logical
+    types, recursively."""
+    import datetime as _dt
+
+    def conv(s, v):
+        if v is None:
+            return None
+        if isinstance(s, list):
+            return conv(next(x for x in s if x != "null"), v)
+        stype = s["type"] if isinstance(s, dict) else s
+        logical = s.get("logicalType") if isinstance(s, dict) else None
+        if logical == "timestamp-micros":
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+        if logical == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+        if logical == "decimal":
+            unscaled = int.from_bytes(v, "big", signed=True)
+            return Decimal(unscaled).scaleb(-s["scale"])
+        if stype == "record":
+            return {f["name"]: conv(f["type"], v.get(f["name"])) for f in s["fields"]}
+        if stype == "array":
+            return [conv(s["items"], x) for x in v]
+        if stype == "map":
+            return {k: conv(s["values"], x) for k, x in v.items()}
+        return v
+
+    return {f["name"]: conv(f["type"], row.get(f["name"])) for f in avsc["fields"]}

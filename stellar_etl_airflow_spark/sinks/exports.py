@@ -9,8 +9,10 @@
   we sort within partitions after range-partitioning on the sort key,
   matching the practical contract of the BigQuery export (SURVEY §7.2
   hard part b). This container lacks the spark-avro connector jar, so the
-  writer falls back to parquet with the same layout and reports which
-  format it used.
+  writer produces REAL Avro binary through the pure-Python container
+  encoder (avro_writer.py), one file per partition via mapInArrow; with
+  the jar present the DataSource path is used instead. Either way the
+  bytes on the wire are Avro Object Container Files.
 - NDJSON extract: dumps one table slice to a single JSON file
   (dbt_stellar_marts_dag.py:162-178, the DefiLlama tvl feed).
 - copy / clone: WRITE_TRUNCATE table copy (build_copy_table_task.py:9-65)
@@ -56,18 +58,92 @@ def export_slice(
 
 
 def write_avro_or_parquet(out: DataFrame, dest: str) -> str:
-    """Write avro; fall back to parquet ONLY when the avro connector itself
-    is absent. Any real write failure (permissions, disk, task errors)
-    propagates. Returns the format actually written."""
+    """Write avro via the spark-avro DataSource when present; when the
+    connector jar is absent, write REAL Avro binary anyway through the
+    pure-Python container writer (avro_writer.py) running distributed —
+    one Avro Object Container File per partition via mapInArrow. Returns
+    the format actually written ('avro' either way; 'parquet' remains only
+    as a last-resort marker if the Python writer cannot express a type).
+    Read results back with :func:`read_export` (DataSource if present,
+    else the Python reader). Any real write failure (permissions, disk,
+    task errors) propagates."""
     try:
         out.write.mode("overwrite").format("avro").save(dest)
         return "avro"
     except Exception as exc:
         msg = str(exc).lower()
-        if "failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg:
-            out.write.mode("overwrite").parquet(dest)
-            return "parquet"
-        raise
+        if not ("failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg):
+            raise
+    try:
+        write_avro_distributed(out, dest)
+        return "avro"
+    except TypeError:
+        # a Spark type with no Avro mapping in the Python writer
+        out.write.mode("overwrite").parquet(dest)
+        return "parquet"
+
+
+def write_avro_distributed(out: DataFrame, dest: str) -> int:
+    """Distributed Avro export without the spark-avro jar: each partition
+    writes one Avro Object Container File (pure-Python encoder,
+    avro_writer.py) via mapInArrow — Arrow batches preserve null/timestamp
+    /decimal fidelity exactly (no pandas NaN ambiguity). The per-partition
+    write preserves sortWithinPartitions ordering, matching the reference
+    export's per-file ordering contract. Returns total rows written."""
+    import itertools
+    import shutil
+
+    import pyarrow as pa
+
+    from . import avro_writer as AW
+
+    avsc = AW.spark_schema_to_avro(out.schema)
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)  # overwrite disposition, like the DataSource path
+    os.makedirs(dest, exist_ok=True)
+
+    def write_part(batches):
+        rows = (r for b in batches for r in b.to_pylist())
+        first = next(rows, None)
+        if first is None:
+            return  # empty partition -> no file
+        path = os.path.join(dest, AW.new_part_name())
+        n = AW.write_container(path, avsc, itertools.chain([first], rows))
+        yield pa.RecordBatch.from_pydict({"file": [path], "n_rows": [n]})
+
+    manifest = out.mapInArrow(write_part, "file string, n_rows long").collect()
+    return sum(r["n_rows"] for r in manifest)
+
+
+def read_export(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Read an export directory or file written by write_avro_or_parquet:
+    parquet via the native reader; avro via the DataSource when present,
+    else the pure-Python container reader (driver-side — test/verification
+    path, not a scan path for big data)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:
+        msg = str(exc).lower()
+        if not ("failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg):
+            raise
+    from . import avro_writer as AW
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".avro")]
+    )
+    schema = None
+    rows: list[dict] = []
+    for f in files:
+        avsc, raw = AW.read_container(f)
+        schema = schema or AW.avro_schema_to_spark(avsc)
+        rows.extend(AW.decode_logicals(avsc, r) for r in raw)
+    if schema is None:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    return spark.createDataFrame(rows, schema)
 
 
 def ndjson_extract(df: DataFrame, dest: str) -> None:

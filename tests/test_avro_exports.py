@@ -219,9 +219,10 @@ def test_export_table_write_and_order(spark, tmp_path):
     src = spark.createDataFrame(synth_rows(schema, N_ROWS), schema)
     dest = str(tmp_path / "out")
     fmt = export_table(src, name, T0, T1, dest)
-    assert fmt in ("avro", "parquet")
-    reader = spark.read.format(fmt)
-    back = reader.load(dest)
+    assert fmt == "avro"  # real Avro bytes even without the spark-avro jar
+    from stellar_etl_airflow_spark.sinks.exports import read_export
+
+    back = read_export(spark, fmt, dest)
     assert back.columns == EXPORT_DEFS[name].aliases()
     expected = build_export_df(src, name, T0, T1).count()
     assert back.count() == expected > 0
@@ -229,5 +230,10 @@ def test_export_table_write_and_order(spark, tmp_path):
     files = [f for f in os.listdir(dest) if f.endswith((".parquet", ".avro"))]
     assert files
     for f in files:
-        vals = [r[0] for r in reader.load(os.path.join(dest, f)).select(EXPORT_DEFS[name].order_by).collect()]
+        vals = [
+            r[0]
+            for r in read_export(spark, fmt, os.path.join(dest, f))
+            .select(EXPORT_DEFS[name].order_by)
+            .collect()
+        ]
         assert vals == sorted(vals)

@@ -1,0 +1,140 @@
+"""Pure-Python Avro container writer (sinks/avro_writer.py) and the
+distributed export path (exports.write_avro_distributed).
+
+The decisive check: files written by OUR encoder are read back by the
+OFFICIAL Java Avro library (org.apache.avro, already in pyspark's jars)
+through py4j — an independent implementation of the spec. If the bytes
+were not real Avro, DataFileReader would reject them."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from stellar_etl_airflow_spark.sinks import avro_writer as AW
+from stellar_etl_airflow_spark.sinks import exports
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("flag", T.BooleanType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("amount", T.DecimalType(20, 6), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), True), True),
+    ]
+)
+
+ROWS = [
+    {
+        "id": 1,
+        "name": "alpha",
+        "score": 1.5,
+        "flag": True,
+        "ts": dt.datetime(2024, 1, 2, 3, 4, 5, 678901),
+        "day": dt.date(2024, 1, 2),
+        "amount": Decimal("12345.678900"),
+        "tags": ["x", "y"],
+        "attrs": {"a": 1, "b": 2},
+    },
+    {
+        "id": 2,
+        "name": None,
+        "score": None,
+        "flag": None,
+        "ts": None,
+        "day": None,
+        "amount": Decimal("-0.000001"),
+        "tags": [],
+        "attrs": {},
+    },
+]
+
+
+def test_python_roundtrip(tmp_path):
+    avsc = AW.spark_schema_to_avro(SCHEMA)
+    path = str(tmp_path / "t.avro")
+    assert AW.write_container(path, avsc, ROWS) == 2
+    back_schema, raw = AW.read_container(path)
+    assert back_schema == avsc
+    rows = [AW.decode_logicals(avsc, r) for r in raw]
+    assert rows[0]["ts"] == ROWS[0]["ts"]
+    assert rows[0]["day"] == ROWS[0]["day"]
+    assert rows[0]["amount"] == ROWS[0]["amount"]
+    assert rows[1]["amount"] == ROWS[1]["amount"]
+    assert rows[0]["tags"] == ["x", "y"] and rows[0]["attrs"] == {"a": 1, "b": 2}
+    assert rows[1]["name"] is None and rows[1]["ts"] is None
+    # schema inverse mapping
+    assert AW.avro_schema_to_spark(avsc) == SCHEMA
+
+
+def test_java_avro_reads_our_files(spark, tmp_path):
+    """Cross-engine proof: the official Java Avro DataFileReader parses a
+    file produced by the Python encoder and sees the same records."""
+    avsc = AW.spark_schema_to_avro(SCHEMA)
+    path = str(tmp_path / "j.avro")
+    AW.write_container(path, avsc, ROWS)
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        java_schema = json.loads(reader.getSchema().toString())
+        assert java_schema["name"] == avsc["name"]
+        assert [f["name"] for f in java_schema["fields"]] == [f["name"] for f in avsc["fields"]]
+        recs = []
+        while reader.hasNext():
+            recs.append(reader.next())
+        assert len(recs) == 2
+        r0 = json.loads(recs[0].toString())
+        assert r0["id"] == 1 and r0["name"] == "alpha" and r0["flag"] is True
+        assert r0["ts"] == 1704164645678901  # micros since epoch, UTC
+        assert r0["tags"] == ["x", "y"] and r0["attrs"] == {"a": 1, "b": 2}
+        r1 = json.loads(recs[1].toString())
+        assert r1["name"] is None and r1["score"] is None
+    finally:
+        reader.close()
+
+
+def test_distributed_avro_write_and_read(spark, tmp_path):
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id",
+        "cast(id % 7 as string) as name",
+        "cast(id as double) / 3 as score",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts",
+    )
+    dest = str(tmp_path / "out")
+    n = exports.write_avro_distributed(df, dest)
+    assert n == 1000
+    files = [f for f in os.listdir(dest) if f.endswith(".avro")]
+    assert len(files) == 4  # one container file per non-empty partition
+    back = exports.read_export(spark, "avro", dest)
+    assert back.schema == df.schema
+    assert sorted(r["id"] for r in back.collect()) == list(range(1000))
+    got = {r["id"]: r for r in back.collect()}
+    want = {r["id"]: r for r in df.collect()}
+    assert got[123]["ts"] == want[123]["ts"]
+    assert got[999]["score"] == want[999]["score"]
+
+
+def test_export_slice_now_writes_real_avro(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(48)],
+        "id long, closed_at timestamp",
+    )
+    dest = str(tmp_path / "slice")
+    fmt = exports.export_slice(
+        df, ["id", "closed_at"], "closed_at", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), dest
+    )
+    assert fmt == "avro"
+    assert any(f.endswith(".avro") for f in os.listdir(dest))
+    back = exports.read_export(spark, fmt, dest)
+    assert back.count() == 24

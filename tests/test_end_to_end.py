@@ -107,4 +107,4 @@ def test_full_batch_lifecycle(spark, tmp_path):
         cur, ["account_id", "balance", "closed_at"], "closed_at",
         datetime(2024, 1, 1), datetime(2024, 1, 2), dest,
     )
-    assert spark.read.format(fmt).load(dest).count() == 3
+    assert exports.read_export(spark, fmt, dest).count() == 3
