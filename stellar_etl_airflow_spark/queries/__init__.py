@@ -56,6 +56,10 @@ _FRONT = [
     # changed this round: dtype fix (ADVICE r4) and scoped-MERGE rewire
     "t27_repetition_stats",
     "q17_apply_changes",
+    # brand-new round-5 entries: need their first driver row
+    "t28_contamination_report",
+    "t29_per_lang_quality_filter",
+    "t30_source_vocab_overlap",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -1001,3 +1001,112 @@ SPECS: dict[str, QuerySpec] = {
         t27_repetition_stats, T27_SQL, "Gopher-style repetition fractions + keep flag"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# t28 — train/eval n-gram contamination report (broadcast asymmetric join).
+# ---------------------------------------------------------------------------
+
+
+def t28_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training import contamination as C
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return C.contamination_report(docs, eval_mod=97, n=3)
+
+
+T28_SQL = f"""
+WITH {GRAMS_CTE},
+p AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+e AS (SELECT doc_id AS eval_id, gram FROM p WHERE doc_id % 97 = 0),
+t AS (SELECT doc_id, gram FROM p WHERE doc_id % 97 <> 0)
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_shared_grams,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM t JOIN e ON t.gram = e.gram
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t29 — per-language quality percentile gate (CCNet/ROOTS-style).
+# ---------------------------------------------------------------------------
+
+
+def t29_per_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.per_lang_quality_filter(docs, keep_frac=0.5)
+
+
+T29_SQL = rf"""
+WITH {WORDS_CTE},
+m AS (
+  SELECT d.doc_id, d.lang,
+         length(d.text)::DOUBLE AS n_chars,
+         len(w.ws)::DOUBLE AS n_words,
+         length(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS n_punct,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits,
+         len(list_filter(w.ws, x -> x IN ({_EN_SET})))::DOUBLE AS n_stops
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+),
+q AS (
+  SELECT doc_id, lang,
+         least(n_words / 100.0, 1.0) * 0.4
+           + least(n_stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+           + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+           + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.1 AS quality_score
+  FROM m
+),
+r AS (
+  SELECT doc_id, lang, quality_score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC)
+           AS lang_pct_rank
+  FROM q
+)
+SELECT doc_id, lang, quality_score, lang_pct_rank FROM r WHERE lang_pct_rank <= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# t30 — source-pair vocabulary overlap matrix (corpus mixture provenance).
+# ---------------------------------------------------------------------------
+
+
+def t30_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.source_vocab_overlap(docs)
+
+
+T30_SQL = f"""
+WITH {WORDS_CTE},
+v AS MATERIALIZED (
+  SELECT DISTINCT source, word FROM (
+    SELECT d.source, unnest(w.ws) AS word
+    FROM documents d JOIN w ON d.doc_id = w.doc_id
+  )
+),
+s AS (SELECT source, count(*) AS n_words FROM v GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared, sa.n_words AS na, sb.n_words AS nb,
+       count(*)::DOUBLE / (sa.n_words + sb.n_words - count(*)) AS jaccard
+FROM v a
+JOIN v b ON a.word = b.word AND a.source < b.source
+JOIN s sa ON sa.source = a.source
+JOIN s sb ON sb.source = b.source
+GROUP BY a.source, b.source, sa.n_words, sb.n_words
+"""
+
+
+SPECS.update(
+    {
+        "t28_contamination_report": QuerySpec(
+            t28_contamination_report, T28_SQL, "train/eval n-gram contamination report"
+        ),
+        "t29_per_lang_quality_filter": QuerySpec(
+            t29_per_lang_quality_filter, T29_SQL, "per-language quality percentile gate"
+        ),
+        "t30_source_vocab_overlap": QuerySpec(
+            t30_source_vocab_overlap, T30_SQL, "source-pair vocabulary overlap matrix"
+        ),
+    }
+)

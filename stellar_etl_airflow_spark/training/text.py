@@ -53,13 +53,19 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Deterministic quality heuristics: length, word stats, punctuation /
     digit density, stopword ratio — composite score + keep flag.
 
     Mirrors the length/punct/stopword family of classic pretraining-data
     quality filters; every term is a scalar per-row expression so the
-    score is bit-identical across engines.
+    score is bit-identical across engines. ``passthrough`` carries extra
+    columns (e.g. ``lang``) into the output without a re-join.
     """
     t = F.col(text_col)
     ws = words_col(text_col)
@@ -79,6 +85,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         id_col,
+        *passthrough,
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
         avg_word_len.alias("avg_word_len"),
@@ -318,4 +325,67 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             & (F.col("top_bigram_frac") <= 0.18)
             & (F.col("distinct_ratio") >= 0.2)
         ).alias("keep_repetition"),
+    )
+
+
+def per_lang_quality_filter(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language quality gate: keep the top ``keep_frac`` of documents
+    WITHIN each language by the composite quality score.
+
+    A single global threshold systematically starves low-resource
+    languages (their score distributions differ), so production mixtures
+    gate per-language — the CCNet/ROOTS-style per-language percentile
+    filter. One window shuffle on ``lang``; ties broken by doc_id so the
+    percent_rank is exactly reproducible cross-engine. The score rides
+    along from :func:`quality_score` via ``passthrough`` (no re-join).
+    """
+    from pyspark.sql.window import Window
+
+    q = quality_score(df, text_col, id_col, passthrough=(lang_col,)).select(
+        id_col, lang_col, "quality_score"
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        q.withColumn("lang_pct_rank", F.percent_rank().over(w))
+        .filter(F.col("lang_pct_rank") <= keep_frac)
+        .select(id_col, lang_col, "quality_score", "lang_pct_rank")
+    )
+
+
+def source_vocab_overlap(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Vocabulary Jaccard between every source pair — the corpus-mixture
+    provenance matrix (which sources say the same things?).
+
+    Shape at 100 TB: the distinct (source, word) table is bounded by
+    |vocab| x |sources|, tiny next to the corpus; the word self-join fans
+    out at most |sources|² per word. One explode + distinct shuffle, one
+    equi-join — no doc-level pair blowup."""
+    vocab = (
+        df.select(F.col(source_col).alias("source"), F.explode(words_col(text_col)).alias("word"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_words"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    shared = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_words").alias("nb"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .select("source_a", "source_b", "shared", "na", "nb", "jaccard")
     )

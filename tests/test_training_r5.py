@@ -1,0 +1,61 @@
+"""Round-5 training ops: contamination report, per-language quality gate,
+source vocabulary overlap (training/contamination.py, training/text.py)."""
+
+from __future__ import annotations
+
+from stellar_etl_airflow_spark.training.contamination import contamination_report
+from stellar_etl_airflow_spark.training.text import per_lang_quality_filter, source_vocab_overlap
+
+
+def test_contamination_report_counts(spark):
+    # doc 0 is the eval split (0 % 97 == 0); doc 194 too (194 = 2*97).
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # eval: grams include 'alpha beta gamma'
+            (194, "zeta eta theta iota"),           # eval: disjoint grams
+            (1, "alpha beta gamma something else"), # shares 1 gram with doc 0
+            (2, "totally different words here now"),# clean
+            (3, "alpha beta gamma delta epsilon"),  # shares 2 grams with doc 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_report(docs).collect()}
+    assert set(out) == {1, 3}  # clean docs and eval docs don't appear
+    assert out[1]["n_shared_grams"] == 1 and out[1]["n_eval_docs"] == 1
+    assert out[3]["n_shared_grams"] == 2 and out[3]["n_eval_docs"] == 1
+
+
+def test_per_lang_quality_filter_gates_within_language(spark):
+    # 4 docs per lang; score is driven by word count (longer = higher until
+    # 100 words) — the top half WITHIN each language must be kept, so a
+    # short doc in a short-doc language survives while a longer doc in a
+    # long-doc language is dropped (global threshold would invert this).
+    def doc(i, lang, n_words):
+        return (i, " ".join(["the"] * n_words), lang)
+
+    rows = [doc(1, "aa", 80), doc(2, "aa", 60), doc(3, "aa", 40), doc(4, "aa", 20),
+            doc(5, "bb", 8), doc(6, "bb", 6), doc(7, "bb", 4), doc(8, "bb", 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r["doc_id"] for r in per_lang_quality_filter(docs, keep_frac=0.5).collect()}
+    # percent_rank <= 0.5 keeps ranks 1..ceil(n/2)+... for n=4: pr = 0, 1/3, 2/3, 1
+    assert kept == {1, 2, 5, 6}
+    # doc 6 (6 'the' words) kept while doc 3 (40 words) dropped: per-lang, not global
+    assert 6 in kept and 3 not in kept
+
+
+def test_source_vocab_overlap_jaccard(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),
+            (3, "x y z", "s3"),
+            (4, "c b", "s2"),  # same source, no new vocab beyond d,b,c
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in source_vocab_overlap(docs).collect()}
+    # s1={a,b,c}, s2={b,c,d}: shared 2, union 4 -> 0.5 ; s3 disjoint (no row)
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert (r["shared"], r["na"], r["nb"]) == (2, 3, 3)
+    assert abs(r["jaccard"] - 0.5) < 1e-12
