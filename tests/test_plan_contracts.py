@@ -125,3 +125,15 @@ def test_simhash_scorer_input_not_hash_shuffled(spark):
     plan = _physical(simhash(docs))
     below = plan.split("MapInPandas")[-1]
     assert "Exchange hashpartitioning" not in below
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """t28: the benchmark/eval side must broadcast — the corpus postings
+    are never shuffled for the join (the whole point of the asymmetric
+    inverted-index design at 100 TB)."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t28_contamination_report"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
