@@ -60,6 +60,7 @@ _FRONT = [
     "t28_contamination_report",
     "t29_per_lang_quality_filter",
     "t30_source_vocab_overlap",
+    "t31_per_lang_threshold_gate",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -1110,3 +1110,48 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t31 — per-language threshold gate, aggregate+broadcast shape (100 TB twin
+# of t29: no full-corpus window shuffle; see SCALE.md).
+# ---------------------------------------------------------------------------
+
+
+def t31_per_lang_threshold_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.per_lang_quality_filter_threshold(docs, quantile=0.5)
+
+
+T31_SQL = rf"""
+WITH {WORDS_CTE},
+m AS (
+  SELECT d.doc_id, d.lang,
+         length(d.text)::DOUBLE AS n_chars,
+         len(w.ws)::DOUBLE AS n_words,
+         length(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS n_punct,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits,
+         len(list_filter(w.ws, x -> x IN ({_EN_SET})))::DOUBLE AS n_stops
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+),
+q AS (
+  SELECT doc_id, lang,
+         least(n_words / 100.0, 1.0) * 0.4
+           + least(n_stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+           + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+           + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.1 AS quality_score
+  FROM m
+),
+thr AS (
+  SELECT lang, round(quantile_cont(quality_score, 0.5), 6) AS lang_threshold
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality_score, thr.lang_threshold
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.quality_score >= thr.lang_threshold
+"""
+
+
+SPECS["t31_per_lang_threshold_gate"] = QuerySpec(
+    t31_per_lang_threshold_gate, T31_SQL, "per-language quantile threshold gate (broadcast shape)"
+)

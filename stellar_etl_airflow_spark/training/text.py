@@ -389,3 +389,38 @@ def source_vocab_overlap(
         .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
         .select("source_a", "source_b", "shared", "na", "nb", "jaccard")
     )
+
+
+def per_lang_quality_filter_threshold(
+    df: DataFrame,
+    quantile: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-language quality gate via an aggregated THRESHOLD + broadcast
+    join — the 100 TB shape of :func:`per_lang_quality_filter`.
+
+    The window formulation shuffles the whole corpus on ``lang`` (hot-key
+    skew: en is most of the data). This one aggregates a per-language
+    score quantile (partial-aggregated, tiny result), broadcasts it, and
+    gates map-side — the corpus is never shuffled. ``approx=True`` swaps
+    the exact percentile for ``approx_percentile`` (t-digest-style sketch,
+    mergeable, fixed memory) — the production default at scale; the exact
+    variant is the oracle-checkable twin. Thresholds are rounded to 6
+    decimals on both engines so interpolation ulp noise cannot flip the
+    boundary comparison.
+    """
+    q = quality_score(df, text_col, id_col, passthrough=(lang_col,)).select(
+        id_col, lang_col, "quality_score"
+    )
+    fn = "approx_percentile" if approx else "percentile"
+    thresholds = q.groupBy(lang_col).agg(
+        F.round(F.expr(f"{fn}(quality_score, {quantile})"), 6).alias("lang_threshold")
+    )
+    return (
+        q.join(F.broadcast(thresholds), lang_col)
+        .filter(F.col("quality_score") >= F.col("lang_threshold"))
+        .select(id_col, lang_col, "quality_score", "lang_threshold")
+    )

@@ -59,3 +59,24 @@ def test_source_vocab_overlap_jaccard(spark):
     r = out[("s1", "s2")]
     assert (r["shared"], r["na"], r["nb"]) == (2, 3, 3)
     assert abs(r["jaccard"] - 0.5) < 1e-12
+
+
+def test_threshold_gate_matches_window_gate_semantics(spark):
+    """t31 (aggregate+broadcast) selects the same 'top half' as a median
+    threshold; the approx variant agrees on well-separated scores, and the
+    gate join is a broadcast (no corpus shuffle for the gate itself)."""
+    from stellar_etl_airflow_spark.training.text import per_lang_quality_filter_threshold
+
+    def doc(i, lang, n_words):
+        return (i, " ".join(["the"] * n_words), lang)
+
+    rows = [doc(1, "aa", 80), doc(2, "aa", 60), doc(3, "aa", 40), doc(4, "aa", 20),
+            doc(5, "bb", 8), doc(6, "bb", 6), doc(7, "bb", 4), doc(8, "bb", 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = per_lang_quality_filter_threshold(docs, quantile=0.5)
+    kept = {r["doc_id"] for r in exact.collect()}
+    assert kept == {1, 2, 5, 6}  # >= median keeps the top half per language
+    approx = per_lang_quality_filter_threshold(docs, quantile=0.5, approx=True)
+    assert {r["doc_id"] for r in approx.collect()} <= {1, 2, 3, 5, 6, 7}
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
