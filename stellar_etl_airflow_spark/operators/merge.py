@@ -201,26 +201,34 @@ def merge_upsert_versioned(
         ]
         rewrite = [f for f in m["files"] if f not in set(keep)]
     if rewrite:
-        # A bootstrap snapshot may mix flat root files with `_p=` partition
-        # dirs (e.g. a table first written unpartitioned, then bucketed).
-        # One basePath read over the mix is rejected by Spark ("conflicting
-        # directory structures") or reads null partition values — read the
-        # two layouts separately and derive BUCKET_COL for the flat subset.
-        flat = [f for f in rewrite if bucket_of(f) is None]
-        bucketed = [f for f in rewrite if bucket_of(f) is not None]
-        parts = []
-        if bucketed:
-            parts.append(
-                spark.read.option("basePath", m.get("base", path)).parquet(*bucketed)
+        # A bootstrap snapshot may mix partition-dir layouts (flat root
+        # files vs `_p=` dirs vs other `col=` trees). One basePath read
+        # over mixed depths is rejected by Spark ("conflicting directory
+        # structures") — so group files by their partition-dir SIGNATURE
+        # (the ordered `col=` names in the path relative to base), read
+        # each group with basePath (preserving its partition columns), and
+        # union by name with null fill for columns a layout lacks. Files
+        # without a `_p` value get BUCKET_COL derived from the merge keys.
+        base = m.get("base", path)
+
+        def signature(f: str) -> tuple[str, ...]:
+            rel = os.path.relpath(f, base)
+            return tuple(
+                seg.split("=", 1)[0] for seg in rel.split(os.sep)[:-1] if "=" in seg
             )
-        if flat:
-            fdf = spark.read.parquet(*flat)
-            if BUCKET_COL not in fdf.columns:
-                fdf = fdf.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
-            parts.append(fdf)
+
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for f in rewrite:
+            groups.setdefault(signature(f), []).append(f)
+        parts = []
+        for sig in sorted(groups):
+            gdf = spark.read.option("basePath", base).parquet(*groups[sig])
+            if BUCKET_COL not in gdf.columns:
+                gdf = gdf.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+            parts.append(gdf)
         tgt = parts[0]
         for p in parts[1:]:
-            tgt = tgt.unionByName(p.select(*parts[0].columns))
+            tgt = tgt.unionByName(p, allowMissingColumns=True)
         tgt = tgt.select(*ch.columns)
     else:
         tgt = spark.createDataFrame([], ch.schema)
@@ -319,13 +327,26 @@ def apply_changes(
     props = load_table_props(path)
     if props is None:
         save_table_props(
-            path, {"n_buckets": n_buckets, "keys": list(keys), "deleted_col": deleted_col}
+            path,
+            {
+                "n_buckets": n_buckets,
+                "keys": list(keys),
+                "deleted_col": deleted_col,
+                "order_cols": list(order_cols),
+            },
         )
     else:
-        if tuple(props.get("keys", ())) != tuple(keys):
-            raise ValueError(
-                f"{path} was created with merge keys {props.get('keys')}; got {list(keys)}"
-            )
+        # every pinned merge-semantics parameter is validated, not just the
+        # layout: silently switching deleted_col/order_cols would change
+        # latest-row selection and delete handling mid-table
+        for pname, got in (
+            ("keys", list(keys)),
+            ("deleted_col", deleted_col),
+            ("order_cols", list(order_cols)),
+        ):
+            pinned = props.get(pname, got)
+            if pinned != got:
+                raise ValueError(f"{path} was created with {pname}={pinned!r}; got {got!r}")
         n_buckets = int(props["n_buckets"])
     return merge_upsert_versioned(
         spark, changes, path, keys, n_buckets=n_buckets,

@@ -173,15 +173,17 @@ def _to_micros(value) -> int:
         return value
     if hasattr(value, "value"):  # pandas Timestamp: ns since epoch
         return value.value // 1000
-    import calendar
     import datetime as _dt
 
     if isinstance(value, _dt.datetime):
+        # exact integer arithmetic via timedelta floor-division: float
+        # .timestamp() + int() truncates toward zero, which shifts
+        # pre-epoch timestamps with sub-second parts one second late
         if value.tzinfo is None:
-            ts = calendar.timegm(value.timetuple())
+            delta = value - _dt.datetime(1970, 1, 1)
         else:
-            ts = value.timestamp()
-        return int(ts) * 1_000_000 + value.microsecond
+            delta = value - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return delta // _dt.timedelta(microseconds=1)
     raise TypeError(f"cannot encode {type(value)} as timestamp-micros")
 
 
@@ -203,10 +205,12 @@ def _decimal_bytes(value, scale: int) -> bytes:
 
 # ----------------------------------------------------------- container file
 
-def write_container(path: str, avro_schema: dict, rows: Iterable[Any], codec: str = "null") -> int:
-    """Write one Avro Object Container File; returns the record count.
-    Rows are dicts (or anything with attribute access matching the record
-    fields). Blocks of up to 4096 records between sync markers."""
+def write_container(path: str, avro_schema: dict, rows: Iterable[Any]) -> int:
+    """Write one Avro Object Container File (codec: null — uncompressed;
+    implementing deflate means compressing each block, not just stamping
+    the metadata). Returns the record count. Rows are dicts (or anything
+    with attribute access matching the record fields). Blocks of up to
+    4096 records between sync markers."""
     sync = os.urandom(16)
     n = 0
     with open(path, "wb") as fh:
@@ -216,7 +220,7 @@ def write_container(path: str, avro_schema: dict, rows: Iterable[Any], codec: st
         write_string(meta, "avro.schema")
         write_bytes(meta, json.dumps(avro_schema).encode())
         write_string(meta, "avro.codec")
-        write_bytes(meta, codec.encode())
+        write_bytes(meta, b"null")
         write_long(meta, 0)  # end of metadata map
         fh.write(meta.getvalue())
         fh.write(sync)

@@ -71,8 +71,7 @@ def write_avro_or_parquet(out: DataFrame, dest: str) -> str:
         out.write.mode("overwrite").format("avro").save(dest)
         return "avro"
     except Exception as exc:
-        msg = str(exc).lower()
-        if not ("failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg):
+        if not _missing_avro_datasource(exc):
             raise
     try:
         write_avro_distributed(out, dest)
@@ -81,6 +80,13 @@ def write_avro_or_parquet(out: DataFrame, dest: str) -> str:
         # a Spark type with no Avro mapping in the Python writer
         out.write.mode("overwrite").parquet(dest)
         return "parquet"
+
+
+def _missing_avro_datasource(exc: Exception) -> bool:
+    """True iff the failure is the spark-avro DataSource being absent
+    (vs a real write/read error, which must propagate)."""
+    msg = str(exc).lower()
+    return "failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg
 
 
 def write_avro_distributed(out: DataFrame, dest: str) -> int:
@@ -112,7 +118,13 @@ def write_avro_distributed(out: DataFrame, dest: str) -> int:
         yield pa.RecordBatch.from_pydict({"file": [path], "n_rows": [n]})
 
     manifest = out.mapInArrow(write_part, "file string, n_rows long").collect()
-    return sum(r["n_rows"] for r in manifest)
+    total = sum(r["n_rows"] for r in manifest)
+    if not manifest:
+        # zero-row export: write one empty schema-bearing container file so
+        # the directory reads back as an empty DataFrame (parity with the
+        # DataSource/parquet behavior), not a FileNotFoundError
+        AW.write_container(os.path.join(dest, AW.new_part_name()), avsc, [])
+    return total
 
 
 def read_export(spark: SparkSession, fmt: str, path: str) -> DataFrame:
@@ -125,8 +137,7 @@ def read_export(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:
-        msg = str(exc).lower()
-        if not ("failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg):
+        if not _missing_avro_datasource(exc):
             raise
     from . import avro_writer as AW
 

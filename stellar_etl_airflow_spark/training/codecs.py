@@ -96,15 +96,16 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
-def wav_info(payload: bytes) -> tuple[int, int, int, int] | None:
-    """(sample_rate, channels, bits_per_sample, duration_ms) for a
-    RIFF-WAVE payload, walking the chunk list; None otherwise. Handles
-    PCM and IEEE-float WAVs (format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE)."""
+def _wav_layout(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """One walk of the RIFF chunk list: (sample_rate, channels,
+    bits_per_sample, data_offset, data_len) or None. ``data_len`` is
+    clamped to the bytes actually present (a truncated file's declared
+    chunk size can exceed the payload)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, n = 12, len(payload)
     rate = channels = bits = None
-    data_len = None
+    data_off = data_len = None
     while i + 8 <= n:
         cid = payload[i : i + 4]
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
@@ -113,35 +114,59 @@ def wav_info(payload: bytes) -> tuple[int, int, int, int] | None:
             _tag, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
         elif cid == b"data":
-            data_len = size
+            data_off = i + 8
+            data_len = min(size, n - data_off)
         i += 8 + size + (size & 1)  # chunks are word-aligned
-    if not rate or not channels or not bits or data_len is None:
+    if not rate or not channels or not bits or data_off is None:
         return None
-    bytes_per_sec = rate * channels * (bits // 8)
-    if bytes_per_sec <= 0:
+    if rate * channels * (bits // 8) <= 0:
         return None
-    duration_ms = round(data_len * 1000 / bytes_per_sec)
+    return rate, channels, bits, data_off, data_len
+
+
+def wav_info(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) for a
+    RIFF-WAVE payload; None otherwise. Handles PCM and IEEE-float WAVs
+    (format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE)."""
+    layout = _wav_layout(payload)
+    if layout is None:
+        return None
+    rate, channels, bits, _off, data_len = layout
+    duration_ms = round(data_len * 1000 / (rate * channels * (bits // 8)))
     return rate, channels, bits, duration_ms
+
+
+def _rms_from_layout(payload: bytes, layout: tuple) -> float | None:
+    rate, _channels, bits, off, data_len = layout
+    if bits != 16:
+        return None
+    import numpy as np
+
+    raw = payload[off : off + data_len]
+    raw = raw[: len(raw) - len(raw) % 2]  # truncation can leave an odd byte
+    if not raw:
+        return 0.0
+    samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    return float(np.sqrt(np.mean(samples * samples)))
 
 
 def wav_rms_energy(payload: bytes) -> float | None:
     """RMS energy of a 16-bit PCM WAV's samples, normalized to [0, 1].
     None for non-WAV or non-int16 payloads (compressed audio needs a real
-    codec). numpy-vectorized — called per Arrow batch, not per row."""
-    info = wav_info(payload)
-    if info is None or info[2] != 16:
-        return None
-    i, n = 12, len(payload)
-    while i + 8 <= n:
-        cid = payload[i : i + 4]
-        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-        if cid == b"data":
-            import numpy as np
+    codec)."""
+    layout = _wav_layout(payload)
+    return None if layout is None else _rms_from_layout(payload, layout)
 
-            raw = payload[i + 8 : i + 8 + (size - size % 2)]
-            if not raw:
-                return 0.0
-            samples = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
-            return float(np.sqrt(np.mean(samples * samples)))
-        i += 8 + size + (size & 1)
-    return None
+
+def wav_features(payload: bytes) -> tuple[int, int, float] | None:
+    """(duration_ms, sample_rate, rms_energy) in ONE chunk-list walk —
+    the batch-loop entry point (wav_info + wav_rms_energy separately would
+    parse the header three times per payload). RMS is 0.0 for non-int16
+    encodings (header is still real)."""
+    layout = _wav_layout(payload)
+    if layout is None:
+        return None
+    rate, channels, bits, _off, data_len = layout
+    duration_ms = round(data_len * 1000 / (rate * channels * (bits // 8)))
+    rms = _rms_from_layout(payload, layout)
+    return duration_ms, rate, (rms if rms is not None else 0.0)

@@ -203,15 +203,12 @@ def audio_features_stub(payload: bytes) -> tuple[int, int, float]:
 
 def audio_features(payload: bytes) -> tuple[int, int, float]:
     """Audio probe: REAL RIFF-WAVE header parse (rate/duration) plus true
-    RMS energy for 16-bit PCM (training/codecs.py); stub otherwise."""
+    RMS energy for 16-bit PCM, in one chunk-list walk
+    (training/codecs.py::wav_features); stub otherwise."""
     from . import codecs
 
-    info = codecs.wav_info(payload)
-    if info is None:
-        return audio_features_stub(payload)
-    rate, _channels, _bits, duration_ms = info
-    energy = codecs.wav_rms_energy(payload)
-    return duration_ms, rate, (energy if energy is not None else 0.0)
+    feats = codecs.wav_features(payload)
+    return feats if feats is not None else audio_features_stub(payload)
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:

@@ -138,3 +138,24 @@ def test_export_slice_now_writes_real_avro(spark, tmp_path):
     assert any(f.endswith(".avro") for f in os.listdir(dest))
     back = exports.read_export(spark, fmt, dest)
     assert back.count() == 24
+
+
+def test_empty_export_reads_back_as_empty_frame(spark, tmp_path):
+    """A zero-row export must produce a schema-bearing empty container file
+    (parity with the DataSource/parquet behavior), not an unreadable dir."""
+    df = spark.createDataFrame([], "id long, name string")
+    dest = str(tmp_path / "empty")
+    assert exports.write_avro_distributed(df, dest) == 0
+    back = exports.read_export(spark, "avro", dest)
+    assert back.count() == 0
+    assert back.schema == df.schema
+
+
+def test_pre_epoch_timestamp_micros_exact():
+    """int(float_ts) truncates toward zero — pre-epoch timestamps with
+    sub-second parts must floor, not shift one second late."""
+    tz = dt.timezone.utc
+    assert AW._to_micros(dt.datetime(1969, 12, 31, 23, 59, 59, 500000, tzinfo=tz)) == -500_000
+    assert AW._to_micros(dt.datetime(1969, 12, 31, 23, 59, 59, 500000)) == -500_000
+    assert AW._to_micros(dt.datetime(1960, 1, 1, 0, 0, 0, 250000, tzinfo=tz)) == -315_619_199_750_000
+    assert AW._to_micros(dt.datetime(2024, 1, 2, 3, 4, 5, 678901)) == 1704164645678901

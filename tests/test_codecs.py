@@ -114,3 +114,17 @@ def test_spark_audio_stage_uses_real_headers(spark):
     assert (out[1]["duration_ms"], out[1]["sample_rate"], out[1]["rms_energy"]) == (500, 16000, 0.0)
     stub = audio_features_stub(b"blob")
     assert (out[2]["duration_ms"], out[2]["sample_rate"]) == (stub[0], stub[1])
+
+
+def test_truncated_wav_does_not_crash():
+    """A WAV whose declared data size exceeds the actual payload (truncated
+    upload) must degrade gracefully, never raise — one bad payload must not
+    kill a whole Spark stage."""
+    full = _wav(16000, np.zeros(100, dtype=np.int16))
+    truncated = full[:-5]  # odd-length data remainder
+    info = codecs.wav_info(truncated)
+    assert info is not None and info[0] == 16000
+    assert codecs.wav_rms_energy(truncated) == 0.0
+    feats = codecs.wav_features(truncated)
+    assert feats is not None and feats[1] == 16000
+    assert audio_features(truncated)[1] == 16000

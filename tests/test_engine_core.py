@@ -360,8 +360,8 @@ def test_export_slice_layout(spark, tmp_path):
     dest = exports.avro_export_dir(str(tmp_path / "avro"), "accounts", datetime(2024, 1, 2, 3, 4, 5))
     assert dest.endswith(os.path.join("accounts", "2024", "1", "2", "03:04:05"))
     fmt = exports.export_slice(df, ["id", "closed_at"], "closed_at", datetime(2024, 1, 1), datetime(2024, 1, 2), dest)
-    assert fmt in ("avro", "parquet")
-    back = spark.read.format(fmt).load(dest)
+    assert fmt == "avro"  # real Avro bytes via the Python writer fallback
+    back = exports.read_export(spark, fmt, dest)
     assert back.count() == 24  # half-open slice
     assert back.columns == ["id", "closed_at"]
 

@@ -110,6 +110,7 @@ def test_apply_changes_pins_layout_and_rejects_key_mismatch(spark, tmp_path):
     apply_changes(spark, _changes(spark, [(1, 10.0, 100, 1, False)]), tbl, KEYS, n_buckets=4)
     assert load_table_props(tbl) == {
         "n_buckets": 4, "keys": ["account_id"], "deleted_col": "deleted",
+        "order_cols": ["last_modified_ledger", "ledger_entry_change"],
     }
     # second batch with a different n_buckets arg: pinned value wins, state correct
     v2, _ = apply_changes(
@@ -119,3 +120,12 @@ def test_apply_changes_pins_layout_and_rejects_key_mismatch(spark, tmp_path):
     assert _state(spark, tbl, v2) == {1: 11.0, 2: 20.0}
     with pytest.raises(ValueError):
         apply_changes(spark, _changes(spark, [(1, 12.0, 102, 1, False)]), tbl, ("balance",))
+    with pytest.raises(ValueError):  # deleted_col is pinned too
+        apply_changes(
+            spark, _changes(spark, [(1, 12.0, 102, 1, False)]), tbl, KEYS, deleted_col="gone"
+        )
+    with pytest.raises(ValueError):  # and order_cols
+        apply_changes(
+            spark, _changes(spark, [(1, 12.0, 102, 1, False)]), tbl, KEYS,
+            order_cols=("ledger_entry_change",),
+        )
