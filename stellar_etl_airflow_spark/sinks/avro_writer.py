@@ -205,12 +205,19 @@ def _decimal_bytes(value, scale: int) -> bytes:
 
 # ----------------------------------------------------------- container file
 
-def write_container(path: str, avro_schema: dict, rows: Iterable[Any]) -> int:
-    """Write one Avro Object Container File (codec: null — uncompressed;
-    implementing deflate means compressing each block, not just stamping
-    the metadata). Returns the record count. Rows are dicts (or anything
-    with attribute access matching the record fields). Blocks of up to
-    4096 records between sync markers."""
+def write_container(
+    path: str, avro_schema: dict, rows: Iterable[Any], codec: str = "null"
+) -> int:
+    """Write one Avro Object Container File; returns the record count.
+    Rows are dicts (or anything with attribute access matching the record
+    fields). Blocks of up to 4096 records between sync markers.
+
+    ``codec``: ``"null"`` (raw) or ``"deflate"`` — per the Avro spec the
+    deflate codec is RFC 1951 RAW deflate (no zlib wrapper), i.e.
+    ``zlib.compressobj(wbits=-15)``; the block's byte-size field counts
+    the COMPRESSED bytes."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     sync = os.urandom(16)
     n = 0
     with open(path, "wb") as fh:
@@ -220,7 +227,7 @@ def write_container(path: str, avro_schema: dict, rows: Iterable[Any]) -> int:
         write_string(meta, "avro.schema")
         write_bytes(meta, json.dumps(avro_schema).encode())
         write_string(meta, "avro.codec")
-        write_bytes(meta, b"null")
+        write_bytes(meta, codec.encode())
         write_long(meta, 0)  # end of metadata map
         fh.write(meta.getvalue())
         fh.write(sync)
@@ -232,11 +239,17 @@ def write_container(path: str, avro_schema: dict, rows: Iterable[Any]) -> int:
             nonlocal count
             if not count:
                 return
+            data = block.getvalue()
+            if codec == "deflate":
+                import zlib
+
+                co = zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, -15)
+                data = co.compress(data) + co.flush()
             head = io.BytesIO()
             write_long(head, count)
-            write_long(head, len(block.getvalue()))
+            write_long(head, len(data))
             fh.write(head.getvalue())
-            fh.write(block.getvalue())
+            fh.write(data)
             fh.write(sync)
             block.seek(0)
             block.truncate()
@@ -333,7 +346,8 @@ def read_container(path: str) -> tuple[dict, list]:
                 k = _read_bytes(fh).decode()
                 meta[k] = _read_bytes(fh)
         schema = json.loads(meta["avro.schema"])
-        assert meta.get("avro.codec", b"null") == b"null"
+        codec = meta.get("avro.codec", b"null").decode()
+        assert codec in ("null", "deflate"), f"unsupported codec {codec}"
         sync = fh.read(16)
         rows = []
         while True:
@@ -342,8 +356,14 @@ def read_container(path: str) -> tuple[dict, list]:
                 break
             fh.seek(-1, 1)
             count = _read_long(fh)
-            _read_long(fh)  # block byte size
-            rows.extend(_decode(fh, schema) for _ in range(count))
+            size = _read_long(fh)  # byte size of the (possibly compressed) block
+            data = fh.read(size)
+            if codec == "deflate":
+                import zlib
+
+                data = zlib.decompress(data, -15)
+            buf = io.BytesIO(data)
+            rows.extend(_decode(buf, schema) for _ in range(count))
             assert fh.read(16) == sync, "sync marker mismatch"
         return schema, rows
 

@@ -89,13 +89,15 @@ def _missing_avro_datasource(exc: Exception) -> bool:
     return "failed to find" in msg or "data_source_not_found" in msg or "classnotfound" in msg
 
 
-def write_avro_distributed(out: DataFrame, dest: str) -> int:
+def write_avro_distributed(out: DataFrame, dest: str, codec: str = "deflate") -> int:
     """Distributed Avro export without the spark-avro jar: each partition
     writes one Avro Object Container File (pure-Python encoder,
     avro_writer.py) via mapInArrow — Arrow batches preserve null/timestamp
     /decimal fidelity exactly (no pandas NaN ambiguity). The per-partition
     write preserves sortWithinPartitions ordering, matching the reference
-    export's per-file ordering contract. Returns total rows written."""
+    export's per-file ordering contract. Blocks are deflate-compressed by
+    default (the spec's RFC-1951 codec, stdlib zlib) — the right trade for
+    export bandwidth at scale. Returns total rows written."""
     import itertools
     import shutil
 
@@ -114,7 +116,7 @@ def write_avro_distributed(out: DataFrame, dest: str) -> int:
         if first is None:
             return  # empty partition -> no file
         path = os.path.join(dest, AW.new_part_name())
-        n = AW.write_container(path, avsc, itertools.chain([first], rows))
+        n = AW.write_container(path, avsc, itertools.chain([first], rows), codec=codec)
         yield pa.RecordBatch.from_pydict({"file": [path], "n_rows": [n]})
 
     manifest = out.mapInArrow(write_part, "file string, n_rows long").collect()

@@ -159,3 +159,41 @@ def test_pre_epoch_timestamp_micros_exact():
     assert AW._to_micros(dt.datetime(1969, 12, 31, 23, 59, 59, 500000)) == -500_000
     assert AW._to_micros(dt.datetime(1960, 1, 1, 0, 0, 0, 250000, tzinfo=tz)) == -315_619_199_750_000
     assert AW._to_micros(dt.datetime(2024, 1, 2, 3, 4, 5, 678901)) == 1704164645678901
+
+
+def test_deflate_codec_roundtrip_and_java_read(spark, tmp_path):
+    """Deflate blocks (RFC-1951 raw, per the Avro spec) round-trip through
+    our reader AND through the official Java DataFileReader — proof the
+    compression framing is spec-correct, not just self-consistent."""
+    avsc = AW.spark_schema_to_avro(SCHEMA)
+    path = str(tmp_path / "d.avro")
+    AW.write_container(path, avsc, ROWS, codec="deflate")
+    schema, raw = AW.read_container(path)
+    assert schema == avsc and len(raw) == 2
+    rows = [AW.decode_logicals(avsc, r) for r in raw]
+    assert rows[0]["amount"] == ROWS[0]["amount"] and rows[0]["ts"] == ROWS[0]["ts"]
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        assert reader.getMetaString("avro.codec") == "deflate"
+        recs = []
+        while reader.hasNext():
+            recs.append(reader.next())
+        assert len(recs) == 2
+        assert json.loads(recs[0].toString())["name"] == "alpha"
+    finally:
+        reader.close()
+
+
+def test_deflate_compresses_repetitive_data(tmp_path):
+    avsc = AW.spark_schema_to_avro(
+        T.StructType([T.StructField("s", T.StringType(), False)])
+    )
+    rows = [{"s": "the same string over and over"} for _ in range(2000)]
+    raw_p, dfl_p = str(tmp_path / "r.avro"), str(tmp_path / "d.avro")
+    AW.write_container(raw_p, avsc, rows, codec="null")
+    AW.write_container(dfl_p, avsc, rows, codec="deflate")
+    assert os.path.getsize(dfl_p) < os.path.getsize(raw_p) / 10
