@@ -329,9 +329,10 @@ def _decode(fh, schema: Any):
     raise TypeError(f"unsupported Avro type {schema!r}")
 
 
-def read_container(path: str) -> tuple[dict, list]:
-    """Parse an Avro container file back into (schema, rows) — the test
-    half of the round-trip; production reads go through the JVM."""
+def read_container(path: str, meta_only: bool = False) -> tuple[dict, list]:
+    """Parse an Avro container file back into (schema, rows);
+    ``meta_only=True`` stops after the header (schema discovery without
+    decoding blocks)."""
     with open(path, "rb") as fh:
         assert fh.read(4) == MAGIC, "not an Avro container file"
         meta = {}
@@ -348,6 +349,8 @@ def read_container(path: str) -> tuple[dict, list]:
         schema = json.loads(meta["avro.schema"])
         codec = meta.get("avro.codec", b"null").decode()
         assert codec in ("null", "deflate"), f"unsupported codec {codec}"
+        if meta_only:
+            return schema, []
         sync = fh.read(16)
         rows = []
         while True:

@@ -132,8 +132,9 @@ def write_avro_distributed(out: DataFrame, dest: str, codec: str = "deflate") ->
 def read_export(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     """Read an export directory or file written by write_avro_or_parquet:
     parquet via the native reader; avro via the DataSource when present,
-    else the pure-Python container reader (driver-side — test/verification
-    path, not a scan path for big data)."""
+    else the pure-Python container reader running DISTRIBUTED (one
+    mapInArrow task per container file — executors decode in parallel;
+    only the first file's header is opened on the driver, for the schema)."""
     if fmt == "parquet":
         return spark.read.parquet(path)
     try:
@@ -148,15 +149,26 @@ def read_export(spark: SparkSession, fmt: str, path: str) -> DataFrame:
         if os.path.isfile(path)
         else [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".avro")]
     )
-    schema = None
-    rows: list[dict] = []
-    for f in files:
-        avsc, raw = AW.read_container(f)
-        schema = schema or AW.avro_schema_to_spark(avsc)
-        rows.extend(AW.decode_logicals(avsc, r) for r in raw)
-    if schema is None:
+    if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
-    return spark.createDataFrame(rows, schema)
+    head_avsc, _ = AW.read_container(files[0], meta_only=True)
+    schema = AW.avro_schema_to_spark(head_avsc)
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+
+    def read_part(batches):
+        for b in batches:
+            for rec in b.to_pylist():
+                avsc, raw = AW.read_container(rec["path"])
+                rows = [AW.decode_logicals(avsc, r) for r in raw]
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
+    return fdf.mapInArrow(read_part, schema)
 
 
 def ndjson_extract(df: DataFrame, dest: str) -> None:
