@@ -61,6 +61,8 @@ _FRONT = [
     "t29_per_lang_quality_filter",
     "t30_source_vocab_overlap",
     "t31_per_lang_threshold_gate",
+    "t32_unigram_logprob",
+    "t33_rebalance_sources",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

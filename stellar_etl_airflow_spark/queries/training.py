@@ -1155,3 +1155,62 @@ WHERE q.quality_score >= thr.lang_threshold
 SPECS["t31_per_lang_threshold_gate"] = QuerySpec(
     t31_per_lang_threshold_gate, T31_SQL, "per-language quantile threshold gate (broadcast shape)"
 )
+
+
+# ---------------------------------------------------------------------------
+# t32 — unigram-LM quality scoring (the CCNet perplexity-filter shape).
+# t33 — deterministic mixture rebalancing to target source proportions.
+# ---------------------------------------------------------------------------
+
+
+def t32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs)
+
+
+T32_SQL = f"""
+WITH {WORDS_CTE},
+tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS term FROM w),
+vocab AS MATERIALIZED (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS n FROM tok)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(vocab.tf / total.n)), 6) AS avg_neg_logprob,
+       round(exp(round(avg(-ln(vocab.tf / total.n)), 6)), 6) AS pseudo_ppl
+FROM tok JOIN vocab USING (term) CROSS JOIN total
+GROUP BY tok.doc_id
+"""
+
+_T33_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def t33_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.rebalance_sources(docs, _T33_TARGETS)
+
+
+T33_SQL = f"""
+WITH tgt(source, p) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+cnt AS (SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY source),
+m AS (SELECT min(cnt.c / tgt.p) AS m FROM tgt JOIN cnt USING (source)),
+rates AS (
+  SELECT tgt.source, least(1.0, (tgt.p * m.m) / cnt.c) AS keep_rate
+  FROM tgt JOIN cnt USING (source) CROSS JOIN m
+)
+SELECT d.doc_id, d.source, r.keep_rate
+FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE {ph_duck("d.doc_id::VARCHAR")} % 1000000 < round(r.keep_rate * 1000000, 0)
+"""
+
+
+SPECS.update(
+    {
+        "t32_unigram_logprob": QuerySpec(
+            t32_unigram_logprob, T32_SQL, "unigram-LM quality scoring (perplexity-filter shape)"
+        ),
+        "t33_rebalance_sources": QuerySpec(
+            t33_rebalance_sources, T33_SQL, "deterministic mixture rebalance to target proportions"
+        ),
+    }
+)

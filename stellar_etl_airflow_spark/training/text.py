@@ -424,3 +424,61 @@ def per_lang_quality_filter_threshold(
         .filter(F.col("quality_score") >= F.col("lang_threshold"))
         .select(id_col, lang_col, "quality_score", "lang_threshold")
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document average token negative log-probability under the
+    corpus's own unigram model — the shape of the CCNet/Wikipedia-LM
+    perplexity quality filter with a unigram model standing in for the
+    KenLM n-gram model (the pipeline shape is identical; swap the
+    probability table to upgrade the model).
+
+    Two shuffles: token-count agg for the model (vocab-sized result,
+    broadcast back) and the per-doc average. Log/exp are rounded to 6
+    decimals so cross-engine libm ulp differences cannot flip equality
+    (same discipline as TF-IDF, t22)."""
+    tokens = df.select(F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term"))
+    vocab = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tokens.count()
+    scored = tokens.join(F.broadcast(vocab), "term").withColumn(
+        "_nlp", -F.log(F.col("tf") / F.lit(float(total)))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_nlp"), 6).alias("avg_neg_logprob"),
+        )
+        .withColumn("pseudo_ppl", F.round(F.exp(F.col("avg_neg_logprob")), 6))
+        .select(F.col("doc").alias(id_col), "n_tokens", "avg_neg_logprob", "pseudo_ppl")
+    )
+
+
+def rebalance_sources(
+    df,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic mixture rebalancing: subsample each source so the
+    OUTPUT matches the target source proportions (Pile/Dolma-style data
+    mixing), without replacement and without rand().
+
+    The largest feasible output under proportions ``p_s`` keeps
+    ``M = min_s(count_s / p_s)`` total rows, ``p_s·M`` from source ``s``.
+    Selection is a portable-hash gate (keep the lowest-hash fraction),
+    so membership is reproducible across engines, partitionings, and
+    re-runs — the same discipline as t24. Sources not in ``targets`` are
+    dropped. Keep-rates ride a broadcast join; the corpus is gated
+    map-side (one scan, zero corpus shuffle)."""
+    sess = df.sparkSession
+    counts = {r["s"]: r["c"] for r in df.groupBy(F.col(source_col).alias("s")).agg(F.count(F.lit(1)).alias("c")).collect()}
+    m = min(counts.get(s, 0) / p for s, p in targets.items() if p > 0)
+    rates = [(s, min(1.0, (p * m) / counts[s])) for s, p in targets.items() if counts.get(s)]
+    rates_df = sess.createDataFrame(rates, f"{source_col} string, keep_rate double")
+    gate = F.expr(PH.format(x=f"cast({id_col} as string)")) % 1_000_000
+    return (
+        df.join(F.broadcast(rates_df), source_col)
+        .filter(gate < F.round(F.col("keep_rate") * 1_000_000, 0))
+        .select(id_col, source_col, "keep_rate")
+    )

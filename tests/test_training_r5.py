@@ -80,3 +80,42 @@ def test_threshold_gate_matches_window_gate_semantics(spark):
     assert {r["doc_id"] for r in approx.collect()} <= {1, 2, 3, 5, 6, 7}
     plan = exact._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_scores(spark):
+    """Rare-token documents score higher (more surprising) than documents
+    made of the corpus's most common token."""
+    from stellar_etl_airflow_spark.training.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the rare the"), (3, "the the the zz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["avg_neg_logprob"] < out[2]["avg_neg_logprob"] <= out[3]["avg_neg_logprob"]
+    import math
+
+    # doc 1 is all 'the' (tf=10 of 12 tokens): avg nlp = -ln(10/12)
+    assert abs(out[1]["avg_neg_logprob"] - round(-math.log(10 / 12), 6)) < 1e-9
+
+
+def test_rebalance_sources_hits_target_proportions(spark):
+    from stellar_etl_airflow_spark.training.text import rebalance_sources
+
+    rows = [(i, f"doc {i}", "a" if i < 600 else ("b" if i < 900 else "c")) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = rebalance_sources(docs, {"a": 0.25, "b": 0.25, "c": 0.5}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # c is the binding source (100 docs / 0.5 -> M=200): c keeps everything,
+    # a and b hash-gate down to ~50 each (hash gate is approximate)
+    assert len(by_src["c"]) == 100
+    assert 30 <= len(by_src["a"]) <= 70 and 30 <= len(by_src["b"]) <= 70
+    # determinism: same inputs -> same membership
+    again = rebalance_sources(docs, {"a": 0.25, "b": 0.25, "c": 0.5}).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # dropped source: not in targets -> absent
+    out2 = rebalance_sources(docs, {"a": 1.0}).collect()
+    assert {r["source"] for r in out2} == {"a"}
