@@ -129,3 +129,42 @@ def test_apply_changes_pins_layout_and_rejects_key_mismatch(spark, tmp_path):
             spark, _changes(spark, [(1, 12.0, 102, 1, False)]), tbl, KEYS,
             order_cols=("ledger_entry_change",),
         )
+
+
+def test_optimize_versioned_compacts_without_breaking_history(spark, tmp_path):
+    """After several merge batches a bucket holds several small files;
+    optimize_versioned rewrites each such bucket to ONE file in a NEW
+    manifest version — current state identical, pre-compaction versions
+    still exactly readable (old files untouched), vacuum reclaims them."""
+    from stellar_etl_airflow_spark.operators.maintenance import optimize_versioned
+
+    from stellar_etl_airflow_spark.operators.merge import key_bucket
+
+    tbl = str(tmp_path / "t")
+    # two append writes -> each bucket dir holds 2 files (the multi-file
+    # accumulation a parallel merge write or bootstrap adoption produces)
+    for rows in ([(1, 1.0, 100, 1, False), (2, 2.0, 100, 1, False)],
+                 [(3, 3.0, 100, 1, False), (4, 4.0, 100, 1, False)]):
+        _changes(spark, rows).withColumn("_p", key_bucket(KEYS, 2)).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("_p").parquet(tbl)
+    S.snapshot(tbl)
+    pre_version = S.latest_version(tbl)
+    pre_state = _state(spark, tbl)
+    assert pre_state == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    results = optimize_versioned(spark, tbl, min_files=2)
+    assert results  # at least one bucket compacted
+    for d, (before, after) in results.items():
+        assert before >= 2 and after == 1
+    assert S.latest_version(tbl) == pre_version + 1
+    assert _state(spark, tbl) == pre_state  # current rows unchanged
+    assert _state(spark, tbl, pre_version) == pre_state  # history intact
+    # compacted manifest actually references fewer files
+    assert len(S.read_manifest(tbl)["files"]) < len(S.read_manifest(tbl, pre_version)["files"])
+    # a later merge composes with the compacted layout
+    merge_upsert_versioned(spark, _changes(spark, [(2, 9.0, 200, 1, False)]), tbl, KEYS, n_buckets=2)
+    st = _state(spark, tbl)
+    assert st[2] == 9.0 and st[1] == 1.0 and st[3] == 3.0
+    deleted = S.vacuum(tbl, keep_versions=1)
+    assert deleted  # expired pre-compaction files reclaimed
+    assert _state(spark, tbl) == {1: 1.0, 2: 9.0, 3: 3.0, 4: 4.0}
