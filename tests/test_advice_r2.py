@@ -92,7 +92,10 @@ def test_recover_walks_nested_partition_leaves(spark, tmp_path):
 def test_safe_overwrite_failure_restores_previous(spark, tmp_path):
     path = str(tmp_path / "t")
     safe_overwrite(spark, spark.range(3), path)
-    bad = spark.range(3).select((F.lit(1) / F.col("id")).alias("v"), F.raise_error(F.lit("boom")).alias("e"))
+    # try_divide: under ANSI (Spark 4 default) a plain 1/0 raises
+    # DIVIDE_BY_ZERO in whichever task hits id=0 first, racing the
+    # raise_error and making the matched message nondeterministic
+    bad = spark.range(3).select(F.try_divide(F.lit(1), F.col("id")).alias("v"), F.raise_error(F.lit("boom")).alias("e"))
     with pytest.raises(Exception, match="boom"):
         safe_overwrite(spark, bad, path)
     assert spark.read.parquet(path).count() == 3  # previous table intact
