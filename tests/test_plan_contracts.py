@@ -137,3 +137,51 @@ def test_contamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "export_name,pruned_expect",
+    [("history_operations", {"claimants"}), ("history_effects", {"predicate"})],
+)
+def test_export_projection_prunes_nested_details(spark, tmp_path, export_name, pruned_expect):
+    """The Avro export projections (sinks/avro_defs.py) name individual
+    ``details.*`` subfields (history_operations.sql:8-148 names 121 of the
+    pinned schema's 122); the parquet scan must read ONLY those subfields —
+    nested-schema pruning reaching the reader is the difference between
+    scanning the exported columns and scanning the full 100 TB struct."""
+    import datetime
+
+    from stellar_etl_airflow_spark.sinks.avro_defs import EXPORT_DEFS, build_export_df
+
+    from .test_avro_exports import source_schema, synth_rows
+
+    sch = source_schema(export_name)
+    path = str(tmp_path / export_name)
+    spark.createDataFrame(synth_rows(sch, 8), sch).write.parquet(path)
+    out = build_export_df(
+        spark.read.parquet(path),
+        export_name,
+        datetime.datetime(2024, 1, 1),
+        datetime.datetime(2024, 1, 2),
+    )
+
+    scan = out._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    req = scan.requiredSchema()
+    # top level: only projected + filter columns, not the full table
+    top = {f.name() for f in req.fields()}
+    assert len(top) < len(sch.fields)
+    # nested: the details struct carries exactly the referenced subfields
+    (det,) = [f for f in req.fields() if f.name() == "details"]
+    read_sub = {f.name() for f in det.dataType().fields()}
+    referenced = {
+        m
+        for expr, _ in EXPORT_DEFS[export_name].columns
+        for m in re.findall(r"details\.`?(\w+)`?", expr)
+    }
+    assert read_sub == referenced
+    full_sub = {f.name for f in sch["details"].dataType.fields}
+    assert full_sub - read_sub == pruned_expect
+    # the batch-window filter must reach the scan as pushed predicates
+    meta = scan.metadata()
+    pushed = meta.get("PushedFilters").get()
+    assert "closed_at" in pushed or "batch_run_date" in pushed
