@@ -38,3 +38,22 @@ def test_salted_join_equivalence(spark):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_outer_and_rejected_sides(spark):
+    """Fact-preserving sides only: left outer keeps unmatched facts exactly
+    once (not once per salt); right/full are rejected with a clear error
+    because the exploded dim side would null-pad one row PER SALT."""
+    import pytest
+
+    facts = spark.range(100).select(
+        (F.col("id") % 60).alias("k"), F.col("id").alias("fact_id")
+    )
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val"))
+    plain = facts.join(dim, "k", "left").select("fact_id", "dim_val")
+    salted = salted_join(facts, dim, "k", n_salts=8, how="left").select("fact_id", "dim_val")
+    assert plain.count() == salted.count() == 100
+    assert plain.exceptAll(salted).count() == 0 and salted.exceptAll(plain).count() == 0
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(facts, dim, "k", how=how)
