@@ -63,6 +63,7 @@ _FRONT = [
     "t31_per_lang_threshold_gate",
     "t32_unigram_logprob",
     "t33_rebalance_sources",
+    "t34_boilerplate_coverage",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

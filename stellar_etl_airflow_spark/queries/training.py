@@ -1214,3 +1214,51 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t34 — corpus-level boilerplate detection: a word 2-gram appearing in
+# >= 7% of documents is boilerplate; each doc reports its boilerplate
+# coverage and a keep flag. Thresholds compare in integer arithmetic on
+# both engines so the boundary is exact.
+# ---------------------------------------------------------------------------
+
+
+def t34_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.boilerplate_coverage(docs, n=2, df_pct=7, keep_max_pct=50)
+
+
+T34_SQL = f"""
+WITH {WORDS_CTE},
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM w
+  WHERE len(ws) >= 2
+),
+p AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM p),
+bp AS (
+  SELECT gram FROM (SELECT gram, count(*) AS gram_df FROM p GROUP BY gram)
+  CROSS JOIN nd
+  WHERE gram_df * 100 >= 7 * n_docs
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM p GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_bp FROM p JOIN bp USING (gram) GROUP BY doc_id)
+SELECT sizes.doc_id,
+       sizes.n_grams,
+       coalesce(hits.n_bp, 0) AS n_bp,
+       coalesce(hits.n_bp, 0)::DOUBLE / sizes.n_grams AS bp_frac,
+       coalesce(hits.n_bp, 0) * 100 <= 50 * sizes.n_grams AS keep
+FROM sizes LEFT JOIN hits USING (doc_id)
+"""
+
+
+SPECS.update(
+    {
+        "t34_boilerplate_coverage": QuerySpec(
+            t34_boilerplate_coverage, T34_SQL, "corpus boilerplate n-gram coverage + keep gate"
+        ),
+    }
+)

@@ -482,3 +482,101 @@ def rebalance_sources(
         .filter(gate < F.round(F.col("keep_rate") * 1_000_000, 0))
         .select(id_col, source_col, "keep_rate")
     )
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    df_pct: int = 7,
+    keep_max_pct: int = 50,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (C4/RefinedWeb-style cleanup):
+    a word ``n``-gram is boilerplate when it appears in at least
+    ``df_pct``% of documents; each document reports what fraction of its
+    distinct grams are boilerplate and a keep flag (``bp_frac`` at most
+    ``keep_max_pct``%).
+
+    Thresholds are integer percentages compared with integer arithmetic
+    (``gram_df * 100 >= df_pct * n_docs``) so the cut is exact and
+    portable — no float rounding at the boundary.
+
+    Scale shape: the exploded postings are materialized ONCE (same
+    discipline as ngram_jaccard_pairs — three consumers would each rerun
+    the shingling fold); gram document-frequency is a map-side-combinable
+    groupBy; the boilerplate gram set is tiny by construction (grams in
+    >= df_pct% of docs follow a Zipf head) and rides a broadcast join, so
+    the corpus itself is shuffled only for the two per-doc groupBys.
+    Documents with fewer than ``n`` words have no grams and are excluded,
+    matching the oracle's ``len(ws) >= n`` gate."""
+    from .dedup import with_word_ngrams
+
+    grams = with_word_ngrams(df, text_col, n).select(id_col, "grams")
+    postings = (
+        grams.select(id_col, F.explode("grams").alias("gram"))
+        .repartition("gram")
+        .localCheckpoint(eager=True)
+    )
+    # 1-row corpus size, broadcast-cross-joined so the threshold stays in-plan
+    n_docs = postings.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    bp = (
+        postings.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("gram_df") * 100 >= F.lit(df_pct) * F.col("n_docs"))
+        .select("gram")
+    )
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        postings.join(F.broadcast(bp), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bp"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("n_bp", F.coalesce(F.col("n_bp"), F.lit(0)).cast("long"))
+        .withColumn("bp_frac", F.col("n_bp") / F.col("n_grams"))
+        .withColumn("keep", F.col("n_bp") * 100 <= F.lit(keep_max_pct) * F.col("n_grams"))
+        .select(id_col, F.col("n_grams").cast("long").alias("n_grams"), "n_bp", "bp_frac", "keep")
+    )
+
+
+# PII patterns: conservative, layered most-specific-first so an email is
+# redacted as [EMAIL] before the phone pattern can eat its digit runs.
+# Java and RE2/DuckDB regex syntax agree on this subset (no lookaround,
+# no backreferences) — the same pattern strings work in both engines.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "ssn", "phone"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace PII spans with ``[KIND]`` placeholders and count the
+    redactions per kind — the scrubbing pass a training-data pipeline
+    runs before anything leaves the raw zone.
+
+    Pure ``regexp_replace``/``regexp_count`` column expressions: the whole
+    pass is one narrow map stage inside whole-stage codegen — zero
+    shuffles, zero Python, linear at 100 TB. Patterns apply in
+    PII_PATTERNS order (most specific first) so overlapping matches
+    resolve deterministically."""
+    out = out_col or text_col
+    order = [k for k, _ in PII_PATTERNS if k in kinds]
+    unknown = set(kinds) - {k for k, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"redact_pii: unknown kinds {sorted(unknown)}")
+    pats = dict(PII_PATTERNS)
+    col = F.col(text_col)
+    for k in order:
+        df = df.withColumn(f"n_{k}", F.regexp_count(col, F.lit(pats[k])).cast("long"))
+        col = F.regexp_replace(col, pats[k], f"[{k.upper()}]")
+    return df.withColumn(out, col)

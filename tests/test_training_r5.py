@@ -119,3 +119,53 @@ def test_rebalance_sources_hits_target_proportions(spark):
     # dropped source: not in targets -> absent
     out2 = rebalance_sources(docs, {"a": 1.0}).collect()
     assert {r["source"] for r in out2} == {"a"}
+
+
+def test_boilerplate_coverage_flags_frequent_grams(spark):
+    from stellar_etl_airflow_spark.training.text import boilerplate_coverage
+
+    # 'hello world' appears in 9/10 docs (90% >= 50% threshold -> boilerplate);
+    # each doc's tail grams are unique (df=1 < 5 docs). NB: at 10 docs a 7%
+    # bar is 0.7 docs, i.e. EVERY gram qualifies — small corpora need a
+    # proportionally higher df_pct.
+    rows = [(i, f"hello world unique{i} tail{i}") for i in range(9)]
+    rows.append((9, "clean text entirely original"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_coverage(docs, n=2, df_pct=50).collect()}
+    assert len(out) == 10
+    # docs 0-8: grams = {hello world, world uniqueN, uniqueN tailN} -> 1/3 bp
+    for i in range(9):
+        assert out[i]["n_grams"] == 3 and out[i]["n_bp"] == 1
+        assert abs(out[i]["bp_frac"] - 1 / 3) < 1e-12 and out[i]["keep"]
+    assert out[9]["n_bp"] == 0 and out[9]["keep"]
+    # raise the doc-frequency bar past 90%: nothing is boilerplate any more
+    out_hi = boilerplate_coverage(docs, n=2, df_pct=95).collect()
+    assert all(r["n_bp"] == 0 for r in out_hi)
+    # keep gate: drop docs that are > 30% boilerplate
+    kept = {r["doc_id"] for r in boilerplate_coverage(docs, n=2, df_pct=50, keep_max_pct=30).collect() if r["keep"]}
+    assert kept == {9}
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from stellar_etl_airflow_spark.training.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call (555) 123-4567"),
+        (2, "server 192.168.1.254 ssn 123-45-6789"),
+        (3, "nothing sensitive here"),
+        (4, "intl +1 555.123.4567 and bare 5551234567"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    assert "[EMAIL]" in out[1]["text"] and "jane" not in out[1]["text"]
+    assert "[PHONE]" in out[1]["text"] and out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["text"] == "server [IPV4] ssn [SSN]"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    assert out[3]["text"] == "nothing sensitive here"
+    assert all(out[3][f"n_{k}"] == 0 for k in ("email", "ipv4", "ssn", "phone"))
+    assert out[4]["n_phone"] == 2 and out[4]["text"].count("[PHONE]") == 2
+    # layering: the email's digits must never be re-matched by phone
+    assert out[1]["text"].count("[EMAIL]") == 1
+    # out_col keeps the original when asked
+    kept = redact_pii(df, out_col="clean").collect()[0]
+    assert "clean" in kept.asDict() and "text" in kept.asDict()
