@@ -64,6 +64,7 @@ _FRONT = [
     "t32_unigram_logprob",
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
+    "s05_stream_stream_join",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

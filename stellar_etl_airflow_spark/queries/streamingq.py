@@ -307,6 +307,69 @@ GROUP BY user_id
 """
 
 
+
+
+def s05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click->purchase attribution): two
+    readStreams over the same bounded events source, filtered to clicks
+    and purchases, inner-joined per user on purchase_ts in
+    [click_ts, click_ts + 1h). The time-bound join condition plus both
+    watermarks is what bounds the join state at production cadence (see
+    streaming/microbatch.py::interval_join_streams); the AvailableNow
+    drain emits exactly the batch join, which is the oracle."""
+    from ..streaming.microbatch import interval_join_streams
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s05-src-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+
+    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        st = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+        return st.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias)
+        )
+
+    joined = interval_join_streams(
+        side("click", "click_id", "click_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        horizon="1 hour",
+        watermark="365 days",
+    )
+    qname = f"s05_join_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # the memory sink owns the drained rows; per-run scratch goes away
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+    return spark.table(qname).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+S05_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -325,6 +388,11 @@ SPECS: dict[str, QuerySpec] = {
         s04_stateful_running_counts,
         S04_SQL,
         "applyInPandasWithState running state drained == exact batch aggregate",
+    ),
+    "s05_stream_stream_join": QuerySpec(
+        s05_stream_stream_join,
+        S05_SQL,
+        "stream-stream interval join (attribution) == batch join oracle",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(

@@ -100,3 +100,39 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within a time horizon: each left event
+    pairs with right events for the same ``key`` whose timestamp lands in
+    ``[left_ts, left_ts + horizon)`` — the click->conversion attribution
+    shape.
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_ts`` relative to ``left_ts``, which is exactly what lets
+    Structured Streaming evict join state: a buffered left row is dead
+    once the right watermark passes ``left_ts + horizon``, so state is
+    O(horizon x arrival rate) regardless of stream length. Without the
+    time bound the state would grow forever — the condition is load-
+    bearing, not an optimization."""
+    if left_ts == right_ts or set(left.columns) & set(right.columns) - {key}:
+        raise ValueError(
+            "interval_join_streams: sides must share only the key column "
+            f"(got left={left.columns}, right={right.columns})"
+        )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

@@ -64,3 +64,25 @@ def test_windowed_counts_and_dedup(spark, tmp_path):
     # append mode only emits closed windows; with availableNow + watermark
     # the single window may remain open, so just assert the query ran
     assert q2.lastProgress is not None
+
+
+def test_interval_join_streams_rejects_colliding_columns(spark):
+    """The stream-stream interval join requires disjoint column names so
+    the time-bound condition is unambiguous; collisions fail loudly."""
+    import pytest
+
+    from stellar_etl_airflow_spark.streaming.microbatch import interval_join_streams
+
+    left = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS click_ts"
+    )
+    bad_right = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS click_ts"
+    )
+    with pytest.raises(ValueError, match="share only the key"):
+        interval_join_streams(left, bad_right, "user_id", "click_ts", "click_ts")
+    ok_right = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS purchase_ts"
+    )
+    joined = interval_join_streams(left, ok_right, "user_id", "click_ts", "purchase_ts")
+    assert joined.isStreaming and joined.columns == ["user_id", "click_ts", "purchase_ts"]
