@@ -1,0 +1,88 @@
+"""Multi-dimensional clustering (Z-order) for data skipping.
+
+The reference's BigQuery tables declare ``clustering_fields`` (e.g.
+``["ledger_sequence", "closed_at"]`` — /root/reference/dags/ddls and the
+table-creation tasks), which BigQuery uses to co-locate rows so scans
+with predicates on those columns read fewer blocks. The parquet-native
+equivalent is writing files whose per-column min/max footer ranges are
+NARROW on every clustered column at once, so the reader (Spark's parquet
+row-group skipping, or any engine reading the footers) can drop whole
+files for multi-column predicates.
+
+A total sort achieves that for ONE column (its sort leader); Z-ordering
+interleaves the bits of per-column quantile-bucket ids so file ranges are
+narrow on ALL clustered columns — the same design as Delta Lake's
+``OPTIMIZE ZORDER BY``.
+
+Scale shape: quantile boundaries come from ``approxQuantile``
+(Greenwald-Khanna, one pass, driver holds 2^bits scalars per column —
+bounded and tiny); bucket mapping and bit interleaving are pure column
+expressions; the final clustering is one ``repartitionByRange`` on the
+z-value (a single range shuffle, identical cost to the total sort a
+single-column layout would need anyway).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_col(col: str, boundaries: list[float]) -> Column:
+    """0-based quantile bucket id: count of boundaries <= value.
+
+    The boundary array is a literal riding the plan (2^bits doubles); the
+    membership count is a JVM higher-order filter, no join needed."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+
+
+def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Z-value column: per-column quantile-bucket ids (``bits`` bits each)
+    with their bits interleaved, so sorting by it clusters on every column
+    at once. NULLs bucket to 0 (sort first, same as NULLS FIRST)."""
+    if not cols or len(cols) > 7:
+        raise ValueError(f"zvalue: need 1..7 columns, got {len(cols)}")
+    if not 1 <= bits <= 8:
+        raise ValueError(f"zvalue: bits must be in 1..8, got {bits}")
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    buckets = []
+    for c in cols:
+        bounds = df.stat.approxQuantile(c, qs, 0.01)
+        buckets.append(F.coalesce(_bucket_col(c, bounds), F.lit(0)))
+    terms = []
+    for i in range(bits):
+        for ci, b in enumerate(buckets):
+            terms.append(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(cols) + ci)
+            )
+    return reduce(lambda a, t: a + t, terms[1:], terms[0]).cast("long")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    target_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` Z-ordered on ``cols``: range-partition by z-value (one
+    shuffle), sort within partitions, drop the helper column, write
+    parquet. Each output file then covers a compact z-range — a small
+    min/max window on EVERY clustered column — which is what lets footer
+    stats skip files for multi-column predicates."""
+    z = df.withColumn("_z", zvalue(df, cols, bits))
+    part = (
+        z.repartitionByRange(target_files, "_z")
+        if target_files
+        else z.repartitionByRange("_z")
+    )
+    out = part.sortWithinPartitions("_z").drop("_z")
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

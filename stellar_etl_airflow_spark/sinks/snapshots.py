@@ -325,3 +325,70 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         except FileNotFoundError:
             pass
     return deleted
+
+
+def _versions_on_disk(path: str) -> list[int]:
+    try:
+        names = os.listdir(_snap_dir(path))
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY analog (BigQuery INFORMATION_SCHEMA.TABLE_STORAGE /
+    Delta ``DESCRIBE HISTORY``): one row per retained manifest version with
+    file/byte counts and the add/remove delta vs the previous retained
+    version. Pure manifest reads — O(versions x files-per-manifest)
+    metadata, the table's data is never opened."""
+    rows = []
+    prev: set[str] | None = None
+    current = latest_version(path)
+    for v in _versions_on_disk(path):
+        m = read_manifest(path, v)
+        files = set(m["files"])
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(f)
+            except OSError:
+                size = -1  # a referenced file is gone: surface, don't crash
+                break
+        rows.append(
+            (
+                v,
+                float(m.get("ts", 0.0)),
+                len(files),
+                size,
+                len(files - prev) if prev is not None else len(files),
+                len(prev - files) if prev is not None else 0,
+                v == current,
+            )
+        )
+        prev = files
+    return spark.createDataFrame(
+        rows,
+        "version int, ts double, n_files int, total_bytes long, "
+        "n_added int, n_removed int, is_current boolean",
+    )
+
+
+def snapshot_files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The files table for one version (Iceberg ``.files`` analog):
+    path, size, mtime per data file the manifest references."""
+    m = read_manifest(path, version)
+    rows = []
+    for f in m["files"]:
+        try:
+            st = os.stat(f)
+            rows.append((f, st.st_size, float(st.st_mtime)))
+        except OSError:
+            rows.append((f, -1, None))
+    return spark.createDataFrame(rows, "file string, size_bytes long, mtime double")

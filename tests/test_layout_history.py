@@ -1,0 +1,107 @@
+"""Round-5 additions: snapshot-table history introspection
+(sinks/snapshots.py::describe_history/snapshot_files) and Z-order
+clustering for data skipping (operators/layout.py)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.operators.layout import zorder_write, zvalue
+from stellar_etl_airflow_spark.sinks.snapshots import (
+    describe_history,
+    overwrite_versioned,
+    snapshot_files,
+    vacuum,
+)
+
+
+def test_describe_history_tracks_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    overwrite_versioned(spark, spark.range(10), path)
+    overwrite_versioned(spark, spark.range(20), path)
+    overwrite_versioned(spark, spark.range(5), path)
+    hist = {r["version"]: r for r in describe_history(spark, path).collect()}
+    assert sorted(hist) == [1, 2, 3]
+    assert hist[3]["is_current"] and not hist[1]["is_current"] and not hist[2]["is_current"]
+    # versioned overwrite replaces every file: adds = new files, removes = old
+    assert hist[2]["n_removed"] == hist[1]["n_files"]
+    assert hist[2]["n_added"] == hist[2]["n_files"]
+    assert all(r["total_bytes"] > 0 for r in hist.values())
+    files = snapshot_files(spark, path).collect()
+    assert len(files) == hist[3]["n_files"]
+    assert all(f["size_bytes"] > 0 and f["file"].endswith(".parquet") for f in files)
+    # history survives vacuum for retained versions only
+    vacuum(path, keep_versions=1)
+    kept = [r["version"] for r in describe_history(spark, path).collect()]
+    assert kept == [3]
+
+
+def test_zvalue_validation_and_nulls(spark):
+    df = spark.createDataFrame([(1.0, None), (2.0, 5.0)], "x double, y double")
+    with pytest.raises(ValueError, match="1..7 columns"):
+        zvalue(df, [])
+    with pytest.raises(ValueError, match="bits"):
+        zvalue(df, ["x"], bits=0)
+    rows = df.withColumn("z", zvalue(df, ["x", "y"], bits=2)).collect()
+    assert all(r["z"] is not None and r["z"] >= 0 for r in rows)
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) per parquet file from footer stats — what a reader's
+    file/row-group skipping sees."""
+    import glob
+    import os
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def test_zorder_write_enables_multi_column_skipping(spark, tmp_path):
+    """The data-skipping proof: after zorder_write on (x, y), the fraction
+    of files whose footer [min,max] intersects a small box predicate on
+    BOTH columns is far below 100% — while a single-column sort leaves the
+    trailing column's per-file range full-width (no skipping on y)."""
+    n = 40_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 1000).alias("x"),
+        (F.hash(F.col("id") + 7) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "sorted_x")
+    zorder_write(df, zdir, ["x", "y"], bits=5, target_files=64)
+    (
+        df.repartitionByRange(64, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def overlap_frac(path: str, col: str, lo: int, hi: int) -> float:
+        ranges = _file_ranges(path, col)
+        hit = sum(1 for (flo, fhi) in ranges if fhi >= lo and flo <= hi)
+        return hit / len(ranges)
+
+    # one-eighth-width predicate on each clustered column separately:
+    # x-sorted prunes x hard but CANNOT prune y (every file spans full
+    # y-width); z-order prunes meaningfully on BOTH — that trade is the
+    # whole point of multi-dimensional clustering
+    z_x = overlap_frac(zdir, "x", -500, -251)
+    z_y = overlap_frac(zdir, "y", -500, -251)
+    s_x = overlap_frac(sdir, "x", -500, -251)
+    s_y = overlap_frac(sdir, "y", -500, -251)
+    assert s_y == 1.0, s_y  # the single-column layout's blind spot
+    assert z_x <= 0.5 and z_y <= 0.5, (z_x, z_y)  # measured ~0.31 / 0.25
+    assert s_x < z_x  # sort leader stays sharper — expected, not a defect
+    # and the rewrite is lossless
+    assert spark.read.parquet(zdir).count() == n
+    back = spark.read.parquet(zdir).agg(F.sum("payload")).first()[0]
+    assert back == n * (n - 1) // 2
