@@ -65,6 +65,8 @@ _FRONT = [
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "s05_stream_stream_join",
+    "q48_fuzzy_blocked_join",
+    "q49_gapfill_ffill",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -540,7 +540,99 @@ FROM s
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q48 — fuzzy entity-matching join with blocking: candidate pairs share a
+# block key (name prefix), then an edit-distance filter confirms. The
+# blocking discipline is what makes fuzzy matching tractable at scale:
+# the join is a plain hash equi-join on the block key and the quadratic
+# edit-distance work happens only WITHIN a block (bounded by block size),
+# never all-pairs. Spark and DuckDB agree on levenshtein semantics.
+# ---------------------------------------------------------------------------
+
+
+def q48_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = tables(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_name").alias("name_a"), F.substring("c_name", 1, 16).alias("blk"))
+    b = cust.select(F.col("c_name").alias("name_b"), F.substring("c_name", 1, 16).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+Q48_SQL = """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16) AND a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — time-series gap fill + forward fill: per-user daily calendar from
+# sequence(min_day, max_day), missing days joined back in, totals carried
+# forward with last(ignorenulls). The calendar explode is per-key and
+# proportional to the span (no global calendar build); the fill is one
+# window over the same user_id partitioning the daily agg already
+# established. Forward-fill copies the double verbatim (no re-arithmetic),
+# so the decimal-exact daily sums stay hash-identical through the fill.
+# ---------------------------------------------------------------------------
+
+
+def q49_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("day_total")
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
+            F.col("day_total").isNull().alias("is_gap"),
+        )
+    )
+
+
+Q49_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_total
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span)
+SELECT cal.user_id, cal.day,
+       coalesce(daily.n_events, 0) AS n_events,
+       last_value(daily.day_total IGNORE NULLS) OVER (
+         PARTITION BY cal.user_id ORDER BY cal.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+       daily.day_total IS NULL AS is_gap
+FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q48_fuzzy_blocked_join": QuerySpec(
+        q48_fuzzy_blocked_join, Q48_SQL, "blocked fuzzy join (levenshtein within block)"
+    ),
+    "q49_gapfill_ffill": QuerySpec(
+        q49_gapfill_ffill, Q49_SQL, "calendar gap fill + forward fill per key"
+    ),
     "q33_unpivot": QuerySpec(q33_unpivot, Q33_SQL, "UNPIVOT long-form measure stats"),
     "q34_tumbling_window": QuerySpec(q34_tumbling_window, Q34_SQL, "tumbling time-window aggregation"),
     "q35_exists_subqueries": QuerySpec(q35_exists_subqueries, Q35_SQL, "EXISTS/NOT EXISTS/IN subqueries"),
