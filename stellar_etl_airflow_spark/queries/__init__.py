@@ -67,6 +67,7 @@ _FRONT = [
     "s05_stream_stream_join",
     "q48_fuzzy_blocked_join",
     "q49_gapfill_ffill",
+    "q50_funnel",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -626,7 +626,84 @@ FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q50 — funnel analysis: the earliest signup -> click -> purchase chain per
+# user, each step strictly after the previous. Spark shape: ONE shuffle
+# (groupBy user) collecting the (ts, type) sequence, then a pure JVM
+# expression cascade (filter/transform/array_min) walks the funnel —
+# events are never re-shuffled per step. Per-user array size is the
+# per-key event count; a pathological hot key would call for the
+# salting/df-capping discipline documented at the dedup operators. The
+# oracle rebuilds the same steps relationally (conditional-min cascade).
+# ---------------------------------------------------------------------------
+
+
+def q50_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+
+    def step_after(prev_col: str, kind: str) -> F.Column:
+        return F.expr(
+            f"array_min(transform(filter(seq, x -> x.event_type = '{kind}'"
+            + (f" AND x.ts > {prev_col}" if prev_col else "")
+            + "), x -> x.ts))"
+        )
+
+    return (
+        seq.withColumn("t_signup", step_after("", "signup"))
+        .withColumn("t_click", step_after("t_signup", "click"))
+        .withColumn("t_purchase", step_after("t_click", "purchase"))
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.when(F.col("t_purchase").isNotNull(), 3)
+                .when(F.col("t_click").isNotNull(), 2)
+                .when(F.col("t_signup").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("int").alias("steps_reached"),
+        )
+    )
+
+
+Q50_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t_signup
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+       CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                 WHEN s2.t_click IS NOT NULL THEN 2
+                 WHEN s1.t_signup IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS steps_reached
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "q50_funnel": QuerySpec(
+        q50_funnel, Q50_SQL, "ordered funnel steps per user (single-shuffle array fold)"
+    ),
     "q48_fuzzy_blocked_join": QuerySpec(
         q48_fuzzy_blocked_join, Q48_SQL, "blocked fuzzy join (levenshtein within block)"
     ),
