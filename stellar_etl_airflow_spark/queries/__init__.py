@@ -68,6 +68,7 @@ _FRONT = [
     "q48_fuzzy_blocked_join",
     "q49_gapfill_ffill",
     "q50_funnel",
+    "s06_stream_upsert_sink",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

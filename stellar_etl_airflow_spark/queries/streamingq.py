@@ -370,6 +370,69 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+
+
+def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink: foreachBatch applies every micro-batch
+    through the DEFAULT state-table path (operators/merge.py::apply_changes
+    -> scoped MVCC merge), maintaining latest-row-per-user state exactly
+    like the reference's 10-minute MERGE cadence — but as a stream. The
+    source delivers the events file TWICE (maxFilesPerTrigger=1 -> two
+    micro-batches of identical data), so the second batch exercises
+    merge-onto-existing state AND proves the sink is idempotent under
+    redelivery: the final snapshot equals the batch latest-per-key oracle
+    regardless of batch order."""
+    from ..operators.merge import apply_changes
+    from ..sinks.snapshots import read_snapshot
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s06-src-{uuid.uuid4().hex[:8]}")
+    state_dir = os.path.join(tempfile.gettempdir(), f"s06-state-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "events-delivery1.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "events-delivery2.parquet"))
+    stream = normalize_nanos(
+        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ch = batch_df.select("user_id", "ts", "event_id", "value").withColumn(
+            "deleted", F.lit(False)
+        )
+        apply_changes(
+            spark, ch, state_dir, keys=("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+
+    qname = f"s06_upsert_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = read_snapshot(spark, state_dir).select("user_id", "ts", "event_id", "value")
+    # detach the result from the per-run scratch dirs before removing them
+    # (state size = distinct users — bounded, not corpus-sized)
+    rows, schema = out.collect(), out.schema
+    for d in (stream_dir, state_dir, os.path.join(tempfile.gettempdir(), f"ckpt-{qname}")):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+S06_SQL = """
+SELECT user_id, ts, event_id, value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -393,6 +456,11 @@ SPECS: dict[str, QuerySpec] = {
         s05_stream_stream_join,
         S05_SQL,
         "stream-stream interval join (attribution) == batch join oracle",
+    ),
+    "s06_stream_upsert_sink": QuerySpec(
+        s06_stream_upsert_sink,
+        S06_SQL,
+        "foreachBatch CDC upsert through MVCC merge == batch latest-per-key oracle",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(
