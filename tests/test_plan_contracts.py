@@ -185,3 +185,26 @@ def test_export_projection_prunes_nested_details(spark, tmp_path, export_name, p
     meta = scan.metadata()
     pushed = meta.get("PushedFilters").get()
     assert "closed_at" in pushed or "batch_run_date" in pushed
+
+
+def test_funnel_is_single_exchange(spark):
+    """q50: one groupBy shuffle on user_id; the funnel-step cascade is
+    pure expression work — no joins, no re-shuffle per step."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["q50_funnel"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_round5_entries_never_nested_loop(spark):
+    """q48's levenshtein confirm must ride the block-key hash join (a
+    planner regression to a nested-loop theta join would be quadratic in
+    the table, not the block); q49's calendar join must stay a hash join."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    for name in ("q48_fuzzy_blocked_join", "q49_gapfill_ffill"):
+        plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
