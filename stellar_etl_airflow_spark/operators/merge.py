@@ -172,6 +172,66 @@ def merge_upsert_versioned(
 
     Returns ``(published_version, touched_buckets)``.
     """
+    return _merge_versioned_core(
+        spark,
+        changes,
+        path,
+        keys,
+        n_buckets,
+        lambda tgt, ch: merge_upsert(tgt, ch, keys, deleted_col, order_cols),
+    )
+
+
+def merge_additive_versioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    n_buckets: int = 64,
+) -> tuple[int, list[int]]:
+    """Incremental aggregate maintenance: MERGE where matched rows ADD
+    their counters instead of being replaced — the incremental-refresh
+    shape of a materialized aggregate (per-key running counts/sums kept
+    current batch by batch, the incremental-dbt / streaming-counter
+    pattern the reference's dbt marts recompute from scratch).
+
+    Same MVCC bucket machinery as :func:`merge_upsert_versioned` (only
+    touched buckets are read and rewritten; every version stays
+    readable), but the combine is ``union -> groupBy keys -> sum``.
+    ``batch`` must carry exactly ``keys + sum_cols``. Use exact-summable
+    types (long / decimal) for ``sum_cols`` — double addition is
+    order-dependent and would make versions run-dependent.
+    """
+    expected = set(keys) | set(sum_cols)
+    if set(batch.columns) != expected:
+        raise ValueError(
+            f"merge_additive_versioned: batch columns {sorted(batch.columns)} "
+            f"must be exactly keys+sum_cols {sorted(expected)}"
+        )
+
+    def combine(tgt: DataFrame, ch: DataFrame) -> DataFrame:
+        both = tgt.unionByName(ch)
+        return (
+            both.groupBy(*keys, BUCKET_COL)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .select(*ch.columns)
+        )
+
+    return _merge_versioned_core(spark, batch, path, keys, n_buckets, combine)
+
+
+def _merge_versioned_core(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    n_buckets: int,
+    combine,
+) -> tuple[int, list[int]]:
+    """Shared MVCC scoped-merge machinery: bucket the changes, read only
+    touched buckets from the current manifest, apply ``combine(target,
+    changes)``, write new immutable files, publish the next manifest."""
     from ..sinks import snapshots as S
 
     ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
@@ -232,7 +292,7 @@ def merge_upsert_versioned(
         tgt = tgt.select(*ch.columns)
     else:
         tgt = spark.createDataFrame([], ch.schema)
-    merged = merge_upsert(tgt, ch, keys, deleted_col, order_cols)
+    merged = combine(tgt, ch)
 
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
     new_files: list[str] = []
