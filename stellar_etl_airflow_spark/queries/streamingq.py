@@ -433,6 +433,57 @@ WHERE rn = 1
 """
 
 
+
+
+def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance through the driver
+    gate: the per-(user, day) activity mart is built by additive MVCC
+    merges of three arbitrary-order event batches
+    (operators/merge.py::merge_additive_versioned — touched buckets only,
+    every version readable), and the final snapshot must equal the
+    one-shot GROUP BY oracle. Counters stay exact: counts are long, sums
+    accumulate as DECIMAL(38,6) and only the final projection casts to
+    double (the dsum discipline)."""
+    from ..operators.merge import merge_additive_versioned
+    from ..sinks.snapshots import read_snapshot
+
+    (ev,) = tables(spark, sf_dir, "events")
+    prep = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+        "event_id",
+    )
+    path = os.path.join(tempfile.gettempdir(), f"q51-mart-{uuid.uuid4().hex[:8]}")
+    for residue in (2, 0, 1):  # arrival order deliberately not sorted
+        batch = (
+            prep.filter(F.col("event_id") % 3 == residue)
+            .groupBy("user_id", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total"))
+        )
+        merge_additive_versioned(
+            spark, batch, path, keys=("user_id", "day"), sum_cols=("n_events", "total"),
+            n_buckets=8,
+        )
+    out = read_snapshot(spark, path).select(
+        "user_id", "day", "n_events", F.col("total").cast("double").alias("total")
+    )
+    # detach from the per-run scratch dir before removing it (mart size =
+    # users x days — bounded)
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q51_SQL = """
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -461,6 +512,11 @@ SPECS: dict[str, QuerySpec] = {
         s06_stream_upsert_sink,
         S06_SQL,
         "foreachBatch CDC upsert through MVCC merge == batch latest-per-key oracle",
+    ),
+    "q51_incremental_mart": QuerySpec(
+        q51_incremental_mart,
+        Q51_SQL,
+        "additive MVCC merge of three batches == one-shot GROUP BY oracle",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(
