@@ -195,3 +195,56 @@ def test_asof_union_matches_python_model(spark, data):
         cands = [(rm, p) for (rk, rm), p in rdict.items() if rk == k and rm <= m]
         want[i] = float(max(cands)[1]) if cands else None
     assert got == want
+
+
+add_batch = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C", "D", "E"]),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=-500, max_value=500),  # cents, exact as decimal
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SLOW
+@given(batches=st.lists(add_batch, min_size=1, max_size=3))
+def test_merge_additive_versioned_matches_model(spark, tmp_path_factory, batches):
+    """Random sequences of additive batches: every published version must
+    equal the running Python model — final state AND time travel."""
+    import os
+    import uuid
+    from decimal import Decimal
+
+    from stellar_etl_airflow_spark.operators.merge import merge_additive_versioned
+    from stellar_etl_airflow_spark.sinks.snapshots import read_snapshot
+
+    path = os.path.join(str(tmp_path_factory.mktemp("addmerge")), uuid.uuid4().hex[:8])
+    model: dict[str, list] = {}
+    states: list[tuple[int, dict]] = []
+    for batch in batches:
+        agg: dict[str, list] = {}
+        for k, n, cents in batch:
+            cur = agg.setdefault(k, [0, Decimal(0)])
+            cur[0] += n
+            cur[1] += Decimal(cents) / 100
+        df = spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in agg.items()],
+            "k string, n long, total decimal(38,6)",
+        )
+        version, touched = merge_additive_versioned(
+            spark, df, path, keys=("k",), sum_cols=("n", "total"), n_buckets=4
+        )
+        assert touched
+        for k, v in agg.items():
+            cur = model.setdefault(k, [0, Decimal(0)])
+            cur[0] += v[0]
+            cur[1] += v[1]
+        states.append((version, {k: (v[0], v[1]) for k, v in model.items()}))
+    for version, expected in states:
+        got = {
+            r["k"]: (r["n"], Decimal(r["total"]))
+            for r in read_snapshot(spark, path, version=version).collect()
+        }
+        assert got == expected, f"version {version}"
