@@ -14,6 +14,18 @@ dbt runs), so a user can drive the same pipeline stages without Airflow:
 
   python -m stellar_etl_airflow_spark bench
       Defer to the repo-level bench (same as `python bench.py`).
+
+  python -m stellar_etl_airflow_spark history TABLE_DIR
+      DESCRIBE HISTORY for a snapshot table: versions, file/byte
+      counts, add/remove deltas (sinks/snapshots.py manifests).
+
+  python -m stellar_etl_airflow_spark vacuum TABLE_DIR [--keep N]
+      Reclaim unreferenced data files, honoring zero-copy clone
+      back-references.
+
+  python -m stellar_etl_airflow_spark zorder SRC DST --cols a,b [--bits N]
+      Rewrite a parquet table Z-ordered on the given columns
+      (multi-dimensional clustering for footer-stats data skipping).
 """
 
 from __future__ import annotations
@@ -132,6 +144,33 @@ def _cmd_demo_batch(args) -> None:
     print("demo-batch complete")
 
 
+def _cmd_history(args) -> None:
+    from .session import get_spark
+    from .sinks.snapshots import describe_history
+
+    spark = get_spark("cli-history")
+    describe_history(spark, args.table).orderBy("version").show(100, truncate=False)
+
+
+def _cmd_vacuum(args) -> None:
+    from .sinks.snapshots import vacuum
+
+    deleted = vacuum(args.table, keep_versions=args.keep)
+    print(f"vacuumed {len(deleted)} files")
+    for f in deleted:
+        print(f"  {f}")
+
+
+def _cmd_zorder(args) -> None:
+    from .operators.layout import zorder_write
+    from .session import get_spark
+
+    spark = get_spark("cli-zorder")
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    zorder_write(spark.read.parquet(args.src), args.dst, cols, bits=args.bits)
+    print(f"z-ordered {args.src} -> {args.dst} on {cols}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="stellar_etl_airflow_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -144,6 +183,22 @@ def main() -> None:
     d = sub.add_parser("demo-batch", help="one full batch lifecycle on fixtures")
     d.add_argument("--warehouse", default=None)
     d.set_defaults(fn=_cmd_demo_batch)
+
+    h = sub.add_parser("history", help="DESCRIBE HISTORY for a snapshot table")
+    h.add_argument("table")
+    h.set_defaults(fn=_cmd_history)
+
+    v = sub.add_parser("vacuum", help="reclaim unreferenced snapshot-table files")
+    v.add_argument("table")
+    v.add_argument("--keep", type=int, default=1)
+    v.set_defaults(fn=_cmd_vacuum)
+
+    z = sub.add_parser("zorder", help="rewrite a parquet table Z-ordered")
+    z.add_argument("src")
+    z.add_argument("dst")
+    z.add_argument("--cols", required=True)
+    z.add_argument("--bits", type=int, default=8)
+    z.set_defaults(fn=_cmd_zorder)
 
     args = ap.parse_args()
     args.fn(args)
