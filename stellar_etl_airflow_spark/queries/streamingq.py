@@ -26,6 +26,25 @@ from .base import QuerySpec, dsum, dsum_sql, tables
 from .relational3 import Q34_SQL
 
 
+
+
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Child session (same SparkContext) for the streaming drains with 8
+    shuffle/state partitions instead of 32: each micro-batch commits one
+    state-store delta PER PARTITION, so at bench scale the drain cost is
+    dominated by partition count, not data (measured 2x on s03). A
+    production deployment sizes this to state volume; the child session
+    keeps the override away from concurrently running batch queries
+    (bench pools queries on threads — mutating the shared session's conf
+    would race them)."""
+    from ..session import ensure_read_confs
+
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", "8")
+    ensure_read_confs(sub)
+    return sub
+
+
 def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q34: file-source readStream -> 6h tumbling window
     aggregation -> complete-mode memory sink, drained with AvailableNow.
@@ -39,7 +58,8 @@ def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
     os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    sub = _stream_session(spark)
+    stream = sub.readStream.schema(raw_schema).parquet(stream_dir)
     stream = normalize_nanos(stream)
     agg = (
         stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
@@ -65,7 +85,7 @@ def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memory sink owns the drained rows; per-run scratch goes away
     shutil.rmtree(stream_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
-    return spark.table(qname)
+    return sub.table(qname)
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +182,8 @@ def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     os.symlink(src, os.path.join(stream_dir, "events-delivery1.parquet"))
     os.symlink(src, os.path.join(stream_dir, "events-delivery2.parquet"))
-    stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    sub = _stream_session(spark)
+    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
     deduped = dedup_within_watermark(stream, ["event_id"], "ts", watermark="365 days")
     qname = f"s02_dedup_{uuid.uuid4().hex[:8]}"
     query = (
@@ -178,7 +199,7 @@ def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(stream_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
     return (
-        spark.table(qname)
+        sub.table(qname)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
     )
@@ -212,7 +233,8 @@ def s03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(stream_dir, "events.parquet"),
     )
-    stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    sub = _stream_session(spark)
+    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
     agg = session_counts(stream, "ts", "user_id", gap="30 minutes", watermark="1 hour")
     qname = f"s03_sessions_{uuid.uuid4().hex[:8]}"
     query = (
@@ -227,7 +249,7 @@ def s03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memory sink owns the drained rows; per-run scratch goes away
     shutil.rmtree(stream_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
-    return spark.table(qname).select("user_id", "session_start", "session_end", "n_events")
+    return sub.table(qname).select("user_id", "session_start", "session_end", "n_events")
 
 
 S03_SQL = """
@@ -275,7 +297,8 @@ def s04_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(stream_dir, "events.parquet"),
     )
-    stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+    sub = _stream_session(spark)
+    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
     qname = f"s04_state_{uuid.uuid4().hex[:8]}"
     query = (
         running_counts(stream, key_col="user_id")
@@ -292,7 +315,7 @@ def s04_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
     w = W.partitionBy("key").orderBy(F.col("n_events").desc())
     return (
-        spark.table(qname)
+        sub.table(qname)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(F.col("key").alias("user_id"), "n_events", "total_value")
@@ -328,8 +351,10 @@ def s05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(stream_dir, "events.parquet"),
     )
 
+    sub = _stream_session(spark)
+
     def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        st = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+        st = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
         return st.filter(F.col("event_type") == kind).select(
             F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias)
         )
@@ -356,7 +381,7 @@ def s05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memory sink owns the drained rows; per-run scratch goes away
     shutil.rmtree(stream_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
-    return spark.table(qname).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return sub.table(qname).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
 S05_SQL = """
@@ -393,8 +418,9 @@ def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     os.symlink(src, os.path.join(stream_dir, "events-delivery1.parquet"))
     os.symlink(src, os.path.join(stream_dir, "events-delivery2.parquet"))
+    sub = _stream_session(spark)
     stream = normalize_nanos(
-        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+        sub.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -402,7 +428,7 @@ def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deleted", F.lit(False)
         )
         apply_changes(
-            spark, ch, state_dir, keys=("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+            sub, ch, state_dir, keys=("user_id",), n_buckets=8, order_cols=("ts", "event_id")
         )
 
     qname = f"s06_upsert_{uuid.uuid4().hex[:8]}"
@@ -413,7 +439,7 @@ def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    out = read_snapshot(spark, state_dir).select("user_id", "ts", "event_id", "value")
+    out = read_snapshot(sub, state_dir).select("user_id", "ts", "event_id", "value")
     # detach the result from the per-run scratch dirs before removing them
     # (state size = distinct users — bounded, not corpus-sized)
     rows, schema = out.collect(), out.schema
