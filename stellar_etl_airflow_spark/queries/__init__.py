@@ -72,6 +72,7 @@ _FRONT = [
     "q50_funnel",
     "s06_stream_upsert_sink",
     "q51_incremental_mart",
+    "t35_stratified_sample",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -1262,3 +1262,46 @@ SPECS.update(
         ),
     }
 )
+
+# ---------------------------------------------------------------------------
+# t35 — quality-stratified sampling: ntile buckets over the unigram-LM
+# score, deterministic hash gate inside each bucket (CCNet-style
+# head/middle/tail sampling, reproducible membership).
+# ---------------------------------------------------------------------------
+
+
+def t35_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.stratified_quality_sample(docs, n_buckets=10, keep_per_bucket_pct=20)
+
+
+T35_SQL = f"""
+WITH {WORDS_CTE},
+tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS term FROM w),
+vocab AS MATERIALIZED (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS n FROM tok),
+scored AS (
+  SELECT tok.doc_id,
+         round(avg(-ln(vocab.tf / total.n)), 6) AS avg_neg_logprob,
+         round(exp(round(avg(-ln(vocab.tf / total.n)), 6)), 6) AS pseudo_ppl
+  FROM tok JOIN vocab USING (term) CROSS JOIN total
+  GROUP BY tok.doc_id
+),
+bucketed AS (
+  SELECT doc_id, avg_neg_logprob, pseudo_ppl,
+         ntile(10) OVER (ORDER BY avg_neg_logprob ASC, doc_id ASC) AS bucket
+  FROM scored
+)
+SELECT doc_id, bucket, avg_neg_logprob, pseudo_ppl
+FROM bucketed
+WHERE {ph_duck("doc_id::VARCHAR")} % 100 < 20
+"""
+
+
+SPECS.update(
+    {
+        "t35_stratified_sample": QuerySpec(
+            t35_stratified_sample, T35_SQL, "quality-stratified deterministic sampling (ntile + hash gate)"
+        ),
+    }
+)

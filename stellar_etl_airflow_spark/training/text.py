@@ -580,3 +580,34 @@ def redact_pii(
         df = df.withColumn(f"n_{k}", F.regexp_count(col, F.lit(pats[k])).cast("long"))
         col = F.regexp_replace(col, pats[k], f"[{k.upper()}]")
     return df.withColumn(out, col)
+
+
+def stratified_quality_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    keep_per_bucket_pct: int = 20,
+) -> DataFrame:
+    """Quality-stratified sampling: bucket documents by their unigram-LM
+    score (ntile over avg_neg_logprob) and keep a deterministic
+    hash-gated fraction of EACH bucket — uniform coverage across the
+    quality spectrum instead of truncating at a single threshold (the
+    sampling side of the CCNet head/middle/tail split).
+
+    The hash gate is the t24/t33 discipline: membership depends only on
+    the id, never rand() or partitioning, so the sample is reproducible
+    across engines and re-runs. ntile's global sort is over doc-level
+    scores (corpus-count rows, not token-count); at extreme scale swap it
+    for approx_percentile boundaries + a broadcast bucket map — the t31
+    aggregate+broadcast form of the same gate."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(df, text_col, id_col)
+    w = Window.orderBy(F.col("avg_neg_logprob").asc(), F.col(id_col).asc())
+    bucketed = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    gate = F.expr(PH.format(x=f"cast({id_col} as string)")) % 100
+    return (
+        bucketed.filter(gate < keep_per_bucket_pct)
+        .select(id_col, "bucket", "avg_neg_logprob", "pseudo_ppl")
+    )
