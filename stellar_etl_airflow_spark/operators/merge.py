@@ -155,8 +155,17 @@ def merge_upsert_versioned(
     n_buckets: int = 64,
     deleted_col: str = "deleted",
     order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+    allow_schema_evolution: bool = False,
 ) -> tuple[int, list[int]]:
     """Scoped MERGE with full MVCC: targeted-rewrite cost AND time travel.
+
+    ``allow_schema_evolution=True`` permits additive evolution (the
+    reference's BigQuery tables evolve via ALLOW_FIELD_ADDITION — see
+    SCHEMA_EVOLUTION_EXTRAS in sinks/avro_defs.py): new change columns
+    are added to rewritten rows, and columns the batch lacks are carried
+    as NULL for inserted rows. Untouched buckets keep their old-schema
+    files; ``read_snapshot`` merges schemas on read, surfacing missing
+    columns as NULL. Without the flag, a column-set mismatch raises.
 
     The Delta-style composition of :func:`merge_upsert_scoped` with the
     manifest log (sinks/snapshots.py): touched buckets write NEW immutable
@@ -179,6 +188,7 @@ def merge_upsert_versioned(
         keys,
         n_buckets,
         lambda tgt, ch: merge_upsert(tgt, ch, keys, deleted_col, order_cols),
+        evolve=allow_schema_evolution,
     )
 
 
@@ -221,6 +231,18 @@ def merge_additive_versioned(
     return _merge_versioned_core(spark, batch, path, keys, n_buckets, combine)
 
 
+def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Additive evolution: give both frames the union column set, filling
+    the columns either side lacks with typed NULLs."""
+    for f in b.schema.fields:
+        if f.name not in a.columns:
+            a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for f in a.schema.fields:
+        if f.name not in b.columns:
+            b = b.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return a, b
+
+
 def _merge_versioned_core(
     spark: SparkSession,
     changes: DataFrame,
@@ -228,6 +250,7 @@ def _merge_versioned_core(
     keys: tuple[str, ...],
     n_buckets: int,
     combine,
+    evolve: bool = False,
 ) -> tuple[int, list[int]]:
     """Shared MVCC scoped-merge machinery: bucket the changes, read only
     touched buckets from the current manifest, apply ``combine(target,
@@ -289,6 +312,8 @@ def _merge_versioned_core(
         tgt = parts[0]
         for p in parts[1:]:
             tgt = tgt.unionByName(p, allowMissingColumns=True)
+        if evolve:
+            tgt, ch = _align_schemas(tgt, ch)
         tgt = tgt.select(*ch.columns)
     else:
         tgt = spark.createDataFrame([], ch.schema)

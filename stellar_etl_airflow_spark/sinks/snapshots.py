@@ -148,7 +148,12 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     """DataFrame over one table version (default: latest). Empty versions
     read as an empty frame only when the table has a readable schema."""
     m = read_manifest(path, version)
-    reader = spark.read
+    # mergeSchema: after a schema-evolving merge a version legitimately
+    # mixes old-schema files (untouched buckets) with new-schema files;
+    # the union schema reads old files' missing columns as NULL — the
+    # additive-evolution contract. Without it, which columns survive
+    # would depend on file listing order.
+    reader = spark.read.option("mergeSchema", "true")
     if m.get("base"):
         reader = reader.option("basePath", m["base"])
     return reader.parquet(*m["files"])

@@ -168,3 +168,53 @@ def test_optimize_versioned_compacts_without_breaking_history(spark, tmp_path):
     deleted = S.vacuum(tbl, keep_versions=1)
     assert deleted  # expired pre-compaction files reclaimed
     assert _state(spark, tbl) == {1: 1.0, 2: 9.0, 3: 3.0, 4: 4.0}
+
+
+def test_merge_versioned_schema_evolution(spark, tmp_path):
+    """Additive evolution: a later batch carries a NEW column; rewritten
+    buckets get it, untouched buckets surface it as NULL through the
+    mergeSchema read. Without the flag the mismatch raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stellar_etl_airflow_spark.operators.merge import merge_upsert_versioned
+    from stellar_etl_airflow_spark.sinks.snapshots import read_snapshot
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("A", 1.0, 100, 0, False), ("B", 2.0, 100, 0, False), ("C", 3.0, 100, 0, False)],
+        "k string, balance double, last_modified_ledger long, ledger_entry_change long, deleted boolean",
+    )
+    merge_upsert_versioned(spark, base, path, keys=("k",), n_buckets=4)
+
+    evolved = spark.createDataFrame(
+        [("A", 10.0, 101, 0, False, "memo-A"), ("D", 4.0, 101, 0, False, "memo-D")],
+        "k string, balance double, last_modified_ledger long, ledger_entry_change long, deleted boolean, memo string",
+    )
+    with pytest.raises(Exception):
+        merge_upsert_versioned(spark, evolved, path, keys=("k",), n_buckets=4)
+    merge_upsert_versioned(
+        spark, evolved, path, keys=("k",), n_buckets=4, allow_schema_evolution=True
+    )
+    out = {r["k"]: r for r in read_snapshot(spark, path).collect()}
+    assert set(out) == {"A", "B", "C", "D"}
+    assert out["A"]["balance"] == 10.0 and out["A"]["memo"] == "memo-A"
+    assert out["D"]["memo"] == "memo-D"
+    # untouched-bucket rows surface the new column as NULL
+    assert out["B"]["memo"] is None and out["C"]["memo"] is None
+    assert out["B"]["balance"] == 2.0
+
+    # the reverse direction: a later batch MISSING a column carries NULL
+    # for its inserts but must not clobber existing columns' values
+    shrunk = spark.createDataFrame(
+        [("E", 102, 0, False)],
+        "k string, last_modified_ledger long, ledger_entry_change long, deleted boolean",
+    )
+    merge_upsert_versioned(
+        spark, shrunk, path, keys=("k",), n_buckets=4, allow_schema_evolution=True
+    )
+    out2 = {r["k"]: r for r in read_snapshot(spark, path).collect()}
+    assert set(out2) == {"A", "B", "C", "D", "E"}
+    assert out2["E"]["balance"] is None and out2["E"]["memo"] is None
+    # A is not in the shrunk batch: the anti-join keeps its full row
+    assert out2["A"]["memo"] == "memo-A" and out2["A"]["balance"] == 10.0
