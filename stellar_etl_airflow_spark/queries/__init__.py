@@ -73,6 +73,7 @@ _FRONT = [
     "s06_stream_upsert_sink",
     "q51_incremental_mart",
     "t35_stratified_sample",
+    "q52_asof_tolerance",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

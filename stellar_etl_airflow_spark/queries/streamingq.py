@@ -510,6 +510,54 @@ GROUP BY user_id, date_trunc('day', ts)
 """
 
 
+
+
+def q52_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with max-staleness tolerance (pandas merge_asof
+    semantics, the one as-of variant the union-window trick cannot
+    express): each click takes the latest purchase price for its user
+    UNLESS that price is older than 1 day — then NULL. Runs through the
+    cogrouped-applyInPandas as-of shape (operators/asof.py:92); the
+    oracle expresses the same thing as a validity-window join with a
+    staleness bound."""
+    import pandas as pd
+
+    from ..operators.asof import asof_join_pandas
+
+    (ev,) = tables(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price"), F.col("event_id").alias("_peid")
+    )
+    # deterministic per-(user_id, ts) right side: merge_asof picks the LAST
+    # right row on ties, so order equal-ts purchases by event_id upstream
+    out = asof_join_pandas(
+        clicks,
+        purchases.sortWithinPartitions("user_id", "ts", "_peid"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["price"],
+        tolerance=pd.Timedelta(days=1),
+    )
+    return out.select("event_id", "user_id", "ts", "price")
+
+
+Q52_SQL = """
+WITH prices AS (
+  SELECT user_id AS p_user_id, value AS price, ts AS valid_from_ts,
+         coalesce(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                  TIMESTAMP '2200-01-01') AS valid_to_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts, p.price
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN prices p
+  ON c.user_id = p.p_user_id AND c.ts >= p.valid_from_ts AND c.ts < p.valid_to_ts
+ AND c.ts <= p.valid_from_ts + INTERVAL 1 DAY
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -543,6 +591,11 @@ SPECS: dict[str, QuerySpec] = {
         q51_incremental_mart,
         Q51_SQL,
         "additive MVCC merge of three batches == one-shot GROUP BY oracle",
+    ),
+    "q52_asof_tolerance": QuerySpec(
+        q52_asof_tolerance,
+        Q52_SQL,
+        "as-of join with max-staleness tolerance (cogrouped merge_asof)",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(
