@@ -98,6 +98,7 @@ def asof_join_pandas(
     value_cols: Sequence[str] | None = None,
     tolerance=None,
     direction: str = "backward",
+    tie_cols: Sequence[str] = (),
 ) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pandas.merge_asof``.
 
@@ -105,18 +106,27 @@ def asof_join_pandas(
     {"forward", "nearest"} is needed — semantics ``merge_asof`` has but the
     union-window trick does not. Arrow-batched; each key group must fit in
     executor memory (salt/split hot keys upstream if not).
+
+    ``tie_cols``: extra right-side columns used ONLY to order equal-
+    timestamp right rows inside the group (merge_asof resolves ties to
+    the LAST row, so ascending tie order picks the max). Without them,
+    equal-ts duplicates resolve to whichever row survived the cogroup
+    shuffle — run-dependent. A pre-join ``sortWithinPartitions`` cannot
+    provide this: the cogroup re-shuffles and key-sorts with no intra-
+    group order guarantee.
     """
     import pandas as pd
 
     keys = [on] if isinstance(on, str) else list(on)
+    tie_cols = list(tie_cols)
     value_cols = list(value_cols) if value_cols is not None else [
-        c for c in right.columns if c not in set(keys) | {right_ts}
+        c for c in right.columns if c not in set(keys) | {right_ts} | set(tie_cols)
     ]
     out_schema = ST.StructType(
         list(left.schema.fields) + [right.schema[c] for c in value_cols]
     )
     out_cols = [f.name for f in out_schema.fields]
-    rsel = right.select(*keys, F.col(right_ts).alias("_rts"), *value_cols)
+    rsel = right.select(*keys, F.col(right_ts).alias("_rts"), *value_cols, *tie_cols)
 
     def join_group(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.empty:
@@ -126,7 +136,7 @@ def asof_join_pandas(
             for c in value_cols:
                 ldf[c] = None
             return ldf[out_cols]
-        rdf = rdf.sort_values("_rts", kind="mergesort")
+        rdf = rdf.sort_values(["_rts", *tie_cols], kind="mergesort")
         merged = pd.merge_asof(
             ldf,
             rdf[["_rts", *value_cols]],

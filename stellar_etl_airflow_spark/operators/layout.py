@@ -30,13 +30,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_col(col: str, boundaries: list[float]) -> Column:
-    """0-based quantile bucket id: count of boundaries <= value.
+def _as_double(df: DataFrame, col: str) -> Column:
+    """Orderable double view of a clusterable column: numerics cast
+    directly, timestamps to epoch seconds, dates via timestamp, booleans
+    via int. Strings are rejected (a hash would destroy the range
+    locality Z-ordering exists to create)."""
+    kind = df.schema[col].dataType.typeName()
+    c = F.col(col)
+    if kind in ("byte", "short", "integer", "long", "float", "double", "decimal"):
+        return c.cast("double")
+    if kind in ("timestamp", "timestamp_ntz"):
+        return c.cast("double")
+    if kind == "date":
+        return c.cast("timestamp").cast("double")
+    if kind == "boolean":
+        return c.cast("int").cast("double")
+    raise ValueError(
+        f"zvalue: column {col!r} has unsupported type {kind} "
+        "(numeric/timestamp/date/boolean only — hashing a string would "
+        "destroy the range locality clustering depends on)"
+    )
+
+
+def _bucket_col(dcol: Column, boundaries: list[float]) -> Column:
+    """0-based quantile bucket id: count of boundaries <= value, as LONG
+    (bit positions up to 7 cols x 8 bits = 56 overflow a 32-bit int).
 
     The boundary array is a literal riding the plan (2^bits doubles); the
     membership count is a JVM higher-order filter, no join needed."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+    return F.size(F.filter(arr, lambda b: b <= dcol)).cast("long")
 
 
 def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
@@ -49,10 +72,15 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
         raise ValueError(f"zvalue: bits must be in 1..8, got {bits}")
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    buckets = []
-    for c in cols:
-        bounds = df.stat.approxQuantile(c, qs, 0.01)
-        buckets.append(F.coalesce(_bucket_col(c, bounds), F.lit(0)))
+    # ONE multi-column quantile pass over a double-cast projection (the
+    # per-column loop would re-scan the table len(cols) times)
+    dnames = [f"_zd{i}" for i in range(len(cols))]
+    proj = df.select(*[_as_double(df, c).alias(n) for c, n in zip(cols, dnames)])
+    all_bounds = proj.stat.approxQuantile(dnames, qs, 0.01)
+    buckets = [
+        F.coalesce(_bucket_col(_as_double(df, c), bounds), F.lit(0).cast("long"))
+        for c, bounds in zip(cols, all_bounds)
+    ]
     terms = []
     for i in range(bits):
         for ci, b in enumerate(buckets):

@@ -162,10 +162,12 @@ def merge_upsert_versioned(
     ``allow_schema_evolution=True`` permits additive evolution (the
     reference's BigQuery tables evolve via ALLOW_FIELD_ADDITION — see
     SCHEMA_EVOLUTION_EXTRAS in sinks/avro_defs.py): new change columns
-    are added to rewritten rows, and columns the batch lacks are carried
-    as NULL for inserted rows. Untouched buckets keep their old-schema
-    files; ``read_snapshot`` merges schemas on read, surfacing missing
-    columns as NULL. Without the flag, a column-set mismatch raises.
+    are added to rewritten rows. Columns the batch LACKS follow Delta
+    ``UPDATE SET *`` semantics: a matched key KEEPS its current value
+    (the update only sets the columns the batch carries); an inserted
+    key gets NULL. Untouched buckets keep their old-schema files;
+    ``read_snapshot`` merges schemas on read, surfacing missing columns
+    as NULL. Without the flag, a column-set mismatch raises.
 
     The Delta-style composition of :func:`merge_upsert_scoped` with the
     manifest log (sinks/snapshots.py): touched buckets write NEW immutable
@@ -181,13 +183,31 @@ def merge_upsert_versioned(
 
     Returns ``(published_version, touched_buckets)``.
     """
+    batch_cols = set(changes.columns)
+
+    def combine(tgt: DataFrame, ch: DataFrame) -> DataFrame:
+        # columns the batch did not carry at all (added by alignment as
+        # NULL): matched keys must keep their current value, not be
+        # clobbered — the Delta UPDATE SET * contract
+        carried = [c for c in tgt.columns if c not in batch_cols and c != BUCKET_COL]
+        if not carried:
+            return merge_upsert(tgt, ch, keys, deleted_col, order_cols)
+        src = latest_changes(ch.select(*tgt.columns), keys, order_cols)
+        tvals = tgt.select(*keys, *[F.col(c).alias(f"_tv_{c}") for c in carried])
+        src = src.join(tvals, list(keys), "left")
+        for c in carried:
+            src = src.withColumn(c, F.col(f"_tv_{c}")).drop(f"_tv_{c}")
+        kept = tgt.join(src.select(*keys), list(keys), "left_anti")
+        applied = src.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        return kept.unionByName(applied.select(*tgt.columns))
+
     return _merge_versioned_core(
         spark,
         changes,
         path,
         keys,
         n_buckets,
-        lambda tgt, ch: merge_upsert(tgt, ch, keys, deleted_col, order_cols),
+        combine,
         evolve=allow_schema_evolution,
     )
 
@@ -219,6 +239,22 @@ def merge_additive_versioned(
             f"merge_additive_versioned: batch columns {sorted(batch.columns)} "
             f"must be exactly keys+sum_cols {sorted(expected)}"
         )
+    # pin the layout exactly like apply_changes: a changed n_buckets
+    # between batches would scatter keys across partitions and silently
+    # split counters into duplicate rows
+    props = load_table_props(path)
+    if props is None:
+        save_table_props(
+            path,
+            {"n_buckets": n_buckets, "keys": list(keys), "sum_cols": list(sum_cols),
+             "additive": True},
+        )
+    else:
+        for pname, got in (("keys", list(keys)), ("sum_cols", list(sum_cols))):
+            pinned = props.get(pname, got)
+            if pinned != got:
+                raise ValueError(f"{path} was created with {pname}={pinned!r}; got {got!r}")
+        n_buckets = int(props["n_buckets"])
 
     def combine(tgt: DataFrame, ch: DataFrame) -> DataFrame:
         both = tgt.unionByName(ch)
@@ -314,6 +350,13 @@ def _merge_versioned_core(
             tgt = tgt.unionByName(p, allowMissingColumns=True)
         if evolve:
             tgt, ch = _align_schemas(tgt, ch)
+        elif set(tgt.columns) != set(ch.columns):
+            # without evolution a subset batch would silently DROP the
+            # target-only columns from every rewritten bucket
+            raise ValueError(
+                f"{path}: change batch columns {sorted(ch.columns)} != table "
+                f"columns {sorted(tgt.columns)}; pass allow_schema_evolution=True"
+            )
         tgt = tgt.select(*ch.columns)
     else:
         tgt = spark.createDataFrame([], ch.schema)
@@ -335,7 +378,10 @@ def _merge_versioned_core(
                     new_files.append(dst)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    version = S._publish(path, sorted(keep) + new_files, base=path)
+    # once evolved, later versions keep mixing schemas (old keep-files
+    # persist) until a full rewrite — propagate the flag forward
+    mixed = evolve or bool(m.get("mixed_schema"))
+    version = S._publish(path, sorted(keep) + new_files, base=path, mixed_schema=mixed)
     return version, touched
 
 

@@ -642,8 +642,9 @@ FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
 
 def q50_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = tables(spark, sf_dir, "events")
+    # no sort needed: every funnel step is an order-insensitive array_min
     seq = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+        F.collect_list(F.struct("ts", "event_type")).alias("seq")
     )
 
     def step_after(prev_col: str, kind: str) -> F.Column:

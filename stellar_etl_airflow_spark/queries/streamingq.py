@@ -529,16 +529,19 @@ def q52_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("price"), F.col("event_id").alias("_peid")
     )
-    # deterministic per-(user_id, ts) right side: merge_asof picks the LAST
-    # right row on ties, so order equal-ts purchases by event_id upstream
+    # tie_cols makes equal-ts purchases resolve deterministically to the
+    # max event_id INSIDE the pandas group (a pre-join sort would not
+    # survive the cogroup shuffle) — matching the oracle's lead-window
+    # convention, where the earlier-id row's validity window is empty
     out = asof_join_pandas(
         clicks,
-        purchases.sortWithinPartitions("user_id", "ts", "_peid"),
+        purchases,
         on="user_id",
         left_ts="ts",
         right_ts="ts",
         value_cols=["price"],
         tolerance=pd.Timedelta(days=1),
+        tie_cols=["_peid"],
     )
     return out.select("event_id", "user_id", "ts", "price")
 

@@ -103,7 +103,9 @@ def _list_data_files(path: str) -> list[str]:
     return sorted(out)
 
 
-def _publish(path: str, files: list[str], base: str | None = None) -> int:
+def _publish(
+    path: str, files: list[str], base: str | None = None, mixed_schema: bool = False
+) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
     manifest = {
@@ -113,6 +115,10 @@ def _publish(path: str, files: list[str], base: str | None = None) -> int:
         # partition-discovery root for the listed files: reading leaf files
         # directly would otherwise drop `col=val` partition columns
         "base": os.path.abspath(base or path),
+        # True when this version's files may carry differing schemas (a
+        # schema-evolving merge keeps untouched buckets' old-schema files);
+        # readers then pay the mergeSchema footer pass, and ONLY then
+        "mixed_schema": bool(mixed_schema),
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -148,12 +154,12 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     """DataFrame over one table version (default: latest). Empty versions
     read as an empty frame only when the table has a readable schema."""
     m = read_manifest(path, version)
-    # mergeSchema: after a schema-evolving merge a version legitimately
-    # mixes old-schema files (untouched buckets) with new-schema files;
-    # the union schema reads old files' missing columns as NULL — the
-    # additive-evolution contract. Without it, which columns survive
-    # would depend on file listing order.
-    reader = spark.read.option("mergeSchema", "true")
+    # mergeSchema only when the manifest says this version mixes file
+    # schemas (schema-evolving merges keep untouched buckets' old-schema
+    # files): the union schema reads old files' missing columns as NULL —
+    # the additive-evolution contract. Unevolved tables skip the
+    # footer-merge job entirely.
+    reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
     if m.get("base"):
         reader = reader.option("basePath", m["base"])
     return reader.parquet(*m["files"])
@@ -233,17 +239,11 @@ def _registered_clones(path: str) -> list[tuple[str, str]]:
 def _all_manifest_files(path: str) -> set[str]:
     """Every data file referenced by ANY retained manifest of ``path``."""
     refs: set[str] = set()
-    try:
-        names = os.listdir(_snap_dir(path))
-    except FileNotFoundError:
-        return refs
-    for n in names:
-        if n.startswith("v") and n.endswith(".json"):
-            try:
-                with open(os.path.join(_snap_dir(path), n)) as fh:
-                    refs.update(json.load(fh).get("files", []))
-            except (OSError, ValueError):
-                continue
+    for v in _versions_on_disk(path):
+        try:
+            refs.update(read_manifest(path, v).get("files", []))
+        except (OSError, ValueError):
+            continue
     return refs
 
 
@@ -258,7 +258,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     silently break clones — the classic Delta shallow-clone hazard.)"""
     m = read_manifest(src, version)
     os.makedirs(dst, exist_ok=True)
-    v = _publish(dst, list(m["files"]), base=m.get("base", src))
+    v = _publish(
+        dst, list(m["files"]), base=m.get("base", src),
+        mixed_schema=bool(m.get("mixed_schema")),
+    )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):
             _register_clone(owner, dst)

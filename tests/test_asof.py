@@ -111,3 +111,23 @@ def test_asof_value_col_collision_raises(spark):
     df = spark.createDataFrame([("k", datetime(2024, 1, 1), 1.0)], "key string, ts timestamp, price double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(df, df, on="key")
+
+
+def test_asof_pandas_tie_cols_deterministic(spark):
+    """Equal-ts right rows must resolve by tie_cols (max wins, matching
+    the validity-window convention), not by post-shuffle arrival order."""
+    from datetime import datetime
+
+    from stellar_etl_airflow_spark.operators.asof import asof_join_pandas
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, "u", datetime(2024, 1, 1, 13))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", t, 10.0, 1), ("u", t, 99.0, 2), ("u", t, 50.0, 0)],
+        "k string, ts timestamp, price double, rid long",
+    )
+    for _ in range(3):  # any run-dependence would flake across repeats
+        (row,) = asof_join_pandas(
+            left, right, on="k", value_cols=["price"], tie_cols=["rid"]
+        ).collect()
+        assert row["price"] == 99.0  # rid=2 is the max tie

@@ -105,3 +105,33 @@ def test_zorder_write_enables_multi_column_skipping(spark, tmp_path):
     assert spark.read.parquet(zdir).count() == n
     back = spark.read.parquet(zdir).agg(F.sum("payload")).first()[0]
     assert back == n * (n - 1) // 2
+
+
+def test_zvalue_wide_and_typed_columns(spark):
+    """Regressions from review: (a) bit positions >= 31 must not wrap a
+    32-bit int (4+ cols x 8 bits reaches position 31+), (b) timestamp/
+    date/boolean columns must bucket via their double view, (c) strings
+    are rejected with a clear error."""
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 97 AS LONG) AS a",
+        "CAST(id % 89 AS DOUBLE) AS b",
+        "CAST(id % 83 AS INT) AS c",
+        "CAST(id % 79 AS LONG) AS d",
+        "CAST(id % 73 AS LONG) AS e",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+        "DATE '2024-01-01' + make_interval(0, 0, 0, CAST(id % 300 AS INT)) AS dt",
+        "id % 2 = 0 AS flag",
+        "CAST(id AS STRING) AS s",
+    )
+    rows = df.withColumn("z", zvalue(df, ["a", "b", "c", "d", "e"], bits=8)).select("z").collect()
+    zs = [r["z"] for r in rows]
+    assert all(z >= 0 for z in zs), "negative z-value: 32-bit shiftleft wrap"
+    assert max(zs) >= (1 << 31), "wide interleave never reached high bit positions"
+    assert len(set(zs)) > 100
+    typed = df.withColumn("z", zvalue(df, ["ts", "dt", "flag"], bits=4)).select("z").collect()
+    assert all(r["z"] is not None and r["z"] >= 0 for r in typed)
+    assert len({r["z"] for r in typed}) > 10
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        zvalue(df, ["s"])

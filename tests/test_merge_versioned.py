@@ -218,3 +218,17 @@ def test_merge_versioned_schema_evolution(spark, tmp_path):
     assert out2["E"]["balance"] is None and out2["E"]["memo"] is None
     # A is not in the shrunk batch: the anti-join keeps its full row
     assert out2["A"]["memo"] == "memo-A" and out2["A"]["balance"] == 10.0
+
+    # the Delta UPDATE SET * contract: a batch UPDATING a matched key but
+    # MISSING a column must keep that key's current value, not NULL it
+    update_a = spark.createDataFrame(
+        [("A", 99.0, 103, 0, False)],
+        "k string, balance double, last_modified_ledger long, ledger_entry_change long, deleted boolean",
+    )
+    merge_upsert_versioned(
+        spark, update_a, path, keys=("k",), n_buckets=4, allow_schema_evolution=True
+    )
+    out3 = {r["k"]: r for r in read_snapshot(spark, path).collect()}
+    assert out3["A"]["balance"] == 99.0  # updated by the batch
+    assert out3["A"]["memo"] == "memo-A"  # absent column carried, not clobbered
+    assert out3["D"]["memo"] == "memo-D"
