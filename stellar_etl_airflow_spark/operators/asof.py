@@ -99,6 +99,7 @@ def asof_join_pandas(
     tolerance=None,
     direction: str = "backward",
     tie_cols: Sequence[str] = (),
+    bucket_by: int | None = 64,
 ) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pandas.merge_asof``.
 
@@ -106,6 +107,16 @@ def asof_join_pandas(
     {"forward", "nearest"} is needed — semantics ``merge_asof`` has but the
     union-window trick does not. Arrow-batched; each key group must fit in
     executor memory (salt/split hot keys upstream if not).
+
+    ``bucket_by`` (default 64): cogroup on ``pmod(hash(keys), bucket_by)``
+    instead of the raw keys, and run ONE vectorized
+    ``merge_asof(by=keys)`` per bucket. Cogrouped applyInPandas invokes
+    Python once PER GROUP, so grouping on a high-cardinality key (every
+    user, every instrument) pays per-key Arrow+interpreter overhead —
+    ~1 ms × millions of keys. Bucketing makes the group count the shuffle
+    width, not the key cardinality: at 100 TB, thousands of buckets of
+    ~even size, each merged in a single pandas call. Pass ``None`` to
+    cogroup on the raw keys (debugging / key-skew isolation).
 
     ``tie_cols``: extra right-side columns used ONLY to order equal-
     timestamp right rows inside the group (merge_asof resolves ties to
@@ -128,9 +139,13 @@ def asof_join_pandas(
     out_cols = [f.name for f in out_schema.fields]
     rsel = right.select(*keys, F.col(right_ts).alias("_rts"), *value_cols, *tie_cols)
 
+    by = keys if bucket_by else None
+
     def join_group(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.empty:
             return pd.DataFrame(columns=out_cols)
+        # merge_asof requires a global sort on the ts key; with by= the
+        # key grouping happens inside the single vectorized merge call.
         ldf = ldf.sort_values(left_ts, kind="mergesort")
         if rdf.empty:
             for c in value_cols:
@@ -139,14 +154,22 @@ def asof_join_pandas(
         rdf = rdf.sort_values(["_rts", *tie_cols], kind="mergesort")
         merged = pd.merge_asof(
             ldf,
-            rdf[["_rts", *value_cols]],
+            rdf[[*(by or []), "_rts", *value_cols]],
             left_on=left_ts,
             right_on="_rts",
+            by=by,
             tolerance=tolerance,
             direction=direction,
         )
         return merged[out_cols]
 
+    if bucket_by:
+        bcol = F.pmod(F.hash(*keys), F.lit(int(bucket_by)))
+        return (
+            left.groupBy(bcol.alias("_asof_b"))
+            .cogroup(rsel.groupBy(bcol.alias("_asof_b")))
+            .applyInPandas(join_group, out_schema)
+        )
     return (
         left.groupBy(*keys)
         .cogroup(rsel.groupBy(*keys))
