@@ -74,6 +74,7 @@ _FRONT = [
     "q51_incremental_mart",
     "t35_stratified_sample",
     "q52_asof_tolerance",
+    "s07_stream_static_enrich",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -461,6 +461,60 @@ WHERE rn = 1
 
 
 
+def s07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a readStream of events broadcast-
+    joined per micro-batch to a STATIC customer dimension (the third
+    Structured Streaming join shape, next to s05's stream-stream and
+    q51's merge-maintained mart). The static side is a plain batch
+    DataFrame re-resolved every micro-batch — the streaming analog of the
+    reference's enrich-on-load joins — and stays broadcast, so the stream
+    side never shuffles for the join; only the windowless aggregate
+    exchanges data. AvailableNow drain == batch join+agg oracle."""
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = os.path.join(tempfile.gettempdir(), f"s07-src-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    sub = _stream_session(spark)
+    dim = F.broadcast(
+        sub.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+    )
+    qname = f"s07_enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # the memory sink owns the drained rows; per-run scratch goes away
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+    return sub.table(qname)
+
+
+S07_SQL = f"""
+SELECT c.c_mktsegment, e.event_type, count(*) AS n, {dsum_sql('e.value')} AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+
+
 def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance through the driver
     gate: the per-(user, day) activity mart is built by additive MVCC
@@ -589,6 +643,11 @@ SPECS: dict[str, QuerySpec] = {
         s06_stream_upsert_sink,
         S06_SQL,
         "foreachBatch CDC upsert through MVCC merge == batch latest-per-key oracle",
+    ),
+    "s07_stream_static_enrich": QuerySpec(
+        s07_stream_static_enrich,
+        S07_SQL,
+        "stream-static broadcast enrichment join == batch join+agg oracle",
     ),
     "q51_incremental_mart": QuerySpec(
         q51_incremental_mart,
