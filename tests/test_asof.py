@@ -131,3 +131,18 @@ def test_asof_pandas_tie_cols_deterministic(spark):
             left, right, on="k", value_cols=["price"], tie_cols=["rid"]
         ).collect()
         assert row["price"] == 99.0  # rid=2 is the max tie
+
+
+def test_asof_pandas_bucketed_matches_raw_key_cogroup(spark, events):
+    """Default bucketed cogroup (one merge_asof(by=) per hash bucket) must
+    be result-identical to cogrouping on the raw key — bucketing changes
+    only WHERE the per-key merge happens, never its outcome."""
+    prices = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price"), F.col("event_id").alias("_peid")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    kw = dict(on="user_id", value_cols=["price"], tie_cols=["_peid"],
+              tolerance=pd.Timedelta(days=1))
+    bucketed = asof_join_pandas(clicks, prices, bucket_by=16, **kw)
+    raw = asof_join_pandas(clicks, prices, bucket_by=None, **kw)
+    assert _canon(bucketed) == _canon(raw)
