@@ -219,15 +219,32 @@ def lsh_cosine_topk_multiprobe(
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     by cosine (argmax over the broadcast centroid set). ``vectors`` /
-    ``centroids`` are `_prep`-shaped ('n_'/'c_' prefixes)."""
+    ``centroids`` are `_prep`-shaped ('n_'/'c_' prefixes).
+
+    The argmax is a ``max_by`` aggregate, NOT a row_number window: the
+    window formulation shuffles the full |corpus| x k scored cross
+    product to sort it, while ``max_by`` partial-aggregates map-side so
+    the exchange carries at most one row per (vector, input partition) —
+    the k-factor never reaches the shuffle. Tie-break matches the window
+    convention: max cosine, then min centroid id (via -c_id in the
+    ordering struct)."""
     cos = F.expr(DOT.format(a="n_vec", b="c_vec")) / (F.col("n_norm") * F.col("c_norm"))
-    w = Window.partitionBy("n_id").orderBy(F.col("_cos").desc(), F.col("c_id").asc())
     return (
         vectors.crossJoin(F.broadcast(centroids))
         .withColumn("_cos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("n_id", "n_vec", "n_norm", F.col("c_id").alias("cell"))
+        .groupBy("n_id")
+        .agg(
+            F.max_by(
+                F.struct("n_vec", "n_norm", "c_id"),
+                F.struct(F.col("_cos"), (-F.col("c_id")).alias("_nc")),
+            ).alias("_best")
+        )
+        .select(
+            "n_id",
+            F.col("_best.n_vec").alias("n_vec"),
+            F.col("_best.n_norm").alias("n_norm"),
+            F.col("_best.c_id").alias("cell"),
+        )
     )
 
 
@@ -310,27 +327,52 @@ def kmeans_ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_pred=None,
+    train_pred=None,
 ) -> DataFrame:
     """IVF coarse quantization with a k-means-refined codebook: seed the
     codebook deterministically (same rule as :func:`ivf_topk`), run
     ``iters`` Lloyd rounds, then emit the final assignment with the
     point-to-centroid cosine. This is the index-build stage of an
     IVF-based ANN system (Jégou et al., TPAMI 2011); ``ivf_topk``'s probe
-    join runs unchanged on the refined cells."""
+    join runs unchanged on the refined cells.
+
+    100 TB knobs — the corpus-entry defaults are the oracle-checkable
+    exact twin, NOT the production config:
+
+    - ``centroid_pred`` must BOUND k at scale: the default ``id % 37``
+      rule grows the codebook (and every assignment's broadcast argmax)
+      linearly with the corpus — quadratic total work. Pass e.g.
+      ``pmod(xxhash64(id), n_rows // k) == 0`` so k is fixed by design
+      (k ~ sqrt(corpus) is the usual IVF sizing).
+    - ``train_pred``: Lloyd rounds train on this deterministic sample
+      instead of the full corpus (FAISS practice: ~256 x k training
+      points saturate codebook quality). Assignment still covers every
+      vector; only the centroid refinement reads the sample.
+    """
     c = _prep(corpus, id_col, vec_col, "n")
     seeds = _prep(
         corpus.filter(centroid_pred if centroid_pred is not None else (F.col(id_col) % 37 == 3)),
         id_col, vec_col, "c",
     ).select("c_id", "c_vec", "c_norm")
-    refined = kmeans_refine(c, seeds, iters=iters)
+    train = _prep(corpus.filter(train_pred), id_col, vec_col, "n") if train_pred is not None else c
+    refined = kmeans_refine(train, seeds, iters=iters)
     cos = F.expr(DOT.format(a="n_vec", b="c_vec")) / (F.col("n_norm") * F.col("c_norm"))
-    w = Window.partitionBy("n_id").orderBy(F.col("_cos").desc(), F.col("c_id").asc())
+    # max_by argmax, same shuffle discipline (and tie-break) as ivf_assign
     return (
         c.crossJoin(F.broadcast(refined))
         .withColumn("_cos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("n_id", F.col("c_id").alias("cell"), F.round("_cos", 6).alias("cosine"))
+        .groupBy("n_id")
+        .agg(
+            F.max_by(
+                F.struct("c_id", "_cos"),
+                F.struct(F.col("_cos"), (-F.col("c_id")).alias("_nc")),
+            ).alias("_best")
+        )
+        .select(
+            "n_id",
+            F.col("_best.c_id").alias("cell"),
+            F.round("_best._cos", 6).alias("cosine"),
+        )
     )
 
 
