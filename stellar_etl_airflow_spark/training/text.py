@@ -276,19 +276,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
     def top_frac(tokens_col: str, out_prefix: str):
-        w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
         counts = (
             base.select("doc_id", F.explode(tokens_col).alias("tok"))
             .groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # argmax as min_by aggregate, not a row_number window: the window
+        # re-shuffles every (doc, token) count row to sort it; min_by
+        # partial-aggregates map-side so the exchange carries ~one row per
+        # doc. min of (-cnt, tok) == max cnt, ties to the min token —
+        # identical to the oracle's ORDER BY cnt DESC, tok ASC.
         return (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            counts.groupBy("doc_id")
+            .agg(
+                F.min_by(
+                    F.struct("tok", "cnt"),
+                    F.struct((-F.col("cnt")).alias("_nc"), F.col("tok")),
+                ).alias("_top")
+            )
             .select(
                 "doc_id",
-                F.col("tok").alias(f"top_{out_prefix}"),
-                F.col("cnt").alias(f"top_{out_prefix}_count"),
+                F.col("_top.tok").alias(f"top_{out_prefix}"),
+                F.col("_top.cnt").alias(f"top_{out_prefix}_count"),
             )
         )
 
