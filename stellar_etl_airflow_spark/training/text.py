@@ -443,14 +443,23 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     probability table to upgrade the model).
 
     Two shuffles: token-count agg for the model (vocab-sized result,
-    broadcast back) and the per-doc average. Log/exp are rounded to 6
-    decimals so cross-engine libm ulp differences cannot flip equality
-    (same discipline as TF-IDF, t22)."""
-    tokens = df.select(F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term"))
+    broadcast back) and the per-doc average. The token explode is
+    materialized ONCE (single-fold discipline — vocab, total, and the
+    scoring join all consume the same fold, and Catalyst's projection
+    collapse would otherwise re-run it per consumer); the corpus token
+    total is derived from the vocab counts IN-PLAN (1-row broadcast
+    cross join), not via a driver-side count action. Log/exp are rounded
+    to 6 decimals so cross-engine libm ulp differences cannot flip
+    equality (same discipline as TF-IDF, t22)."""
+    tokens = df.select(
+        F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term")
+    ).localCheckpoint(eager=True)
     vocab = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = tokens.count()
-    scored = tokens.join(F.broadcast(vocab), "term").withColumn(
-        "_nlp", -F.log(F.col("tf") / F.lit(float(total)))
+    total = vocab.agg(F.sum("tf").cast("double").alias("_n"))
+    scored = (
+        tokens.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_nlp", -F.log(F.col("tf") / F.col("_n")))
     )
     return (
         scored.groupBy("doc")
