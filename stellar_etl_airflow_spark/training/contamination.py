@@ -39,8 +39,13 @@ def contamination_report(
     never shuffled — the join is map-side against the eval hash table.
     One aggregation shuffle on the (small) hit set.
     """
-    grams = with_word_ngrams(df, text_col, n).select(
-        F.col(id_col).alias(id_col), F.explode("grams").alias("gram")
+    # materialized once: the eval and train branches both consume this
+    # fold, and Catalyst's projection collapse would re-run the shingling
+    # in each branch (single-fold discipline, training/dedup.py)
+    grams = (
+        with_word_ngrams(df, text_col, n)
+        .select(F.col(id_col).alias(id_col), F.explode("grams").alias("gram"))
+        .localCheckpoint(eager=True)
     )
     is_eval = (F.col(id_col) % eval_mod) == 0
     eval_grams = grams.filter(is_eval).select(F.col(id_col).alias("eval_id"), "gram")
