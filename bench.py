@@ -74,8 +74,9 @@ def main() -> None:
         heavy = [
             "t20_training_pipeline", "t17_neardup_components", "t14_jaccard_dfcapped",
             "t02_ngram_jaccard_pairs", "t03_minhash_lsh_pairs", "s01_stream_tumbling",
-            "s05_stream_stream_join", "s06_stream_upsert_sink",
+            "s05_stream_stream_join", "s06_stream_upsert_sink", "q51_incremental_mart",
             "t05_simhash_neardup", "t06_embedding_topk", "t13_multimodal_meta",
+            "t34_boilerplate_coverage", "t29_per_lang_quality_filter",
         ]
         ordered = [(n, QUERIES[n]) for n in heavy if n in QUERIES]
         ordered += [(n, s) for n, s in sorted(QUERIES.items()) if n not in set(heavy)]
