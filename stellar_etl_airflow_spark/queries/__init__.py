@@ -55,9 +55,14 @@ _FRONT = [
     "q44_cube",
     "q45_explode_outer",
     "s01_stream_tumbling",
-    # changed this round: dtype fix (ADVICE r4) and scoped-MERGE rewire
+    # changed this round: dtype fix (ADVICE r4), scoped-MERGE rewire,
+    # max_by argmax rewrites (IVF + top-token)
     "t27_repetition_stats",
     "q17_apply_changes",
+    "t16_embedding_ivf_topk",
+    "t19_kmeans_ivf",
+    "t32_unigram_logprob",
+    "t28_contamination_report",
     # brand-new round-5 entries: need their first driver row
     "t28_contamination_report",
     "t29_per_lang_quality_filter",
