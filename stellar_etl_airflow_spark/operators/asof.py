@@ -99,24 +99,31 @@ def asof_join_pandas(
     tolerance=None,
     direction: str = "backward",
     tie_cols: Sequence[str] = (),
-    bucket_by: int | None = 64,
+    bucket_by: int | str | None = "auto",
 ) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pandas.merge_asof``.
 
     Use when ``tolerance`` (max staleness) or ``direction`` in
     {"forward", "nearest"} is needed — semantics ``merge_asof`` has but the
-    union-window trick does not. Arrow-batched; each key group must fit in
-    executor memory (salt/split hot keys upstream if not).
+    union-window trick does not. Arrow-batched; each cogroup (one BUCKET
+    of keys, see below) must fit in executor memory.
 
-    ``bucket_by`` (default 64): cogroup on ``pmod(hash(keys), bucket_by)``
-    instead of the raw keys, and run ONE vectorized
-    ``merge_asof(by=keys)`` per bucket. Cogrouped applyInPandas invokes
-    Python once PER GROUP, so grouping on a high-cardinality key (every
-    user, every instrument) pays per-key Arrow+interpreter overhead —
-    ~1 ms × millions of keys. Bucketing makes the group count the shuffle
-    width, not the key cardinality: at 100 TB, thousands of buckets of
-    ~even size, each merged in a single pandas call. Pass ``None`` to
-    cogroup on the raw keys (debugging / key-skew isolation).
+    ``bucket_by``: cogroup on ``pmod(hash(keys), B)`` instead of the raw
+    keys, and run ONE vectorized ``merge_asof(by=keys)`` per bucket.
+    Cogrouped applyInPandas invokes Python once PER GROUP, so grouping on
+    a high-cardinality key (every user, every instrument) pays per-key
+    Arrow+interpreter overhead — ~1 ms × millions of keys. Bucketing
+    makes the group count the shuffle width, not the key cardinality.
+    The default ``"auto"`` sizes B = ``spark.sql.shuffle.partitions``:
+    one cogroup per shuffle partition, so each pandas frame holds ~one
+    partition's volume — the SAME memory contract as any shuffled stage
+    (sized by raising partitions, which also raises B), with full
+    parallelism and minimal per-group Python overhead (measured at
+    sf0.1: B=32 0.85s, B=512 3.8s — overhead grows with B; a fixed B
+    would silently mean "1/B of the dataset per pandas frame" at 100 TB).
+    Pass an int to pin B, or ``None`` to cogroup on the raw keys
+    (maximum isolation: one hot key per group; the right fallback when
+    single keys are themselves huge or skewed).
 
     ``tie_cols``: extra right-side columns used ONLY to order equal-
     timestamp right rows inside the group (merge_asof resolves ties to
@@ -163,6 +170,8 @@ def asof_join_pandas(
         )
         return merged[out_cols]
 
+    if bucket_by == "auto":
+        bucket_by = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if bucket_by:
         bcol = F.pmod(F.hash(*keys), F.lit(int(bucket_by)))
         return (

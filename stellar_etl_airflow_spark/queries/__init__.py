@@ -64,11 +64,10 @@ _FRONT = [
     "t32_unigram_logprob",
     "t28_contamination_report",
     # brand-new round-5 entries: need their first driver row
-    "t28_contamination_report",
+    # (t28/t32 are also new but already listed in the changed block above)
     "t29_per_lang_quality_filter",
     "t30_source_vocab_overlap",
     "t31_per_lang_threshold_gate",
-    "t32_unigram_logprob",
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "s05_stream_stream_join",

@@ -249,14 +249,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     (Rae et al., "Scaling Language Models: Methods, Analysis & Insights
     from Training Gopher", 2021, table A1: duplicate-n-gram fraction
     filters); thresholds here are the word/bigram analogs. Implemented
-    relationally (explode -> count -> window max) rather than per-row
-    higher-order folds: the counts stay inside whole-stage codegen and
-    the two shuffles are on (doc, token) — linear at 100 TB. Ties on the
-    top token break lexicographically so results are exactly reproducible
-    cross-engine. Documents with no second word report bigram fraction 0.
+    relationally (explode -> count -> min_by argmax) rather than per-row
+    higher-order folds: the counts stay inside whole-stage codegen, the
+    (doc, token) count shuffle partial-aggregates map-side, and the
+    argmax exchange carries ~one row per doc — linear at 100 TB. Ties on
+    the top token break lexicographically so results are exactly
+    reproducible cross-engine. Documents with no second word report
+    bigram fraction 0.
     """
-    from pyspark.sql.window import Window
-
     base = df.select(F.col(id_col).alias("doc_id"), words_col(text_col).alias("_ws")).filter(
         F.size("_ws") > 0
     )

@@ -8,11 +8,27 @@ i.e. super-linear wall growth indicts the plan, not the data:
 
 - ids (doc_id / event_id / user_id / vec_id / l_orderkey) are offset per
   replica so keys stay distinct and per-key densities are unchanged;
-- document text gets a per-replica suffix token, so every replica
-  reproduces the original near-dup cluster structure without creating
-  cross-replica duplicates (otherwise dup groups grow Kx and pair-ops
-  quadratically — measuring the data generator, not the engine);
+- every SECOND word of document text is salted with the replica id, so a
+  doc and its replica copy share ZERO word bigrams or trigrams (any 2
+  consecutive positions contain a salted one), their simhashes diverge far beyond
+  the hamming threshold, and Jaccard collapses — while two docs WITHIN
+  a replica are perturbed by the same positional rule and keep their
+  mutual similarity. Each replica therefore reproduces the original
+  near-dup cluster structure without cross-replica duplicates
+  (otherwise dup groups grow Kx and pair-ops quadratically — measuring
+  the data generator, not the engine). A single appended suffix token is
+  NOT enough: measured on sf0.1 it leaves cross-replica 3-gram Jaccard
+  at ~0.97 and simhash hamming ~2 — well inside every dedup threshold;
 - embeddings keep their vectors (ANN cost is corpus size, not values).
+
+Known probe caveats (read the ratios accordingly):
+- t06/t16 select queries as ``vec_id % 10 == 0`` and the replica OFFSET
+  is divisible by 10, so the QUERY SET also grows Kx: brute-force work
+  is K^2 by construction, IVF work ~K^2/cells. Their ratios bound
+  engine overhead; they are NOT linearity evidence.
+- all builds (including K=1) repartition to ``max(8, 4*K)`` so the
+  baseline and scaled runs share a layout policy and the ratio isolates
+  volume, not file count.
 
 Usage:  python tools/scale_stress.py [K ...]   (default: 1 5 10)
 Writes scaled tables under /tmp/scale-stress/sfK/ (reused if present),
@@ -78,11 +94,9 @@ def build(spark: SparkSession, k: int) -> str:
         table = name[: -len(".parquet")]
         src = os.path.join(BASE, name)
         dst = os.path.join(out, name)
-        if table not in TABLES or k == 1:
+        if table not in TABLES:
             # unscaled dims ride along so multi-table probes still resolve
             df = spark.read.parquet(src)
-            if table == "events":
-                df = normalize_nanos(df)
             df.write.mode("overwrite").parquet(dst)
             continue
         id_cols, text_col = TABLES[table]
@@ -95,14 +109,23 @@ def build(spark: SparkSession, k: int) -> str:
             for c in id_cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * OFFSET).cast("long"))
             if text_col is not None and r > 0:
+                # salt every 2nd word: kills every cross-replica bigram/trigram
+                # and pushes simhash far past the hamming threshold, while
+                # within-replica similarity is preserved (same positional
+                # rule applied to near-dup pairs)
                 rep = rep.withColumn(
-                    text_col, F.concat(F.col(text_col), F.lit(f" zrep{r}"))
+                    text_col,
+                    F.expr(
+                        f"array_join(transform(split({text_col}, ' '), "
+                        f"(w, i) -> IF(i % 2 = 0, concat(w, 'zr{r}'), w)), ' ')"
+                    ),
                 )
             reps.append(rep)
         u = reps[0]
         for rep in reps[1:]:
             u = u.unionByName(rep)
-        # spread the replicas so partition count tracks volume
+        # same layout policy at every K (incl. the K=1 baseline) so the
+        # ratio isolates volume, not partition count
         u.repartition(max(8, 4 * k)).write.mode("overwrite").parquet(dst)
     open(os.path.join(out, "_DONE"), "w").close()
     return out
