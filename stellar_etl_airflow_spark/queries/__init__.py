@@ -79,6 +79,7 @@ _FRONT = [
     "t35_stratified_sample",
     "q52_asof_tolerance",
     "s07_stream_static_enrich",
+    "q53_asof_forward",
     # round-4 rewrites that should keep a fresh row
     "q19_sessionize",
     "q40_sketch_aggregates",

@@ -615,6 +615,48 @@ LEFT JOIN prices p
 """
 
 
+def q53_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (merge_asof direction='forward'): each click
+    takes the price of the EARLIEST purchase at or after it — the
+    look-ahead attribution the backward union-window trick cannot
+    express. Ties on purchase ts resolve to the MIN event_id (forward
+    merge_asof picks the first row in sort order), matching the oracle's
+    lag-window convention where the later-id duplicate's validity window
+    is empty."""
+    from ..operators.asof import asof_join_pandas
+
+    (ev,) = tables(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price"), F.col("event_id").alias("_peid")
+    )
+    out = asof_join_pandas(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["price"],
+        direction="forward",
+        tie_cols=["_peid"],
+    )
+    return out.select("event_id", "user_id", "ts", "price")
+
+
+Q53_SQL = """
+WITH prices AS (
+  SELECT user_id AS p_user_id, value AS price, ts AS valid_to_ts,
+         coalesce(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                  TIMESTAMP '1900-01-01') AS prev_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts, p.price
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN prices p
+  ON c.user_id = p.p_user_id AND c.ts <= p.valid_to_ts AND c.ts > p.prev_ts
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -658,6 +700,11 @@ SPECS: dict[str, QuerySpec] = {
         q52_asof_tolerance,
         Q52_SQL,
         "as-of join with max-staleness tolerance (cogrouped merge_asof)",
+    ),
+    "q53_asof_forward": QuerySpec(
+        q53_asof_forward,
+        Q53_SQL,
+        "forward-direction as-of join (cogrouped merge_asof look-ahead)",
     ),
     "q41_salted_join": QuerySpec(q41_salted_join, Q41_SQL, "salted join == plain join (skew path)"),
     "q42_bucketed_range_join": QuerySpec(
