@@ -248,3 +248,68 @@ def test_merge_additive_versioned_matches_model(spark, tmp_path_factory, batches
             for r in read_snapshot(spark, path, version=version).collect()
         }
         assert got == expected, f"version {version}"
+
+
+asof_left_row = st.tuples(
+    st.sampled_from(["k1", "k2", "k3"]),               # key
+    st.integers(min_value=0, max_value=50),            # ts offset (hours)
+)
+asof_right_row = st.tuples(
+    st.sampled_from(["k1", "k2", "k3", "k4"]),
+    st.integers(min_value=0, max_value=50),
+    st.floats(min_value=0, max_value=9, allow_nan=False).map(lambda x: round(x, 2)),
+)
+
+
+def _model_asof(left_rows, right_rows, direction="backward"):
+    """Brute-force Python model: latest right at-or-before (backward) /
+    earliest at-or-after (forward); ties on right ts to max rid (backward)
+    or min rid (forward), matching the operators' tie conventions."""
+    out = []
+    for i, (k, lt) in enumerate(left_rows):
+        cands = [
+            (rt, rid, v)
+            for rid, (rk, rt, v) in enumerate(right_rows)
+            if rk == k and (rt <= lt if direction == "backward" else rt >= lt)
+        ]
+        if direction == "backward":
+            best = max(cands, key=lambda c: (c[0], c[1]), default=None)
+        else:
+            best = min(cands, key=lambda c: (c[0], c[1]), default=None)
+        out.append((i, best[2] if best else None))
+    return sorted(out)
+
+
+@given(
+    st.lists(asof_left_row, min_size=1, max_size=12),
+    st.lists(asof_right_row, min_size=0, max_size=12),
+)
+@SLOW
+def test_asof_paths_match_python_model(spark, left_rows, right_rows):
+    """asof_join (union+window) and asof_join_pandas (bucketed cogroup
+    merge_asof, both directions) against the brute-force model — including
+    equal-ts ties, no-match keys, and empty right sides."""
+    from stellar_etl_airflow_spark.operators.asof import asof_join, asof_join_pandas
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, t0 + timedelta(hours=h)) for i, (k, h) in enumerate(left_rows)],
+        "row_id int, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, t0 + timedelta(hours=h), v) for rid, (k, h, v) in enumerate(right_rows)],
+        "rid int, key string, ts timestamp, price double",
+    ) if right_rows else spark.createDataFrame([], "rid int, key string, ts timestamp, price double")
+
+    def canon(df):
+        return sorted((r["row_id"], r["price"]) for r in df.collect())
+
+    jvm = asof_join(left, right, on="key", value_cols=["price"], tiebreak_cols=["rid"])
+    assert canon(jvm) == _model_asof(left_rows, right_rows)
+
+    pdx = asof_join_pandas(left, right, on="key", value_cols=["price"], tie_cols=["rid"])
+    assert canon(pdx) == _model_asof(left_rows, right_rows)
+
+    fwd = asof_join_pandas(left, right, on="key", value_cols=["price"],
+                           direction="forward", tie_cols=["rid"])
+    assert canon(fwd) == _model_asof(left_rows, right_rows, direction="forward")
