@@ -27,72 +27,69 @@ QUERIES.update(training.SPECS)
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
 # round (the corpus is now larger than the window). Front-load the
-# entries whose verdicts carry NEW information this round. Round 5:
-# everything was green in round 4, so the stalest rows carry the most
-# signal — the 18 entries whose latest green driver row is round 2 (the
-# round-4 judge's #1 ask); then entries changed this round (t27 dtype
-# fix, q17 now routed through scoped MERGE); then the brand-new round-5
-# entries needing their first row (t28–t34, s05, s06, q48–q51); then the
-# round-4-green remainder. If the driver checks everything, order is
-# irrelevant; if it truncates, the truncation costs the least signal.
+# entries whose verdicts carry NEW information this round. Round 6:
+# everything is green; signal = staleness. Front the 10 entries whose
+# latest driver row is round 3 (VERDICT r5 ask #1), then the 35 whose
+# latest row is round 4 (so nothing ends the round more than one round
+# stale) — that set also contains every entry touched by this round's
+# changes (t04/t05 simhash fold fix, t13/t15 real PNG pixel decode,
+# q07/q27/q42 as-of skew auto-fallback). New round-6 entries ride just
+# behind, then the r5-fresh remainder. If the driver checks everything,
+# order is irrelevant; if it truncates, the truncation costs the least
+# signal.
 _FRONT = [
-    # r2-stale rows: latest green driver check was round 2 (VERDICT r4 #1)
-    "q26_correlated_subquery",
-    "q28_rollup",
-    "q29_percentiles",
-    "q30_rolling_window",
-    "q31_setops",
-    "q32_pivot",
-    "q33_unpivot",
-    "q34_tumbling_window",
-    "q35_exists_subqueries",
-    "q36_window_ranks",
-    "q37_lateral_topk",
-    "q38_hopping_window",
-    "q39_full_outer",
-    "q41_salted_join",
-    "q43_range_frames",
-    "q44_cube",
-    "q45_explode_outer",
-    "s01_stream_tumbling",
-    # changed this round: dtype fix (ADVICE r4), scoped-MERGE rewire,
-    # max_by argmax rewrites (IVF + top-token)
-    "t27_repetition_stats",
-    "q17_apply_changes",
-    "t16_embedding_ivf_topk",
-    "t19_kmeans_ivf",
-    "t32_unigram_logprob",
-    "t28_contamination_report",
-    # brand-new round-5 entries: need their first driver row
-    # (t28/t32 are also new but already listed in the changed block above)
-    "t29_per_lang_quality_filter",
-    "t30_source_vocab_overlap",
-    "t31_per_lang_threshold_gate",
-    "t33_rebalance_sources",
-    "t34_boilerplate_coverage",
-    "s05_stream_stream_join",
-    "q48_fuzzy_blocked_join",
-    "q49_gapfill_ffill",
-    "q50_funnel",
-    "s06_stream_upsert_sink",
-    "q51_incremental_mart",
-    "t35_stratified_sample",
-    "q52_asof_tolerance",
-    "s07_stream_static_enrich",
-    "q53_asof_forward",
-    # round-4 rewrites that should keep a fresh row
-    "q19_sessionize",
-    "q40_sketch_aggregates",
-    "s02_stream_dedup",
-    "s03_stream_sessionize",
-    "s04_stateful_running_counts",
-    "q47_grouping_sets",
-    "t02_ngram_jaccard_pairs",
-    "t03_minhash_lsh_pairs",
-    "t17_neardup_components",
-    "t20_training_pipeline",
-    # remaining training entries
-    *[n for n in QUERIES if n.startswith("t")],
+    # r3-stale rows: latest green driver check was round 3 (VERDICT r5 #1)
+    "q15_multiway_join",
+    "q16_distinct_groupall",
+    "q18_sequence_explode",
+    "q20_export_slice",
+    "q21_scalar_functions2",
+    "q22_provider_accounting",
+    "q23_docs_embeddings_join",
+    "q24_enriched_rows",
+    "q25_top_parts_per_brand",
+    "q46_higher_order",
+    # r4-stale rows, changed-this-round members first (simhash fold
+    # rewrite, PNG pixel decode, as-of auto-fallback touch these paths)
+    "t04_simhash",
+    "t05_simhash_neardup",
+    "t13_multimodal_meta",
+    "t15_frame_sample",
+    "q07_asof_price_join",
+    "q27_asof_union",
+    "q42_bucketed_range_join",
+    # remaining r4-stale rows
+    "q01_pricing_summary",
+    "q02_latest_state_dedup",
+    "q03_shipping_priority",
+    "q04_oldest_wins_dedup",
+    "q05_anti_join",
+    "q06_semi_join_union",
+    "q08_cross_join_latest",
+    "q09_scalar_functions",
+    "q10_json_extract",
+    "q11_validity_windows",
+    "q12_ohlc",
+    "q13_array_agg_ordered",
+    "q14_union_branches",
+    "t06_embedding_topk",
+    "t07_embedding_lsh_topk",
+    "t08_embedding_neardup",
+    "t09_lang_id",
+    "t10_quality_score",
+    "t11_token_stats",
+    "t12_fingerprint",
+    "t14_jaccard_dfcapped",
+    "t18_embedding_multiprobe_topk",
+    "t21_vocab_stats",
+    "t22_tfidf_top_terms",
+    "t23_audio_features",
+    "t24_deterministic_sampling",
+    "t25_chunking",
+    "t26_sequence_packing",
+    # new round-6 entries: need their first driver row
+    *[n for n in QUERIES if n.startswith(("s08", "t36", "q54"))],
+    # r5-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()
 _FRONT = [n for n in _FRONT if not (n in _seen or _seen.add(n))]
