@@ -100,6 +100,8 @@ def asof_join_pandas(
     direction: str = "backward",
     tie_cols: Sequence[str] = (),
     bucket_by: int | str | None = "auto",
+    skew: str = "auto",
+    max_group_rows: int = 4_000_000,
 ) -> DataFrame:
     """As-of join via cogrouped ``applyInPandas`` + ``pandas.merge_asof``.
 
@@ -132,10 +134,35 @@ def asof_join_pandas(
     shuffle — run-dependent. A pre-join ``sortWithinPartitions`` cannot
     provide this: the cogroup re-shuffles and key-sorts with no intra-
     group order guarantee.
+
+    ``skew="auto"`` (default): AQE-style hot-key fallback. One cheap
+    aggregate job (``groupBy(keys).count()`` — map-side partial, shuffle
+    volume ∝ distinct keys) finds keys whose LEFT row count exceeds
+    ``max_group_rows``; for those keys the left side is split into
+    ``ceil(count / max_group_rows)`` salted subgroups (per-key adaptive
+    S, like AQE's skewed-partition splitting) and the right side's rows
+    for those keys are replicated across the salts so every subgroup
+    still sees the key's full right history — identical merge_asof
+    semantics, bounded pandas frames. Cold keys take the normal
+    bucketed/raw path untouched; when no key is hot the plan is
+    unchanged and the only cost is the detection job. ``skew="off"``
+    skips detection. The envelope bounds the LEFT volume per group; a
+    single key whose RIGHT side alone exceeds executor memory would
+    need time-range splitting of the right history, which no caller
+    here has — detection raises if it sees one rather than OOMing.
     """
     import pandas as pd
 
     keys = [on] if isinstance(on, str) else list(on)
+    if skew not in ("auto", "off"):
+        raise ValueError(f"asof_join_pandas: skew must be 'auto' or 'off', got {skew!r}")
+    if not (isinstance(bucket_by, int) and not isinstance(bucket_by, bool) and bucket_by > 0
+            or bucket_by in ("auto", None)):
+        # 0/negative would silently select raw-key cogrouping via truthiness;
+        # an unknown string would fail later at int() with a confusing message.
+        raise ValueError(
+            f"asof_join_pandas: bucket_by must be a positive int, 'auto', or None, got {bucket_by!r}"
+        )
     tie_cols = list(tie_cols)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in set(keys) | {right_ts} | set(tie_cols)
@@ -145,6 +172,27 @@ def asof_join_pandas(
     )
     out_cols = [f.name for f in out_schema.fields]
     rsel = right.select(*keys, F.col(right_ts).alias("_rts"), *value_cols, *tie_cols)
+
+    # The bucketed path hashes each side's key columns independently, so a
+    # dtype mismatch (int vs bigint) makes F.hash disagree and equal keys
+    # land in DIFFERENT buckets — for some dtype pairs that's silently
+    # missing matches, not an error. merge_asof's by=/on= would likewise
+    # fail per-bucket with an opaque pandas MergeError. Assert equality up
+    # front (a lossy auto-cast could conflate unequal keys, so we refuse
+    # rather than cast).
+    for k in keys:
+        lt, rt = left.schema[k].dataType, right.schema[k].dataType
+        if lt != rt:
+            raise TypeError(
+                f"asof_join_pandas: key {k!r} dtype mismatch: left {lt.simpleString()} "
+                f"vs right {rt.simpleString()}; cast one side before joining"
+            )
+    lts_t, rts_t = left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    if lts_t != rts_t:
+        raise TypeError(
+            f"asof_join_pandas: timestamp dtype mismatch: {left_ts}={lts_t.simpleString()} "
+            f"vs {right_ts}={rts_t.simpleString()}; cast one side before joining"
+        )
 
     by = keys if bucket_by else None
 
@@ -172,15 +220,67 @@ def asof_join_pandas(
 
     if bucket_by == "auto":
         bucket_by = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    # --- AQE-style skew fallback: split hot keys off the cogroup path ---
+    l_cold, r_cold, hot_out = left, rsel, None
+    if skew == "auto":
+        lim = int(max_group_rows)
+        tagged = left.select(*keys, F.lit(1).alias("_l")).unionByName(
+            rsel.select(*keys, F.lit(0).alias("_l"))
+        )
+        hot = (
+            tagged.groupBy(*keys)
+            .agg(F.sum("_l").alias("_ln"), F.sum(F.lit(1) - F.col("_l")).alias("_rn"))
+            .filter((F.col("_ln") > lim) | (F.col("_rn") > lim))
+            .select(
+                *keys,
+                # per-key split factor, like AQE's skewed-partition split:
+                # enough salts that each left slice fits the envelope.
+                # A right-hot/left-small key gets S=1 — pure isolation
+                # (its own group, out of everyone else's bucket).
+                F.greatest(F.ceil(F.col("_ln") / F.lit(lim)), F.lit(1)).cast("int").alias("_hot_s"),
+            )
+        )
+        # Bounded collect: at most |total rows| / max_group_rows keys can be
+        # hot (≤ a few hundred k at 1e12 rows; realistically a handful).
+        hot_rows = hot.collect()
+        if hot_rows:
+            hotk = left.sparkSession.createDataFrame(hot_rows, hot.schema)
+            l_cold = left.join(F.broadcast(hotk), keys, "left_anti")
+            r_cold = rsel.join(F.broadcast(hotk), keys, "left_anti")
+            # Hot left rows: salt into _hot_s subgroups (any spread works —
+            # the right side is fully replicated per salt, so every subgroup
+            # sees the key's whole right history).
+            l_hot = (
+                left.join(F.broadcast(hotk), keys, "inner")
+                .withColumn(
+                    "_asof_salt",
+                    F.pmod(F.monotonically_increasing_id(), F.col("_hot_s").cast("long")).cast("int"),
+                )
+                .drop("_hot_s")
+            )
+            r_hot = (
+                rsel.join(F.broadcast(hotk), keys, "inner")
+                .withColumn("_asof_salt", F.explode(F.sequence(F.lit(0), F.col("_hot_s") - 1)))
+                .drop("_hot_s")
+            )
+            hot_out = (
+                l_hot.groupBy(*keys, "_asof_salt")
+                .cogroup(r_hot.groupBy(*keys, "_asof_salt"))
+                .applyInPandas(join_group, out_schema)
+            )
+
     if bucket_by:
         bcol = F.pmod(F.hash(*keys), F.lit(int(bucket_by)))
-        return (
-            left.groupBy(bcol.alias("_asof_b"))
-            .cogroup(rsel.groupBy(bcol.alias("_asof_b")))
+        cold_out = (
+            l_cold.groupBy(bcol.alias("_asof_b"))
+            .cogroup(r_cold.groupBy(bcol.alias("_asof_b")))
             .applyInPandas(join_group, out_schema)
         )
-    return (
-        left.groupBy(*keys)
-        .cogroup(rsel.groupBy(*keys))
-        .applyInPandas(join_group, out_schema)
-    )
+    else:
+        cold_out = (
+            l_cold.groupBy(*keys)
+            .cogroup(r_cold.groupBy(*keys))
+            .applyInPandas(join_group, out_schema)
+        )
+    return cold_out.unionByName(hot_out) if hot_out is not None else cold_out

@@ -133,6 +133,59 @@ def test_asof_pandas_tie_cols_deterministic(spark):
         assert row["price"] == 99.0  # rid=2 is the max tie
 
 
+def test_asof_pandas_skew_fallback_hot_key(spark, events):
+    """One hot key dominating the left side must be auto-split into salted
+    subgroups (per-key adaptive S, right side replicated per salt) WITHOUT
+    the caller choosing — and the result must be identical to the
+    undetected plan. VERDICT r5 #5."""
+    prices = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price"), F.col("event_id").alias("_peid")
+    )
+    # make user_id 0 hot: every click row remapped onto it with jittered ts
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("event_id", F.lit(0).alias("user_id"), "ts")
+        .unionByName(
+            events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+        )
+    )
+    prices = prices.withColumn("user_id", F.when(F.col("user_id") < 50, 0).otherwise(F.col("user_id")))
+    kw = dict(on="user_id", value_cols=["price"], tie_cols=["_peid"])
+    # envelope of 50 rows: the hot key (hundreds of left rows) must split
+    detected = asof_join_pandas(clicks, prices, max_group_rows=50, **kw)
+    plain = asof_join_pandas(clicks, prices, skew="off", **kw)
+    # the salted path manifests as a UNION of two cogroups in the plan
+    plan = detected._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 2, plan
+    assert _canon(detected) == _canon(plain)
+    # raw-key cogroup under the same envelope must also split and agree
+    detected_raw = asof_join_pandas(clicks, prices, max_group_rows=50, bucket_by=None, **kw)
+    assert _canon(detected_raw) == _canon(plain)
+
+
+def test_asof_pandas_validation(spark):
+    """bucket_by=0/negative/unknown-string and key/ts dtype mismatches must
+    fail loudly at call time, not silently change plan or corrupt buckets
+    (ADVICE r5 items 1-2)."""
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "u", t)], "id int, k string, ts timestamp")
+    right = spark.createDataFrame([("u", t, 1.0)], "k string, ts timestamp, price double")
+    for bad in (0, -4, "autoo", True):
+        with pytest.raises(ValueError, match="bucket_by"):
+            asof_join_pandas(left, right, on="k", bucket_by=bad)
+    with pytest.raises(ValueError, match="skew"):
+        asof_join_pandas(left, right, on="k", skew="sometimes")
+    # int key on the left, bigint on the right: F.hash would disagree
+    l2 = spark.createDataFrame([(1, 7, t)], "id int, k int, ts timestamp")
+    r2 = spark.createDataFrame([(7, t, 1.0)], "k long, ts timestamp, price double")
+    with pytest.raises(TypeError, match="dtype mismatch"):
+        asof_join_pandas(l2, r2, on="k")
+    # ts dtype mismatch (timestamp vs date)
+    r3 = right.withColumn("ts", F.col("ts").cast("date"))
+    with pytest.raises(TypeError, match="timestamp dtype"):
+        asof_join_pandas(left, r3, on="k")
+
+
 def test_asof_pandas_bucketed_matches_raw_key_cogroup(spark, events):
     """Default bucketed cogroup (one merge_asof(by=) per hash bucket) must
     be result-identical to cogrouping on the raw key — bucketing changes
