@@ -16,6 +16,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +46,50 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     return sub
 
 
+@contextmanager
+def _stream_scratch(tag: str, sf_dir: str, links: dict[str, str], n_extra: int = 0):
+    """Per-run /tmp scratch for a streaming corpus entry: a source
+    directory populated with symlinks into the read-only testdata (the
+    file source requires a directory; ``*.parquet`` there is a single
+    file), a checkpoint dir, and ``n_extra`` additional scratch dirs.
+    Everything is removed on exit — success OR failure — so a raising
+    stream cannot leak scratch (ADVICE r5 #4, previously only the
+    success path cleaned up).
+
+    ``links``: {link-name-in-stream-dir: source-file-name-under-sf_dir}.
+    Yields (stream_dir, ckpt_dir, *extra_dirs).
+    """
+    run = uuid.uuid4().hex[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"{tag}-src-{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"{tag}-ckpt-{run}")
+    extras = [os.path.join(tempfile.gettempdir(), f"{tag}-x{i}-{run}") for i in range(n_extra)]
+    os.makedirs(stream_dir, exist_ok=True)
+    for name, src in links.items():
+        os.symlink(os.path.abspath(os.path.join(sf_dir, src)), os.path.join(stream_dir, name))
+    try:
+        yield (stream_dir, ckpt, *extras)
+    finally:
+        for d in (stream_dir, ckpt, *extras):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain_memory(df: DataFrame, tag: str, ckpt: str, mode: str) -> str:
+    """Drain a bounded stream into a uniquely-named memory-sink table with
+    Trigger.AvailableNow; returns the table name. The memory sink owns the
+    drained rows, so the caller may free its scratch dirs afterwards."""
+    qname = f"{tag}_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return qname
+
+
 def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q34: file-source readStream -> 6h tumbling window
     aggregation -> complete-mode memory sink, drained with AvailableNow.
@@ -52,39 +97,21 @@ def s01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q34's oracle."""
     (ev,) = tables(spark, sf_dir, "events")  # applies read confs, registers view
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # the file source requires a directory; events.parquet is a single file
-    # (testdata is read-only) — stream a temp dir holding a symlink to it
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s01-src-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     sub = _stream_session(spark)
-    stream = sub.readStream.schema(raw_schema).parquet(stream_dir)
-    stream = normalize_nanos(stream)
-    agg = (
-        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            "event_type",
-            "n",
-            "total",
+    with _stream_scratch("s01", sf_dir, {"events.parquet": "events.parquet"}) as (stream_dir, ckpt):
+        stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+        agg = (
+            stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type",
+                "n",
+                "total",
+            )
         )
-    )
-    qname = f"s01_tumbling_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink owns the drained rows; per-run scratch goes away
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+        qname = _drain_memory(agg, "s01_tumbling", ckpt, "complete")
     return sub.table(qname)
 
 
@@ -177,27 +204,15 @@ def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = tables(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s02-src-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    os.symlink(src, os.path.join(stream_dir, "events-delivery1.parquet"))
-    os.symlink(src, os.path.join(stream_dir, "events-delivery2.parquet"))
     sub = _stream_session(spark)
-    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
-    deduped = dedup_within_watermark(stream, ["event_id"], "ts", watermark="365 days")
-    qname = f"s02_dedup_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink owns the drained rows; per-run scratch goes away
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+    links = {
+        "events-delivery1.parquet": "events.parquet",
+        "events-delivery2.parquet": "events.parquet",
+    }
+    with _stream_scratch("s02", sf_dir, links) as (stream_dir, ckpt):
+        stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+        deduped = dedup_within_watermark(stream, ["event_id"], "ts", watermark="365 days")
+        qname = _drain_memory(deduped, "s02_dedup", ckpt, "append")
     return (
         sub.table(qname)
         .groupBy("event_type")
@@ -227,28 +242,11 @@ def s03_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = tables(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s03-src-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stream_dir, "events.parquet"),
-    )
     sub = _stream_session(spark)
-    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
-    agg = session_counts(stream, "ts", "user_id", gap="30 minutes", watermark="1 hour")
-    qname = f"s03_sessions_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink owns the drained rows; per-run scratch goes away
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+    with _stream_scratch("s03", sf_dir, {"events.parquet": "events.parquet"}) as (stream_dir, ckpt):
+        stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+        agg = session_counts(stream, "ts", "user_id", gap="30 minutes", watermark="1 hour")
+        qname = _drain_memory(agg, "s03_sessions", ckpt, "complete")
     return sub.table(qname).select("user_id", "session_start", "session_end", "n_events")
 
 
@@ -291,28 +289,10 @@ def s04_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = tables(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s04-src-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stream_dir, "events.parquet"),
-    )
     sub = _stream_session(spark)
-    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
-    qname = f"s04_state_{uuid.uuid4().hex[:8]}"
-    query = (
-        running_counts(stream, key_col="user_id")
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink owns the drained rows; per-run scratch goes away
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+    with _stream_scratch("s04", sf_dir, {"events.parquet": "events.parquet"}) as (stream_dir, ckpt):
+        stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+        qname = _drain_memory(running_counts(stream, key_col="user_id"), "s04_state", ckpt, "update")
     w = W.partitionBy("key").orderBy(F.col("n_events").desc())
     return (
         sub.table(qname)
@@ -344,43 +324,25 @@ def s05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = tables(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s05-src-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-
     sub = _stream_session(spark)
+    with _stream_scratch("s05", sf_dir, {"events.parquet": "events.parquet"}) as (stream_dir, ckpt):
 
-    def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        st = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
-        return st.filter(F.col("event_type") == kind).select(
-            F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias)
+        def side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+            st = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+            return st.filter(F.col("event_type") == kind).select(
+                F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias)
+            )
+
+        joined = interval_join_streams(
+            side("click", "click_id", "click_ts"),
+            side("purchase", "purchase_id", "purchase_ts"),
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            horizon="1 hour",
+            watermark="365 days",
         )
-
-    joined = interval_join_streams(
-        side("click", "click_id", "click_ts"),
-        side("purchase", "purchase_id", "purchase_ts"),
-        key="user_id",
-        left_ts="click_ts",
-        right_ts="purchase_ts",
-        horizon="1 hour",
-        watermark="365 days",
-    )
-    qname = f"s05_join_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink owns the drained rows; per-run scratch goes away
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+        qname = _drain_memory(joined, "s05_join", ckpt, "append")
     return sub.table(qname).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
@@ -412,39 +374,35 @@ def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = tables(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s06-src-{uuid.uuid4().hex[:8]}")
-    state_dir = os.path.join(tempfile.gettempdir(), f"s06-state-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    os.symlink(src, os.path.join(stream_dir, "events-delivery1.parquet"))
-    os.symlink(src, os.path.join(stream_dir, "events-delivery2.parquet"))
     sub = _stream_session(spark)
-    stream = normalize_nanos(
-        sub.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
-    )
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        ch = batch_df.select("user_id", "ts", "event_id", "value").withColumn(
-            "deleted", F.lit(False)
-        )
-        apply_changes(
-            sub, ch, state_dir, keys=("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+    links = {
+        "events-delivery1.parquet": "events.parquet",
+        "events-delivery2.parquet": "events.parquet",
+    }
+    with _stream_scratch("s06", sf_dir, links, n_extra=1) as (stream_dir, ckpt, state_dir):
+        stream = normalize_nanos(
+            sub.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stream_dir)
         )
 
-    qname = f"s06_upsert_{uuid.uuid4().hex[:8]}"
-    query = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    out = read_snapshot(sub, state_dir).select("user_id", "ts", "event_id", "value")
-    # detach the result from the per-run scratch dirs before removing them
-    # (state size = distinct users — bounded, not corpus-sized)
-    rows, schema = out.collect(), out.schema
-    for d in (stream_dir, state_dir, os.path.join(tempfile.gettempdir(), f"ckpt-{qname}")):
-        shutil.rmtree(d, ignore_errors=True)
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            ch = batch_df.select("user_id", "ts", "event_id", "value").withColumn(
+                "deleted", F.lit(False)
+            )
+            apply_changes(
+                sub, ch, state_dir, keys=("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        out = read_snapshot(sub, state_dir).select("user_id", "ts", "event_id", "value")
+        # detach the result from the per-run scratch dirs before removing
+        # them (state size = distinct users — bounded, not corpus-sized)
+        rows, schema = out.collect(), out.schema
     return spark.createDataFrame(rows, schema)
 
 
@@ -472,37 +430,20 @@ def s07_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges data. AvailableNow drain == batch join+agg oracle."""
     (ev,) = tables(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream_dir = os.path.join(tempfile.gettempdir(), f"s07-src-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stream_dir, "events.parquet"),
-    )
     sub = _stream_session(spark)
-    dim = F.broadcast(
-        sub.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    with _stream_scratch("s07", sf_dir, {"events.parquet": "events.parquet"}) as (stream_dir, ckpt):
+        dim = F.broadcast(
+            sub.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            )
         )
-    )
-    stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
-    agg = (
-        stream.join(dim, "user_id")
-        .groupBy("c_mktsegment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
-    )
-    qname = f"s07_enrich_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    # the memory sink owns the drained rows; per-run scratch goes away
-    shutil.rmtree(stream_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"ckpt-{qname}"), ignore_errors=True)
+        stream = normalize_nanos(sub.readStream.schema(raw_schema).parquet(stream_dir))
+        agg = (
+            stream.join(dim, "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+        )
+        qname = _drain_memory(agg, "s07_enrich", ckpt, "complete")
     return sub.table(qname)
 
 
@@ -535,23 +476,25 @@ def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     path = os.path.join(tempfile.gettempdir(), f"q51-mart-{uuid.uuid4().hex[:8]}")
-    for residue in (2, 0, 1):  # arrival order deliberately not sorted
-        batch = (
-            prep.filter(F.col("event_id") % 3 == residue)
-            .groupBy("user_id", "day")
-            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total"))
+    try:
+        for residue in (2, 0, 1):  # arrival order deliberately not sorted
+            batch = (
+                prep.filter(F.col("event_id") % 3 == residue)
+                .groupBy("user_id", "day")
+                .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total"))
+            )
+            merge_additive_versioned(
+                spark, batch, path, keys=("user_id", "day"), sum_cols=("n_events", "total"),
+                n_buckets=8,
+            )
+        out = read_snapshot(spark, path).select(
+            "user_id", "day", "n_events", F.col("total").cast("double").alias("total")
         )
-        merge_additive_versioned(
-            spark, batch, path, keys=("user_id", "day"), sum_cols=("n_events", "total"),
-            n_buckets=8,
-        )
-    out = read_snapshot(spark, path).select(
-        "user_id", "day", "n_events", F.col("total").cast("double").alias("total")
-    )
-    # detach from the per-run scratch dir before removing it (mart size =
-    # users x days — bounded)
-    rows, schema = out.collect(), out.schema
-    shutil.rmtree(path, ignore_errors=True)
+        # detach from the per-run scratch dir before removing it (mart size =
+        # users x days — bounded)
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
 
