@@ -38,7 +38,7 @@ from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stellar_etl_airflow_spark.queries import QUERIES  # noqa: E402
-from stellar_etl_airflow_spark.session import get_spark  # noqa: E402
+from stellar_etl_airflow_spark.session import default_parallelism, get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -53,6 +53,25 @@ def main() -> None:
 
     # warm the JVM/codegen once so per-query numbers reflect steady state
     QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ... and the Arrow/Python-worker path: the FIRST pandas-exchanging
+    # stage in a session pays worker spawn + numpy/pandas import (~3-4 s
+    # at 32 slots, measured r6 — this was the whole "t04 flatline": the
+    # scorer itself runs in <1 s warm). One tiny mapInPandas across every
+    # core absorbs that cost here instead of in whichever query runs
+    # pandas first.
+    def _noop_batches(batches):
+        import numpy  # noqa: F401  (the import cost IS the warmup)
+        import pandas as _pd  # noqa: F401
+
+        yield from batches
+
+    (
+        spark.range(0, default_parallelism() * 2, 1, default_parallelism() * 2)
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     def run(item: tuple) -> tuple[str, float]:
         name, spec = item

@@ -450,7 +450,18 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     total is derived from the vocab counts IN-PLAN (1-row broadcast
     cross join), not via a driver-side count action. Log/exp are rounded
     to 6 decimals so cross-engine libm ulp differences cannot flip
-    equality (same discipline as TF-IDF, t22)."""
+    equality (same discipline as TF-IDF, t22).
+
+    Fault-tolerance caveat (ADVICE r5): localCheckpoint stores the fold's
+    blocks on executor-local storage WITHOUT lineage — losing an executor
+    mid-job fails the query instead of recomputing. At bench scale that
+    trade is free; on a 1000-executor run where the exploded fold is the
+    pipeline's largest intermediate, prefer
+    ``persist(StorageLevel.DISK_ONLY)`` (keeps lineage, spills off-heap)
+    or a reliable ``checkpoint()`` to shared storage, at the cost of one
+    extra write pass. The single-fold goal — explode the corpus's tokens
+    exactly once for all three consumers — is the invariant; the storage
+    tier is deployment policy."""
     tokens = df.select(
         F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term")
     ).localCheckpoint(eager=True)
