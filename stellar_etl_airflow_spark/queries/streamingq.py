@@ -456,6 +456,80 @@ GROUP BY c.c_mktsegment, e.event_type
 
 
 
+def s08_stream_crash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-resume CDC drain: the s06 foreachBatch upsert sink is KILLED
+    mid-stream — after its second micro-batch's MVCC merge committed but
+    before that batch's offset reached the checkpoint — then restarted
+    from the same checkpoint. The restart replays exactly the uncommitted
+    batch (redelivering already-merged rows) plus the remainder, and the
+    final snapshot must still equal the batch latest-per-key oracle.
+    Mirrors the reference's del+ins idempotency protocol
+    (build_del_ins_from_gcs_to_bq_task.py:74-104) at the streaming
+    crash boundary: offset tracking gives at-least-once replay, the
+    merge's latest-per-key semantics make replay a no-op."""
+    from ..operators.merge import apply_changes
+    from ..sinks.snapshots import read_snapshot
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sub = _stream_session(spark)
+    links = {f"events-delivery{i}.parquet": "events.parquet" for i in range(3)}
+    with _stream_scratch("s08", sf_dir, links, n_extra=1) as (stream_dir, ckpt, state_dir):
+
+        def mk_stream() -> DataFrame:
+            return normalize_nanos(
+                sub.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+
+        applied: list[int] = []
+
+        def sink(crash_after: int | None):
+            def fn(batch_df: DataFrame, epoch_id: int) -> None:
+                ch = batch_df.select("user_id", "ts", "event_id", "value").withColumn(
+                    "deleted", F.lit(False)
+                )
+                # merge BEFORE the crash: the worst-case window — state
+                # mutated, offset never committed, replay guaranteed
+                apply_changes(
+                    sub, ch, state_dir, keys=("user_id",), n_buckets=8,
+                    order_cols=("ts", "event_id"),
+                )
+                applied.append(epoch_id)
+                if crash_after is not None and len(applied) == crash_after:
+                    raise RuntimeError("injected crash after apply")
+
+            return fn
+
+        q1 = (
+            mk_stream().writeStream.foreachBatch(sink(crash_after=2))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q1.awaitTermination()
+            raise AssertionError("s08: injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
+            if "injected crash" not in str(e):
+                raise
+        q2 = (
+            mk_stream().writeStream.foreachBatch(sink(crash_after=None))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        if len(applied) != 4:  # 2 before crash + 1 replayed + 1 fresh
+            raise AssertionError(f"s08: expected 4 merges across runs, saw {len(applied)}")
+        out = read_snapshot(sub, state_dir).select("user_id", "ts", "event_id", "value")
+        # detach the result from the per-run scratch dirs before removing
+        # them (state size = distinct users — bounded, not corpus-sized)
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance through the driver
     gate: the per-(user, day) activity mart is built by additive MVCC
@@ -633,6 +707,11 @@ SPECS: dict[str, QuerySpec] = {
         s07_stream_static_enrich,
         S07_SQL,
         "stream-static broadcast enrichment join == batch join+agg oracle",
+    ),
+    "s08_stream_crash_resume": QuerySpec(
+        s08_stream_crash_resume,
+        S06_SQL,
+        "crash mid-drain + checkpoint resume through MVCC merge == batch latest-per-key oracle",
     ),
     "q51_incremental_mart": QuerySpec(
         q51_incremental_mart,
