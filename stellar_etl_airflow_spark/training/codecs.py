@@ -96,6 +96,212 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# PNG / BMP pixel decode — pure stdlib zlib + numpy unfiltering.
+#
+# PNG (ISO/IEC 15948): IDAT chunks concatenate into one zlib stream of
+# filtered scanlines (one filter-type byte + stride bytes per row, §7.2);
+# filters 0-4 (None/Sub/Up/Average/Paeth, §9.2) are undone row by row.
+# Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced (Adam7
+# and sub-byte depths return None — they need a real codec's complexity
+# budget). BMP: uncompressed 24/32-bit BITMAPINFOHEADER rows, bottom-up
+# or top-down, 4-byte row padding. JPEG pixels and video stay stubbed in
+# multimodal.py — DCT entropy decode genuinely needs an external library.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Undo PNG scanline filters: returns (h, stride) uint8 array.
+
+    None/Up vectorize whole-row; Sub is a per-lane cumsum (recon[x] =
+    filt[x] + recon[x-bpp] mod 256 — exactly an interleaved prefix sum);
+    Average/Paeth carry a true left-neighbor dependency, so they walk the
+    row column-wise in numpy lane chunks (w iterations of bpp-wide
+    vector ops, not per-byte Python)."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    out = np.empty((h, stride), dtype=np.uint8)
+    ncols = stride // bpp
+    for r in range(h):
+        ft, cur = int(ftypes[r]), data[r]
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: per-lane prefix sum
+            rec = np.cumsum(cur.reshape(ncols, bpp), axis=0, dtype=np.int64).reshape(stride) % 256
+        elif ft == 2:  # Up
+            rec = cur + prev
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for c in range(ncols):
+                s = slice(c * bpp, (c + 1) * bpp)
+                left = (cur[s] + ((left + prev[s]) >> 1)) % 256
+                rec[s] = left
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for c in range(ncols):
+                s = slice(c * bpp, (c + 1) * bpp)
+                up = prev[s]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+                left = (cur[s] + pred) % 256
+                rec[s] = left
+                upleft = up
+        else:
+            return None
+        prev = rec % 256
+        out[r] = prev.astype(np.uint8)
+    return out
+
+
+def png_decode(payload: bytes):
+    """(height, width, channels) uint8 pixel array for an 8-bit-depth,
+    non-interlaced PNG; None for anything else (sub-byte depths, 16-bit,
+    Adam7, malformed streams). Palette images (color type 3) resolve
+    through PLTE to RGB."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n" or payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    depth, ctype, comp, filt, interlace = payload[24:29]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        return None
+    if not w or not h:
+        return None
+    channels = _PNG_CHANNELS[ctype]
+    idat, plte = [], None
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        cid = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IEND":
+            break
+        i += 12 + size  # length + type + body + crc
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    flat = _png_unfilter(raw, h, stride, channels)
+    if flat is None:
+        return None
+    px = flat.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if px.max() >= len(pal):
+            return None
+        px = pal[px[:, :, 0]]
+    return px
+
+
+def png_encode(pixels) -> bytes:
+    """Minimal PNG writer: 8-bit depth, filter-0 scanlines, one zlib IDAT.
+    Accepts (h, w) or (h, w, {1,2,3,4}) uint8 arrays; the color type is
+    derived from the channel count. Output round-trips through
+    :func:`png_decode` bit-exactly — which is what makes the resize stage
+    a real PNG-in/PNG-out transform without an external codec."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * channels)], axis=1
+    ).tobytes()
+    idat = zlib.compress(scanlines, 6)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(cid + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def bmp_decode(payload: bytes):
+    """(height, width, 3|4) uint8 pixels for an uncompressed 24/32-bit
+    BITMAPINFOHEADER BMP (BGR order converted to RGB, bottom-up rows
+    flipped); None otherwise."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bits = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if w <= 0 or h_signed == 0 or planes != 1 or compression != 0 or bits not in (24, 32):
+        return None
+    h = abs(h_signed)
+    channels = bits // 8
+    row_bytes = (w * channels + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload[data_off:need], dtype=np.uint8).reshape(h, row_bytes)
+    px = rows[:, : w * channels].reshape(h, w, channels)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    order = [2, 1, 0] if channels == 3 else [2, 1, 0, 3]
+    return np.ascontiguousarray(px[:, :, order])
+
+
+def image_pixels(payload: bytes):
+    """Pixel array for PNG or BMP payloads, None for formats that need an
+    external codec (JPEG entropy decode, GIF LZW, video)."""
+    px = png_decode(payload)
+    return px if px is not None else bmp_decode(payload)
+
+
+def image_rms(payload: bytes) -> float | None:
+    """RMS intensity of the decoded pixels, normalized to [0, 1] — the
+    image twin of :func:`wav_rms_energy`. None when pixels can't be
+    decoded without an external codec."""
+    import numpy as np
+
+    px = image_pixels(payload)
+    if px is None:
+        return None
+    x = px.astype(np.float64) / 255.0
+    return float(np.sqrt(np.mean(x * x)))
+
+
 def _wav_layout(payload: bytes) -> tuple[int, int, int, int, int] | None:
     """One walk of the RIFF chunk list: (sample_rate, channels,
     bits_per_sample, data_offset, data_len) or None. ``data_len`` is

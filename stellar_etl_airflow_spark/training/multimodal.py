@@ -10,9 +10,12 @@ per batch, not per row, and the pipeline stays a plain DataFrame plan
 Codec status: common container HEADERS are parsed for real with pure
 stdlib ``struct`` (``training/codecs.py``): PNG/GIF/BMP/JPEG dimensions,
 WAV sample rate / channels / duration, and true RMS energy for 16-bit PCM
-WAVs. Only payloads in formats that genuinely need an external library
-(video containers, compressed audio, pixel decoding for resize) fall back
-to ``*_stub`` deterministic fakes — the clearly-marked seam where
+WAVs. Since r6, PNG and BMP PIXELS decode for real too (zlib inflate +
+numpy scanline unfiltering / BGR row flips), so resize is a true
+PNG-in/PNG-out transform and image RMS is computed from actual pixels.
+Only formats that genuinely need an external library (JPEG entropy
+decode, GIF LZW, video containers, compressed audio) fall back to
+``*_stub`` deterministic fakes — the clearly-marked seam where
 PIL/ffmpeg/torchaudio plug in. Everything around the seam — schema,
 batching, partitioning, UDF signature — is real and tested.
 """
@@ -153,20 +156,41 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB for the real resize (PIL .resize + re-encode): deterministic
-    fake that scales the byte budget with the target area."""
+    """STUB for formats whose pixels need an external codec (JPEG/GIF):
+    deterministic fake that scales the byte budget with the target area."""
     budget = max(16, (width * height) // 64)
     reps = (budget // max(len(payload), 1)) + 1
     return (payload * reps)[:budget]
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG/BMP payloads since r6: decode pixels
+    (training/codecs.py::png_decode — stdlib zlib inflate + numpy
+    unfiltering — or bmp_decode), nearest-neighbor sample to the target
+    grid, re-encode as PNG (codecs.png_encode). Formats that genuinely
+    need an external pixel codec (JPEG entropy decode, GIF LZW, video)
+    fall back to the deterministic stub."""
+    import numpy as np
+
+    from . import codecs
+
+    px = codecs.image_pixels(payload)
+    if px is None:
+        return resize_image_stub(payload, width, height)
+    h, w = px.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return codecs.png_encode(px[rows][:, cols])
+
+
 def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
     """Batch resize: binary in, binary out, pinned dims — the standard
-    image-normalization stage before feature extraction."""
+    image-normalization stage before feature extraction. Real pixels for
+    PNG/BMP, stub seam for codec-requiring formats (see resize_image)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [resize_image_stub(bytes(p), width, height) for p in pdf["payload"]]
+            resized = [resize_image(bytes(p), width, height) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
