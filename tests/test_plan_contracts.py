@@ -208,3 +208,61 @@ def test_round5_entries_never_nested_loop(spark):
         plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_model_runner_current_state_chain_broadcasts_dim(spark, tmp_path):
+    """The dbt-equivalent hot path (VERDICT r5 #6): a model-runner chain
+    materializing v_accounts_current (distinct -> ledgers join ->
+    dense_rank) must (a) BROADCAST the ledgers side — the reference's
+    closed_at lookup joins a per-batch ledger slice that is tiny next to
+    the accounts change log (v_accounts_current.sql:34-36), so a shuffle
+    join here would exchange the big side for nothing — and (b) prune the
+    ledgers parquet scan to exactly (sequence, closed_at), never the full
+    ledger row."""
+    from stellar_etl_airflow_spark.models.runner import ModelRegistry
+    from stellar_etl_airflow_spark.views import currentstate as CS
+
+    from . import fixtures as FX
+
+    acc_path, led_path = str(tmp_path / "accounts"), str(tmp_path / "ledgers")
+    spark.createDataFrame(FX.account_change_rows(), FX.ACCOUNTS_SCHEMA).write.parquet(acc_path)
+    from datetime import datetime as _dt
+
+    led_rows = [
+        {**r, "closed_at": _dt.fromisoformat(r["closed_at"])} for r in FX.ledger_rows()
+    ]
+    spark.createDataFrame(led_rows, FX.LEDGERS_SCHEMA).write.parquet(led_path)
+
+    reg = ModelRegistry()
+
+    @reg.model("accounts_current", tags=("current_state",))
+    def accounts_current(ctx):
+        return CS.v_accounts_current(
+            ctx.spark.read.parquet(acc_path), ctx.spark.read.parquet(led_path)
+        )
+
+    @reg.model("balance_mart", tags=("marts",), deps=("accounts_current",))
+    def balance_mart(ctx):
+        return ctx.ref("accounts_current").select("account_id", "balance", "closed_at")
+
+    out = reg.run(spark, "+tag:marts")
+    df = out["balance_mart"]
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the ledgers side must never be exchanged for the join: the only
+    # hash exchange in the chain is the window/dedup repartition
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # column pruning: the ledgers scan reads exactly the two columns the
+    # view consumes (12-column table) — ReadSchema proves pushdown
+    # (the Location path is elided in the plan string, so identify the
+    # ledgers scan by its projected column list)
+    led_scans = [
+        ln for ln in plan.splitlines()
+        if re.search(r"FileScan parquet \[sequence#\d+L?,\s*closed_at#\d+\]", ln)
+    ]
+    assert led_scans, plan
+    for ln in led_scans:
+        assert "ReadSchema: struct<sequence:bigint,closed_at:timestamp>" in ln, ln
+    # and the chain is still correct
+    got = {r["account_id"]: r["balance"] for r in df.collect()}
+    assert got == {"A": 25.0, "B": 0.0, "C": 7.5}
