@@ -309,8 +309,13 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         return []
     cutoff = newest - max(keep_versions, 1)
     keep_files: set[str] = set()
-    for v in range(cutoff + 1, newest + 1):
-        keep_files.update(read_manifest(path, v)["files"])
+    # walk manifests actually on disk, not the dense version range:
+    # keep_versions larger than the history (cutoff < 1) and gaps left by
+    # earlier vacuums are both legal states, not missing-file errors
+    # (caught by the r6 protocol property test)
+    for v in _versions_on_disk(path):
+        if v > cutoff:
+            keep_files.update(read_manifest(path, v)["files"])
     for marker, clone_dir in _registered_clones(path):
         if os.path.isdir(_snap_dir(clone_dir)):
             keep_files.update(_all_manifest_files(clone_dir))
