@@ -1305,3 +1305,86 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t36 — real PNG pixel round-trip, oracle-checked (r6). Each document's
+# ASCII bytes become a 16-wide grayscale image, encoded to a REAL PNG
+# (training/codecs.py::png_encode: filter-0 scanlines + one zlib IDAT) and
+# decoded back (png_decode: zlib inflate + numpy unfiltering) INSIDE the
+# Arrow batch; the stats are computed from the DECODED pixels. The DuckDB
+# oracle recomputes height and RMS from the raw text characters — so a
+# driver hash match proves the distributed encode->decode round-trips every
+# pixel exactly. (The documents fixture is pure ASCII, so character code
+# points == utf-8 bytes on both sides.)
+# ---------------------------------------------------------------------------
+
+
+def t36_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import spread
+    from ..training import codecs
+
+    (docs,) = tables(spark, sf_dir, "documents")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs, rms = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = len(b) // 16
+                if h < 1:
+                    continue
+                px = np.frombuffer(b[: h * 16], dtype=np.uint8).reshape(h, 16)
+                dec = codecs.png_decode(codecs.png_encode(px))
+                # stats come from the DECODED array: any filter/inflate bug
+                # changes rms and fails the oracle hash
+                x = dec[:, :, 0].astype(np.float64) / 255.0
+                ids.append(did)
+                hs.append(dec.shape[0])
+                rms.append(float(np.sqrt(np.mean(x * x))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "rms_raw": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    out = spread(docs.select("doc_id", "text")).mapInPandas(
+        run, "doc_id long, height int, rms_raw double"
+    )
+    # HALF_UP rounding on the JVM side to match DuckDB's round()
+    return out.select(
+        "doc_id",
+        F.lit(16).alias("width"),
+        "height",
+        F.round(F.col("rms_raw"), 6).alias("rms"),
+    )
+
+
+T36_SQL = """
+WITH d AS (
+  SELECT doc_id, substring(text, 1, 16 * CAST(floor(length(text) / 16) AS INT)) AS s
+  FROM documents WHERE length(text) >= 16
+)
+SELECT doc_id,
+       16 AS width,
+       CAST(length(s) / 16 AS INT) AS height,
+       round(sqrt(list_avg(list_transform(string_split(s, ''),
+                                          c -> (ascii(c) / 255.0) * (ascii(c) / 255.0)))), 6) AS rms
+FROM d
+"""
+
+
+SPECS.update(
+    {
+        "t36_image_pixel_stats": QuerySpec(
+            t36_image_pixel_stats,
+            T36_SQL,
+            "real PNG encode->decode round-trip pixel stats == text-byte oracle",
+        ),
+    }
+)
