@@ -91,9 +91,11 @@ def main() -> None:
         # longest-first keeps the big iterative jobs (components, pipeline,
         # LSH) from landing last and serializing the tail
         heavy = [
-            "t20_training_pipeline", "t17_neardup_components", "t14_jaccard_dfcapped",
+            "q51_incremental_mart", "s08_stream_crash_resume", "t20_training_pipeline",
+            "t17_neardup_components", "t14_jaccard_dfcapped",
             "t02_ngram_jaccard_pairs", "t03_minhash_lsh_pairs", "s01_stream_tumbling",
-            "s05_stream_stream_join", "s06_stream_upsert_sink", "q51_incremental_mart",
+            "s04_stateful_running_counts", "t19_kmeans_ivf",
+            "s05_stream_stream_join", "s06_stream_upsert_sink",
             "t05_simhash_neardup", "t06_embedding_topk", "t13_multimodal_meta",
             "t34_boilerplate_coverage", "t29_per_lang_quality_filter",
         ]
