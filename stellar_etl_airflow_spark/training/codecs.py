@@ -282,11 +282,130 @@ def bmp_decode(payload: bytes):
     return np.ascontiguousarray(px[:, :, order])
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int):
+    """GIF-flavor LZW (GIF89a spec appendix F): LSB-first variable-width
+    codes (min+1 .. 12 bits), CLEAR resets the table, EOI terminates.
+    Returns a list of ``expected`` palette indices or None."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    prev: tuple | None = None
+    out: list[int] = []
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little") >> (bitpos & 7)
+        code = window & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            return None
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:expected] if len(out) >= expected else None
+
+
+def gif_decode(payload: bytes):
+    """(h, w, 3) uint8 pixels of the FIRST frame of a GIF87a/89a —
+    pure-Python LZW decompression + palette resolution + Adam-style
+    4-pass deinterlacing when flagged. Extensions are skipped; animation
+    beyond frame 0 is out of scope (frame sampling handles multi-frame
+    media at the plumbing level). None for malformed streams."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = payload[i : i + 3 * n]
+        i += 3 * n
+    n_total = len(payload)
+    while i < n_total:
+        b = payload[i]
+        if b == 0x21:  # extension: label byte + sub-blocks
+            i += 2
+            while i < n_total and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n_total:
+                return None
+            iw, ih = struct.unpack("<HH", payload[i + 5 : i + 9])
+            ipacked = payload[i + 9]
+            i += 10
+            lct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                lct = payload[i : i + 3 * n]
+                i += 3 * n
+            if lct is None or not iw or not ih or i >= n_total:
+                return None
+            min_code_size = payload[i]
+            i += 1
+            data = bytearray()
+            while i < n_total and payload[i] != 0:
+                size = payload[i]
+                data.extend(payload[i + 1 : i + 1 + size])
+                i += 1 + size
+            idx = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
+            if idx is None or min_code_size < 2 or min_code_size > 8:
+                return None
+            arr = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            pal = np.frombuffer(lct, dtype=np.uint8).reshape(-1, 3)
+            if arr.max() >= len(pal):
+                return None
+            return pal[arr]
+        elif b == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def image_pixels(payload: bytes):
-    """Pixel array for PNG or BMP payloads, None for formats that need an
-    external codec (JPEG entropy decode, GIF LZW, video)."""
-    px = png_decode(payload)
-    return px if px is not None else bmp_decode(payload)
+    """Pixel array for PNG, BMP, or GIF payloads, None for formats that
+    need an external codec (JPEG entropy decode, video)."""
+    for probe in (png_decode, bmp_decode, gif_decode):
+        px = probe(payload)
+        if px is not None:
+            return px
+    return None
 
 
 def image_rms(payload: bytes) -> float | None:

@@ -10,11 +10,12 @@ per batch, not per row, and the pipeline stays a plain DataFrame plan
 Codec status: common container HEADERS are parsed for real with pure
 stdlib ``struct`` (``training/codecs.py``): PNG/GIF/BMP/JPEG dimensions,
 WAV sample rate / channels / duration, and true RMS energy for 16-bit PCM
-WAVs. Since r6, PNG and BMP PIXELS decode for real too (zlib inflate +
-numpy scanline unfiltering / BGR row flips), so resize is a true
-PNG-in/PNG-out transform and image RMS is computed from actual pixels.
-Only formats that genuinely need an external library (JPEG entropy
-decode, GIF LZW, video containers, compressed audio) fall back to
+WAVs. Since r6, PNG, BMP and GIF PIXELS decode for real too (zlib inflate +
+numpy scanline unfiltering, BGR row flips, pure-Python GIF-LZW +
+palette), so resize is a true pixels-in/PNG-out transform and image RMS
+is computed from actual pixels. Only formats that genuinely need an
+external library (JPEG entropy decode, video containers, compressed
+audio) fall back to
 ``*_stub`` deterministic fakes — the clearly-marked seam where
 PIL/ffmpeg/torchaudio plug in. Everything around the seam — schema,
 batching, partitioning, UDF signature — is real and tested.
@@ -156,7 +157,7 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB for formats whose pixels need an external codec (JPEG/GIF):
+    """STUB for formats whose pixels need an external codec (JPEG):
     deterministic fake that scales the byte budget with the target area."""
     budget = max(16, (width * height) // 64)
     reps = (budget // max(len(payload), 1)) + 1
@@ -164,12 +165,13 @@ def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for PNG/BMP payloads since r6: decode pixels
+    """REAL resize for PNG/BMP/GIF payloads since r6: decode pixels
     (training/codecs.py::png_decode — stdlib zlib inflate + numpy
-    unfiltering — or bmp_decode), nearest-neighbor sample to the target
-    grid, re-encode as PNG (codecs.png_encode). Formats that genuinely
-    need an external pixel codec (JPEG entropy decode, GIF LZW, video)
-    fall back to the deterministic stub."""
+    unfiltering — bmp_decode, or gif_decode's pure-Python LZW),
+    nearest-neighbor sample to the target grid, re-encode as PNG
+    (codecs.png_encode). Formats that genuinely need an external pixel
+    codec (JPEG entropy decode, video) fall back to the deterministic
+    stub."""
     import numpy as np
 
     from . import codecs

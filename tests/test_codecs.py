@@ -306,3 +306,130 @@ def test_resize_images_real_png_path(spark):
     # nearest-neighbor of a solid-color-halves image keeps the halves
     assert tuple(px[0, 0]) == (250, 0, 0) and tuple(px[0, 3]) == (0, 250, 0)
     assert out[2] == resize_image_stub(b"opaque", 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode (r6): pure-Python LZW vs a reference encoder + a
+# known-good wild fixture.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Reference GIF-LZW encoder (spec appendix F conventions): emits
+    CLEAR, grows the dictionary, bumps the code width when the decoder
+    will (next_code == 2^cs + 1 after an add). Data sizes in these tests
+    stay below the 4096-entry table cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    cs = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    bits, nbits = 0, 0
+    out = bytearray()
+
+    def emit(code, width):
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    emit(clear, cs)
+    w = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], cs)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << cs) + 1 and cs < 12:
+            cs += 1
+        w = (int(k),)
+    if w:
+        emit(table[w], cs)
+    emit(end, cs)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(idx: np.ndarray, palette: list[tuple], interlaced: bool = False) -> bytes:
+    """Assemble a single-frame GIF89a from an (h, w) index array."""
+    h, w = idx.shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += b"\x00" * 3 * ((1 << depth) - n)
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes((0x80 | (depth - 1), 0, 0)) + pal
+    rows = idx
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    data = _gif_lzw_encode(rows.reshape(-1), depth)
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes((0x40 if interlaced else 0,))
+    blocks = bytearray([depth])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + desc + bytes(blocks) + b"\x3b"
+
+
+def test_gif_decode_wild_fixture():
+    """The ubiquitous 1x1 white GIF (published everywhere as the smallest
+    valid GIF) pins our bit-level LZW conventions to real-world bytes."""
+    import base64
+
+    blob = base64.b64decode(
+        "R0lGODlhAQABAIAAAP///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    got = codecs.gif_decode(blob)
+    assert got is not None and got.shape == (1, 1, 3)
+    assert tuple(got[0, 0]) == (255, 255, 255)
+    assert codecs.gif_dimensions(blob) == (1, 1)
+
+
+def test_gif_decode_roundtrip_with_dictionary_growth():
+    """1000 pixels over 16 colors forces several LZW code-width bumps and
+    the KwKwK path; decode must reproduce every index."""
+    rng = np.random.default_rng(11)
+    palette = [(int(i * 16), int(255 - i * 16), int(i * 7)) for i in range(16)]
+    idx = rng.integers(0, 16, size=(25, 40), dtype=np.int32)
+    # embed a KwKwK-triggering run (repeat pattern right after its def)
+    idx[0, :8] = [1, 1, 1, 1, 1, 1, 1, 1]
+    got = codecs.gif_decode(_gif_bytes(idx, palette))
+    assert got is not None and got.shape == (25, 40, 3)
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(got, want)
+
+
+def test_gif_decode_interlaced():
+    palette = [(0, 0, 0), (255, 255, 255), (200, 10, 10), (10, 200, 10)]
+    idx = (np.arange(9 * 5).reshape(9, 5) % 4).astype(np.int32)
+    for interlaced in (False, True):
+        got = codecs.gif_decode(_gif_bytes(idx, palette, interlaced=interlaced))
+        assert got is not None, interlaced
+        assert np.array_equal(got, np.array(palette, dtype=np.uint8)[idx]), interlaced
+
+
+def test_image_pixels_and_resize_cover_gif():
+    from stellar_etl_airflow_spark.training.multimodal import resize_image
+
+    palette = [(9, 9, 9), (250, 0, 0)]
+    idx = np.ones((6, 6), dtype=np.int32)
+    blob = _gif_bytes(idx, palette)
+    px = codecs.image_pixels(blob)
+    assert px is not None and tuple(px[0, 0]) == (250, 0, 0)
+    out = resize_image(blob, 3, 3)
+    dec = codecs.png_decode(out)  # GIF in, PNG out
+    assert dec is not None and dec.shape == (3, 3, 3) and tuple(dec[0, 0]) == (250, 0, 0)
+    assert codecs.image_rms(blob) is not None
