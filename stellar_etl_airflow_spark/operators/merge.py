@@ -108,9 +108,13 @@ def merge_upsert_scoped(
 
     Returns the sorted list of bucket values rewritten.
     """
-    ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+    # persist the bucketed batch: the touched-bucket probe and the merged
+    # write both consume it; uncached, each re-runs the caller's whole
+    # upstream plan (batch-sized, unpersisted before return)
+    ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets)).persist()
     touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
     if not touched:
+        ch.unpersist()
         return []
     os.makedirs(path, exist_ok=True)
     leaf = lambda root, v: os.path.join(root, f"{BUCKET_COL}={v}")  # noqa: E731
@@ -143,6 +147,7 @@ def merge_upsert_scoped(
             os.makedirs(leaf(stage, v), exist_ok=True)
             _swap_dir(leaf(stage, v), leaf(path, v))
     finally:
+        ch.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
     return touched
 
@@ -293,7 +298,12 @@ def _merge_versioned_core(
     changes)``, write new immutable files, publish the next manifest."""
     from ..sinks import snapshots as S
 
-    ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+    # persist the bucketed batch: the touched-bucket probe below and the
+    # merged write both consume it, and without the cache each one re-runs
+    # the caller's whole upstream plan — for an aggregate batch (the
+    # incremental mart) that DOUBLES the merge's compute. Batch-sized,
+    # unpersisted before return.
+    ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets)).persist()
     touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
     os.makedirs(path, exist_ok=True)
     if S.latest_version(path) is None:
@@ -377,6 +387,7 @@ def _merge_versioned_core(
                     os.replace(os.path.join(stage, part, f), dst)
                     new_files.append(dst)
     finally:
+        ch.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
     # once evolved, later versions keep mixing schemas (old keep-files
     # persist) until a full rewrite — propagate the flag forward
