@@ -161,6 +161,7 @@ def merge_upsert_versioned(
     deleted_col: str = "deleted",
     order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
     allow_schema_evolution: bool = False,
+    txn_id: str | None = None,
 ) -> tuple[int, list[int]]:
     """Scoped MERGE with full MVCC: targeted-rewrite cost AND time travel.
 
@@ -214,6 +215,7 @@ def merge_upsert_versioned(
         n_buckets,
         combine,
         evolve=allow_schema_evolution,
+        txn_id=txn_id,
     )
 
 
@@ -224,6 +226,7 @@ def merge_additive_versioned(
     keys: tuple[str, ...],
     sum_cols: tuple[str, ...],
     n_buckets: int = 64,
+    txn_id: str | None = None,
 ) -> tuple[int, list[int]]:
     """Incremental aggregate maintenance: MERGE where matched rows ADD
     their counters instead of being replaced — the incremental-refresh
@@ -269,7 +272,9 @@ def merge_additive_versioned(
             .select(*ch.columns)
         )
 
-    return _merge_versioned_core(spark, batch, path, keys, n_buckets, combine)
+    # additive combines are NOT replay-idempotent: pass ``txn_id`` under
+    # any at-least-once delivery (streaming foreachBatch, retried jobs)
+    return _merge_versioned_core(spark, batch, path, keys, n_buckets, combine, txn_id=txn_id)
 
 
 def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -292,12 +297,31 @@ def _merge_versioned_core(
     n_buckets: int,
     combine,
     evolve: bool = False,
+    txn_id: str | None = None,
 ) -> tuple[int, list[int]]:
     """Shared MVCC scoped-merge machinery: bucket the changes, read only
     touched buckets from the current manifest, apply ``combine(target,
-    changes)``, write new immutable files, publish the next manifest."""
+    changes)``, write new immutable files, publish the next manifest.
+
+    ``txn_id``: optional idempotency token (Delta's txnAppId/txnVersion
+    idea). The manifest carries an applied-transaction ledger
+    {txn_id: version}; a merge re-submitted with a recorded txn_id
+    returns that version WITHOUT reading or writing anything — turning
+    at-least-once redelivery into exactly-once, which non-idempotent
+    combines (additive counters) require and even idempotent ones profit
+    from (a replayed batch costs a manifest read, not a bucket rewrite).
+    The ledger survives merges and clones; a plain overwrite_versioned
+    resets it (new table contents, new lineage)."""
     from ..sinks import snapshots as S
 
+    os.makedirs(path, exist_ok=True)
+    if S.latest_version(path) is None:
+        # bootstrap: adopt whatever bucketed files already exist
+        S.snapshot(path)
+    m = S.read_manifest(path)
+    txns = dict(m.get("txns") or {})
+    if txn_id is not None and txn_id in txns:
+        return int(txns[txn_id]), []
     # persist the bucketed batch: the touched-bucket probe below and the
     # merged write both consume it, and without the cache each one re-runs
     # the caller's whole upstream plan — for an aggregate batch (the
@@ -305,11 +329,6 @@ def _merge_versioned_core(
     # unpersisted before return.
     ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets)).persist()
     touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
-    os.makedirs(path, exist_ok=True)
-    if S.latest_version(path) is None:
-        # bootstrap: adopt whatever bucketed files already exist
-        S.snapshot(path)
-    m = S.read_manifest(path)
 
     def bucket_of(f: str):
         rel = os.path.relpath(f, m.get("base", path))
@@ -392,7 +411,13 @@ def _merge_versioned_core(
     # once evolved, later versions keep mixing schemas (old keep-files
     # persist) until a full rewrite — propagate the flag forward
     mixed = evolve or bool(m.get("mixed_schema"))
-    version = S._publish(path, sorted(keep) + new_files, base=path, mixed_schema=mixed)
+    if txn_id is not None:
+        # single-writer protocol (as everywhere in this log): the next
+        # version number is deterministic at this point
+        txns[txn_id] = m["version"] + 1
+    version = S._publish(
+        path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns
+    )
     return version, touched
 
 
@@ -450,6 +475,7 @@ def apply_changes(
     n_buckets: int = 64,
     deleted_col: str = "deleted",
     order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
+    txn_id: str | None = None,
 ) -> tuple[int, list[int]]:
     """THE default state-table apply path: scoped + MVCC merge
     (:func:`merge_upsert_versioned`) with the bucket layout pinned in the
@@ -492,7 +518,7 @@ def apply_changes(
         n_buckets = int(props["n_buckets"])
     return merge_upsert_versioned(
         spark, changes, path, keys, n_buckets=n_buckets,
-        deleted_col=deleted_col, order_cols=order_cols,
+        deleted_col=deleted_col, order_cols=order_cols, txn_id=txn_id,
     )
 
 

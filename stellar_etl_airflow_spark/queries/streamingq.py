@@ -530,6 +530,90 @@ def s08_stream_crash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def s09_stream_additive_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ADDITIVE counters under a mid-stream crash: foreachBatch
+    maintains a per-user (count, exact-decimal sum) mart via
+    merge_additive_versioned with ``txn_id = epoch id`` (the r6 manifest
+    transaction ledger — Delta's txnAppId/txnVersion idea), crashes AFTER
+    the second batch's merge committed but BEFORE its offset commit, then
+    resumes from the checkpoint. The replayed batch re-submits its txn_id
+    and becomes a no-op — WITHOUT the ledger the counters would double,
+    which is exactly what the oracle (3 deliveries -> 3x the per-user
+    aggregate) detects. The additive twin of s08: idempotence covers
+    latest-per-key state; counters need transactions."""
+    from ..operators.merge import merge_additive_versioned
+    from ..sinks.snapshots import read_snapshot
+
+    (ev,) = tables(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sub = _stream_session(spark)
+    links = {f"events-delivery{i}.parquet": "events.parquet" for i in range(3)}
+    with _stream_scratch("s09", sf_dir, links, n_extra=1) as (stream_dir, ckpt, mart_dir):
+
+        def mk_stream() -> DataFrame:
+            return normalize_nanos(
+                sub.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+
+        applied: list[int] = []
+
+        def sink(crash_after: int | None):
+            def fn(batch_df: DataFrame, epoch_id: int) -> None:
+                batch = batch_df.groupBy(F.col("user_id").alias("k")).agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias("total"),
+                )
+                merge_additive_versioned(
+                    sub, batch, mart_dir, keys=("k",), sum_cols=("n_events", "total"),
+                    n_buckets=8, txn_id=f"epoch-{epoch_id}",
+                )
+                applied.append(epoch_id)
+                if crash_after is not None and len(applied) == crash_after:
+                    raise RuntimeError("injected crash after merge")
+
+            return fn
+
+        q1 = (
+            mk_stream().writeStream.foreachBatch(sink(2))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q1.awaitTermination()
+            raise AssertionError("s09: injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
+            if "injected crash" not in str(e):
+                raise
+        q2 = (
+            mk_stream().writeStream.foreachBatch(sink(None))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        if sorted(applied) != [0, 1, 1, 2]:  # epoch 1 merged twice; once counted
+            raise AssertionError(f"s09: unexpected epoch trace {sorted(applied)}")
+        out = read_snapshot(sub, mart_dir).select(
+            F.col("k").alias("user_id"),
+            "n_events",
+            F.col("total").cast("double").alias("total"),
+        )
+        # detach from scratch before cleanup (mart size = distinct users)
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+S09_SQL = """
+SELECT user_id, CAST(count(*) * 3 AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) * 3 AS DOUBLE) AS total
+FROM events
+GROUP BY user_id
+"""
+
+
 def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance through the driver
     gate: the per-(user, day) activity mart is built by additive MVCC
@@ -712,6 +796,11 @@ SPECS: dict[str, QuerySpec] = {
         s08_stream_crash_resume,
         S06_SQL,
         "crash mid-drain + checkpoint resume through MVCC merge == batch latest-per-key oracle",
+    ),
+    "s09_stream_additive_exactly_once": QuerySpec(
+        s09_stream_additive_exactly_once,
+        S09_SQL,
+        "crash-resume ADDITIVE mart with manifest txn ledger == exactly-once counters oracle",
     ),
     "q51_incremental_mart": QuerySpec(
         q51_incremental_mart,

@@ -104,7 +104,11 @@ def _list_data_files(path: str) -> list[str]:
 
 
 def _publish(
-    path: str, files: list[str], base: str | None = None, mixed_schema: bool = False
+    path: str,
+    files: list[str],
+    base: str | None = None,
+    mixed_schema: bool = False,
+    txns: dict | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
@@ -119,6 +123,13 @@ def _publish(
         # schema-evolving merge keeps untouched buckets' old-schema files);
         # readers then pay the mergeSchema footer pass, and ONLY then
         "mixed_schema": bool(mixed_schema),
+        # applied-transaction ledger {txn_id: version} — the Delta
+        # txnAppId/txnVersion idea: a merge re-submitted with an
+        # already-recorded txn_id is a no-op, giving EXACTLY-ONCE
+        # semantics for non-idempotent (additive) merges under
+        # at-least-once redelivery. Carried forward by merges and
+        # clones; a plain overwrite_versioned starts a fresh ledger.
+        "txns": dict(txns or {}),
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -261,6 +272,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     v = _publish(
         dst, list(m["files"]), base=m.get("base", src),
         mixed_schema=bool(m.get("mixed_schema")),
+        txns=m.get("txns"),  # the clone keeps exactly-once against replays
     )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):
