@@ -1,10 +1,21 @@
-"""Pure-stdlib media header codecs: image dimensions and WAV audio info.
+"""Pure-stdlib media codecs: image headers AND pixels, audio headers/PCM.
 
-No PIL/ffmpeg in the runtime, but the common container headers are plain
-``struct`` parses — so the decode seam in ``multimodal.py`` is REAL for
-PNG / GIF / BMP / JPEG dimensions and RIFF-WAVE sample rate / channels /
-duration, and only falls back to the deterministic stub for formats that
-genuinely need an external codec (video containers, compressed audio).
+No PIL/ffmpeg in the runtime, but most common containers are decodable
+with stdlib ``struct`` + ``zlib`` + numpy — so the decode seam in
+``multimodal.py`` is REAL for:
+
+- image DIMENSIONS: PNG / GIF / BMP / JPEG;
+- image PIXELS (r6): PNG (zlib inflate + per-row unfiltering, all five
+  filter types, gray/RGB(A)/palette), BMP (uncompressed 24/32-bit),
+  GIF (pure-Python LZW + palette + interlace) — plus a minimal PNG
+  ENCODER so resize is pixels-in/PNG-out;
+- audio: WAV (header + int16 RMS), AIFF/AIFC-PCM (r6: big-endian chunk
+  walk, 80-bit-float rate, int16 RMS incl. 'sowt'), FLAC STREAMINFO
+  (r6: header only).
+
+Only formats whose entropy coding genuinely needs an external library
+fall back to the deterministic stub: JPEG pixels, MP3/OGG frames,
+video containers.
 
 Format references (all public specs):
 - PNG: ISO/IEC 15948 §11.2.2 — IHDR is the first chunk; width/height are
@@ -481,6 +492,124 @@ def wav_rms_energy(payload: bytes) -> float | None:
     codec)."""
     layout = _wav_layout(payload)
     return None if layout is None else _rms_from_layout(payload, layout)
+
+
+def _aiff_layout(payload: bytes):
+    """One walk of an AIFF's IFF chunk list: (rate, channels, bits,
+    ssnd_data_off, data_len) or None. AIFF (EA IFF 85 / Apple spec) is
+    big-endian; COMM carries channels/frames/bits + the sample rate as an
+    80-bit IEEE 754 extended float; SSND has an 8-byte offset/blocksize
+    prefix before the PCM frames."""
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    is_aifc = payload[8:12] == b"AIFC"
+    i, n = 12, len(payload)
+    rate = channels = bits = frames = None
+    data_off = data_len = None
+    little = False
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack(">I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            channels, frames, bits = struct.unpack(">HIH", body[:8])
+            if is_aifc:
+                # AIFC COMM carries a compression fourcc after the rate:
+                # NONE = big-endian PCM, sowt = little-endian PCM;
+                # anything else needs a real codec
+                comp = body[18:22] if len(body) >= 22 else b"NONE"
+                if comp == b"sowt":
+                    little = True
+                elif comp != b"NONE":
+                    return None
+            # 80-bit extended float: 1 sign + 15 exponent bits, 64 mantissa
+            exp = struct.unpack(">H", body[8:10])[0]
+            mant = struct.unpack(">Q", body[10:18])[0]
+            if exp == 0 and mant == 0:
+                rate = 0
+            else:
+                sign = -1 if exp & 0x8000 else 1
+                rate = int(sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63))
+        elif cid == b"SSND" and len(body) >= 8:
+            (off,) = struct.unpack(">I", body[:4])
+            data_off = i + 8 + 8 + off
+            data_len = min(size - 8 - off, n - data_off)
+        i += 8 + size + (size & 1)
+    if not rate or not channels or not bits or frames is None or data_off is None:
+        return None
+    return rate, channels, bits, data_off, max(data_len, 0), little
+
+
+def aiff_info(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) for an AIFF
+    payload; None otherwise."""
+    layout = _aiff_layout(payload)
+    if layout is None:
+        return None
+    rate, channels, bits, _off, data_len, _little = layout
+    duration_ms = round(data_len * 1000 / (rate * channels * max(bits // 8, 1)))
+    return rate, channels, bits, duration_ms
+
+
+def flac_info(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from a FLAC
+    STREAMINFO block (always the first metadata block per the spec):
+    bytes 10..18 of STREAMINFO pack rate(20) channels-1(3) bits-1(5)
+    total_samples(36) big-endian. Frame (audio) decode needs a real codec
+    — headers only, like JPEG dimensions."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    if payload[4] & 0x7F != 0:  # first block must be STREAMINFO (type 0)
+        return None
+    si = payload[8 : 8 + 34]
+    if len(si) < 18:
+        return None
+    packed = int.from_bytes(si[10:18], "big")
+    total_samples = packed & ((1 << 36) - 1)
+    bits = ((packed >> 36) & 0x1F) + 1
+    channels = ((packed >> 41) & 0x07) + 1
+    rate = (packed >> 44) & ((1 << 20) - 1)
+    if not rate or not channels:
+        return None
+    duration_ms = round(total_samples * 1000 / rate)
+    return rate, channels, bits, duration_ms
+
+
+def aiff_rms_energy(payload: bytes) -> float | None:
+    """RMS energy of a 16-bit PCM AIFF's samples (big-endian int16),
+    normalized to [0, 1]; None for non-AIFF / non-int16."""
+    layout = _aiff_layout(payload)
+    if layout is None or layout[2] != 16:
+        return None
+    import numpy as np
+
+    _rate, _ch, _bits, off, data_len, little = layout
+    raw = payload[off : off + data_len]
+    raw = raw[: len(raw) - len(raw) % 2]
+    if not raw:
+        return 0.0
+    samples = np.frombuffer(raw, dtype="<i2" if little else ">i2").astype("float64") / 32768.0
+    return float(np.sqrt(np.mean(samples * samples)))
+
+
+def audio_probe(payload: bytes) -> tuple[int, int, float] | None:
+    """(duration_ms, sample_rate, rms_energy) across every REAL audio
+    container this module parses: WAV (full, incl. int16 RMS), AIFF
+    (header + big-endian int16 RMS), FLAC (STREAMINFO header; RMS 0.0 —
+    frame decode needs a real codec). None for anything else."""
+    feats = wav_features(payload)
+    if feats is not None:
+        return feats
+    ai = aiff_info(payload)
+    if ai is not None:
+        rate, _ch, _bits, duration_ms = ai
+        rms = aiff_rms_energy(payload)
+        return duration_ms, rate, (rms if rms is not None else 0.0)
+    fl = flac_info(payload)
+    if fl is not None:
+        rate, _ch, _bits, duration_ms = fl
+        return duration_ms, rate, 0.0
+    return None
 
 
 def wav_features(payload: bytes) -> tuple[int, int, float] | None:

@@ -228,12 +228,13 @@ def audio_features_stub(payload: bytes) -> tuple[int, int, float]:
 
 
 def audio_features(payload: bytes) -> tuple[int, int, float]:
-    """Audio probe: REAL RIFF-WAVE header parse (rate/duration) plus true
-    RMS energy for 16-bit PCM, in one chunk-list walk
-    (training/codecs.py::wav_features); stub otherwise."""
+    """Audio probe: REAL container parses (training/codecs.py::audio_probe)
+    for RIFF-WAVE (header + int16 RMS), AIFF (big-endian header + int16
+    RMS, r6) and FLAC STREAMINFO (header, r6); stub only for formats whose
+    FRAMES need an external codec (MP3/OGG entropy decode)."""
     from . import codecs
 
-    feats = codecs.wav_features(payload)
+    feats = codecs.audio_probe(payload)
     return feats if feats is not None else audio_features_stub(payload)
 
 

@@ -433,3 +433,64 @@ def test_image_pixels_and_resize_cover_gif():
     dec = codecs.png_decode(out)  # GIF in, PNG out
     assert dec is not None and dec.shape == (3, 3, 3) and tuple(dec[0, 0]) == (250, 0, 0)
     assert codecs.image_rms(blob) is not None
+
+
+# ---------------------------------------------------------------------------
+# AIFF / FLAC (r6): big-endian IFF chunk walk + 80-bit-float sample rate;
+# FLAC STREAMINFO bit unpacking. aifc/wave stdlib modules write AIFF
+# reference fixtures; FLAC is hand-packed per the spec.
+# ---------------------------------------------------------------------------
+
+
+def _aiff(rate: int, samples: np.ndarray) -> bytes:
+    import aifc
+
+    class _KeepOpen(io.BytesIO):  # aifc closes the target on exit
+        def close(self):
+            pass
+
+    buf = _KeepOpen()
+    af = aifc.open(buf, "wb")
+    af.setnchannels(1)
+    af.setsampwidth(2)
+    af.setframerate(rate)
+    af.writeframes(samples.astype(">i2").tobytes())
+    af.close()  # finalizes FORM/COMM sizes
+    return buf.getvalue()
+
+
+def _flac_streaminfo(rate: int, channels: int, bits: int, total: int) -> bytes:
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    si = bytearray(34)
+    si[10:18] = packed.to_bytes(8, "big")
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+
+
+def test_aiff_info_and_rms():
+    sine = (np.sin(np.linspace(0, 200 * np.pi, 8000)) * 16384).astype(np.int16)
+    blob = _aiff(16000, sine)
+    info = codecs.aiff_info(blob)
+    assert info == (16000, 1, 16, 500)
+    rms = codecs.aiff_rms_energy(blob)
+    assert rms is not None and abs(rms - 0.3536) < 0.01  # A/sqrt(2), A=0.5
+    # audio_probe and the Spark-facing audio_features agree
+    assert codecs.audio_probe(blob) == (500, 16000, rms)
+    assert audio_features(blob) == (500, 16000, rms)
+    assert codecs.aiff_info(b"FORMxxxxAIFF") is None
+    assert codecs.aiff_info(b"not aiff") is None
+
+
+def test_flac_streaminfo_header():
+    blob = _flac_streaminfo(44100, 2, 16, 44100 * 3)
+    assert codecs.flac_info(blob) == (44100, 2, 16, 3000)
+    assert codecs.audio_probe(blob) == (3000, 44100, 0.0)
+    assert audio_features(blob) == (3000, 44100, 0.0)
+    assert codecs.flac_info(b"fLaX" + b"\x00" * 40) is None
+    # a non-STREAMINFO first block is rejected
+    bad = b"fLaC" + bytes([0x84, 0, 0, 34]) + b"\x00" * 34
+    assert codecs.flac_info(bad) is None
+
+
+def test_wav_still_wins_probe_order():
+    wav = _wav(16000, np.zeros(1600, dtype=np.int16))
+    assert codecs.audio_probe(wav) == (100, 16000, 0.0)
