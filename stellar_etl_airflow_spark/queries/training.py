@@ -1388,3 +1388,105 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t37 — SemDeDup-shaped semantic dedup (r6): LSH-bucketed cosine pairs ->
+# transitive closure -> one representative per duplicate group.
+# Oracle = t08's pair CTE + t17's recursive-closure CTE composed.
+# ---------------------------------------------------------------------------
+
+
+def t37_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.9, n_planes=_N_PLANES, dim=_DIM)
+
+
+T37_SQL = f"""
+WITH RECURSIVE {EMB_NORM_CTE},
+planes AS MATERIALIZED (SELECT {_planes_duck_literal()} AS pl),
+b AS MATERIALIZED (
+  SELECT vec_id, vec, nrm,
+         CAST(list_sum(list_transform(range(0, {_N_PLANES}),
+              p -> CASE WHEN list_sum(list_transform(range(1, len(vec) + 1),
+                                      i -> vec[i] * pl[p + 1][i])) >= 0
+                        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * c.vec[i]))
+        / (a.nrm * c.nrm) >= 0.9
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS lab FROM n
+  UNION
+  SELECT e.dst AS v, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS vec_id, min(lab) AS component, (v = min(lab)) AS is_representative
+FROM reach GROUP BY v
+"""
+
+
+# ---------------------------------------------------------------------------
+# t38 — DSIR-shaped importance weights (r6): per-doc avg log-ratio of
+# add-one-smoothed unigram LMs (target = source 'src0' docs vs the whole
+# corpus). Selection ∝ exp(weight) is a derived gate; the hard part —
+# the two models and the scoring join — is what the oracle checks.
+# ---------------------------------------------------------------------------
+
+
+def t38_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training.text import importance_logratio
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return importance_logratio(docs, is_target=F.col("source") == "src0")
+
+
+T38_SQL = f"""
+WITH {WORDS_CTE},
+wc AS MATERIALIZED (
+  SELECT w.doc_id, unnest(w.ws) AS term, (d.source = 'src0') AS tgt
+  FROM w JOIN documents d ON w.doc_id = d.doc_id
+  WHERE len(w.ws) > 0
+),
+vocab AS MATERIALIZED (
+  SELECT term,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tf_t,
+         count(*) AS tf_all
+  FROM wc GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(tf_t) AS DOUBLE) AS Tt,
+         CAST(sum(tf_all) AS DOUBLE) AS Ta,
+         CAST(count(*) AS DOUBLE) AS V
+  FROM vocab
+)
+SELECT wc.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((tf_t + 1) / (Tt + V)) - ln((tf_all + 1) / (Ta + V))), 6) AS avg_logratio
+FROM wc JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY wc.doc_id
+"""
+
+
+SPECS.update(
+    {
+        "t37_semantic_dedup": QuerySpec(
+            t37_semantic_dedup,
+            T37_SQL,
+            "SemDeDup: LSH-bucketed cosine groups -> components -> representative keep/drop",
+        ),
+        "t38_importance_weights": QuerySpec(
+            t38_importance_weights,
+            T38_SQL,
+            "DSIR importance weights: smoothed unigram target/raw log-ratio per doc",
+        ),
+    }
+)

@@ -409,3 +409,40 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): bucket the embedding space, call documents
+    duplicates when their within-bucket cosine clears ``threshold``,
+    transitively close the duplicate relation, and keep ONE representative
+    per group (the minimum id — SemDeDup keeps the point farthest from the
+    centroid; min-id is the deterministic, oracle-checkable stand-in; swap
+    the ordering column to change policy). Buckets here are the LSH
+    hyperplane cells of :func:`embedding_neardup_pairs` standing in for
+    the paper's k-means cells — same blocking role, pluggable via
+    :func:`kmeans_ivf_assign` when cluster-based cells are wanted.
+
+    Scale shape: pairs are LSH-blocked (never all-pairs), components run
+    the pointer-jumping propagation of ``training/components.py``; the
+    whole pipeline is shuffle-bounded by bucket width and edge count.
+    Returns (vec_id, component, is_representative): filter
+    ``is_representative`` to materialize the deduplicated corpus.
+    """
+    from .components import dedup_decisions
+
+    pairs = embedding_neardup_pairs(
+        df, threshold=threshold, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    vertices = df.select(F.col(id_col).alias("doc_id"))
+    out = dedup_decisions(vertices, pairs)
+    return out.select(
+        F.col("doc_id").alias(id_col), "component", "is_representative"
+    )

@@ -640,3 +640,62 @@ def stratified_quality_sample(
         bucketed.filter(gate < keep_per_bucket_pct)
         .select(id_col, "bucket", "avg_neg_logprob", "pseudo_ppl")
     )
+
+
+def importance_logratio(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by
+    ``avg_w [ log p_target(w) - log p_raw(w) ]`` under add-one-smoothed
+    bag-of-words unigram models — the target model fit on the rows where
+    ``is_target`` holds (DSIR's hashed-ngram features reduce to exactly
+    this at n=1), the raw model on the whole corpus. Documents whose
+    language looks like the target domain score positive; sampling
+    ∝ exp(weight) (or a deterministic hash gate on the rounded weight)
+    yields the DSIR-selected subset.
+
+    Plan shape (the t32 discipline): the token explode is materialized
+    ONCE and feeds both model fits and the scoring join; vocab and the
+    totals are broadcast back, so the corpus shuffles exactly twice
+    (model agg + per-doc agg). Smoothing is over the JOINT vocabulary, so
+    both models are proper distributions on the same support. Log output
+    rounded to 6 decimals (libm-ulp-proof, as everywhere).
+
+    See :func:`unigram_logprob` for the single-model perplexity filter
+    and the 100 TB storage-tier note on the token fold.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        is_target.cast("boolean").alias("_tgt"),
+        F.explode(words_col(text_col)).alias("term"),
+    ).localCheckpoint(eager=True)
+    vocab = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tf_t"),
+        F.count(F.lit(1)).alias("tf_all"),
+    )
+    totals = vocab.agg(
+        F.sum("tf_t").cast("double").alias("_Tt"),
+        F.sum("tf_all").cast("double").alias("_Ta"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_lr",
+            F.log((F.col("tf_t") + 1) / (F.col("_Tt") + F.col("_V")))
+            - F.log((F.col("tf_all") + 1) / (F.col("_Ta") + F.col("_V"))),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_lr"), 6).alias("avg_logratio"),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "avg_logratio")
+    )
