@@ -465,7 +465,10 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     tokens = df.select(
         F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("term")
     ).localCheckpoint(eager=True)
-    vocab = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # vocab is consumed twice (the corpus total and the scoring join);
+    # materialize it once so the term-level shuffle runs once, not per
+    # consumer (vocab-sized — far smaller than the fold)
+    vocab = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
     total = vocab.agg(F.sum("tf").cast("double").alias("_n"))
     scored = (
         tokens.join(F.broadcast(vocab), "term")
@@ -673,10 +676,12 @@ def importance_logratio(
         is_target.cast("boolean").alias("_tgt"),
         F.explode(words_col(text_col)).alias("term"),
     ).localCheckpoint(eager=True)
+    # vocab feeds both the totals and the scoring join: materialize once
+    # (vocab-sized) so the term shuffle runs exactly once
     vocab = toks.groupBy("term").agg(
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tf_t"),
         F.count(F.lit(1)).alias("tf_all"),
-    )
+    ).localCheckpoint(eager=True)
     totals = vocab.agg(
         F.sum("tf_t").cast("double").alias("_Tt"),
         F.sum("tf_all").cast("double").alias("_Ta"),
