@@ -401,3 +401,53 @@ def test_snapshot_vacuum_clone_interleavings_match_model(spark, tmp_path_factory
             except (FileNotFoundError, LookupError):
                 continue
             raise AssertionError(f"table {ti} version {v} should be vacuumed")
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trips (r6): random pixel arrays through the pure-stdlib
+# PNG writer/decoder; random index maps through the GIF assembler used in
+# test_codecs (reference LZW encoder) and our decoder.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_random_arrays(h, w, ch, seed):
+    import numpy as np
+
+    from stellar_etl_airflow_spark.training import codecs
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    got = codecs.png_decode(codecs.png_encode(px))
+    assert got is not None and got.shape == (h, w, ch)
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    n_colors=st.integers(2, 16),
+    interlaced=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_random_arrays(h, w, n_colors, interlaced, seed):
+    import numpy as np
+
+    from stellar_etl_airflow_spark.training import codecs
+
+    from .test_codecs import _gif_bytes
+
+    rng = np.random.default_rng(seed)
+    palette = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(n_colors)]
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.int32)
+    got = codecs.gif_decode(_gif_bytes(idx, palette, interlaced=interlaced))
+    assert got is not None
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(got, want)
