@@ -88,7 +88,7 @@ _FRONT = [
     "t25_chunking",
     "t26_sequence_packing",
     # new round-6 entries: need their first driver row
-    *[n for n in QUERIES if n.startswith(("s08", "s09", "t36", "t37", "t38", "q54"))],
+    *[n for n in QUERIES if n.startswith(("s08", "s09", "t36", "t37", "t38", "t39", "q54"))],
     # r5-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()

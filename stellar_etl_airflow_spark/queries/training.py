@@ -1490,3 +1490,70 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t39 — exact duplicated-substring spans (Lee et al. 2021 ExactSubstr at
+# word-gram resolution, r6): cross-doc duplicated 5-gram positions merged
+# into maximal spans via gaps-and-islands. Oracle = the same relational
+# pipeline in DuckDB (postings -> HAVING count(DISTINCT doc) > 1 ->
+# windowed interval merge).
+# ---------------------------------------------------------------------------
+
+
+def t39_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    out = D.duplicate_spans(docs, gram_len=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+_GH5 = ph_duck("array_to_string(list_slice(ws, i + 1, i + 5), ' ')")
+T39_SQL = f"""
+WITH {WORDS_CTE},
+p AS MATERIALIZED (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, {_GH5} AS gh
+  FROM w, unnest(range(len(ws) - 4)) AS t(i)
+  WHERE len(ws) >= 5
+),
+d AS MATERIALIZED (
+  SELECT gh FROM p GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+),
+m AS (
+  SELECT doc_id, pos AS s, pos + 5 AS e FROM p JOIN d USING (gh)
+),
+flags AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM m
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flags
+)
+SELECT doc_id,
+       min(s) AS span_start,
+       max(e) AS span_end,
+       max(e) - min(s) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
+SPECS.update(
+    {
+        "t39_duplicate_spans": QuerySpec(
+            t39_duplicate_spans,
+            T39_SQL,
+            "ExactSubstr-style duplicated spans: cross-doc 5-gram positions, interval-merged",
+        ),
+    }
+)

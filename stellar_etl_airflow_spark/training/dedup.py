@@ -390,3 +390,70 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    gram_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring spans at token resolution — the
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) ExactSubstr shape, at word-gram instead of
+    byte-suffix granularity: a position is DUPLICATED when the
+    ``gram_len``-gram starting there also occurs in at least one OTHER
+    document; overlapping duplicated grams merge into maximal spans
+    (the units C4-style cleanup deletes).
+
+    Fully relational — no suffix array needed at this granularity:
+
+    1. postings: (doc, pos, gram-hash) — one row per L-gram occurrence;
+    2. cross-doc duplicated grams: groupBy hash HAVING
+       countDistinct(doc) > 1 (within-doc repetition is t27's business);
+    3. mark occurrences of duplicated grams: each covers [pos, pos+L);
+    4. gaps-and-islands interval merge per doc: a new span starts where
+       ``pos > running max(end)`` of everything before it — one window
+       over (doc, pos), then groupBy island.
+
+    Scale shape: the postings shuffle (∝ total grams) dominates, with
+    map-side partial aggregation on the gram hash; the window in step 4
+    runs on the MARKED subset only (duplicated positions, typically a
+    small fraction of the corpus). Returns
+    (doc_id, span_start, span_end, span_tokens) with token-index spans,
+    end exclusive.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import PH, words_col
+
+    L = int(gram_len)
+    ws = words_col(text_col)
+    grams = F.expr(
+        f"transform(sequence(0, size(_ws) - {L}), i -> concat_ws(' ', slice(_ws, i + 1, {L})))"
+    )
+    postings = (
+        df.withColumn("_ws", ws)
+        .filter(F.size("_ws") >= L)
+        .select(F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gram"))
+        .select("doc", "pos", F.expr(PH.format(x="gram")).alias("gh"))
+    )
+    dup = postings.groupBy("gh").agg(F.countDistinct("doc").alias("nd")).filter(F.col("nd") > 1)
+    marked = postings.join(dup.select("gh"), "gh").select(
+        "doc", F.col("pos").alias("s"), (F.col("pos") + L).alias("e")
+    )
+    w = Window.partitionBy("doc").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        islands.groupBy("doc", "_island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
