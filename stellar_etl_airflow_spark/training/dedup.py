@@ -438,7 +438,13 @@ def duplicate_spans(
         .select(F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gram"))
         .select("doc", "pos", F.expr(PH.format(x="gram")).alias("gh"))
     )
-    dup = postings.groupBy("gh").agg(F.countDistinct("doc").alias("nd")).filter(F.col("nd") > 1)
+    # cross-doc test as min!=max instead of countDistinct: same predicate,
+    # but min/max partially aggregate map-side without the distinct expand
+    dup = (
+        postings.groupBy("gh")
+        .agg(F.min("doc").alias("_d0"), F.max("doc").alias("_d1"))
+        .filter(F.col("_d0") != F.col("_d1"))
+    )
     marked = postings.join(dup.select("gh"), "gh").select(
         "doc", F.col("pos").alias("s"), (F.col("pos") + L).alias("e")
     )

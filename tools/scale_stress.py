@@ -77,7 +77,20 @@ PROBES = [
     "q27_asof_union",           # union + running-window as-of
     "q19_sessionize",           # gap-cumsum sessionization
     "q01_pricing_summary",      # scan + groupBy agg
+    # round-6 additions (linear-work by the salting invariant: every
+    # 5-gram crosses a salted word, so cross-replica duplicate spans and
+    # shared vocab vanish; t37 embedding SemDeDup is deliberately NOT
+    # probed — replicas keep identical vectors, so its cross-replica
+    # pair count is quadratic BY CONSTRUCTION, like t08)
+    "t38_importance_weights",   # two-model unigram scoring, one fold
+    "t39_duplicate_spans",      # gram postings + interval merge
+    "t36_image_pixel_stats",    # Arrow PNG round-trip map
 ]
+
+# env override: measure a subset without re-timing the whole list
+_env_probes = os.environ.get("SPARK_GRAFT_SCALE_PROBES")
+if _env_probes:
+    PROBES = [p.strip() for p in _env_probes.split(",") if p.strip()]
 
 OFFSET = 10_000_000_000
 
