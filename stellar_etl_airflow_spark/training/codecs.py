@@ -7,15 +7,17 @@ with stdlib ``struct`` + ``zlib`` + numpy — so the decode seam in
 - image DIMENSIONS: PNG / GIF / BMP / JPEG;
 - image PIXELS (r6): PNG (zlib inflate + per-row unfiltering, all five
   filter types, gray/RGB(A)/palette), BMP (uncompressed 24/32-bit),
-  GIF (pure-Python LZW + palette + interlace) — plus a minimal PNG
-  ENCODER so resize is pixels-in/PNG-out;
+  GIF (pure-Python LZW + palette + interlace), baseline JPEG
+  (training/jpeg.py: T.81 Huffman + exact IDCT + fancy chroma
+  upsampling, cross-validated against javax.imageio) — plus a minimal
+  PNG ENCODER so resize is pixels-in/PNG-out;
 - audio: WAV (header + int16 RMS), AIFF/AIFC-PCM (r6: big-endian chunk
   walk, 80-bit-float rate, int16 RMS incl. 'sowt'), FLAC STREAMINFO
   (r6: header only).
 
-Only formats whose entropy coding genuinely needs an external library
-fall back to the deterministic stub: JPEG pixels, MP3/OGG frames,
-video containers.
+Only formats whose coding genuinely needs an external library fall
+back to the deterministic stub: progressive/arithmetic JPEG, MP3/OGG
+frames, video containers.
 
 Format references (all public specs):
 - PNG: ISO/IEC 15948 §11.2.2 — IHDR is the first chunk; width/height are
@@ -410,8 +412,18 @@ def gif_decode(payload: bytes):
 
 
 def image_pixels(payload: bytes):
-    """Pixel array for PNG, BMP, or GIF payloads, None for formats that
-    need an external codec (JPEG entropy decode, video)."""
+    """Pixel array for PNG, BMP, GIF, or baseline JPEG payloads, None for
+    formats that still need an external codec (progressive/arithmetic
+    JPEG, video). JPEG decode (training/jpeg.py) is bit-serial Python
+    Huffman + exact numpy IDCT — correct (cross-validated against
+    javax.imageio) but slow for large images; batch small thumbnails or
+    swap in libjpeg behind the same seam for bulk decode."""
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        px = jpeg_decode(payload)
+        if px is not None:
+            return px if px.shape[2] != 1 else px
     for probe in (png_decode, bmp_decode, gif_decode):
         px = probe(payload)
         if px is not None:

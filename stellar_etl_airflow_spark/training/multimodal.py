@@ -10,12 +10,13 @@ per batch, not per row, and the pipeline stays a plain DataFrame plan
 Codec status: common container HEADERS are parsed for real with pure
 stdlib ``struct`` (``training/codecs.py``): PNG/GIF/BMP/JPEG dimensions,
 WAV sample rate / channels / duration, and true RMS energy for 16-bit PCM
-WAVs. Since r6, PNG, BMP and GIF PIXELS decode for real too (zlib inflate +
-numpy scanline unfiltering, BGR row flips, pure-Python GIF-LZW +
-palette), so resize is a true pixels-in/PNG-out transform and image RMS
-is computed from actual pixels. Only formats that genuinely need an
-external library (JPEG entropy decode, video containers, compressed
-audio) fall back to
+WAVs. Since r6, PIXELS decode for real too: PNG (zlib inflate + numpy
+scanline unfiltering), BMP, GIF (pure-Python LZW + palette), and
+baseline JPEG (training/jpeg.py — Huffman + exact IDCT, cross-validated
+pixel-by-pixel against the JVM's javax.imageio). Resize is a true
+pixels-in/PNG-out transform and image RMS is computed from actual
+pixels. Only progressive/arithmetic JPEG, video containers, and
+compressed audio frames fall back to
 ``*_stub`` deterministic fakes — the clearly-marked seam where
 PIL/ffmpeg/torchaudio plug in. Everything around the seam — schema,
 batching, partitioning, UDF signature — is real and tested.
@@ -157,21 +158,21 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB for formats whose pixels need an external codec (JPEG):
-    deterministic fake that scales the byte budget with the target area."""
+    """STUB for formats whose pixels need an external codec (progressive
+    JPEG, video): deterministic fake scaling the byte budget with the
+    target area."""
     budget = max(16, (width * height) // 64)
     reps = (budget // max(len(payload), 1)) + 1
     return (payload * reps)[:budget]
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for PNG/BMP/GIF payloads since r6: decode pixels
-    (training/codecs.py::png_decode — stdlib zlib inflate + numpy
-    unfiltering — bmp_decode, or gif_decode's pure-Python LZW),
-    nearest-neighbor sample to the target grid, re-encode as PNG
-    (codecs.png_encode). Formats that genuinely need an external pixel
-    codec (JPEG entropy decode, video) fall back to the deterministic
-    stub."""
+    """REAL resize for PNG/BMP/GIF/baseline-JPEG payloads since r6:
+    decode pixels (codecs.image_pixels — stdlib zlib + numpy unfilter,
+    GIF-LZW, or the T.81 baseline decoder), nearest-neighbor sample to
+    the target grid, re-encode as PNG (codecs.png_encode). Formats that
+    genuinely need an external pixel codec (progressive JPEG, video)
+    fall back to the deterministic stub."""
     import numpy as np
 
     from . import codecs

@@ -494,3 +494,83 @@ def test_flac_streaminfo_header():
 def test_wav_still_wins_probe_order():
     wav = _wav(16000, np.zeros(1600, dtype=np.int16))
     assert codecs.audio_probe(wav) == (100, 16000, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode (r6): cross-validated pixel-by-pixel against the
+# JVM's javax.imageio (an independent libjpeg-lineage decoder) on real
+# JPEGs from the CPython/IPython test suites — the same external-cross-
+# validation discipline as the Avro writer. T.81 Annex A permits small
+# IDCT variance between conforming decoders, hence the tolerances.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_DATA = _os.path.join(_os.path.dirname(__file__), "data")
+
+
+def _imageio_pixels(spark, path):
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    h, w = img.getHeight(), img.getWidth()
+    raster = img.getRaster()
+    nb = raster.getNumBands()
+    ref = np.zeros((h, w, nb), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            for band in range(nb):
+                ref[y, x, band] = raster.getSample(x, y, band)
+    return ref
+
+
+def test_jpeg_decode_grayscale_matches_imageio_exactly(spark):
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode
+
+    path = _os.path.join(_DATA, "gray2x2.jpg")
+    mine = jpeg_decode(open(path, "rb").read())
+    assert mine is not None and mine.shape == (2, 2, 1)
+    ref = _imageio_pixels(spark, path)
+    assert np.array_equal(mine.astype(np.int32), ref)
+
+
+def test_jpeg_decode_color_subsampled_matches_imageio(spark):
+    """16x16 YCbCr with 2x2 chroma subsampling (the CPython test-suite
+    Python logo): exact-float IDCT + fancy triangular upsampling vs
+    libjpeg's scaled-integer pipeline — agreement must be tight (the
+    residual is conforming-decoder variance, not a logic bug)."""
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode
+
+    path = _os.path.join(_DATA, "python16x16.jpg")
+    mine = jpeg_decode(open(path, "rb").read()).astype(np.int32)
+    ref = _imageio_pixels(spark, path)
+    assert mine.shape == ref.shape == (16, 16, 3)
+    diff = np.abs(mine - ref)
+    assert float(diff.mean()) <= 1.0, diff.mean()
+    assert int(diff.max()) <= 8, diff.max()
+    assert float((diff <= 2).mean()) >= 0.9
+
+
+def test_jpeg_decode_rejects_unsupported():
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode
+
+    base = open(_os.path.join(_DATA, "python16x16.jpg"), "rb").read()
+    assert jpeg_decode(b"not a jpeg") is None
+    assert jpeg_decode(base[:40]) is None
+    prog = bytearray(base)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2  # pretend progressive
+    assert jpeg_decode(bytes(prog)) is None
+
+
+def test_image_pixels_and_resize_cover_jpeg(spark):
+    from stellar_etl_airflow_spark.training.multimodal import resize_image
+
+    blob = open(_os.path.join(_DATA, "python16x16.jpg"), "rb").read()
+    px = codecs.image_pixels(blob)
+    assert px is not None and px.shape == (16, 16, 3)
+    out = resize_image(blob, 8, 8)
+    dec = codecs.png_decode(out)  # JPEG in, PNG out
+    assert dec is not None and dec.shape == (8, 8, 3)
+    assert codecs.image_rms(blob) is not None
+    # header probe still agrees with the pixel decode
+    assert codecs.jpeg_dimensions(blob) == (16, 16)
