@@ -636,3 +636,66 @@ def wav_features(payload: bytes) -> tuple[int, int, float] | None:
     duration_ms = round(data_len * 1000 / (rate * channels * (bits // 8)))
     rms = _rms_from_layout(payload, layout)
     return duration_ms, rate, (rms if rms is not None else 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Video container headers (r6): ISO base media file format (MP4, ISO/IEC
+# 14496-12). Box-tree walk only — sample/frame decode genuinely needs a
+# real codec, but duration, timescale and visual track dimensions are
+# plain struct parses of `moov/mvhd` and `moov/trak/tkhd`.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        btype = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def mp4_info(payload: bytes):
+    """(duration_ms, width, height) for an ISO-BMFF (MP4/MOV/M4A) payload:
+    duration from ``moov/mvhd`` (duration/timescale), dimensions from the
+    first visual ``moov/trak/tkhd`` (16.16 fixed-point, 0x0 for
+    audio-only tracks). None if there is no ftyp/moov structure."""
+    n = len(payload)
+    if n < 12 or payload[4:8] not in (b"ftyp", b"moov", b"styp"):
+        return None
+    duration_ms = width = height = None
+    for btype, b0, b1 in _mp4_boxes(payload, 0, n):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(payload, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                version = payload[c0]
+                if version == 1 and c1 - c0 >= 28:
+                    timescale, duration = struct.unpack(">IQ", payload[c0 + 20 : c0 + 32])
+                else:
+                    timescale, duration = struct.unpack(">II", payload[c0 + 12 : c0 + 20])
+                if timescale:
+                    duration_ms = round(duration * 1000 / timescale)
+            elif ctype == b"trak":
+                for ttype, t0, t1 in _mp4_boxes(payload, c0, c1):
+                    if ttype == b"tkhd" and width is None:
+                        version = payload[t0]
+                        off = t0 + (96 if version == 1 else 84) - 8
+                        if off + 8 <= t1:
+                            w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                            if w16 and h16:  # 0x0 = non-visual track
+                                width, height = w16 >> 16, h16 >> 16
+    if duration_ms is None:
+        return None
+    return duration_ms, (width or 0), (height or 0)

@@ -277,3 +277,56 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, META_SCHEMA)
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("container", StringType()),  # mp4 | unknown
+    ]
+)
+
+
+def video_metadata_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB for containers that need a real demuxer (WebM/MKV EBML walk,
+    AVI): deterministic pseudo duration/dims from the payload hash."""
+    h = hashlib.md5(payload).hexdigest()
+    return 1000 + int(h[:8], 16) % 600_000, 320 + int(h[8:10], 16) % 1600, 240 + int(h[10:12], 16) % 840
+
+
+def video_metadata(payload: bytes) -> tuple[int, int, int, str]:
+    """Video probe: REAL ISO-BMFF (MP4/MOV) header parse since r6 —
+    duration from moov/mvhd, dimensions from the first visual tkhd
+    (training/codecs.py::mp4_info); stub for other containers. Frame
+    DECODE stays behind the sample_frames stub seam — that genuinely
+    needs a codec library."""
+    from . import codecs
+
+    info = codecs.mp4_info(payload)
+    if info is not None:
+        return info[0], info[1], info[2], "mp4"
+    return (*video_metadata_stub(payload), "unknown")
+
+
+def extract_video_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched video metadata probe, same shape as the image/audio
+    stages: real containers report real values, opaque payloads keep the
+    deterministic stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [video_metadata(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_ms": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "width": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "height": pd.Series([f[2] for f in feats], dtype="int32"),
+                    "container": pd.Series([f[3] for f in feats], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_SCHEMA)

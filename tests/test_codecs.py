@@ -574,3 +574,46 @@ def test_image_pixels_and_resize_cover_jpeg(spark):
     assert codecs.image_rms(blob) is not None
     # header probe still agrees with the pixel decode
     assert codecs.jpeg_dimensions(blob) == (16, 16)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF headers (r6): box-tree walk for duration + visual dims.
+# ---------------------------------------------------------------------------
+
+
+def _mp4(duration_ms: int, w: int, h: int) -> bytes:
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, duration_ms) + b"\x00" * 80,
+    )
+    tkhd_body = bytearray(84)
+    tkhd_body[76:84] = struct.pack(">II", w << 16, h << 16)
+    audio_trak = box(b"trak", box(b"tkhd", bytes(84)))  # 0x0 dims: skipped
+    video_trak = box(b"trak", box(b"tkhd", bytes(tkhd_body)))
+    return ftyp + box(b"moov", mvhd + audio_trak + video_trak)
+
+
+def test_mp4_info_and_video_stage(spark):
+    from stellar_etl_airflow_spark.training.multimodal import (
+        extract_video_metadata,
+        video_metadata_stub,
+    )
+
+    blob = _mp4(5400, 640, 360)
+    assert codecs.mp4_info(blob) == (5400, 640, 360)
+    assert codecs.mp4_info(blob[:30]) is None
+    assert codecs.mp4_info(b"RIFFxxxxAVI LIST") is None
+    rows = [
+        (1, "video", bytearray(blob), len(blob)),
+        (2, "video", bytearray(b"opaque webm-ish"), 15),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["doc_id"]: r for r in extract_video_metadata(media).collect()}
+    assert (out[1]["duration_ms"], out[1]["width"], out[1]["height"], out[1]["container"]) == (5400, 640, 360, "mp4")
+    stub = video_metadata_stub(b"opaque webm-ish")
+    assert (out[2]["duration_ms"], out[2]["container"]) == (stub[0], "unknown")
