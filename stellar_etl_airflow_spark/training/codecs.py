@@ -699,3 +699,35 @@ def mp4_info(payload: bytes):
     if duration_ms is None:
         return None
     return duration_ms, (width or 0), (height or 0)
+
+
+def avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
+    """Compressed video frames from a RIFF-AVI container holding MJPEG:
+    walks the RIFF chunk tree to the ``movi`` LIST and returns the
+    ``..dc``/``..db`` chunk bodies that start with a JPEG SOI marker —
+    each is a standalone baseline JPEG decodable by
+    :func:`training.jpeg.jpeg_decode`. MJPEG is the one mainstream video
+    codec whose frames need no inter-frame state, which is what makes a
+    pure-Python demux+decode path real; anything else (H.264 etc.)
+    genuinely needs a codec library. None for non-AVI payloads."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            body_start = i + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the 4-byte list type
+            elif cid[2:4] in (b"dc", b"db"):
+                body = payload[body_start:body_end]
+                if body[:2] == b"\xff\xd8":
+                    frames.append(body)
+            i = body_start + size + (size & 1)  # word-aligned
+
+    walk(12, len(payload))
+    return frames

@@ -117,16 +117,28 @@ def frame_count_stub(payload: bytes) -> int:
 
 def sample_frames(media: DataFrame) -> DataFrame:
     """Frame sampling as an Arrow-batched 1->N expansion: each payload
-    yields n_frames rows with per-frame digests. The real decoder replaces
-    the two stub calls; the batch-explode plumbing (one output DataFrame
-    per Arrow batch, rows multiplied) is the production shape for video
-    frame extraction at scale."""
+    yields n_frames rows with per-frame digests. REAL for MJPEG-AVI since
+    r6 (codecs.avi_mjpeg_frames demuxes the movi chunks; each frame is a
+    standalone baseline JPEG our decoder can open) — frame_md5 is then
+    the digest of the actual frame bytes. Other containers keep the
+    deterministic stub (inter-frame codecs need a real library); the
+    batch-explode plumbing (one output DataFrame per Arrow batch, rows
+    multiplied) is the production shape for frame extraction at scale."""
+    from . import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_index": [], "n_frames": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                real = codecs.avi_mjpeg_frames(raw)
+                if real:
+                    for i, fr in enumerate(real):
+                        out["doc_id"].append(doc_id)
+                        out["frame_index"].append(i)
+                        out["n_frames"].append(len(real))
+                        out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+                    continue
                 n = frame_count_stub(raw)
                 content = hashlib.md5(raw).hexdigest()
                 for i in range(n):

@@ -617,3 +617,55 @@ def test_mp4_info_and_video_stage(spark):
     assert (out[1]["duration_ms"], out[1]["width"], out[1]["height"], out[1]["container"]) == (5400, 640, 360, "mp4")
     stub = video_metadata_stub(b"opaque webm-ish")
     assert (out[2]["duration_ms"], out[2]["container"]) == (stub[0], "unknown")
+
+
+def _avi_mjpeg(frames: list[bytes]) -> bytes:
+    """Minimal RIFF-AVI wrapping the given JPEG frames in a movi LIST."""
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    movi_items = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = chunk(b"LIST", b"movi" + movi_items)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_demux_and_decode(spark):
+    """End-to-end REAL video path: demux a hand-built MJPEG AVI, decode
+    every frame with the baseline JPEG decoder, cross-check frame 0
+    against javax.imageio."""
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode
+
+    jpg = open(_os.path.join(_DATA, "python16x16.jpg"), "rb").read()
+    gray = open(_os.path.join(_DATA, "gray2x2.jpg"), "rb").read()
+    avi = _avi_mjpeg([jpg, gray, jpg])
+    frames = codecs.avi_mjpeg_frames(avi)
+    assert frames is not None and len(frames) == 3
+    assert frames[0] == jpg and frames[1] == gray
+    px = jpeg_decode(frames[0])
+    assert px is not None and px.shape == (16, 16, 3)
+    ref = _imageio_pixels(spark, _os.path.join(_DATA, "python16x16.jpg"))
+    assert np.abs(px.astype(np.int32) - ref).mean() <= 1.0
+    assert codecs.avi_mjpeg_frames(b"RIFFxxxxWAVEdata") is None
+    assert codecs.avi_mjpeg_frames(jpg) is None
+
+
+def test_sample_frames_real_for_mjpeg_avi(spark):
+    from stellar_etl_airflow_spark.training.multimodal import frame_count_stub, sample_frames
+    import hashlib as _hl
+
+    jpg = open(_os.path.join(_DATA, "python16x16.jpg"), "rb").read()
+    avi = _avi_mjpeg([jpg, jpg])
+    rows = [
+        (1, "video", bytearray(avi), len(avi)),
+        (2, "video", bytearray(b"opaque"), 6),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(media).collect()
+    mine = [r for r in got if r["doc_id"] == 1]
+    assert len(mine) == 2 and all(r["n_frames"] == 2 for r in mine)
+    assert mine[0]["frame_md5"] == _hl.md5(jpg).hexdigest()
+    other = [r for r in got if r["doc_id"] == 2]
+    assert len(other) == frame_count_stub(b"opaque")
