@@ -91,7 +91,8 @@ def main() -> None:
         # longest-first keeps the big iterative jobs (components, pipeline,
         # LSH) from landing last and serializing the tail
         heavy = [
-            "q51_incremental_mart", "s08_stream_crash_resume", "t20_training_pipeline",
+            "q51_incremental_mart", "s08_stream_crash_resume",
+            "s09_stream_additive_exactly_once", "t20_training_pipeline",
             "t17_neardup_components", "t14_jaccard_dfcapped",
             "t02_ngram_jaccard_pairs", "t03_minhash_lsh_pairs", "s01_stream_tumbling",
             "s04_stateful_running_counts", "t19_kmeans_ivf",
