@@ -100,9 +100,9 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
 
 
 def image_dimensions(payload: bytes) -> tuple[int, int] | None:
-    """(width, height) for PNG/GIF/BMP/JPEG payloads, None for anything
+    """(width, height) for PNG/GIF/BMP/JPEG/WebP payloads, None for anything
     else (caller decides the fallback)."""
-    for probe in (png_dimensions, gif_dimensions, bmp_dimensions, jpeg_dimensions):
+    for probe in (png_dimensions, gif_dimensions, bmp_dimensions, jpeg_dimensions, webp_dimensions):
         dims = probe(payload)
         if dims is not None:
             return dims
@@ -731,3 +731,30 @@ def avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
 
     walk(12, len(payload))
     return frames
+
+
+def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) for WebP (RIFF/WEBP) payloads — all three chunk
+    flavors: lossy VP8 (frame tag + 14-bit dims), lossless VP8L (14-bit
+    minus-one dims), extended VP8X (24-bit minus-one canvas dims). Pixel
+    decode needs libwebp; headers are plain struct parses."""
+    if len(payload) < 30 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    fmt = payload[12:16]
+    if fmt == b"VP8 ":  # lossy: 3-byte frame tag, 3-byte start code, dims
+        if payload[23:26] != b"\x9d\x01\x2a":
+            return None
+        w, h = struct.unpack("<HH", payload[26:30])
+        return (w & 0x3FFF, h & 0x3FFF) or None
+    if fmt == b"VP8L":  # lossless: signature byte 0x2F then packed dims
+        if payload[20] != 0x2F:
+            return None
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    if fmt == b"VP8X":  # extended: 24-bit canvas dims minus one
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return w, h
+    return None

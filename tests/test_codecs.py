@@ -669,3 +669,21 @@ def test_sample_frames_real_for_mjpeg_avi(spark):
     assert mine[0]["frame_md5"] == _hl.md5(jpg).hexdigest()
     other = [r for r in got if r["doc_id"] == 2]
     assert len(other) == frame_count_stub(b"opaque")
+
+
+def test_webp_dimensions_all_flavors():
+    # VP8 lossy: RIFF/WEBP + 'VP8 ' chunk, start code 9D 01 2A, 14-bit dims
+    vp8 = (b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 " + struct.pack("<I", 18)
+           + b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00" * 8)
+    assert codecs.webp_dimensions(vp8) == (320, 240)
+    # VP8L lossless: signature 0x2F + packed 14-bit minus-one dims
+    bits = (63) | (31 << 14)  # w=64, h=32
+    vp8l = (b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"VP8L" + struct.pack("<I", 8)
+            + b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 5)
+    assert codecs.webp_dimensions(vp8l) == (64, 32)
+    # VP8X extended: 24-bit canvas dims minus one
+    vp8x = (b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X" + struct.pack("<I", 10)
+            + b"\x00" * 4 + (639).to_bytes(3, "little") + (359).to_bytes(3, "little") + b"\x00" * 2)
+    assert codecs.webp_dimensions(vp8x) == (640, 360)
+    assert codecs.webp_dimensions(b"RIFFxxxxWAVEfmt ") is None
+    assert codecs.image_dimensions(vp8l) == (64, 32)

@@ -266,3 +266,16 @@ def test_model_runner_current_state_chain_broadcasts_dim(spark, tmp_path):
     # and the chain is still correct
     got = {r["account_id"]: r["balance"] for r in df.collect()}
     assert got == {"A": 25.0, "B": 0.0, "C": 7.5}
+
+
+def test_round6_entries_plan_shapes(spark):
+    """t39's gram-postings join must stay a hash join (a nested-loop
+    regression would be corpus x dup-set quadratic); t37's pair stage is
+    LSH-bucket-blocked, never a cross product; t38's scoring join rides
+    broadcast."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    for name in ("t39_duplicate_spans", "t37_semantic_dedup", "t38_importance_weights"):
+        plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
