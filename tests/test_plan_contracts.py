@@ -271,11 +271,18 @@ def test_model_runner_current_state_chain_broadcasts_dim(spark, tmp_path):
 def test_round6_entries_plan_shapes(spark):
     """t39's gram-postings join must stay a hash join (a nested-loop
     regression would be corpus x dup-set quadratic); t37's pair stage is
-    LSH-bucket-blocked, never a cross product; t38's scoring join rides
-    broadcast."""
+    LSH-bucket-blocked, never a cross product; t38's only nested-loop
+    operator is the intentional 1-row totals broadcast (the same Cross
+    clamp convention as q42) — its vocab scoring join must hash."""
     from stellar_etl_airflow_spark.queries import QUERIES
 
-    for name in ("t39_duplicate_spans", "t37_semantic_dedup", "t38_importance_weights"):
+    for name in ("t39_duplicate_spans", "t37_semantic_dedup"):
         plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = _physical(QUERIES["t38_importance_weights"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line  # the 1-row totals attach only
+    assert "BroadcastHashJoin" in plan, plan  # the vocab scoring join
