@@ -326,9 +326,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int):
                 return None
         elif code in table:
             entry = table[code]
-            table[next_code] = prev + (entry[0],)
-            next_code += 1
-        elif code == next_code:  # the KwKwK case
+            if next_code < 4096:  # deferred clear: encoders stop adding
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code and next_code < 4096:  # the KwKwK case
             entry = prev + (prev[0],)
             table[next_code] = entry
             next_code += 1
