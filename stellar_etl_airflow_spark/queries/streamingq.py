@@ -758,6 +758,67 @@ LEFT JOIN prices p
 """
 
 
+
+def q54_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the MVCC merge (the reference's
+    ``schema_update_options=["ALLOW_FIELD_ADDITION"]``,
+    build_del_ins_from_gcs_to_bq_task.py:152 / SURVEY §1.2): batch 1
+    builds latest-per-user state WITHOUT the ``src`` column; batch 2
+    carries the new column and merges with
+    ``allow_schema_evolution=True``. Untouched buckets keep old-schema
+    files; ``read_snapshot`` schema-merges on read, so rows whose latest
+    change came from batch 1 surface ``src IS NULL`` while batch-2 rows
+    carry it — exactly the FULL-OUTER semantics the oracle states."""
+    from ..operators.merge import merge_upsert_versioned
+    from ..sinks.snapshots import read_snapshot
+
+    (ev,) = tables(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value", F.lit(False).alias("deleted")
+    )
+    # batch 2 touches only a quarter of the users so the snapshot holds a
+    # real mix: evolved rows with src, old-schema rows surfacing src=NULL
+    b2 = ev.filter((F.col("event_id") % 3 == 1) & (F.col("user_id") % 4 == 0)).select(
+        "user_id", "ts", "event_id", "value",
+        F.col("event_type").alias("src"), F.lit(False).alias("deleted"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"q54-state-{uuid.uuid4().hex[:8]}")
+    try:
+        merge_upsert_versioned(
+            spark, b1, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        merge_upsert_versioned(
+            spark, b2, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id"),
+            allow_schema_evolution=True,
+        )
+        out = read_snapshot(spark, path).select("user_id", "ts", "event_id", "value", "src")
+        # detach from the per-run scratch dir before removing it
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q54_SQL = """
+WITH b1 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 0
+),
+b2 AS (
+  SELECT user_id, ts, event_id, value, event_type AS src,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 1 AND user_id % 4 = 0
+)
+SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+       CASE WHEN b2.user_id IS NOT NULL THEN b2.ts ELSE b1.ts END AS ts,
+       CASE WHEN b2.user_id IS NOT NULL THEN b2.event_id ELSE b1.event_id END AS event_id,
+       CASE WHEN b2.user_id IS NOT NULL THEN b2.value ELSE b1.value END AS value,
+       b2.src AS src
+FROM (SELECT * FROM b1 WHERE rn = 1) b1
+FULL OUTER JOIN (SELECT * FROM b2 WHERE rn = 1) b2 ON b1.user_id = b2.user_id
+"""
+
 SPECS: dict[str, QuerySpec] = {
     "s01_stream_tumbling": QuerySpec(
         s01_stream_tumbling, Q34_SQL, "AvailableNow streaming tumbling-window agg == batch oracle"
@@ -801,6 +862,11 @@ SPECS: dict[str, QuerySpec] = {
         s09_stream_additive_exactly_once,
         S09_SQL,
         "crash-resume ADDITIVE mart with manifest txn ledger == exactly-once counters oracle",
+    ),
+    "q54_schema_evolution": QuerySpec(
+        q54_schema_evolution,
+        Q54_SQL,
+        "additive schema evolution through MVCC merge == FULL OUTER latest-per-key oracle",
     ),
     "q51_incremental_mart": QuerySpec(
         q51_incremental_mart,
