@@ -335,3 +335,182 @@ def _build_zz_inv():
 
 
 ZIGZAG_INV = _build_zz_inv()
+
+
+# ---------------------------------------------------------------------------
+# Minimal baseline ENCODER — exists for conformance testing, not
+# production encoding: it lets the test suite (a) round-trip arbitrary
+# arrays through fresh entropy streams, (b) exercise the DRI/RSTn restart
+# path the wild fixtures don't contain, and (c) hand encoder output to
+# javax.imageio, which independently checks both directions. Simplicity
+# over compression: every Huffman symbol is a fixed 8-bit code in a
+# custom DHT (canonical, valid per §C.2 — the all-ones code stays
+# unused), quantization is caller-provided (default all-ones ~ lossless
+# to within IDCT rounding), components are never subsampled.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:  # pad with 1-bits to a byte boundary (§F.1.2.3)
+        while self.n:
+            self.write(1, 1)
+
+    def raw(self, b: bytes) -> None:
+        assert self.n == 0
+        self.out.extend(b)
+
+
+def _flat_table(symbols: list[int]) -> tuple[bytes, dict[int, tuple[int, int]]]:
+    """All symbols at code length 8 (≤255 symbols). Returns (DHT body
+    payload after the class/id byte, {symbol: (code, len)})."""
+    symbols = sorted(set(symbols))
+    assert len(symbols) <= 255
+    bits = [0] * 16
+    bits[7] = len(symbols)
+    enc = {s: (i, 8) for i, s in enumerate(symbols)}
+    return bytes(bits) + bytes(symbols), enc
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
+    """Encode (h, w) or (h, w, {1,3}) uint8 pixels as a baseline JPEG.
+    ``quant`` is a uniform quantization divisor (1 = near-lossless);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    assert nch in (1, 3)
+    if nch == 3:  # RGB -> YCbCr (T.871)
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        comps_px = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        comps_px = [px[:, :, 0].astype(np.float64)]
+    M = _idct_matrix()  # forward DCT: F = M @ f @ M.T
+    q = np.full(64, int(quant), dtype=np.int32)
+    bh, bw = -(-h // 8), -(-w // 8)
+
+    # first pass: compute all coefficient blocks + collect symbols
+    blocks: list[list] = []  # per component, list of (dc_sym, dc_bits, [(ac_sym, bits, n)])
+    dc_syms, ac_syms = {0, 11}, {0x00, 0xF0}
+    for plane in comps_px:
+        pad = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        pred = 0
+        comp_blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                f = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                F = M @ f @ M.T
+                zz = np.round(F.reshape(64)[ZIGZAG] / q).astype(np.int64)
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                t = _category(diff)
+                dc_syms.add(t)
+                dval = diff if diff >= 0 else diff + (1 << t) - 1
+                acs = []
+                run = 0
+                last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        acs.append((0xF0, 0, 0))
+                        run -= 16
+                    s = _category(v)
+                    sym = (run << 4) | s
+                    ac_syms.add(sym)
+                    acs.append((sym, v if v >= 0 else v + (1 << s) - 1, s))
+                    run = 0
+                if last_nz < 63:
+                    acs.append((0x00, 0, 0))  # EOB
+                comp_blocks.append((t, dval, acs))
+        blocks.append(comp_blocks)
+
+    dc_dht, dc_enc = _flat_table(sorted(dc_syms))
+    ac_dht, ac_enc = _flat_table(sorted(ac_syms))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
+    for c in range(nch):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + dc_dht)
+    out += seg(0xC4, b"\x10" + ac_dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nch]) + b"".join(bytes([c + 1, 0x00]) for c in range(nch)) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    n_mcus = bh * bw
+    preds_reset_points = set()
+    if restart_interval:
+        preds_reset_points = {m for m in range(restart_interval, n_mcus, restart_interval)}
+    # rebuild absolute DC values by undoing the no-restart diffs, so the
+    # emit loop below can re-difference against restart-reset predictors
+    abs_dc = []
+    for comp_blocks in blocks:
+        pred = 0
+        seq = []
+        for t, dval, acs in comp_blocks:
+            diff = _extend(dval, t)
+            pred += diff
+            seq.append(pred)
+        abs_dc.append(seq)
+    preds = [0] * nch
+    rst_n = 0
+    for m in range(n_mcus):
+        if m in preds_reset_points:
+            wtr.align()
+            wtr.raw(bytes([0xFF, 0xD0 + (rst_n & 7)]))
+            rst_n += 1
+            preds = [0] * nch
+        for ci in range(nch):
+            t_, dval_, acs = blocks[ci][m]
+            diff = abs_dc[ci][m] - preds[ci]
+            preds[ci] = abs_dc[ci][m]
+            t = _category(diff)
+            code, ln = dc_enc[t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            for sym, vbits, s in acs:
+                code, ln = ac_enc[sym]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(vbits, s)
+    wtr.align()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

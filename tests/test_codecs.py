@@ -687,3 +687,49 @@ def test_webp_dimensions_all_flavors():
     assert codecs.webp_dimensions(vp8x) == (640, 360)
     assert codecs.webp_dimensions(b"RIFFxxxxWAVEfmt ") is None
     assert codecs.image_dimensions(vp8l) == (64, 32)
+
+
+def test_jpeg_encoder_roundtrip_and_restart_markers():
+    """Own encode -> own decode within IDCT rounding (±1 gray, ±2 via
+    color-space conversion), including the DRI/RSTn restart path the wild
+    fixtures don't exercise."""
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    for dri in (0, 1, 2):
+        blob = jpeg_encode(gray, restart_interval=dri)
+        dec = jpeg_decode(blob)
+        assert dec is not None and dec.shape == (16, 16, 1), dri
+        assert int(np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max()) <= 1, dri
+    rgb = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)  # non-multiple-of-8 dims
+    dec = jpeg_decode(jpeg_encode(rgb))
+    assert dec is not None and dec.shape == (24, 17, 3)
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2
+
+
+def test_jpeg_encoder_accepted_by_imageio(spark):
+    """The OTHER conformance direction: javax.imageio must accept our
+    encoder's streams (custom flat Huffman tables, restart markers) and
+    reproduce the original pixels — proving both the encoder emits valid
+    T.81 and, transitively, that the decoder's agreement on wild files is
+    not shared-bug luck."""
+    import tempfile
+
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (16, 16), dtype=np.uint8), 0, 1),
+        (rng.integers(0, 256, (16, 16), dtype=np.uint8), 2, 1),  # with RSTn
+        (rng.integers(0, 256, (11, 13, 3), dtype=np.uint8), 0, 2),
+    ]
+    for px, dri, tol in cases:
+        blob = jpeg_encode(px, restart_interval=dri)
+        with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+            f.write(blob)
+            f.flush()
+            ref = _imageio_pixels(spark, f.name)
+        base = px if px.ndim == 3 else px[:, :, None]
+        assert ref.shape == base.shape
+        assert int(np.abs(ref - base.astype(np.int32)).max()) <= tol, (dri, tol)
