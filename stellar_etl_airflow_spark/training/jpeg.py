@@ -417,7 +417,10 @@ def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
 
     # first pass: compute all coefficient blocks + collect symbols
     blocks: list[list] = []  # per component, list of (dc_sym, dc_bits, [(ac_sym, bits, n)])
-    dc_syms, ac_syms = {0, 11}, {0x00, 0xF0}
+    # all 12 DC categories up front: the emit loop re-differences DCs
+    # against restart-reset predictors, which can produce categories the
+    # no-restart first pass never saw
+    dc_syms, ac_syms = set(range(12)), {0x00, 0xF0}
     for plane in comps_px:
         pad = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
         pred = 0
