@@ -451,3 +451,26 @@ def test_gif_roundtrip_random_arrays(h, w, n_colors, interlaced, seed):
     assert got is not None
     want = np.array(palette, dtype=np.uint8)[idx]
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ch=st.sampled_from([1, 3]),
+    dri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_random_arrays(h, w, ch, dri, seed):
+    """Random arrays (any dims, both channel counts, with/without restart
+    markers) survive encode->decode within IDCT/color rounding."""
+    import numpy as np
+
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(px, restart_interval=dri))
+    assert dec is not None and dec.shape == (h, w, ch)
+    tol = 1 if ch == 1 else 2
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= tol
