@@ -251,11 +251,18 @@ def asof_join_pandas(
             # Hot left rows: salt into _hot_s subgroups (any spread works —
             # the right side is fully replicated per salt, so every subgroup
             # sees the key's whole right history).
+            # Deterministic salt: hash of the full row content. A
+            # nondeterministic spread (monotonically_increasing_id) could
+            # re-salt rows differently across task retries / fetch-failure
+            # recomputes upstream of the cogroup shuffle, duplicating or
+            # dropping rows; a content hash is stable across attempts.
+            # Identical duplicate rows landing in one salt is fine — the
+            # right history is fully replicated per salt.
             l_hot = (
                 left.join(F.broadcast(hotk), keys, "inner")
                 .withColumn(
                     "_asof_salt",
-                    F.pmod(F.monotonically_increasing_id(), F.col("_hot_s").cast("long")).cast("int"),
+                    F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.col("_hot_s")).cast("int"),
                 )
                 .drop("_hot_s")
             )

@@ -746,7 +746,8 @@ def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
         if payload[23:26] != b"\x9d\x01\x2a":
             return None
         w, h = struct.unpack("<HH", payload[26:30])
-        return (w & 0x3FFF, h & 0x3FFF) or None
+        w, h = w & 0x3FFF, h & 0x3FFF
+        return (w, h) if w and h else None
     if fmt == b"VP8L":  # lossless: signature byte 0x2F then packed dims
         if payload[20] != 0x2F:
             return None

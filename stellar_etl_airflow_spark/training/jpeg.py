@@ -69,6 +69,11 @@ class _BitReader:
 
     def _fill(self) -> bool:
         d = self.data
+        if self.nbits == 0:
+            # Drop already-consumed high bits: without this reset the
+            # accumulator grows into an unbounded bigint and every shift
+            # becomes O(stream length) — quadratic over the scan.
+            self.bits = 0
         while self.nbits <= 24:
             if self.i >= len(d):
                 return self.nbits > 0
@@ -83,7 +88,7 @@ class _BitReader:
                     return self.nbits > 0
             else:
                 self.i += 1
-            self.bits = (self.bits << 8) | b
+            self.bits = ((self.bits << 8) | b) & 0xFFFFFFFFFF
             self.nbits += 8
         return True
 
@@ -140,7 +145,20 @@ def _idct_matrix():
 
 def jpeg_decode(payload: bytes):
     """(h, w, 3) RGB (or (h, w, 1) grayscale) uint8 pixels for a baseline
-    sequential JPEG; None for progressive/arithmetic/12-bit/malformed."""
+    or progressive JPEG; None for arithmetic/12-bit/hierarchical/malformed.
+
+    Never raises: truncated/garbage segment bodies (short DRI, DQT, SOF,
+    SOS) surface as ``struct.error``/``ValueError``/``IndexError`` from
+    the parser and are converted to None here — an exception would kill
+    the whole Arrow batch in ``image_pixels``/``resize_images``.
+    """
+    try:
+        return _jpeg_decode(payload)
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _jpeg_decode(payload: bytes):
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -225,6 +243,12 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     if not h or not w:
         return None
+    if len(comps) == 1:
+        # T.81 §A.2: a one-component scan is NON-interleaved — the MCU is
+        # a single data unit walking the component's own block grid, so
+        # declared sampling factors >1 must not impose interleaved MCU
+        # geometry (that would decode a grayscale image garbled).
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax == 0 or vmax == 0:

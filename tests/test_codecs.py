@@ -687,6 +687,11 @@ def test_webp_dimensions_all_flavors():
     assert codecs.webp_dimensions(vp8x) == (640, 360)
     assert codecs.webp_dimensions(b"RIFFxxxxWAVEfmt ") is None
     assert codecs.image_dimensions(vp8l) == (64, 32)
+    # ADVICE r6: zero-dim malformed VP8 frame header must return None,
+    # not (0, 0) — a non-empty tuple is always truthy.
+    vp8zero = (b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 " + struct.pack("<I", 18)
+               + b"\x00" * 3 + b"\x9d\x01\x2a" + struct.pack("<HH", 0, 0) + b"\x00" * 8)
+    assert codecs.webp_dimensions(vp8zero) is None
 
 
 def test_jpeg_encoder_roundtrip_and_restart_markers():
@@ -733,3 +738,54 @@ def test_jpeg_encoder_accepted_by_imageio(spark):
         base = px if px.ndim == 3 else px[:, :, None]
         assert ref.shape == base.shape
         assert int(np.abs(ref - base.astype(np.int32)).max()) <= tol, (dri, tol)
+
+
+def test_jpeg_decode_never_raises_on_malformed():
+    """ADVICE r6: truncated segment bodies (short DRI/DQT/SOF/SOS) must
+    return None, not raise — an exception would kill the whole Arrow
+    batch in image_pixels/resize_images."""
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode
+
+    assert jpeg_decode(b"\xff\xd8\xff\xdd\x00\x03\x01") is None  # truncated DRI
+    assert jpeg_decode(b"\xff\xd8\xff\xc0\x00\x04\x08\x00") is None  # short SOF
+    assert jpeg_decode(b"\xff\xd8\xff\xdb\x00\x03\x00") is None  # short DQT
+    base = open(_os.path.join(_DATA, "python16x16.jpg"), "rb").read()
+    for cut in (60, 100, len(base) // 2):
+        # truncation anywhere must never raise (None or partial-pad OK)
+        jpeg_decode(base[:cut])
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        jpeg_decode(b"\xff\xd8" + rng.bytes(300))
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 §A.2: a one-component scan uses non-interleaved geometry, so
+    declared sampling factors >1 in SOF must not garble a grayscale
+    image (ADVICE r6). Patching the sampling byte must not change the
+    decoded pixels — the entropy stream is identical either way."""
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 40, 1), dtype=np.uint8)
+    enc = bytearray(jpeg_encode(img))
+    ref = jpeg_decode(bytes(enc))
+    i = enc.find(b"\xff\xc0")
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1  # marker,len,prec,h,w,nc,cid -> hv
+    assert enc[hv_off] == 0x11
+    for hv in (0x21, 0x12, 0x22):
+        enc[hv_off] = hv
+        out = jpeg_decode(bytes(enc))
+        assert out is not None and np.array_equal(out, ref), hex(hv)
+
+
+def test_jpeg_bitreader_is_linear():
+    """ADVICE r6: the bit accumulator must not grow into an unbounded
+    bigint (quadratic decode). Feed ~200KB of entropy bytes through the
+    reader and assert the accumulator stays word-sized."""
+    from stellar_etl_airflow_spark.training.jpeg import _BitReader
+
+    data = bytes(range(1, 251)) * 800  # no FF bytes -> plain fill path
+    r = _BitReader(data, 0)
+    for _ in range(len(data) * 8):
+        r.read_bit()
+    assert r.bits.bit_length() <= 64
