@@ -26,70 +26,81 @@ QUERIES.update(training.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is now larger than the window). Front-load the
-# entries whose verdicts carry NEW information this round. Round 6:
-# everything is green; signal = staleness. Front the 10 entries whose
-# latest driver row is round 3 (VERDICT r5 ask #1), then the 35 whose
-# latest row is round 4 (so nothing ends the round more than one round
-# stale) — that set also contains every entry touched by this round's
-# changes (t04/t05 simhash fold fix, t13/t15 real PNG pixel decode,
-# q07/q27/q42 as-of skew auto-fallback). New round-6 entries ride just
-# behind, then the r5-fresh remainder. If the driver checks everything,
-# order is irrelevant; if it truncates, the truncation costs the least
-# signal.
+# round (the corpus is 102 entries, larger than the window).
+#
+# ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
+# 102-entry corpus, alternate-round freshness is the attainable bound —
+# each round fronts (a) any entry that has NEVER had a driver row, then
+# (b) every entry whose latest row is one round old, ordered so that
+# entries touched by this round's code changes come first. 52 stale
+# entries compete for 50 slots, so exactly two r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-52 and
+# MUST lead _FRONT next round. Round 7 sacrifices q31_setops and
+# q44_cube (simple deterministic relational plans, unchanged since r5,
+# oracle-verified in-repo by test_oracle_parity.py every session).
 _FRONT = [
-    # r3-stale rows: latest green driver check was round 3 (VERDICT r5 #1)
-    "q15_multiway_join",
-    "q16_distinct_groupall",
-    "q18_sequence_explode",
-    "q20_export_slice",
-    "q21_scalar_functions2",
-    "q22_provider_accounting",
-    "q23_docs_embeddings_join",
-    "q24_enriched_rows",
-    "q25_top_parts_per_brand",
-    "q46_higher_order",
-    # r4-stale rows, changed-this-round members first (simhash fold
-    # rewrite, PNG pixel decode, as-of auto-fallback touch these paths)
-    "t04_simhash",
-    "t05_simhash_neardup",
-    "t13_multimodal_meta",
-    "t15_frame_sample",
-    "q07_asof_price_join",
-    "q27_asof_union",
-    "q42_bucketed_range_join",
-    # remaining r4-stale rows
-    "q01_pricing_summary",
-    "q02_latest_state_dedup",
-    "q03_shipping_priority",
-    "q04_oldest_wins_dedup",
-    "q05_anti_join",
-    "q06_semi_join_union",
-    "q08_cross_join_latest",
-    "q09_scalar_functions",
-    "q10_json_extract",
-    "q11_validity_windows",
-    "q12_ohlc",
-    "q13_array_agg_ordered",
-    "q14_union_branches",
-    "t06_embedding_topk",
-    "t07_embedding_lsh_topk",
-    "t08_embedding_neardup",
-    "t09_lang_id",
-    "t10_quality_score",
-    "t11_token_stats",
-    "t12_fingerprint",
-    "t14_jaccard_dfcapped",
-    "t18_embedding_multiprobe_topk",
-    "t21_vocab_stats",
-    "t22_tfidf_top_terms",
-    "t23_audio_features",
-    "t24_deterministic_sampling",
-    "t25_chunking",
-    "t26_sequence_packing",
-    # new round-6 entries: need their first driver row
-    *[n for n in QUERIES if n.startswith(("s08", "s09", "t36", "t37", "t38", "t39", "q54"))],
-    # r5-fresh remainder rides in back (dict-merge below appends them)
+    # never driver-checked (VERDICT r6 ask #2: positions 1-2)
+    "t38_importance_weights",
+    "t39_duplicate_spans",
+    # r5-stale entries touched by round-7 changes: as-of deterministic
+    # salt + right-hot splitting (q52/q53), txn-ledger retention under
+    # the incremental mart (q51). (t23_audio_features also changes this
+    # round — FLAC subframe decode — but is r6-fresh; its parity rides
+    # on the in-repo oracle gate until its next rotation.)
+    "q52_asof_tolerance",
+    "q53_asof_forward",
+    "q51_incremental_mart",
+    # remaining r5-stale entries
+    "q17_apply_changes",
+    "q19_sessionize",
+    "q26_correlated_subquery",
+    "q28_rollup",
+    "q29_percentiles",
+    "q30_rolling_window",
+    "q32_pivot",
+    "q33_unpivot",
+    "q34_tumbling_window",
+    "q35_exists_subqueries",
+    "q36_window_ranks",
+    "q37_lateral_topk",
+    "q38_hopping_window",
+    "q39_full_outer",
+    "q40_sketch_aggregates",
+    "q41_salted_join",
+    "q43_range_frames",
+    "q45_explode_outer",
+    "q47_grouping_sets",
+    "q48_fuzzy_blocked_join",
+    "q49_gapfill_ffill",
+    "q50_funnel",
+    "s01_stream_tumbling",
+    "s02_stream_dedup",
+    "s03_stream_sessionize",
+    "s04_stateful_running_counts",
+    "s05_stream_stream_join",
+    "s06_stream_upsert_sink",
+    "s07_stream_static_enrich",
+    "t01_exact_dedup",
+    "t02_ngram_jaccard_pairs",
+    "t03_minhash_lsh_pairs",
+    "t16_embedding_ivf_topk",
+    "t17_neardup_components",
+    "t19_kmeans_ivf",
+    "t20_training_pipeline",
+    "t27_repetition_stats",
+    "t28_contamination_report",
+    "t29_per_lang_quality_filter",
+    "t30_source_vocab_overlap",
+    "t31_per_lang_threshold_gate",
+    "t32_unigram_logprob",
+    "t33_rebalance_sources",
+    "t34_boilerplate_coverage",
+    "t35_stratified_sample",
+    # the two sacrificed-this-round entries (positions 51-52): front
+    # these FIRST next round
+    "q31_setops",
+    "q44_cube",
+    # r6-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()
 _FRONT = [n for n in _FRONT if not (n in _seen or _seen.add(n))]

@@ -108,3 +108,27 @@ def test_full_batch_lifecycle(spark, tmp_path):
         datetime(2024, 1, 1), datetime(2024, 1, 2), dest,
     )
     assert exports.read_export(spark, fmt, dest).count() == 3
+
+
+def test_e2e_bench_job(spark, tmp_path):
+    """The bench's BASELINE-comparable batch job (stellar_etl_airflow_spark/e2e.py):
+    orders-derived NDJSON -> del/ins -> apply_changes -> current view ->
+    Avro export, asserting the stage invariants at sf0.001."""
+    import os
+
+    from stellar_etl_airflow_spark import e2e
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+    led_src, acc_src = e2e.prepare(spark, sf_dir, str(tmp_path))
+    m = e2e.run(spark, led_src, acc_src, str(tmp_path))
+    assert m["export_format"] in ("avro", "parquet")
+    # the export keeps deletion-flagged latest rows (view semantics);
+    # the state table drops them (MERGE semantics)
+    assert m["export_rows"] >= m["state_rows"] > 0
+    # the view keeps dense_rank ties (two changes with the same
+    # (ledger, entry_change) both rank 1 — reference semantics), so the
+    # export has AT LEAST one row per account; the MERGE state table has
+    # AT MOST one (ties collapsed, deletions dropped)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n_accounts = orders.select("o_custkey").distinct().count()
+    assert m["export_rows"] >= n_accounts >= m["state_rows"]
