@@ -146,10 +146,27 @@ def asof_join_pandas(
     semantics, bounded pandas frames. Cold keys take the normal
     bucketed/raw path untouched; when no key is hot the plan is
     unchanged and the only cost is the detection job. ``skew="off"``
-    skips detection. The envelope bounds the LEFT volume per group; a
-    single key whose RIGHT side alone exceeds executor memory would
-    need time-range splitting of the right history, which no caller
-    here has — detection raises if it sees one rather than OOMing.
+    skips detection.
+
+    RIGHT-hot keys (a single key whose right history alone exceeds the
+    envelope): for ``direction="backward"`` the right history is
+    time-range chunked — per-key quantile cuts (``percentile_approx``,
+    a map-side-combined aggregate, no per-key sort task) assign every
+    right row a chunk; each left row routes to the chunk covering its
+    timestamp; and each chunk is seeded with the LAST row (by ts +
+    tie_cols) of all earlier chunks, so a left row landing in a chunk
+    whose rows are all later than it still sees the correct
+    latest-earlier right row. Results are identical to the unsplit
+    path; per-group right volume ~ envelope/S (quantile-sketch
+    approximate) + 1 seed row. Equal right timestamps never straddle a
+    chunk (the cut comparison is on the ts value), so tie resolution is
+    preserved — the flip side is that a pathological key with millions
+    of rows at ONE timestamp cannot be range-split and stays bounded
+    only by its distinct-ts spread. For ``direction`` in {"forward",
+    "nearest"} right-hot keys are isolated into their own cogroup
+    (correct, but the frame is as big as that key's history) — the
+    forward seed would need first-run-of-next-chunk semantics that no
+    caller currently needs.
     """
     import pandas as pd
 
@@ -228,6 +245,14 @@ def asof_join_pandas(
         tagged = left.select(*keys, F.lit(1).alias("_l")).unionByName(
             rsel.select(*keys, F.lit(0).alias("_l"))
         )
+        # right split factor: only the backward direction has the
+        # carry-forward seed construction (see docstring); other
+        # directions keep _rs=1 (isolation).
+        rs_expr = (
+            F.greatest(F.ceil(F.col("_rn") / F.lit(lim)), F.lit(1)).cast("int")
+            if direction == "backward"
+            else F.lit(1)
+        )
         hot = (
             tagged.groupBy(*keys)
             .agg(F.sum("_l").alias("_ln"), F.sum(F.lit(1) - F.col("_l")).alias("_rn"))
@@ -239,18 +264,55 @@ def asof_join_pandas(
                 # A right-hot/left-small key gets S=1 — pure isolation
                 # (its own group, out of everyone else's bucket).
                 F.greatest(F.ceil(F.col("_ln") / F.lit(lim)), F.lit(1)).cast("int").alias("_hot_s"),
+                rs_expr.alias("_rs"),
             )
         )
         # Bounded collect: at most |total rows| / max_group_rows keys can be
         # hot (≤ a few hundred k at 1e12 rows; realistically a handful).
         hot_rows = hot.collect()
         if hot_rows:
-            hotk = left.sparkSession.createDataFrame(hot_rows, hot.schema)
+            spark = left.sparkSession
+            hotk = spark.createDataFrame(hot_rows, hot.schema)
             l_cold = left.join(F.broadcast(hotk), keys, "left_anti")
             r_cold = rsel.join(F.broadcast(hotk), keys, "left_anti")
-            # Hot left rows: salt into _hot_s subgroups (any spread works —
-            # the right side is fully replicated per salt, so every subgroup
-            # sees the key's whole right history).
+
+            # ---- right-hot time-range chunking (backward only) ----
+            # Every hot-key row gets an _asof_chunk; keys that are not
+            # right-split keep chunk 0 (null cuts). Chunk = count of
+            # per-key quantile cuts <= ts, compared in a monotonic
+            # numeric space (double cast), so equal timestamps always
+            # share a chunk and left/right agree on the boundary.
+            s_max = max(r["_rs"] for r in hot_rows)
+            struct_fields = list(dict.fromkeys(["_rts", *tie_cols, *value_cols]))
+
+            def _chunk(ts_col):
+                return F.when(F.col("_cuts").isNull(), F.lit(0)).otherwise(
+                    F.size(F.filter(F.col("_cuts"), lambda c: c <= ts_col.cast("double")))
+                ).cast("int")
+
+            def _with_cuts(df):
+                if s_max > 1:
+                    return df.join(F.broadcast(cuts), keys, "left")
+                return df.withColumn("_cuts", F.lit(None).cast("array<double>"))
+
+            if s_max > 1:
+                rs_keys = hotk.filter(F.col("_rs") > 1).select(*keys, "_hot_s")
+                # uniform s_max-way quantiles: percentile_approx needs a
+                # literal percentage array, so keys with a smaller _rs
+                # simply get smaller chunks (more groups, same rows).
+                percs = [i / s_max for i in range(1, s_max)]
+                cuts = (
+                    rsel.join(F.broadcast(rs_keys.select(*keys)), keys, "inner")
+                    .groupBy(*keys)
+                    .agg(
+                        F.percentile_approx(
+                            F.col("_rts").cast("double"), percs, 10000
+                        ).alias("_cuts")
+                    )
+                )
+
+            # Hot left rows: salt into _hot_s subgroups and route to the
+            # right-history chunk covering their timestamp.
             # Deterministic salt: hash of the full row content. A
             # nondeterministic spread (monotonically_increasing_id) could
             # re-salt rows differently across task retries / fetch-failure
@@ -259,21 +321,57 @@ def asof_join_pandas(
             # Identical duplicate rows landing in one salt is fine — the
             # right history is fully replicated per salt.
             l_hot = (
-                left.join(F.broadcast(hotk), keys, "inner")
+                _with_cuts(left.join(F.broadcast(hotk), keys, "inner"))
                 .withColumn(
                     "_asof_salt",
                     F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.col("_hot_s")).cast("int"),
                 )
-                .drop("_hot_s")
+                .withColumn("_asof_chunk", _chunk(F.col(left_ts)))
+                .drop("_hot_s", "_rs", "_cuts")
             )
+
             r_hot = (
-                rsel.join(F.broadcast(hotk), keys, "inner")
-                .withColumn("_asof_salt", F.explode(F.sequence(F.lit(0), F.col("_hot_s") - 1)))
-                .drop("_hot_s")
+                _with_cuts(rsel.join(F.broadcast(hotk), keys, "inner"))
+                .withColumn("_asof_chunk", _chunk(F.col("_rts")))
+                .drop("_rs", "_cuts")
             )
+            if s_max > 1:
+                # Boundary seeds: chunk k also receives the LAST right row
+                # (max by ts + tie_cols, lexicographic struct max — one
+                # map-side-combined aggregate) of all chunks < k, so a
+                # left row whose true match precedes its chunk's rows
+                # still finds it. The seed tables are tiny (<= s_max rows
+                # per right-split key).
+                pcl = (
+                    r_hot.join(F.broadcast(rs_keys.select(*keys)), keys, "leftsemi")
+                    .groupBy(*keys, F.col("_asof_chunk").alias("_pchunk"))
+                    .agg(F.max(F.struct(*struct_fields)).alias("_s"))
+                )
+                grid = rs_keys.select(
+                    *keys,
+                    "_hot_s",
+                    F.explode(F.sequence(F.lit(1), F.lit(s_max - 1))).alias("_asof_chunk"),
+                )
+                seeds = (
+                    grid.join(pcl, keys, "inner")
+                    .filter(F.col("_pchunk") < F.col("_asof_chunk"))
+                    .groupBy(*keys, "_hot_s", "_asof_chunk")
+                    .agg(F.max("_s").alias("_s"))
+                    .select(
+                        *keys,
+                        "_hot_s",
+                        "_asof_chunk",
+                        *[F.col(f"_s.{c}").alias(c) for c in struct_fields],
+                    )
+                )
+                r_hot = r_hot.unionByName(seeds)
+
+            r_hot = r_hot.withColumn(
+                "_asof_salt", F.explode(F.sequence(F.lit(0), F.col("_hot_s") - 1))
+            ).drop("_hot_s")
             hot_out = (
-                l_hot.groupBy(*keys, "_asof_salt")
-                .cogroup(r_hot.groupBy(*keys, "_asof_salt"))
+                l_hot.groupBy(*keys, "_asof_salt", "_asof_chunk")
+                .cogroup(r_hot.groupBy(*keys, "_asof_salt", "_asof_chunk"))
                 .applyInPandas(join_group, out_schema)
             )
 

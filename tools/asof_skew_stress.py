@@ -105,6 +105,89 @@ def main() -> None:
         "wall_auto": results["auto"][0],
     }))
 
+    # ---- scenario 2 (r7): RIGHT-hot key — one key owns hot_share of the
+    # RIGHT history. Undetected, that key's whole history lands in one
+    # pandas frame regardless of left salting; detected (backward), the
+    # history is time-range chunked with boundary seeds. Measure the
+    # actual per-(key, chunk) frame rows by reproducing the cut
+    # assignment, and assert identical results.
+    left2 = (
+        spark.range(n_right)
+        .select(
+            F.col("id").alias("row_id"),
+            F.pmod(F.hash("id"), F.lit(n_keys)).alias("k"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 86_400).alias("ts"),
+        )
+        .persist()
+    )
+    right2 = (
+        spark.range(n_left)
+        .select(
+            F.when(F.col("id") % F.lit(int(1 / hot_share)) == 0, 0)
+            .otherwise(F.pmod(F.hash("id"), F.lit(n_keys)))
+            .alias("k"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 86_400).alias("ts"),
+            (F.col("id") % 997).cast("double").alias("price"),
+            F.col("id").alias("rid"),
+        )
+        .persist()
+    )
+    left2.count()
+    hot_right = right2.filter(F.col("k") == 0).count()
+
+    def run2(skew: str):
+        t0 = time.perf_counter()
+        out = asof_join_pandas(
+            left2, right2, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["price"], tie_cols=["rid"],
+            skew=skew, max_group_rows=envelope,
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("row_id", "price")).alias("chk"),
+        ).collect()[0]
+        return round(time.perf_counter() - t0, 2), agg["n"], agg["chk"]
+
+    # measured frame rows under the detected plan's (key, chunk) grouping
+    s = -(-hot_right // envelope)
+    cuts = [i / s for i in range(1, s)]
+    bounds = (
+        right2.filter(F.col("k") == 0)
+        .groupBy("k")
+        .agg(F.percentile_approx(F.col("ts").cast("double"), cuts, 10000).alias("_cuts"))
+    )
+    chunk_max = (
+        right2.filter(F.col("k") == 0)
+        .join(F.broadcast(bounds), "k")
+        .withColumn(
+            "chunk",
+            F.size(F.filter(F.col("_cuts"), lambda c: c <= F.col("ts").cast("double"))),
+        )
+        .groupBy("chunk")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
+    r2 = {}
+    for mode in ("off", "auto"):
+        wall, n, chk = run2(mode)
+        r2[mode] = (wall, n, chk)
+        print(json.dumps({
+            "scenario": "right_hot", "mode": mode, "wall_sec": wall,
+            "rows": n, "checksum": chk, "hot_right_rows": hot_right,
+            "envelope": envelope,
+            "max_right_frame_rows": hot_right if mode == "off" else chunk_max,
+        }))
+    assert r2["off"][1:] == r2["auto"][1:], "right-hot skew plans disagree!"
+    print(json.dumps({
+        "summary": "right_hot identical results",
+        "undetected_right_frame_rows": hot_right,
+        "detected_right_frame_rows_measured": chunk_max,
+        "wall_off": r2["off"][0],
+        "wall_auto": r2["auto"][0],
+    }))
+
 
 if __name__ == "__main__":
     main()
