@@ -349,6 +349,21 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.remove(_manifest_path(path, v))
         except FileNotFoundError:
             pass
+    # Txn-ledger retention (r7): entries recorded at versions that no
+    # longer exist cannot be re-produced by any checkpoint the table can
+    # still serve — a replayer would be replaying a batch whose result
+    # version has itself been vacuumed away. Pruning them bounds the
+    # ledger (it otherwise grows ~50k entries/yr at reference cadence,
+    # carried forward verbatim by every merge) while preserving
+    # exactly-once for every replay of a RETAINED version. Retained
+    # manifests are rewritten atomically with the pruned ledger.
+    for v in _versions_on_disk(path):
+        m = read_manifest(path, v)
+        txns = m.get("txns") or {}
+        pruned = {t: tv for t, tv in txns.items() if int(tv) > cutoff}
+        if len(pruned) != len(txns):
+            m["txns"] = pruned
+            _atomic_write(_manifest_path(path, v), json.dumps(m))
     return deleted
 
 

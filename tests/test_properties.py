@@ -474,3 +474,75 @@ def test_jpeg_roundtrip_random_arrays(h, w, ch, dri, seed):
     assert dec is not None and dec.shape == (h, w, ch)
     tol = 1 if ch == 1 else 2
     assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= tol
+
+
+# ---------------------------------------------------------------------------
+# Txn-ledger retention (r7, VERDICT ask #7): random interleavings of
+# additive merges (txn-id'd), replays, and vacuums vs a Python model of
+# the ledger + counters. Vacuum prunes ledger entries recorded at
+# vacuumed-away versions; exactly-once must hold for every replay of a
+# RETAINED version, and a replay of a PRUNED txn re-applies (the
+# documented contract: no checkpoint the table can still serve produces
+# such a replay).
+# ---------------------------------------------------------------------------
+
+txn_op = st.one_of(
+    st.tuples(st.just("merge"), st.integers(0, 4), st.just(0)),
+    st.tuples(st.just("replay"), st.integers(0, 4), st.just(0)),
+    st.tuples(st.just("vacuum"), st.integers(1, 3), st.just(0)),
+)
+
+
+@SLOW
+@given(ops=st.lists(txn_op, min_size=3, max_size=10))
+def test_txn_ledger_retention_matches_model(spark, tmp_path_factory, ops):
+    import os
+    import uuid
+
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    path = os.path.join(str(tmp_path_factory.mktemp("txnprop")), uuid.uuid4().hex[:8])
+
+    def batch(i: int):
+        return spark.createDataFrame([(f"k{i % 2}", 1)], "k string, n long")
+
+    # model state
+    counters: dict[str, int] = {}
+    ledger: dict[str, int] = {}
+    latest = 0
+
+    def model_merge(i: int):
+        nonlocal latest
+        txn = f"b{i}"
+        if txn in ledger:
+            return ledger[txn]
+        if latest == 0:
+            latest = 1  # _merge_versioned_core bootstrap snapshot
+        latest += 1
+        counters[f"k{i % 2}"] = counters.get(f"k{i % 2}", 0) + 1
+        ledger[txn] = latest
+        return latest
+
+    for kind, arg, _ in ops:
+        if kind in ("merge", "replay"):
+            want_v = model_merge(arg)
+            got_v, _t = MG.merge_additive_versioned(
+                spark, batch(arg), path, ("k",), ("n",), n_buckets=2, txn_id=f"b{arg}"
+            )
+            assert got_v == want_v
+        else:  # vacuum
+            if latest == 0:
+                continue
+            S.vacuum(path, keep_versions=arg)
+            cutoff = latest - arg
+            for t in [t for t, v in ledger.items() if v <= cutoff]:
+                del ledger[t]
+        if latest:
+            got_counters = {
+                r["k"]: r["n"] for r in S.read_snapshot(spark, path).collect()
+            }
+            assert got_counters == counters
+            got_ledger = {
+                t: int(v) for t, v in (S.read_manifest(path).get("txns") or {}).items()
+            }
+            assert got_ledger == ledger, (got_ledger, ledger)
