@@ -16,8 +16,9 @@ with stdlib ``struct`` + ``zlib`` + numpy — so the decode seam in
   (r6: header only).
 
 Only formats whose coding genuinely needs an external library fall
-back to the deterministic stub: progressive/arithmetic JPEG, MP3/OGG
-frames, video containers.
+back to the deterministic stub: arithmetic-coded JPEG, MP3/OGG frames,
+video containers. Progressive JPEG decodes for real since r7
+(training/jpeg.py, T.81 Annex G).
 
 Format references (all public specs):
 - PNG: ISO/IEC 15948 §11.2.2 — IHDR is the first chunk; width/height are
@@ -118,8 +119,8 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
 # Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced (Adam7
 # and sub-byte depths return None — they need a real codec's complexity
 # budget). BMP: uncompressed 24/32-bit BITMAPINFOHEADER rows, bottom-up
-# or top-down, 4-byte row padding. JPEG pixels and video stay stubbed in
-# multimodal.py — DCT entropy decode genuinely needs an external library.
+# or top-down, 4-byte row padding. JPEG pixels decode in
+# training/jpeg.py (baseline + progressive); video stays stubbed.
 # ---------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -413,9 +414,9 @@ def gif_decode(payload: bytes):
 
 
 def image_pixels(payload: bytes):
-    """Pixel array for PNG, BMP, GIF, or baseline JPEG payloads, None for
-    formats that still need an external codec (progressive/arithmetic
-    JPEG, video). JPEG decode (training/jpeg.py) is bit-serial Python
+    """Pixel array for PNG, BMP, GIF, or JPEG (baseline AND progressive,
+    r7) payloads, None for formats that still need an external codec
+    (arithmetic JPEG, video). JPEG decode (training/jpeg.py) is bit-serial Python
     Huffman + exact numpy IDCT — correct (cross-validated against
     javax.imageio) but slow for large images; batch small thumbnails or
     swap in libjpeg behind the same seam for bulk decode."""

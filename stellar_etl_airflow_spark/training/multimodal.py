@@ -15,8 +15,8 @@ scanline unfiltering), BMP, GIF (pure-Python LZW + palette), and
 baseline JPEG (training/jpeg.py — Huffman + exact IDCT, cross-validated
 pixel-by-pixel against the JVM's javax.imageio). Resize is a true
 pixels-in/PNG-out transform and image RMS is computed from actual
-pixels. Only progressive/arithmetic JPEG, video containers, and
-compressed audio frames fall back to
+pixels (progressive JPEG included since r7). Only arithmetic-coded
+JPEG, video containers, and compressed audio frames fall back to
 ``*_stub`` deterministic fakes — the clearly-marked seam where
 PIL/ffmpeg/torchaudio plug in. Everything around the seam — schema,
 batching, partitioning, UDF signature — is real and tested.
@@ -170,7 +170,7 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB for formats whose pixels need an external codec (progressive
+    """STUB for formats whose pixels need an external codec (arithmetic
     JPEG, video): deterministic fake scaling the byte budget with the
     target area."""
     budget = max(16, (width * height) // 64)
@@ -181,10 +181,10 @@ def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """REAL resize for PNG/BMP/GIF/baseline-JPEG payloads since r6:
     decode pixels (codecs.image_pixels — stdlib zlib + numpy unfilter,
-    GIF-LZW, or the T.81 baseline decoder), nearest-neighbor sample to
-    the target grid, re-encode as PNG (codecs.png_encode). Formats that
-    genuinely need an external pixel codec (progressive JPEG, video)
-    fall back to the deterministic stub."""
+    GIF-LZW, or the T.81 baseline/progressive decoder), nearest-neighbor
+    sample to the target grid, re-encode as PNG (codecs.png_encode).
+    Formats that genuinely need an external pixel codec (arithmetic
+    JPEG, video) fall back to the deterministic stub."""
     import numpy as np
 
     from . import codecs
