@@ -609,8 +609,10 @@ def aiff_rms_energy(payload: bytes) -> float | None:
 def audio_probe(payload: bytes) -> tuple[int, int, float] | None:
     """(duration_ms, sample_rate, rms_energy) across every REAL audio
     container this module parses: WAV (full, incl. int16 RMS), AIFF
-    (header + big-endian int16 RMS), FLAC (STREAMINFO header; RMS 0.0 —
-    frame decode needs a real codec). None for anything else."""
+    (header + big-endian int16 RMS), FLAC (r7: REAL subframe decode —
+    fixed + LPC predictors, partitioned Rice, CRC + MD5 verified,
+    training/flac.py — with the STREAMINFO header as fallback for
+    streams the decoder rejects). None for anything else."""
     feats = wav_features(payload)
     if feats is not None:
         return feats
@@ -622,7 +624,10 @@ def audio_probe(payload: bytes) -> tuple[int, int, float] | None:
     fl = flac_info(payload)
     if fl is not None:
         rate, _ch, _bits, duration_ms = fl
-        return duration_ms, rate, 0.0
+        from .flac import flac_rms_energy
+
+        rms = flac_rms_energy(payload)
+        return duration_ms, rate, (rms if rms is not None else 0.0)
     return None
 
 

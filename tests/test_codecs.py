@@ -900,3 +900,79 @@ def test_jpeg_progressive_decodes_imageio_streams(spark):
     # identical content through the sequential and progressive paths
     assert decs[0] is not None and decs[1] is not None
     assert np.array_equal(decs[0], decs[1])
+
+
+# ---------------------------------------------------------------------------
+# FLAC subframe decode (r7): real PCM from compressed audio. FLAC is
+# lossless, so the gate is EXACT sample round-trip through our encoder
+# (any predictor/Rice/bit-packing defect breaks it); CRC-8/CRC-16 and
+# the STREAMINFO MD5 guard the bit layer against shared bugs.
+# ---------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_all_subframe_types():
+    from stellar_etl_airflow_spark.training import flac as FL
+
+    rng = np.random.default_rng(21)
+    mono = rng.integers(-3000, 3000, 1000).astype(np.int64)
+    t = np.arange(1500)
+    smooth = (9000 * np.sin(t / 25)).astype(np.int64)
+    stereo = rng.integers(-32768, 32767, (777, 2)).astype(np.int64)
+    cases = [
+        (mono, dict()),
+        (mono, dict(mode=("fixed", 0))),
+        (mono, dict(mode=("fixed", 4))),
+        (mono, dict(mode="verbatim")),
+        (smooth, dict(mode=("lpc", [3, -1], 2, 6))),
+        (np.full(500, -77, dtype=np.int64), dict()),  # constant subframes
+        (stereo, dict()),
+        (stereo, dict(mid_side=True)),
+        (smooth, dict(block_size=192)),  # multiple frames, coded numbers
+    ]
+    for samples, kw in cases:
+        blob = FL.flac_encode(samples, **kw)
+        dec = FL.flac_decode(blob)
+        assert dec is not None, kw
+        out, rate, bits = dec
+        want = samples if samples.ndim == 2 else samples[:, None]
+        assert np.array_equal(out.astype(np.int64), want), kw
+        assert (rate, bits) == (44100, 16)
+
+
+def test_flac_corruption_detected():
+    """Any single flipped bit must be caught by CRC-8/CRC-16/MD5, never
+    silently decoded to wrong samples."""
+    from stellar_etl_airflow_spark.training import flac as FL
+
+    t = np.arange(800)
+    blob = FL.flac_encode((5000 * np.sin(t / 20)).astype(np.int64))
+    rng = np.random.default_rng(22)
+    for _ in range(12):
+        pos = int(rng.integers(42, len(blob)))  # past the magic
+        bad = bytearray(blob)
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        dec = FL.flac_decode(bytes(bad))
+        if dec is not None:  # a flip may hit padding; samples must be intact
+            out, _, _ = dec
+            assert np.array_equal(
+                out[:, 0].astype(np.int64), (5000 * np.sin(t / 20)).astype(np.int64)
+            )
+
+
+def test_flac_rms_through_audio_probe_and_spark_stage(spark):
+    """audio_probe now returns REAL RMS for FLAC (was 0.0 header-only),
+    and the mapInPandas audio stage carries it end-to-end."""
+    from stellar_etl_airflow_spark.training import flac as FL
+    from stellar_etl_airflow_spark.training.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    t = np.arange(4000)
+    pcm = (16384 * np.sin(t / 10)).astype(np.int64)
+    blob = FL.flac_encode(pcm, rate=16000)
+    want_rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2)))
+    dur, rate, rms = codecs.audio_probe(blob)
+    assert rate == 16000 and dur == 250
+    assert abs(rms - want_rms) < 1e-9
+    rows = [(1, "audio", bytearray(blob), len(blob))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_audio_features(media).collect()[0]
+    assert out["sample_rate"] == 16000 and abs(out["rms_energy"] - want_rms) < 1e-9
