@@ -413,13 +413,45 @@ def gif_decode(payload: bytes):
     return None
 
 
+# The production decode seam (r7): register a native decoder (Pillow /
+# libjpeg-turbo / nvJPEG wrapper) and every pixel consumer — resize,
+# RMS, t36 stats — uses it transparently, falling back to the pure-
+# Python paths for payloads it declines (returns None for). Contract:
+# fn(payload: bytes) -> (h, w, ch) uint8 ndarray | None. The measured
+# cost gap this seam exists to close is in SCALE.md ("codec throughput").
+_EXTERNAL_PIXEL_DECODER = None
+
+
+def register_pixel_decoder(fn) -> None:
+    """Install (or with None, remove) an external pixel decoder tried
+    BEFORE the built-in pure-Python codecs. E.g.::
+
+        def pillow_decoder(payload):
+            import io
+            import numpy as np
+            from PIL import Image
+            try:
+                return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            except Exception:
+                return None
+        register_pixel_decoder(pillow_decoder)
+    """
+    global _EXTERNAL_PIXEL_DECODER
+    _EXTERNAL_PIXEL_DECODER = fn
+
+
 def image_pixels(payload: bytes):
     """Pixel array for PNG, BMP, GIF, or JPEG (baseline AND progressive,
     r7) payloads, None for formats that still need an external codec
     (arithmetic JPEG, video). JPEG decode (training/jpeg.py) is bit-serial Python
     Huffman + exact numpy IDCT — correct (cross-validated against
     javax.imageio) but slow for large images; batch small thumbnails or
-    swap in libjpeg behind the same seam for bulk decode."""
+    register a native decoder through :func:`register_pixel_decoder`
+    for bulk decode (throughput table in SCALE.md)."""
+    if _EXTERNAL_PIXEL_DECODER is not None:
+        px = _EXTERNAL_PIXEL_DECODER(payload)
+        if px is not None:
+            return px
     if payload[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode
 

@@ -976,3 +976,39 @@ def test_flac_rms_through_audio_probe_and_spark_stage(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_audio_features(media).collect()[0]
     assert out["sample_rate"] == 16000 and abs(out["rms_energy"] - want_rms) < 1e-9
+
+
+def test_external_decoder_seam():
+    """The production swap (SCALE.md codec-throughput section): a native
+    decoder registered through codecs.register_pixel_decoder takes over
+    every pixel consumer; payloads it declines fall back to the built-in
+    pure-Python codecs, so coverage never shrinks."""
+    from stellar_etl_airflow_spark.training.multimodal import resize_image
+
+    calls = []
+
+    def fake_native(payload: bytes):
+        calls.append(len(payload))
+        if payload[:2] == b"\xff\xd8":  # handles JPEG only
+            return np.full((4, 4, 3), 200, dtype=np.uint8)
+        return None  # declines everything else
+
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_encode
+
+    jpg = jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
+    png = codecs.png_encode(np.full((2, 2, 3), 7, dtype=np.uint8))
+    codecs.register_pixel_decoder(fake_native)
+    try:
+        got = codecs.image_pixels(jpg)
+        assert got is not None and int(got[0, 0, 0]) == 200  # native won
+        got = codecs.image_pixels(png)
+        assert got is not None and int(got[0, 0, 0]) == 7  # fallback won
+        # consumers route through the seam without code changes
+        out = codecs.png_decode(resize_image(jpg, 2, 2))
+        assert out is not None and int(out[0, 0, 0]) == 200
+        assert len(calls) >= 3
+    finally:
+        codecs.register_pixel_decoder(None)
+    # seam removed: the built-in JPEG decoder is back
+    got = codecs.image_pixels(jpg)
+    assert got is not None and int(got[0, 0, 0]) <= 1
