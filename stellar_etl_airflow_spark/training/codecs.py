@@ -12,13 +12,15 @@ with stdlib ``struct`` + ``zlib`` + numpy — so the decode seam in
   upsampling, cross-validated against javax.imageio) — plus a minimal
   PNG ENCODER so resize is pixels-in/PNG-out;
 - audio: WAV (header + int16 RMS), AIFF/AIFC-PCM (r6: big-endian chunk
-  walk, 80-bit-float rate, int16 RMS incl. 'sowt'), FLAC STREAMINFO
-  (r6: header only).
+  walk, 80-bit-float rate, int16 RMS incl. 'sowt'), FLAC (r7: REAL
+  subframe decode + RMS, training/flac.py), MP3 (r7: Layer III frame
+  walk + Xing/Info VBR — real duration/rate), Ogg-Vorbis (r7: page walk
+  + id header — real duration/rate).
 
-Only formats whose coding genuinely needs an external library fall
-back to the deterministic stub: arithmetic-coded JPEG, MP3/OGG frames,
-video containers. Progressive JPEG decodes for real since r7
-(training/jpeg.py, T.81 Annex G).
+Only codings that genuinely need an external library fall back to the
+deterministic stub: arithmetic-coded JPEG pixels, MP3/Vorbis PCM
+payloads (headers are real), inter-frame video. Progressive JPEG
+decodes for real since r7 (training/jpeg.py, T.81 Annex G).
 
 Format references (all public specs):
 - PNG: ISO/IEC 15948 §11.2.2 — IHDR is the first chunk; width/height are
@@ -660,6 +662,16 @@ def audio_probe(payload: bytes) -> tuple[int, int, float] | None:
 
         rms = flac_rms_energy(payload)
         return duration_ms, rate, (rms if rms is not None else 0.0)
+    # r7: MP3 / Ogg-Vorbis header walks — real duration + rate, RMS 0.0
+    # (the PCM itself genuinely needs a codec library)
+    mp = mp3_info(payload)
+    if mp is not None:
+        rate, _ch, duration_ms = mp
+        return duration_ms, rate, 0.0
+    og = ogg_vorbis_info(payload)
+    if og is not None:
+        rate, _ch, duration_ms = og
+        return duration_ms, rate, 0.0
     return None
 
 
@@ -798,3 +810,147 @@ def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
         h = int.from_bytes(payload[27:30], "little") + 1
         return w, h
     return None
+
+
+def gif_frames(payload: bytes) -> list[bytes] | None:
+    """Per-frame byte regions of an (animated) GIF: each returned slice
+    spans one image descriptor + optional local color table + LZW data
+    sub-blocks — the GIF twin of :func:`avi_mjpeg_frames` (real demux,
+    digestible per frame; full multi-frame COMPOSITING with disposal
+    methods stays out of scope). None for non-GIF/malformed streams;
+    single-image GIFs return one region."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    i = 13
+    if packed & 0x80:
+        i += 3 * (2 ** ((packed & 0x07) + 1))
+    n_total = len(payload)
+    frames: list[bytes] = []
+    while i < n_total:
+        b = payload[i]
+        if b == 0x21:  # extension
+            i += 2
+            while i < n_total and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            start = i
+            if i + 10 > n_total:
+                return None
+            ipacked = payload[i + 9]
+            i += 10
+            if ipacked & 0x80:
+                i += 3 * (2 ** ((ipacked & 0x07) + 1))
+            i += 1  # LZW min code size
+            while i < n_total and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            frames.append(payload[start:i])
+        elif b == 0x3B:
+            break
+        else:
+            return None
+    return frames or None
+
+
+# ---------------------------------------------------------------------------
+# Compressed-audio HEADER probes (r7): MP3 frame walk and OGG-Vorbis page
+# walk give REAL duration/rate/channels without decoding audio — the PCM
+# itself (polyphase filterbank + IMDCT / Vorbis transform) genuinely
+# needs a codec library and stays behind the stub seam.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def mp3_info(payload: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) from an MPEG-1/2/2.5 Layer
+    III frame-header walk (ISO/IEC 11172-3 §2.4.1.3 header fields):
+    skips a leading ID3v2 tag (syncsafe size), honors a Xing/Info VBR
+    frame-count when present in the first frame's side-info region, and
+    otherwise counts physical frames (144·bitrate/rate + padding bytes
+    each; 1152 samples per MPEG-1 frame, 576 for MPEG-2/2.5)."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        i = 10 + (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+    first = None
+    total_frames = 0
+    total_samples = 0
+    while i + 4 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+            if first is None:
+                return None  # demand sync at the start (post-ID3)
+            break
+        ver = (payload[i + 1] >> 3) & 3
+        layer = (payload[i + 1] >> 1) & 3
+        if ver == 1 or layer != 1:  # reserved version / not Layer III
+            if first is None:
+                return None
+            break
+        br_idx = payload[i + 2] >> 4
+        sr_idx = (payload[i + 2] >> 2) & 3
+        padding = (payload[i + 2] >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        rate = _MP3_RATES[ver][sr_idx]
+        kbps = (_MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3)[br_idx]
+        spf = 1152 if ver == 3 else 576
+        frame_len = spf // 8 * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            return None
+        if first is None:
+            first = (rate, 1 if ((payload[i + 3] >> 6) & 3) == 3 else 2)
+            # Xing/Info after side info: MPEG1 17(mono)/32(stereo) bytes,
+            # MPEG2/2.5 9/17
+            mono = first[1] == 1
+            side = (17 if mono else 32) if ver == 3 else (9 if mono else 17)
+            tag = payload[i + 4 + side : i + 4 + side + 4]
+            if tag in (b"Xing", b"Info"):
+                flags = int.from_bytes(payload[i + 8 + side : i + 12 + side], "big")
+                if flags & 1:  # FRAMES field present
+                    nf = int.from_bytes(payload[i + 12 + side : i + 16 + side], "big")
+                    return rate, first[1], round((nf * spf) * 1000 / rate)
+        total_frames += 1
+        total_samples += spf
+        i += frame_len
+    if first is None or not total_frames:
+        return None
+    return first[0], first[1], round(total_samples * 1000 / first[0])
+
+
+def ogg_vorbis_info(payload: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) from an Ogg-Vorbis stream:
+    the identification header (RFC 3533 page framing + Vorbis I spec
+    §4.2.2: '\\x01vorbis' + version + channels + rate) plus the LAST
+    page's granule position, which for Vorbis is the absolute PCM sample
+    count. Page-walk only — audio decode needs libvorbis."""
+    if payload[:4] != b"OggS" or len(payload) < 58:
+        return None
+    # first page's single packet should be the Vorbis id header
+    nsegs = payload[26]
+    body = 27 + nsegs
+    idh = payload[body : body + 30]
+    if idh[:7] != b"\x01vorbis":
+        return None
+    channels = idh[11]
+    rate = int.from_bytes(idh[12:16], "little")
+    if not rate or not channels:
+        return None
+    # walk pages to the last granule position
+    i = 0
+    last_granule = 0
+    n = len(payload)
+    while i + 27 <= n and payload[i : i + 4] == b"OggS":
+        granule = int.from_bytes(payload[i + 6 : i + 14], "little", signed=True)
+        if granule >= 0:
+            last_granule = granule
+        ns = payload[i + 26]
+        seg_table = payload[i + 27 : i + 27 + ns]
+        i += 27 + ns + sum(seg_table)
+    return rate, channels, round(last_granule * 1000 / rate)

@@ -119,11 +119,13 @@ def sample_frames(media: DataFrame) -> DataFrame:
     """Frame sampling as an Arrow-batched 1->N expansion: each payload
     yields n_frames rows with per-frame digests. REAL for MJPEG-AVI since
     r6 (codecs.avi_mjpeg_frames demuxes the movi chunks; each frame is a
-    standalone baseline JPEG our decoder can open) — frame_md5 is then
-    the digest of the actual frame bytes. Other containers keep the
-    deterministic stub (inter-frame codecs need a real library); the
-    batch-explode plumbing (one output DataFrame per Arrow batch, rows
-    multiplied) is the production shape for frame extraction at scale."""
+    standalone baseline JPEG our decoder can open) and for animated GIF
+    since r7 (codecs.gif_frames slices per-image-descriptor regions) —
+    frame_md5 is then the digest of the actual frame bytes. Other
+    containers keep the deterministic stub (inter-frame codecs need a
+    real library); the batch-explode plumbing (one output DataFrame per
+    Arrow batch, rows multiplied) is the production shape for frame
+    extraction at scale."""
     from . import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,7 +133,7 @@ def sample_frames(media: DataFrame) -> DataFrame:
             out = {"doc_id": [], "frame_index": [], "n_frames": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                real = codecs.avi_mjpeg_frames(raw)
+                real = codecs.avi_mjpeg_frames(raw) or codecs.gif_frames(raw)
                 if real:
                     for i, fr in enumerate(real):
                         out["doc_id"].append(doc_id)

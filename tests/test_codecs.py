@@ -1012,3 +1012,108 @@ def test_external_decoder_seam():
     # seam removed: the built-in JPEG decoder is back
     got = codecs.image_pixels(jpg)
     assert got is not None and int(got[0, 0, 0]) <= 1
+
+
+# ---------------------------------------------------------------------------
+# r7 compressed-audio header probes (MP3 frame walk, Ogg-Vorbis page
+# walk) and animated-GIF frame demux.
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame(kbps=128, rate=44100, padding=0, stereo=True, body=None):
+    b1 = 0xFF
+    b2 = 0xE0 | (3 << 3) | (1 << 1)  # MPEG1, Layer III
+    br_idx = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320].index(kbps)
+    sr_idx = [44100, 48000, 32000].index(rate)
+    b3 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b4 = 0x00 if stereo else 0xC0
+    frame_len = 144 * kbps * 1000 // rate + padding
+    hdr = bytes([b1, b2, b3, b4])
+    payload = body if body is not None else b"\x00" * (frame_len - 4)
+    return (hdr + payload)[:frame_len].ljust(frame_len, b"\x00")
+
+
+def test_mp3_info_frame_walk_and_xing():
+    # 10 CBR frames at 128 kbps / 44.1 kHz
+    blob = b"".join(_mp3_frame() for _ in range(10))
+    rate, ch, dur = codecs.mp3_info(blob)
+    assert (rate, ch) == (44100, 2)
+    assert dur == round(10 * 1152 * 1000 / 44100)
+    # ID3v2 prefix is skipped (syncsafe size)
+    id3 = b"ID3" + b"\x04\x00\x00" + bytes([0, 0, 0, 12]) + b"\x00" * 12
+    assert codecs.mp3_info(id3 + blob) == (44100, 2, dur)
+    # Xing VBR header declares the authoritative frame count
+    side = 32  # MPEG1 stereo side-info bytes
+    body = b"\x00" * side + b"Xing" + (1).to_bytes(4, "big") + (100).to_bytes(4, "big")
+    first = _mp3_frame(body=body.ljust(144 * 128 * 1000 // 44100 - 4, b"\x00"))
+    rate, ch, dur = codecs.mp3_info(first + blob)
+    assert dur == round(100 * 1152 * 1000 / 44100)
+    # audio_probe dispatch: real duration/rate, RMS 0.0 (PCM needs a codec)
+    assert codecs.audio_probe(blob) == (round(10 * 1152 * 1000 / 44100), 44100, 0.0)
+    assert codecs.mp3_info(b"\xff\xe0 not really") is None
+    assert codecs.mp3_info(b"junk") is None
+
+
+def _ogg_page(granule, serial, seq, packets, header_type=0):
+    segs = bytearray()
+    body = bytearray()
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        body += p
+    return (
+        b"OggS" + bytes([0, header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        + b"\x00" * 4  # crc (not verified by the probe)
+        + bytes([len(segs)]) + bytes(segs) + bytes(body)
+    )
+
+
+def test_ogg_vorbis_info_page_walk():
+    idh = b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2]) + (48000).to_bytes(4, "little") + b"\x00" * 12 + b"\xb8\x01"
+    pages = (
+        _ogg_page(0, 7, 0, [idh], header_type=2)
+        + _ogg_page(0, 7, 1, [b"\x03vorbis" + b"\x00" * 20, b"\x05vorbis" + b"\x00" * 40])
+        + _ogg_page(24000, 7, 2, [b"\x00" * 300])
+        + _ogg_page(96000, 7, 3, [b"\x00" * 120], header_type=4)
+    )
+    rate, ch, dur = codecs.ogg_vorbis_info(pages)
+    assert (rate, ch) == (48000, 2)
+    assert dur == 2000  # last granule 96000 samples @ 48 kHz
+    assert codecs.audio_probe(pages) == (2000, 48000, 0.0)
+    assert codecs.ogg_vorbis_info(b"OggS" + b"\x00" * 60) is None
+    assert codecs.ogg_vorbis_info(b"not ogg") is None
+
+
+def test_gif_frames_demux_and_spark_stage(spark):
+    """Animated GIF: per-frame regions demuxed for real; sample_frames
+    digests the actual frame bytes (GIF twin of the MJPEG-AVI path)."""
+    from stellar_etl_airflow_spark.training.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rng = np.random.default_rng(31)
+    pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+    f1 = _gif_bytes(rng.integers(0, 4, (8, 8)).astype(np.int64), pal)
+    f2 = _gif_bytes(rng.integers(0, 4, (8, 8)).astype(np.int64), pal)
+    # splice frame 2's descriptor region into file 1 before the trailer,
+    # with a graphic-control extension between frames
+    head1, desc2 = f1[:-1], codecs.gif_frames(f2)[0]
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    anim = head1 + gce + desc2 + b"\x3b"
+    frames = codecs.gif_frames(anim)
+    assert frames is not None and len(frames) == 2
+    assert frames[0] == codecs.gif_frames(f1)[0] and frames[1] == desc2
+    # single-frame GIFs demux to one region; non-GIF is None
+    assert len(codecs.gif_frames(f1)) == 1
+    assert codecs.gif_frames(b"nope") is None
+    # Spark stage: n_frames == 2 with digests of the REAL frame bytes
+    import hashlib as _h
+
+    rows = [(1, "video", bytearray(anim), len(anim))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["frame_index"]: r for r in sample_frames(media).collect()}
+    assert len(got) == 2 and got[0]["n_frames"] == 2
+    assert got[1]["frame_md5"] == _h.md5(desc2).hexdigest()
