@@ -29,19 +29,23 @@ QUERIES.update(training.SPECS)
 # round (the corpus is 102 entries, larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 102-entry corpus, alternate-round freshness is the attainable bound —
+# 104-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
-# entries touched by this round's code changes come first. 52 stale
-# entries compete for 50 slots, so exactly two r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-52 and
-# MUST lead _FRONT next round. Round 7 sacrifices q31_setops and
-# q44_cube (simple deterministic relational plans, unchanged since r5,
+# entries touched by this round's code changes come first. 52 r5-stale
+# entries + 2 new-this-round entries compete for 50 slots, so four
+# r5-stale entries slip to two-rounds-stale this round; they are placed
+# at positions 51-54 and MUST lead _FRONT next round. Round 7
+# sacrifices q31_setops, q44_cube, q30_rolling_window, q33_unpivot
+# (simple deterministic relational plans, unchanged since r5,
 # oracle-verified in-repo by test_oracle_parity.py every session).
 _FRONT = [
-    # never driver-checked (VERDICT r6 ask #2: positions 1-2)
+    # never driver-checked: the two r6 entries the r6 window cut off,
+    # then this round's two new entries (VERDICT r6 ask #2)
     "t38_importance_weights",
     "t39_duplicate_spans",
+    "t40_gopher_rules",
+    "t41_source_lang_mix",
     # r5-stale entries touched by round-7 changes: as-of deterministic
     # salt + right-hot splitting (q52/q53), txn-ledger retention under
     # the incremental mart (q51). (t23_audio_features also changes this
@@ -56,9 +60,7 @@ _FRONT = [
     "q26_correlated_subquery",
     "q28_rollup",
     "q29_percentiles",
-    "q30_rolling_window",
     "q32_pivot",
-    "q33_unpivot",
     "q34_tumbling_window",
     "q35_exists_subqueries",
     "q36_window_ranks",
@@ -96,10 +98,12 @@ _FRONT = [
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "t35_stratified_sample",
-    # the two sacrificed-this-round entries (positions 51-52): front
+    # the four sacrificed-this-round entries (positions 51-54): front
     # these FIRST next round
     "q31_setops",
     "q44_cube",
+    "q30_rolling_window",
+    "q33_unpivot",
     # r6-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()

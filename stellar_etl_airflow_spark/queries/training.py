@@ -1557,3 +1557,117 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t40 — Gopher rule gates (Rae et al. 2021): the canonical rule-based
+# pretraining quality filter (word-count/word-length bounds, symbol and
+# bullet/ellipsis ratios, alpha-word fraction, >=2-stopword rule). All
+# per-row scalar expressions — zero shuffle, codegen end-to-end; the
+# line-based rules are exercised trivially by the single-line synthetic
+# corpus but computed for real.
+# ---------------------------------------------------------------------------
+
+
+def t40_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.gopher_rules(docs)
+
+
+T40_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS n_words,
+    greatest(len(ws), 1)::DOUBLE AS nw,
+    round(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+          / greatest(len(ws), 1), 6) AS avg_word_len,
+    (length(text) - length(replace(text, '#', ''))) AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) / 3
+         + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_ellipsis,
+    greatest(len(lines), 1)::DOUBLE AS nl,
+    len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS n_ell_lines,
+    len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(ws, s)))::BIGINT AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words, avg_word_len,
+  round((n_hash + n_ellipsis)::DOUBLE / nw, 6) AS symbol_word_ratio,
+  round(n_bullet::DOUBLE / nl, 6) AS bullet_line_frac,
+  round(n_ell_lines::DOUBLE / nl, 6) AS ellipsis_line_frac,
+  round(n_alpha::DOUBLE / nw, 6) AS alpha_word_frac,
+  stopword_hits,
+  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+  (avg_word_len >= 3.0 AND avg_word_len <= 10.0) AS rule_avg_word_len,
+  round((n_hash + n_ellipsis)::DOUBLE / nw, 6) < 0.1 AS rule_symbol_ratio,
+  round(n_bullet::DOUBLE / nl, 6) <= 0.9 AS rule_bullets,
+  round(n_ell_lines::DOUBLE / nl, 6) <= 0.3 AS rule_ellipsis,
+  round(n_alpha::DOUBLE / nw, 6) >= 0.8 AS rule_alpha_words,
+  stopword_hits >= 2 AS rule_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (avg_word_len >= 3.0 AND avg_word_len <= 10.0)
+   AND round((n_hash + n_ellipsis)::DOUBLE / nw, 6) < 0.1
+   AND round(n_bullet::DOUBLE / nl, 6) <= 0.9
+   AND round(n_ell_lines::DOUBLE / nl, 6) <= 0.3
+   AND round(n_alpha::DOUBLE / nw, 6) >= 0.8
+   AND stopword_hits >= 2) AS pass_gopher
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# t41 — per-source language-composition audit: counts, majority language
+# + share, Shannon entropy of the language distribution. Two map-side-
+# combined aggregations (shuffle ∝ distinct (source, lang) pairs); the
+# entropy is an exact left-to-right fold over the language-sorted
+# distribution so both engines produce the identical double.
+# ---------------------------------------------------------------------------
+
+
+def t41_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.source_lang_mix(docs)
+
+
+T41_SQL = """
+WITH p AS (
+  SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY source, lang
+), r AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS rk,
+         sum(n) OVER (PARTITION BY source)::BIGINT AS n_docs,
+         count(*) OVER (PARTITION BY source)::INT AS n_langs
+  FROM p
+), d AS (
+  SELECT source, list(struct_pack(l := lang, c := n) ORDER BY lang) AS dist
+  FROM p GROUP BY source
+)
+SELECT r.source, r.n_docs, r.n_langs, r.lang AS majority_lang,
+       round(r.n::DOUBLE / r.n_docs, 6) AS majority_share,
+       round(list_reduce(
+               list_transform(d.dist, e -> -(e.c::DOUBLE / r.n_docs) * log2(e.c::DOUBLE / r.n_docs)),
+               (a, b) -> a + b), 6) AS lang_entropy_bits
+FROM r JOIN d USING (source) WHERE r.rk = 1
+"""
+
+
+SPECS.update(
+    {
+        "t40_gopher_rules": QuerySpec(
+            t40_gopher_rules,
+            T40_SQL,
+            "Gopher rule-based quality gates: per-rule booleans + overall pass",
+        ),
+        "t41_source_lang_mix": QuerySpec(
+            t41_source_lang_mix,
+            T41_SQL,
+            "per-source language mix: majority lang/share + distribution entropy",
+        ),
+    }
+)

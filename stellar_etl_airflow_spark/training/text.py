@@ -704,3 +704,123 @@ def importance_logratio(
         )
         .select(F.col("doc").alias(id_col), "n_tokens", "avg_logratio")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule gates (Rae et al. 2021, "Scaling Language
+    Models", Table A1 repetition/quality filters — the canonical
+    rule-based pretraining filter set; also the basis of RefinedWeb /
+    Dolma rule stages):
+
+    word count bounds, mean-word-length bounds, symbol-to-word ratio
+    ('#' and ellipsis), bullet-line / ellipsis-line fractions, fraction
+    of words containing an alphabetic character, and the >=N-distinct-
+    stopwords rule. Emits the measured metrics, one boolean per rule,
+    and an overall ``pass_gopher``.
+
+    Every term is a per-row scalar expression (zero shuffle, whole-stage
+    codegen) — the same 100 TB shape as quality_score/t10. Ratios are
+    rounded to 6 decimals so engine oracles hash identically.
+    """
+    t = F.col(text_col)
+    ws = words_col(text_col)
+    n_words = F.size(ws).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_word_len = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    avg_word_len = F.round(sum_word_len.cast("double") / nw, 6)
+    n_hash = F.length(t) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.expr(f"replace({text_col}, '...', '')"))) / F.lit(3)
+        + F.length(t)
+        - F.length(F.expr(f"replace({text_col}, '…', '')"))
+    ).cast("long")
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nw, 6)
+    lines = F.split(t, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.substr(1, 1).isin("-", "*", "•"))).cast("double") / nl, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))).cast("double") / nl, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double") / nw, 6
+    )
+    stop_hits = F.size(
+        F.filter(F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]), lambda s: F.array_contains(ws, s))
+    ).cast("long")
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_avg_word_len": (avg_word_len >= min_avg_word_len) & (avg_word_len <= max_avg_word_len),
+        "rule_symbol_ratio": symbol_ratio < max_symbol_word_ratio,
+        "rule_bullets": bullet_frac <= max_bullet_frac,
+        "rule_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    pass_all = None
+    for expr in rules.values():
+        pass_all = expr if pass_all is None else (pass_all & expr)
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        pass_all.alias("pass_gopher"),
+    )
+
+
+def source_lang_mix(
+    df: DataFrame, source_col: str = "source", lang_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-source language-composition report: document counts, language
+    share, Shannon entropy of the language distribution (bits), and the
+    majority language + share — the standard corpus-composition audit
+    before fixing a training mixture (what CCNet/mC4 report per dump).
+
+    Two map-side-combined aggregations on (source, lang) then (source) —
+    shuffle volume ∝ distinct pairs, independent of corpus size; the
+    entropy fold is an exact left-to-right sum over the sorted language
+    list so both engines hash identically (rounded to 6 decimals)."""
+    by_pair = df.groupBy(source_col, lang_col).agg(F.count(F.lit(1)).alias("n"))
+    per_source = by_pair.groupBy(source_col).agg(
+        F.sum("n").alias("n_docs"),
+        F.max_by(F.col(lang_col), F.struct(F.col("n"), F.col(lang_col))).alias("majority_lang"),
+        F.max(F.struct(F.col("n"), F.col(lang_col))).getField("n").alias("_mn"),
+        F.sort_array(F.collect_list(F.struct(F.col(lang_col).alias("l"), F.col("n").alias("c")))).alias("_dist"),
+    )
+    total = F.col("n_docs").cast("double")
+    entropy = F.aggregate(
+        F.col("_dist"),
+        F.lit(0.0),
+        lambda acc, e: acc - (e["c"] / total) * F.log2(e["c"] / total),
+    )
+    return per_source.select(
+        source_col,
+        "n_docs",
+        F.size("_dist").alias("n_langs"),
+        "majority_lang",
+        F.round(F.col("_mn") / total, 6).alias("majority_share"),
+        F.round(entropy, 6).alias("lang_entropy_bits"),
+    )

@@ -286,3 +286,22 @@ def test_round6_entries_plan_shapes(spark):
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line  # the 1-row totals attach only
     assert "BroadcastHashJoin" in plan, plan  # the vocab scoring join
+
+
+def test_round7_entries_plan_shapes(spark):
+    """t40 (Gopher rules) is a pure per-row expression map: no exchange,
+    no join, whole-stage codegen over a single scan. t41 (source lang
+    mix) is two map-side-combined aggregates: its exchanges hash on
+    (source, lang) and (source) only — no join, no window over the base
+    table, shuffle volume ∝ distinct pairs."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t40_gopher_rules"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "FileScan" in plan and "Project" in plan, plan  # pure scan+map
+
+    plan = _physical(QUERIES["t41_source_lang_mix"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
