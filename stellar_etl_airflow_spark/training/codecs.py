@@ -179,11 +179,40 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     return out
 
 
+# Adam7 pass grid (ISO/IEC 15948 §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_rows_to_samples(rec, ph, pw, channels, depth):
+    """Recovered filter-bytes -> (ph, pw, channels) sample array.
+    Sub-byte depths unpack MSB-first; 16-bit keeps the high byte (the
+    standard 8-bit reduction); grayscale sub-byte values scale to the
+    full 0..255 range (left-bit-replication equivalent for exact 255
+    divisibility). Palette indices pass through unscaled."""
+    import numpy as np
+
+    if depth == 8:
+        return rec[:, : pw * channels].reshape(ph, pw, channels).astype(np.int32)
+    if depth == 16:
+        hi = rec[:, 0::2]  # big-endian sample pairs: high byte first
+        return hi[:, : pw * channels].reshape(ph, pw, channels).astype(np.int32)
+    # 1/2/4-bit (single-channel only: gray or palette indices)
+    bits = np.unpackbits(rec, axis=1)
+    vals = np.zeros((ph, bits.shape[1] // depth), dtype=np.int32)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, : vals.shape[1]]
+    return vals[:, :pw].reshape(ph, pw, 1)
+
+
 def png_decode(payload: bytes):
-    """(height, width, channels) uint8 pixel array for an 8-bit-depth,
-    non-interlaced PNG; None for anything else (sub-byte depths, 16-bit,
-    Adam7, malformed streams). Palette images (color type 3) resolve
-    through PLTE to RGB."""
+    """(height, width, channels) uint8 pixel array for a PNG: bit depths
+    1/2/4/8/16, color types 0/2/3/4/6, non-interlaced AND Adam7
+    interlaced (r7 — previously 8-bit progressive-free only). 16-bit
+    samples reduce to their high byte; palette images resolve through
+    PLTE to RGB. None for malformed streams."""
     import zlib
 
     import numpy as np
@@ -192,9 +221,13 @@ def png_decode(payload: bytes):
         return None
     w, h = struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype not in _PNG_CHANNELS:
+    if comp != 0 or filt != 0 or interlace not in (0, 1) or ctype not in _PNG_CHANNELS:
         return None
-    if not w or not h:
+    if depth not in (1, 2, 4, 8, 16) or not w or not h:
+        return None
+    if depth < 8 and ctype not in (0, 3):
+        return None
+    if depth == 16 and ctype == 3:
         return None
     channels = _PNG_CHANNELS[ctype]
     idat, plte = [], None
@@ -216,21 +249,44 @@ def png_decode(payload: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+
+    bits_pp = depth * channels
+    bpp = max(1, bits_pp // 8)  # filter byte distance (§9.2: round up to 1)
+    passes = (
+        [(0, 0, 1, 1, w, h)]
+        if interlace == 0
+        else [
+            (x0, y0, dx, dy, -(-(w - x0) // dx), -(-(h - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    )
+    img = np.zeros((h, w, channels), dtype=np.int32)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        take = ph * (stride + 1)
+        if pos + take > len(raw):
+            return None
+        rec = _png_unfilter(raw[pos : pos + take], ph, stride, bpp)
+        pos += take
+        if rec is None:
+            return None
+        img[y0::dy, x0::dx] = _png_rows_to_samples(rec, ph, pw, channels, depth)
+    if pos != len(raw):
         return None
-    flat = _png_unfilter(raw, h, stride, channels)
-    if flat is None:
-        return None
-    px = flat.reshape(h, w, channels)
+
     if ctype == 3:
         if plte is None or len(plte) % 3:
             return None
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if px.max() >= len(pal):
+        if img.max() >= len(pal):
             return None
-        px = pal[px[:, :, 0]]
-    return px
+        return pal[img[:, :, 0]]
+    if depth < 8:  # grayscale sub-byte: scale to full range
+        img = img * (255 // ((1 << depth) - 1))
+    return img.astype(np.uint8)
 
 
 def png_encode(pixels) -> bytes:
