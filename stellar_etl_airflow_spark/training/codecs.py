@@ -118,11 +118,11 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
 # PNG (ISO/IEC 15948): IDAT chunks concatenate into one zlib stream of
 # filtered scanlines (one filter-type byte + stride bytes per row, §7.2);
 # filters 0-4 (None/Sub/Up/Average/Paeth, §9.2) are undone row by row.
-# Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced (Adam7
-# and sub-byte depths return None — they need a real codec's complexity
-# budget). BMP: uncompressed 24/32-bit BITMAPINFOHEADER rows, bottom-up
-# or top-down, 4-byte row padding. JPEG pixels decode in
-# training/jpeg.py (baseline + progressive); video stays stubbed.
+# Supported (r7): bit depths 1/2/4/8/16, color types 0/2/3/4/6,
+# non-interlaced AND Adam7. BMP: uncompressed 24/32-bit
+# BITMAPINFOHEADER rows, bottom-up or top-down, 4-byte row padding.
+# JPEG pixels decode in training/jpeg.py (baseline + progressive);
+# inter-frame video stays stubbed.
 # ---------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -1010,3 +1010,92 @@ def ogg_vorbis_info(payload: bytes) -> tuple[int, int, int] | None:
         seg_table = payload[i + 27 : i + 27 + ns]
         i += 27 + ns + sum(seg_table)
     return rate, channels, round(last_granule * 1000 / rate)
+
+
+def mp4_mjpeg_frames(payload: bytes) -> list[bytes] | None:
+    """Motion-JPEG frames from an ISO-BMFF (MP4/MOV) container: finds the
+    video track whose ``stsd`` sample entry is 'jpeg'/'mjpa'/'mjpb',
+    rebuilds per-sample byte ranges from the sample tables (``stsz``
+    sizes, ``stsc`` sample-to-chunk runs, ``stco``/``co64`` chunk
+    offsets — ISO/IEC 14496-12 §8.7), and returns the samples that start
+    with a JPEG SOI marker. The MP4 twin of :func:`avi_mjpeg_frames`:
+    MJPEG samples are standalone JPEGs our decoder opens; inter-frame
+    codecs (H.264/HEVC/AV1) genuinely need a codec library and stay
+    behind the stub. None for non-BMFF payloads or non-MJPEG tracks."""
+    n = len(payload)
+    if n < 12 or payload[4:8] not in (b"ftyp", b"moov", b"styp"):
+        return None
+
+    def find(start, end, name):
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            if btype == name:
+                return b0, b1
+        return None
+
+    moov = find(0, n, b"moov")
+    if moov is None:
+        return None
+    for ttype, t0, t1 in _mp4_boxes(payload, *moov):
+        if ttype != b"trak":
+            continue
+        mdia = find(t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        minf = find(mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = find(minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stsd = find(stbl[0], stbl[1], b"stsd")
+        if stsd is None or stsd[1] - stsd[0] < 16:
+            continue
+        fmt = payload[stsd[0] + 12 : stsd[0] + 16]
+        if fmt not in (b"jpeg", b"mjpa", b"mjpb"):
+            continue
+        stsz = find(stbl[0], stbl[1], b"stsz")
+        stsc = find(stbl[0], stbl[1], b"stsc")
+        stco = find(stbl[0], stbl[1], b"stco")
+        co64 = find(stbl[0], stbl[1], b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            return None
+        # stsz: uniform size or per-sample table
+        uniform, count = struct.unpack(">II", payload[stsz[0] + 4 : stsz[0] + 12])
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            sizes = list(
+                struct.unpack(f">{count}I", payload[stsz[0] + 12 : stsz[0] + 12 + 4 * count])
+            )
+        # chunk offsets
+        if stco is not None:
+            (nch,) = struct.unpack(">I", payload[stco[0] + 4 : stco[0] + 8])
+            offsets = list(struct.unpack(f">{nch}I", payload[stco[0] + 8 : stco[0] + 8 + 4 * nch]))
+        else:
+            (nch,) = struct.unpack(">I", payload[co64[0] + 4 : co64[0] + 8])
+            offsets = list(struct.unpack(f">{nch}Q", payload[co64[0] + 8 : co64[0] + 8 + 8 * nch]))
+        # stsc runs: (first_chunk, samples_per_chunk, desc_idx)
+        (nrun,) = struct.unpack(">I", payload[stsc[0] + 4 : stsc[0] + 8])
+        runs = [
+            struct.unpack(">III", payload[stsc[0] + 8 + 12 * r : stsc[0] + 20 + 12 * r])
+            for r in range(nrun)
+        ]
+        per_chunk = []
+        for r, (first, spc, _d) in enumerate(runs):
+            last = runs[r + 1][0] - 1 if r + 1 < len(runs) else len(offsets)
+            per_chunk.extend(spc for _ in range(first, last + 1))
+        frames: list[bytes] = []
+        si = 0
+        for ci, off in enumerate(offsets):
+            spc = per_chunk[ci] if ci < len(per_chunk) else 0
+            pos = off
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                sample = payload[pos : pos + sizes[si]]
+                if sample[:2] == b"\xff\xd8":
+                    frames.append(sample)
+                pos += sizes[si]
+                si += 1
+        return frames or None
+    return None

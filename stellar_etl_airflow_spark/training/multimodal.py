@@ -133,7 +133,11 @@ def sample_frames(media: DataFrame) -> DataFrame:
             out = {"doc_id": [], "frame_index": [], "n_frames": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                real = codecs.avi_mjpeg_frames(raw) or codecs.gif_frames(raw)
+                real = (
+                    codecs.avi_mjpeg_frames(raw)
+                    or codecs.mp4_mjpeg_frames(raw)
+                    or codecs.gif_frames(raw)
+                )
                 if real:
                     for i, fr in enumerate(real):
                         out["doc_id"].append(doc_id)

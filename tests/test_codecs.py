@@ -1235,3 +1235,93 @@ def test_png_decode_subbyte_depths():
     got = codecs.png_decode(blob)
     want = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx]
     assert got is not None and np.array_equal(got, want)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4_mjpeg(frames: list[bytes], two_chunks: bool = True) -> bytes:
+    """Minimal ISO-BMFF muxer: one MJPEG ('jpeg') video track whose
+    samples are the given JPEG blobs, split across two chunks to
+    exercise the stsc run logic; mdat carries the sample bytes."""
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # layout: ftyp | moov | mdat ; compute offsets after moov is sized
+    stsd = _mp4_box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 1)
+        + _mp4_box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    if two_chunks and len(frames) >= 2:
+        k = (len(frames) + 1) // 2
+        runs = [(1, k, 1), (2, len(frames) - k, 1)]
+        chunk_starts = [0, k]
+    else:
+        runs = [(1, len(frames), 1)]
+        chunk_starts = [0]
+    stsc = _mp4_box(
+        b"stsc",
+        b"\x00" * 4 + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    mvhd = _mp4_box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, 2000) + b"\x00" * 80)
+
+    def moov_with(stco_body: bytes) -> bytes:
+        stco = _mp4_box(b"stco", stco_body)
+        stbl = _mp4_box(b"stbl", stsd + stsz + stsc + stco)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", minf)
+        trak = _mp4_box(b"trak", mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    placeholder = b"\x00" * 4 + struct.pack(">I", len(chunk_starts)) + b"\x00" * 4 * len(chunk_starts)
+    moov_len = len(moov_with(placeholder))
+    mdat_payload = b"".join(frames)
+    base = len(ftyp) + moov_len + 8  # mdat body offset
+    sizes = [len(f) for f in frames]
+    prefix = [0]
+    for s in sizes:
+        prefix.append(prefix[-1] + s)
+    stco_body = b"\x00" * 4 + struct.pack(">I", len(chunk_starts)) + b"".join(
+        struct.pack(">I", base + prefix[cs]) for cs in chunk_starts
+    )
+    return ftyp + moov_with(stco_body) + _mp4_box(b"mdat", mdat_payload)
+
+
+def test_mp4_mjpeg_frames_demux_and_decode(spark):
+    """MP4/MOV MJPEG sample extraction (r7): sample tables (stsz/stsc/
+    stco) rebuild per-sample byte ranges; each sample is a standalone
+    JPEG our decoder opens — closing the 'MP4 is probe-only' gap for
+    the one codec with stateless frames."""
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_decode, jpeg_encode
+    from stellar_etl_airflow_spark.training.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rng = np.random.default_rng(51)
+    imgs = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(3)]
+    frames = [jpeg_encode(im) for im in imgs]
+    blob = _mp4_mjpeg(frames)
+    got = codecs.mp4_mjpeg_frames(blob)
+    assert got is not None and got == frames
+    # every extracted sample decodes to its source pixels (+-1 IDCT)
+    for im, fr in zip(imgs, got):
+        dec = jpeg_decode(fr)
+        assert dec is not None
+        assert int(np.abs(dec[:, :, 0].astype(int) - im.astype(int)).max()) <= 1
+    # single-chunk layout too
+    assert codecs.mp4_mjpeg_frames(_mp4_mjpeg(frames, two_chunks=False)) == frames
+    # the container still probes (duration from mvhd)
+    assert codecs.mp4_info(blob)[0] == 2000
+    # a non-MJPEG (probe-only) mp4 yields None, not garbage
+    assert codecs.mp4_mjpeg_frames(b"\x00\x00\x00\x08ftyp") is None
+    # Spark stage: n_frames == 3, digests of real sample bytes
+    import hashlib as _h
+
+    rows = [(1, "video", bytearray(blob), len(blob))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["frame_index"]: r for r in sample_frames(media).collect()}
+    assert len(out) == 3 and out[2]["frame_md5"] == _h.md5(frames[2]).hexdigest()
