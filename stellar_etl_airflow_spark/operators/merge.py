@@ -415,8 +415,13 @@ def _merge_versioned_core(
         # single-writer protocol (as everywhere in this log): the next
         # version number is deterministic at this point
         txns[txn_id] = m["version"] + 1
+    # advisory manifest stats: pinned per-table via props ("stats_cols");
+    # untouched buckets' files keep their recorded stats (incremental in
+    # _publish), only the newly written files read footers
+    props = load_table_props(path) or {}
     version = S._publish(
-        path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns
+        path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,
+        stats_cols=props.get("stats_cols") or None,
     )
     return version, touched
 
@@ -476,6 +481,7 @@ def apply_changes(
     deleted_col: str = "deleted",
     order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
     txn_id: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> tuple[int, list[int]]:
     """THE default state-table apply path: scoped + MVCC merge
     (:func:`merge_upsert_versioned`) with the bucket layout pinned in the
@@ -501,6 +507,9 @@ def apply_changes(
                 "keys": list(keys),
                 "deleted_col": deleted_col,
                 "order_cols": list(order_cols),
+                # advisory manifest-stats columns for scan_snapshot
+                # pruning; first use pins them like the layout params
+                "stats_cols": list(stats_cols),
             },
         )
     else:

@@ -103,15 +103,84 @@ def _list_data_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _json_stat(v):
+    """JSON-safe representation of a parquet min/max statistic that
+    preserves ordering for pruning comparisons."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(path: str, cols) -> dict | None:
+    """Per-file {col: [min, max]} aggregated over parquet row-group
+    footer statistics (pyarrow, local read of the footer only). Columns
+    without usable stats are omitted."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    want = set(cols)
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            mn, mx = _json_stat(st.min), _json_stat(st.max)
+            if mn is None or mx is None:
+                agg.pop(name, None)
+                want.discard(name)  # one bad row group poisons the column
+                continue
+            if name in agg:
+                agg[name][0] = min(agg[name][0], mn)
+                agg[name][1] = max(agg[name][1], mx)
+            else:
+                agg[name] = [mn, mx]
+    return agg or None
+
+
 def _publish(
     path: str,
     files: list[str],
     base: str | None = None,
     mixed_schema: bool = False,
     txns: dict | None = None,
+    stats_cols=None,
+    stats: dict | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
+    # file-level column stats (Iceberg's manifest-stats idea): when
+    # ``stats_cols`` is set, every listed file carries {col: [min, max]}
+    # so readers can prune files from the MANIFEST alone — no footer
+    # opens at planning time. Incremental: files already in the previous
+    # manifest keep their recorded stats; only new files read footers.
+    # An explicit ``stats`` dict (clone) is carried verbatim.
+    if stats is None and stats_cols:
+        prev = read_manifest(path).get("stats") or {} if version > 1 else {}
+        stats = {}
+        for f in files:
+            st = prev.get(f)
+            if st is None:
+                st = _file_stats(f, stats_cols)
+            if st:
+                stats[f] = st
     manifest = {
         "version": version,
         "ts": time.time(),
@@ -130,6 +199,10 @@ def _publish(
         # at-least-once redelivery. Carried forward by merges and
         # clones; a plain overwrite_versioned starts a fresh ledger.
         "txns": dict(txns or {}),
+        # per-file column stats for manifest-level pruning (see
+        # scan_snapshot); {} when the table doesn't opt in
+        "stats": dict(stats or {}),
+        "stats_cols": list(stats_cols or []),
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -142,10 +215,17 @@ def snapshot(path: str) -> int:
     return _publish(path, _list_data_files(path))
 
 
-def overwrite_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
+def overwrite_versioned(
+    spark: SparkSession, df: DataFrame, path: str, stats_cols=None
+) -> int:
     """Replace the table's contents WITHOUT touching prior versions' files:
     write ``df`` to a unique subdirectory, publish a manifest listing only
-    the new files. Old files stay for time travel until ``vacuum``."""
+    the new files. Old files stay for time travel until ``vacuum``.
+
+    ``stats_cols``: record per-file [min, max] for these columns in the
+    manifest so :func:`scan_snapshot` can prune files without opening
+    footers (pair with ``repartitionByRange``/Z-order writes so ranges
+    are actually disjoint)."""
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
     files = []
@@ -158,7 +238,7 @@ def overwrite_versioned(spark: SparkSession, df: DataFrame, path: str) -> int:
     for leftover in os.listdir(stage):  # _SUCCESS, .crc files
         os.remove(os.path.join(stage, leftover))
     os.rmdir(stage)
-    return _publish(path, files)
+    return _publish(path, files, stats_cols=stats_cols)
 
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -174,6 +254,80 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     if m.get("base"):
         reader = reader.option("basePath", m["base"])
     return reader.parquet(*m["files"])
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def prune_files(manifest: dict, where) -> list[str]:
+    """Files of ``manifest`` that MAY satisfy every ``(col, op, value)``
+    predicate, judged from the recorded per-file [min, max] alone — the
+    Iceberg manifest-pruning decision. A file with values in [mn, mx] is
+    dropped only when a predicate is provably false over the whole range;
+    files without stats for a referenced column always survive (never
+    wrong, just unpruned). Ops: = < <= > >=."""
+    for col, op, _v in where:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"prune_files: unsupported op {op!r}")
+    stats = manifest.get("stats") or {}
+    out = []
+    for f in manifest["files"]:
+        st = stats.get(f) or {}
+        keep = True
+        for col, op, v in where:
+            rng = st.get(col)
+            if not rng:
+                continue
+            mn, mx = rng
+            if (
+                (op == "=" and (v < mn or v > mx))
+                or (op == "<" and mn >= v)
+                or (op == "<=" and mn > v)
+                or (op == ">" and mx <= v)
+                or (op == ">=" and mx < v)
+            ):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
+def scan_snapshot(
+    spark: SparkSession, path: str, where=(), version: int | None = None
+) -> DataFrame:
+    """Predicate-pruned read of one table version: files are dropped at
+    PLANNING time from the manifest's recorded [min, max] stats (zero
+    footer opens — the metadata-only planning that makes a 1M-file table
+    navigable), then the SAME predicates are applied as real filters so
+    results are exact regardless of stats coverage. ``where`` is an
+    iterable of ``(column, op, value)`` with op in ``= < <= > >=``.
+
+    Equivalent to ``read_snapshot(...).filter(...)`` in results; cheaper
+    by however many files the stats exclude. At reference bucket counts
+    the stats dict is kilobytes per manifest; sharding manifests (the
+    Iceberg manifest-list layer) is the seam when file counts reach
+    millions."""
+    where = list(where)
+    m = read_manifest(path, version)
+    files = prune_files(m, where)
+    if files:
+        reader = spark.read.option(
+            "mergeSchema", "true" if m.get("mixed_schema") else "false"
+        )
+        if m.get("base"):
+            reader = reader.option("basePath", m["base"])
+        df = reader.parquet(*files)
+    else:  # nothing can match: empty frame with the version's schema
+        df = read_snapshot(spark, path, version).limit(0)
+    from pyspark.sql import functions as F
+
+    for col, op, v in where:
+        c = F.col(col)
+        df = df.filter(
+            {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+        )
+    return df
 
 
 def as_of(path: str, ts: float) -> int:
@@ -273,6 +427,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         dst, list(m["files"]), base=m.get("base", src),
         mixed_schema=bool(m.get("mixed_schema")),
         txns=m.get("txns"),  # the clone keeps exactly-once against replays
+        stats=m.get("stats"),  # same files, same stats — no footer reads
+        stats_cols=m.get("stats_cols"),
     )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):
