@@ -124,7 +124,8 @@ def run(
     led = led_df.drop("batch_id", "batch_run_date", "batch_insert_ts")
     state_tbl = wh.path("accounts_state")
     version, touched = apply_changes(
-        spark, chg, state_tbl, ("account_id",), n_buckets=n_buckets, txn_id=w.batch_id
+        spark, chg, state_tbl, ("account_id",), n_buckets=n_buckets, txn_id=w.batch_id,
+        stats_cols=("account_id", "last_modified_ledger"),
     )
     state_rows = S.read_snapshot(spark, state_tbl, version).count()
 

@@ -1021,7 +1021,16 @@ def mp4_mjpeg_frames(payload: bytes) -> list[bytes] | None:
     with a JPEG SOI marker. The MP4 twin of :func:`avi_mjpeg_frames`:
     MJPEG samples are standalone JPEGs our decoder opens; inter-frame
     codecs (H.264/HEVC/AV1) genuinely need a codec library and stay
-    behind the stub. None for non-BMFF payloads or non-MJPEG tracks."""
+    behind the stub. None for non-BMFF payloads or non-MJPEG tracks;
+    never raises — truncated/corrupt sample tables (declared counts
+    exceeding the box) surface as struct/index errors and map to None."""
+    try:
+        return _mp4_mjpeg_frames(payload)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _mp4_mjpeg_frames(payload: bytes) -> list[bytes] | None:
     n = len(payload)
     if n < 12 or payload[4:8] not in (b"ftyp", b"moov", b"styp"):
         return None

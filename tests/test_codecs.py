@@ -1325,3 +1325,47 @@ def test_mp4_mjpeg_frames_demux_and_decode(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["frame_index"]: r for r in sample_frames(media).collect()}
     assert len(out) == 3 and out[2]["frame_md5"] == _h.md5(frames[2]).hexdigest()
+
+
+def test_decoders_never_raise_on_corruption():
+    """Every probe/decoder consumed inside Arrow batches must return
+    None/graceful values on corrupt input, never raise — one bad payload
+    must not kill a Spark stage. Fuzz: truncations and byte flips of
+    REAL payloads of every supported container, plus random garbage."""
+    from stellar_etl_airflow_spark.training import flac as FL
+    from stellar_etl_airflow_spark.training.jpeg import jpeg_encode, jpeg_encode_progressive
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pcm = rng.integers(-3000, 3000, 500).astype(np.int64)
+    seeds = [
+        jpeg_encode(img),
+        jpeg_encode_progressive(img),
+        codecs.png_encode(img),
+        FL.flac_encode(pcm),
+        _gif_bytes(rng.integers(0, 4, (8, 8)).astype(np.int64),
+                   [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]),
+        _mp4_mjpeg([jpeg_encode(img[:, :, 0])]),
+        b"".join(_mp3_frame() for _ in range(4)),
+    ]
+    probes = [
+        codecs.image_pixels,
+        codecs.image_dimensions,
+        codecs.audio_probe,
+        codecs.gif_frames,
+        codecs.mp4_mjpeg_frames,
+        codecs.mp3_info,
+        codecs.ogg_vorbis_info,
+        FL.flac_decode,
+    ]
+    for blob in seeds:
+        variants = [blob[: len(blob) // 3], blob[: len(blob) - 7], blob + b"\x00" * 9]
+        for _ in range(6):
+            bad = bytearray(blob)
+            for _ in range(3):
+                bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+            variants.append(bytes(bad))
+        variants.append(rng.bytes(200))
+        for v in variants:
+            for probe in probes:
+                probe(v)  # must not raise; return value unconstrained
