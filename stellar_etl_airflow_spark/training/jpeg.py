@@ -849,7 +849,7 @@ def jpeg_encode(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
-def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
+def jpeg_encode_progressive(pixels, quant: int = 1, restart_interval: int = 0) -> bytes:
     """Encode (h, w) or (h, w, {1,3}) uint8 pixels as a PROGRESSIVE
     (SOF2) JPEG exercising every Annex-G scan kind the decoder
     implements: interleaved DC first at Al=1, DC refinement, per-
@@ -858,7 +858,10 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
     bits woven through the run-length walk, G.1.2.3). Like the baseline
     encoder it exists for conformance testing — flat 8-bit Huffman
     tables, no subsampling — and its streams are independently decodable
-    by javax.imageio (see test_codecs)."""
+    by javax.imageio (see test_codecs). ``restart_interval`` > 0 emits
+    DRI + RSTn markers every N MCUs in EVERY scan (DC predictors and the
+    EOB run reset at each, G.1.1) — the progressive restart path wild
+    fixtures rarely contain."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -896,11 +899,17 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
     def trunc(v: int, al: int) -> int:  # AC point transform (toward zero)
         return (abs(v) >> al) * (1 if v >= 0 else -1)
 
-    # ---- event generators: ('sym', s) / ('bits', v, n) / ('bit', b) ----
+    ri = int(restart_interval)
+
+    # ---- event generators: ('sym', s) / ('bits', v, n) / ('bit', b) /
+    # ('rst',) — a restart marker boundary ----
     def dc_first_events(al: int):
         ev = []
         preds = [0] * nch
         for m in range(bh * bw):
+            if ri and m and m % ri == 0:
+                ev.append(("rst",))
+                preds = [0] * nch
             for ci in range(nch):
                 v1 = int(zz_all[ci][m][0]) >> al  # DC: arithmetic shift
                 diff = v1 - preds[ci]
@@ -912,11 +921,13 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
         return ev
 
     def dc_refine_events(al: int):
-        return [
-            ("bit", (int(zz_all[ci][m][0]) >> al) & 1)
-            for m in range(bh * bw)
-            for ci in range(nch)
-        ]
+        ev = []
+        for m in range(bh * bw):
+            if ri and m and m % ri == 0:
+                ev.append(("rst",))
+            for ci in range(nch):
+                ev.append(("bit", (int(zz_all[ci][m][0]) >> al) & 1))
+        return ev
 
     def ac_first_events(ci: int, ss: int, se: int, al: int):
         ev = []
@@ -932,6 +943,9 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
                 eobrun = 0
 
         for m in range(bh * bw):
+            if ri and m and m % ri == 0:
+                flush()
+                ev.append(("rst",))
             band = [trunc(int(zz_all[ci][m][k]), al) for k in range(ss, se + 1)]
             nz = [i for i, v in enumerate(band) if v]
             if not nz:
@@ -975,6 +989,9 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
 
         p1h = 1 << ah
         for m in range(bh * bw):
+            if ri and m and m % ri == 0:
+                flush()
+                ev.append(("rst",))
             v = [int(zz_all[ci][m][k]) for k in range(ss, se + 1)]
             hist = [trunc(x, ah) != 0 for x in v]  # nonzero after prior scans
             new = [
@@ -1040,12 +1057,17 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
         wtr = _BitWriter()
+        rst_n = 0
         for e in events:
             if e[0] == "sym":
                 code, ln = enc[e[1]]
                 wtr.write(code, ln)
             elif e[0] == "bits":
                 wtr.write(e[1], e[2])
+            elif e[0] == "rst":
+                wtr.align()
+                wtr.raw(bytes([0xFF, 0xD0 + (rst_n & 7)]))
+                rst_n += 1
             else:
                 wtr.write(e[1], 1)
         wtr.align()
@@ -1057,6 +1079,8 @@ def jpeg_encode_progressive(pixels, quant: int = 1) -> bytes:
     for c in range(nch):
         sof += bytes([c + 1, 0x11, 0])
     out += seg(0xC2, sof)
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
 
     all_cids = [c + 1 for c in range(nch)]
     write_scan(out, dc_first_events(1), all_cids, 0, 0, 0, 1, 0)

@@ -1369,3 +1369,29 @@ def test_decoders_never_raise_on_corruption():
         for v in variants:
             for probe in probes:
                 probe(v)  # must not raise; return value unconstrained
+
+
+def test_jpeg_progressive_restart_intervals(spark):
+    """Progressive DRI/RSTn: every scan kind restarts (DC predictors +
+    EOB run reset); round-trip within IDCT rounding and javax.imageio
+    independently accepts the restart-marked streams."""
+    import tempfile
+
+    from stellar_etl_airflow_spark.training.jpeg import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(71)
+    px = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)  # 9 MCUs
+    for ri in (1, 2, 4):
+        blob = jpeg_encode_progressive(px, restart_interval=ri)
+        assert any(bytes([0xFF, 0xD0 + k]) in blob for k in range(8)), ri
+        dec = jpeg_decode(blob)
+        assert dec is not None and dec.shape == (24, 17, 3), ri
+        assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 2, ri
+        with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+            f.write(blob)
+            f.flush()
+            ref = _imageio_pixels(spark, f.name)
+        assert int(np.abs(dec.astype(np.int32) - ref).max()) <= 2, ri
