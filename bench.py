@@ -107,15 +107,19 @@ def main() -> None:
     if par > 1:
         # longest-first keeps the big iterative jobs (components, pipeline,
         # LSH) from landing last and serializing the tail
+        # descending by measured r7 uncontended time (min-of-2, sf0.1)
         heavy = [
             "q51_incremental_mart", "s08_stream_crash_resume",
-            "s09_stream_additive_exactly_once", "t20_training_pipeline",
-            "t17_neardup_components", "t14_jaccard_dfcapped",
-            "t02_ngram_jaccard_pairs", "t03_minhash_lsh_pairs", "s01_stream_tumbling",
-            "s04_stateful_running_counts", "t19_kmeans_ivf",
-            "s05_stream_stream_join", "s06_stream_upsert_sink",
-            "t05_simhash_neardup", "t06_embedding_topk", "t13_multimodal_meta",
-            "t34_boilerplate_coverage", "t29_per_lang_quality_filter",
+            "t14_jaccard_dfcapped", "s09_stream_additive_exactly_once",
+            "t02_ngram_jaccard_pairs", "q48_fuzzy_blocked_join",
+            "s05_stream_stream_join", "t39_duplicate_spans", "t19_kmeans_ivf",
+            "q29_percentiles", "q40_sketch_aggregates", "t20_training_pipeline",
+            "s06_stream_upsert_sink", "t28_contamination_report",
+            "q54_schema_evolution", "t37_semantic_dedup",
+            "t34_boilerplate_coverage", "t17_neardup_components",
+            "t03_minhash_lsh_pairs", "s01_stream_tumbling",
+            "s04_stateful_running_counts", "t05_simhash_neardup",
+            "t06_embedding_topk", "t13_multimodal_meta",
         ]
         ordered = [(n, QUERIES[n]) for n in heavy if n in QUERIES]
         ordered += [(n, s) for n, s in sorted(QUERIES.items()) if n not in set(heavy)]
