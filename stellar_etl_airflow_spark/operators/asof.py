@@ -37,6 +37,18 @@ from pyspark.sql.window import Window
 _SIDE, _ATS = "_asof_side", "_asof_ts"
 
 
+def _hashable(dt: ST.DataType) -> bool:
+    """Spark's ``hash()`` rejects MapType anywhere in the type tree
+    (UNSUPPORTED_FEATURE.HASH_MAP_TYPE) — used to pick salt columns."""
+    if isinstance(dt, ST.MapType):
+        return False
+    if isinstance(dt, ST.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, ST.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -319,12 +331,18 @@ def asof_join_pandas(
             # recomputes upstream of the cogroup shuffle, duplicating or
             # dropping rows; a content hash is stable across attempts.
             # Identical duplicate rows landing in one salt is fine — the
-            # right history is fully replicated per salt.
+            # right history is fully replicated per salt. Map-typed
+            # columns are excluded from the hash (Spark's hash() rejects
+            # MapType); keys+ts are always atomic so the salt still
+            # spreads.
+            _salt_cols = [
+                f.name for f in left.schema.fields if _hashable(f.dataType)
+            ]
             l_hot = (
                 _with_cuts(left.join(F.broadcast(hotk), keys, "inner"))
                 .withColumn(
                     "_asof_salt",
-                    F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.col("_hot_s")).cast("int"),
+                    F.pmod(F.hash(*[F.col(c) for c in _salt_cols]), F.col("_hot_s")).cast("int"),
                 )
                 .withColumn("_asof_chunk", _chunk(F.col(left_ts)))
                 .drop("_hot_s", "_rs", "_cuts")

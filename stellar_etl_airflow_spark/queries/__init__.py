@@ -26,7 +26,8 @@ QUERIES.update(training.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 102 entries, larger than the window).
+# round (the corpus is 104 entries as of round 7 — t40/t41 new — larger
+# than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
 # 104-entry corpus, alternate-round freshness is the attainable bound —

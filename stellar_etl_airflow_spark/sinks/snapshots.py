@@ -137,10 +137,16 @@ def _file_stats(path: str, cols) -> dict | None:
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if name not in want or col.statistics is None:
+            if name not in want:
                 continue
             st = col.statistics
-            if not st.has_min_max:
+            if st is None or not st.has_min_max:
+                # a single stats-less row group means the recorded
+                # [min,max] would under-cover the file and pruning
+                # could drop rows that exist — poison the column so
+                # the file always survives for it
+                agg.pop(name, None)
+                want.discard(name)
                 continue
             mn, mx = _json_stat(st.min), _json_stat(st.max)
             if mn is None or mx is None:

@@ -972,6 +972,10 @@ def mp3_info(payload: bytes) -> tuple[int, int, int] | None:
                 if flags & 1:  # FRAMES field present
                     nf = int.from_bytes(payload[i + 12 + side : i + 16 + side], "big")
                     return rate, first[1], round((nf * spf) * 1000 / rate)
+                # tag frame without a FRAMES field is still metadata,
+                # not audio — skip it rather than counting its samples
+                i += frame_len
+                continue
         total_frames += 1
         total_samples += spf
         i += frame_len
@@ -992,7 +996,7 @@ def ogg_vorbis_info(payload: bytes) -> tuple[int, int, int] | None:
     nsegs = payload[26]
     body = 27 + nsegs
     idh = payload[body : body + 30]
-    if idh[:7] != b"\x01vorbis":
+    if len(idh) < 16 or idh[:7] != b"\x01vorbis":
         return None
     channels = idh[11]
     rate = int.from_bytes(idh[12:16], "little")

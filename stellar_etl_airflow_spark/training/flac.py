@@ -242,6 +242,7 @@ def _flac_decode(payload: bytes):
     md5 = streaminfo[18:34]
 
     chans: list[list[int]] = [[] for _ in range(si_channels)]
+    rate = 0  # per-frame rate; stays 0 for a frameless stream
     d = payload
     while i < len(d) - 1:
         if d[i] != 0xFF or (d[i + 1] & 0xFC) != 0xF8:
@@ -336,6 +337,8 @@ def _flac_decode(payload: bytes):
     if md5 != b"\x00" * 16:
         if hashlib.md5(_pcm_bytes(out, si_bits)).digest() != md5:
             raise ValueError("flac: stream MD5 mismatch")
+    if not (si_rate or rate):
+        raise ValueError("flac: no sample rate")
     return out.astype(np.int32), (si_rate or rate), si_bits
 
 

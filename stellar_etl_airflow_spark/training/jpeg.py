@@ -429,17 +429,25 @@ def _comp_blocks(frame, c):
     return -(-ch // 8), -(-cw // 8)
 
 
+def _refine_coef(r, coef, k, p1):
+    """One correction bit for a nonzero-history coefficient (G.1.2.3):
+    reads a bit and, when set, moves coef[k] one p1 step away from zero
+    unless that bit is already present."""
+    if r.read_bit():
+        if coef[k] > 0:
+            if not coef[k] & p1:
+                coef[k] += p1
+        else:
+            if not (-coef[k]) & p1:
+                coef[k] -= p1
+
+
 def _refine_ac(r, coef, ss, se, p1):
     """Correction-bit pass over the whole band of one block (used for
     blocks covered by an EOB run in an AC refinement scan, G.1.2.3)."""
     for k in range(ss, se + 1):
-        if coef[k] != 0 and r.read_bit():
-            if coef[k] > 0:
-                if not coef[k] & p1:
-                    coef[k] += p1
-            else:
-                if not (-coef[k]) & p1:
-                    coef[k] -= p1
+        if coef[k] != 0:
+            _refine_coef(r, coef, k, p1)
 
 
 def _decode_prog_scan(
@@ -594,13 +602,7 @@ def _decode_prog_scan(
                         # `run` skips on zero history
                         while k <= se:
                             if coef[k] != 0:
-                                if r.read_bit():
-                                    if coef[k] > 0:
-                                        if not coef[k] & p1:
-                                            coef[k] += p1
-                                    else:
-                                        if not (-coef[k]) & p1:
-                                            coef[k] -= p1
+                                _refine_coef(r, coef, k, p1)
                             else:
                                 if run == 0:
                                     break
