@@ -419,9 +419,18 @@ def _merge_versioned_core(
     # untouched buckets' files keep their recorded stats (incremental in
     # _publish), only the newly written files read footers
     props = load_table_props(path) or {}
+    # blooms are incremental like stats: untouched buckets' files keep
+    # their recorded filters; only the newly written files get one
+    # distributed column-pruned pass per bloom column
+    bloom_cols = props.get("bloom_cols") or None
+    blooms = None
+    if bloom_cols:
+        blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)}
+        blooms.update(S.compute_blooms(spark, new_files, bloom_cols))
     version = S._publish(
         path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,
         stats_cols=props.get("stats_cols") or None,
+        bloom_cols=bloom_cols, blooms=blooms,
     )
     return version, touched
 
@@ -482,6 +491,7 @@ def apply_changes(
     order_cols: tuple[str, ...] = ("last_modified_ledger", "ledger_entry_change"),
     txn_id: str | None = None,
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> tuple[int, list[int]]:
     """THE default state-table apply path: scoped + MVCC merge
     (:func:`merge_upsert_versioned`) with the bucket layout pinned in the
@@ -510,6 +520,9 @@ def apply_changes(
                 # advisory manifest-stats columns for scan_snapshot
                 # pruning; first use pins them like the layout params
                 "stats_cols": list(stats_cols),
+                # per-file bloom filters for equality pruning on the
+                # merge keys (hash-like: [min,max] can't prune them)
+                "bloom_cols": list(bloom_cols),
             },
         )
     else:

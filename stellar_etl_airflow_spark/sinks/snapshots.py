@@ -161,6 +161,99 @@ def _file_stats(path: str, cols) -> dict | None:
     return agg or None
 
 
+# Per-file bloom filters (Iceberg's puffin-blob idea, inlined in the
+# manifest): [min, max] stats cannot prune equality probes on hash-like
+# high-cardinality keys (every file's range spans the whole key space),
+# which is exactly the MERGE key-probe shape. Defaults: m=8192 bits
+# (1 KiB/file/col base64) and k=4 slices of one md5 give ~2% FPP at
+# 1k distinct values per file; both are recorded per filter so readers
+# never depend on the writer's defaults.
+_BLOOM_M, _BLOOM_K = 8192, 4
+
+
+def _canon_probe(v) -> str:
+    """Probe-side canonical string, matching Spark's CAST(col AS STRING)
+    for the supported bloom column types (string / integral / boolean)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _bloom_positions(v, m: int, k: int) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(_canon_probe(v).encode("utf-8")).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(k)]
+
+
+def bloom_contains(bf: dict, v) -> bool:
+    """MAY the value be present, judged from one manifest bloom entry
+    ({"m", "k", "b64"})? False is definitive; True is probabilistic."""
+    import base64
+
+    bits = base64.b64decode(bf["b64"])
+    return all(
+        bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(v, bf["m"], bf["k"])
+    )
+
+
+def compute_blooms(
+    spark: SparkSession,
+    files: list[str],
+    cols,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict:
+    """{file: {col: {"m", "k", "b64"}}} via ONE distributed pass per
+    column: a column-pruned scan of just (input_file_name, col), k md5
+    slices mod m per value, then ``collect_set`` of bit positions per
+    file — map-side combined and bounded by m entries, so the shuffle is
+    ≤ m ints per file regardless of row count. The driver only packs the
+    position sets into bitsets (n_files × m/8 bytes), never sees values.
+
+    Columns must cast to string identically in Spark and Python: use
+    string / integral / boolean columns (the natural merge-key types);
+    floats' formatting differs between engines and is not supported."""
+    import base64
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    if not files:
+        return {}
+    out: dict[str, dict] = {}
+    for c in cols:
+        h = F.md5(F.col(c).cast("string"))
+        positions = F.array(
+            *[
+                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m
+                for i in range(k)
+            ]
+        )
+        rows = (
+            spark.read.parquet(*files)
+            .where(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(positions).alias("_p"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        for r in rows:
+            bits = bytearray(m // 8)
+            for p in r["_ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            fpath = os.path.abspath(unquote(urlparse(r["_f"]).path))
+            out.setdefault(fpath, {})[c] = {
+                "m": m,
+                "k": k,
+                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+    return out
+
+
 def _publish(
     path: str,
     files: list[str],
@@ -169,6 +262,8 @@ def _publish(
     txns: dict | None = None,
     stats_cols=None,
     stats: dict | None = None,
+    bloom_cols=None,
+    blooms: dict | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
@@ -209,6 +304,11 @@ def _publish(
         # scan_snapshot); {} when the table doesn't opt in
         "stats": dict(stats or {}),
         "stats_cols": list(stats_cols or []),
+        # per-file bloom filters for equality pruning on hash-like keys
+        # ({file: {col: {"m","k","b64"}}}); computed by callers via
+        # compute_blooms (needs a SparkSession), carried verbatim here
+        "blooms": {f: b for f, b in (blooms or {}).items() if f in set(files)},
+        "bloom_cols": list(bloom_cols or []),
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -222,7 +322,7 @@ def snapshot(path: str) -> int:
 
 
 def overwrite_versioned(
-    spark: SparkSession, df: DataFrame, path: str, stats_cols=None
+    spark: SparkSession, df: DataFrame, path: str, stats_cols=None, bloom_cols=None
 ) -> int:
     """Replace the table's contents WITHOUT touching prior versions' files:
     write ``df`` to a unique subdirectory, publish a manifest listing only
@@ -231,7 +331,11 @@ def overwrite_versioned(
     ``stats_cols``: record per-file [min, max] for these columns in the
     manifest so :func:`scan_snapshot` can prune files without opening
     footers (pair with ``repartitionByRange``/Z-order writes so ranges
-    are actually disjoint)."""
+    are actually disjoint).
+
+    ``bloom_cols``: additionally record a per-file bloom filter for these
+    columns (string/integral/boolean), pruning EQUALITY probes that
+    [min, max] can't — hash-like high-cardinality keys."""
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
     files = []
@@ -244,7 +348,10 @@ def overwrite_versioned(
     for leftover in os.listdir(stage):  # _SUCCESS, .crc files
         os.remove(os.path.join(stage, leftover))
     os.rmdir(stage)
-    return _publish(path, files, stats_cols=stats_cols)
+    blooms = compute_blooms(spark, files, bloom_cols) if bloom_cols else None
+    return _publish(
+        path, files, stats_cols=stats_cols, bloom_cols=bloom_cols, blooms=blooms
+    )
 
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -267,20 +374,27 @@ _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 def prune_files(manifest: dict, where) -> list[str]:
     """Files of ``manifest`` that MAY satisfy every ``(col, op, value)``
-    predicate, judged from the recorded per-file [min, max] alone — the
-    Iceberg manifest-pruning decision. A file with values in [mn, mx] is
-    dropped only when a predicate is provably false over the whole range;
-    files without stats for a referenced column always survive (never
-    wrong, just unpruned). Ops: = < <= > >=."""
+    predicate, judged from the recorded per-file [min, max] stats and —
+    for equality probes — per-file bloom filters, all manifest-resident:
+    the Iceberg manifest-pruning decision. A file is dropped only when a
+    predicate is provably false over its range, or its bloom filter
+    definitively excludes an ``=`` value; files without stats/blooms for
+    a referenced column always survive (never wrong, just unpruned).
+    Ops: = < <= > >=."""
     for col, op, _v in where:
         if op not in _PRUNE_OPS:
             raise ValueError(f"prune_files: unsupported op {op!r}")
     stats = manifest.get("stats") or {}
+    blooms = manifest.get("blooms") or {}
     out = []
     for f in manifest["files"]:
         st = stats.get(f) or {}
+        bl = blooms.get(f) or {}
         keep = True
         for col, op, v in where:
+            if op == "=" and col in bl and not bloom_contains(bl[col], v):
+                keep = False
+                break
             rng = st.get(col)
             if not rng:
                 continue
@@ -435,6 +549,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         txns=m.get("txns"),  # the clone keeps exactly-once against replays
         stats=m.get("stats"),  # same files, same stats — no footer reads
         stats_cols=m.get("stats_cols"),
+        blooms=m.get("blooms"),  # same files, same blooms
+        bloom_cols=m.get("bloom_cols"),
     )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):

@@ -112,6 +112,7 @@ def test_apply_changes_pins_layout_and_rejects_key_mismatch(spark, tmp_path):
         "n_buckets": 4, "keys": ["account_id"], "deleted_col": "deleted",
         "order_cols": ["last_modified_ledger", "ledger_entry_change"],
         "stats_cols": [],
+        "bloom_cols": [],
     }
     # second batch with a different n_buckets arg: pinned value wins, state correct
     v2, _ = apply_changes(
