@@ -164,11 +164,14 @@ def _file_stats(path: str, cols) -> dict | None:
 # Per-file bloom filters (Iceberg's puffin-blob idea, inlined in the
 # manifest): [min, max] stats cannot prune equality probes on hash-like
 # high-cardinality keys (every file's range spans the whole key space),
-# which is exactly the MERGE key-probe shape. Defaults: m=8192 bits
-# (1 KiB/file/col base64) and k=4 slices of one md5 give ~2% FPP at
-# 1k distinct values per file; both are recorded per filter so readers
-# never depend on the writer's defaults.
-_BLOOM_M, _BLOOM_K = 8192, 4
+# which is exactly the MERGE key-probe shape. m is sized PER FILE from
+# the footer row count (~10 bits/value, k=4 -> ~1-2% FPP) and recorded
+# per filter, so readers never depend on the writer's defaults; a fixed
+# m would silently saturate to FPP~1 on big files (measured: m=8192 at
+# 7.8k values/file left 91% of files unpruned).
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_M_MIN, _BLOOM_M_MAX = 1 << 13, 1 << 20  # 1 KiB .. 128 KiB raw
+_BLOOM_K = 4
 
 
 def _canon_probe(v) -> str:
@@ -197,59 +200,105 @@ def bloom_contains(bf: dict, v) -> bool:
     )
 
 
+def _bloom_m_for(n_rows: int) -> int:
+    m = _BLOOM_M_MIN
+    while m < n_rows * _BLOOM_BITS_PER_VALUE and m < _BLOOM_M_MAX:
+        m <<= 1
+    return m
+
+
 def compute_blooms(
     spark: SparkSession,
     files: list[str],
     cols,
-    m: int = _BLOOM_M,
     k: int = _BLOOM_K,
 ) -> dict:
     """{file: {col: {"m", "k", "b64"}}} via ONE distributed pass per
-    column: a column-pruned scan of just (input_file_name, col), k md5
-    slices mod m per value, then ``collect_set`` of bit positions per
-    file — map-side combined and bounded by m entries, so the shuffle is
-    ≤ m ints per file regardless of row count. The driver only packs the
-    position sets into bitsets (n_files × m/8 bytes), never sees values.
+    column. m is sized per file from the parquet footer row count
+    (driver-local footer reads, the ``_file_stats`` pattern), then a
+    column-pruned scan of just (input_file_name, col) computes k
+    md5-slice positions mod that file's m, dedups them map-side
+    (``distinct`` on (file, position) — bounded by m entries per file
+    regardless of row count), and PACKS THE BITSET EXECUTOR-SIDE via
+    ``applyInPandas``: the driver receives only (file, b64) rows of
+    m/8 bytes each, never position sets and never values.
 
     Columns must cast to string identically in Spark and Python: use
     string / integral / boolean columns (the natural merge-key types);
     floats' formatting differs between engines and is not supported."""
     import base64
-    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
     if not files:
         return {}
+    import pyarrow.parquet as pq
+
+    file_m: dict[str, int] = {}
+    for f in files:
+        try:
+            n = pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            n = _BLOOM_M_MAX  # unreadable footer: size for the cap
+        file_m[os.path.abspath(f)] = _bloom_m_for(n)
+
+    def _pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = int(pdf["_m"].iloc[0])
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        p = pdf["_p"].to_numpy()
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "_f": [pdf["_f"].iloc[0]],
+                "_m": [m],
+                "_b64": [base64.b64encode(bits.tobytes()).decode("ascii")],
+            }
+        )
+
+    mdf = spark.createDataFrame(
+        [(f, m) for f, m in file_m.items()], "_fp string, _m long"
+    )
     out: dict[str, dict] = {}
     for c in cols:
         h = F.md5(F.col(c).cast("string"))
-        positions = F.array(
-            *[
-                F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m
-                for i in range(k)
-            ]
-        )
-        rows = (
+        scan = (
             spark.read.parquet(*files)
             .where(F.col(c).isNotNull())
             .select(
-                F.input_file_name().alias("_f"),
-                F.explode(positions).alias("_p"),
+                # input_file_name is a URI; normalize to the os path the
+                # manifest records so the m-lookup join and output match
+                F.url_decode(F.regexp_replace(F.input_file_name(), "^file://", ""))
+                .alias("_f"),
+                h.alias("_h"),
             )
-            .groupBy("_f")
-            .agg(F.collect_set("_p").alias("_ps"))
+            .join(F.broadcast(mdf), F.col("_f") == F.col("_fp"))
+        )
+        positions = scan.select(
+            "_f",
+            "_m",
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(F.substring("_h", 1 + 8 * i, 8), 16, 10).cast("long")
+                        % F.col("_m")
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_p"),
+        ).distinct()
+        rows = (
+            positions.groupBy("_f", "_m")
+            .applyInPandas(_pack, "_f string, _m long, _b64 string")
             .collect()
         )
         for r in rows:
-            bits = bytearray(m // 8)
-            for p in r["_ps"]:
-                bits[p >> 3] |= 1 << (p & 7)
-            fpath = os.path.abspath(unquote(urlparse(r["_f"]).path))
-            out.setdefault(fpath, {})[c] = {
-                "m": m,
+            out.setdefault(r["_f"], {})[c] = {
+                "m": int(r["_m"]),
                 "k": k,
-                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                "b64": r["_b64"],
             }
     return out
 
