@@ -207,6 +207,40 @@ def _bloom_m_for(n_rows: int) -> int:
     return m
 
 
+def _bloom_position_sets(spark, files, c, mdf, k):
+    """Distinct (_f, _m, _p) bit positions for one bloom column: a scan
+    pruned to just ``c``, k md5-slice positions mod the file's m (tiny
+    broadcast (file, m) map), deduped map-side by ``distinct``."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(c).cast("string"))
+    scan = (
+        spark.read.parquet(*files)
+        .where(F.col(c).isNotNull())
+        .select(
+            # input_file_name is a URI; normalize to the os path the
+            # manifest records so the m-lookup join and output match
+            F.url_decode(F.regexp_replace(F.input_file_name(), "^file://", ""))
+            .alias("_f"),
+            h.alias("_h"),
+        )
+        .join(F.broadcast(mdf), F.col("_f") == F.col("_fp"))
+    )
+    return scan.select(
+        "_f",
+        "_m",
+        F.explode(
+            F.array(
+                *[
+                    F.conv(F.substring("_h", 1 + 8 * i, 8), 16, 10).cast("long")
+                    % F.col("_m")
+                    for i in range(k)
+                ]
+            )
+        ).alias("_p"),
+    ).distinct()
+
+
 def compute_blooms(
     spark: SparkSession,
     files: list[str],
@@ -263,34 +297,9 @@ def compute_blooms(
     )
     out: dict[str, dict] = {}
     for c in cols:
-        h = F.md5(F.col(c).cast("string"))
-        scan = (
-            spark.read.parquet(*files)
-            .where(F.col(c).isNotNull())
-            .select(
-                # input_file_name is a URI; normalize to the os path the
-                # manifest records so the m-lookup join and output match
-                F.url_decode(F.regexp_replace(F.input_file_name(), "^file://", ""))
-                .alias("_f"),
-                h.alias("_h"),
-            )
-            .join(F.broadcast(mdf), F.col("_f") == F.col("_fp"))
-        )
-        positions = scan.select(
-            "_f",
-            "_m",
-            F.explode(
-                F.array(
-                    *[
-                        F.conv(F.substring("_h", 1 + 8 * i, 8), 16, 10).cast("long")
-                        % F.col("_m")
-                        for i in range(k)
-                    ]
-                )
-            ).alias("_p"),
-        ).distinct()
         rows = (
-            positions.groupBy("_f", "_m")
+            _bloom_position_sets(spark, files, c, mdf, k)
+            .groupBy("_f", "_m")
             .applyInPandas(_pack, "_f string, _m long, _b64 string")
             .collect()
         )

@@ -7,6 +7,7 @@ shuffle fails here rather than in production."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -305,3 +306,37 @@ def test_round7_entries_plan_shapes(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
     assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_bloom_build_prunes_scan_and_broadcasts_m_map(spark, tmp_path):
+    """compute_blooms' per-column pass (r7): the parquet scan must be
+    pruned to ONLY the bloom column (building filters for one key never
+    reads the whole row — at 100 TB that is the difference between a
+    1-column and an N-column scan), and the (file, m) sizing map must be
+    BROADCAST (it is n_files rows; shuffling the corpus to join it would
+    dwarf the build). The dedup must partial-aggregate before the
+    exchange (map-side combine bounds shuffle volume by m per file)."""
+    from pyspark.sql import functions as F
+
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    p = str(tmp_path / "t")
+    spark.range(1000).select(
+        F.md5(F.col("id").cast("string")).alias("h"),
+        F.col("id").alias("v"),
+        (F.col("id") % 7).alias("w"),
+    ).repartition(4, "h").write.parquet(p)
+    files = [
+        os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
+    mdf = spark.createDataFrame(
+        [(os.path.abspath(f), 8192) for f in files], "_fp string, _m long"
+    )
+    plan = _physical(S._bloom_position_sets(spark, files, "h", mdf, 4))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and [c.split(":")[0] for c in m.group(1).split(",")] == ["h"], plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+    # distinct renders as HashAggregate / Exchange / HashAggregate —
+    # the lower aggregate IS the map-side combine
+    assert plan.count("HashAggregate") >= 2 and "Exchange hashpartitioning" in plan, plan
