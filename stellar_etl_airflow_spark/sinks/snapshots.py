@@ -427,7 +427,29 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     return reader.parquet(*m["files"])
 
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _may_match(st: dict, bl: dict, col, op, v) -> bool:
+    """MAY a file with stats ``st`` / blooms ``bl`` satisfy one
+    predicate? False is definitive (file droppable for it)."""
+    if op == "in":
+        # a batch-key probe (THE MERGE shape): the file survives if ANY
+        # listed value may be present
+        return any(_may_match(st, bl, col, "=", x) for x in v)
+    if op == "=" and col in bl and not bloom_contains(bl[col], v):
+        return False
+    rng = st.get(col)
+    if not rng:
+        return True
+    mn, mx = rng
+    return not (
+        (op == "=" and (v < mn or v > mx))
+        or (op == "<" and mn >= v)
+        or (op == "<=" and mn > v)
+        or (op == ">" and mx <= v)
+        or (op == ">=" and mx < v)
+    )
 
 
 def prune_files(manifest: dict, where) -> list[str]:
@@ -438,7 +460,8 @@ def prune_files(manifest: dict, where) -> list[str]:
     predicate is provably false over its range, or its bloom filter
     definitively excludes an ``=`` value; files without stats/blooms for
     a referenced column always survive (never wrong, just unpruned).
-    Ops: = < <= > >=."""
+    Ops: = < <= > >= in (value = iterable; keeps files where ANY listed
+    value may be present — the batch-of-merge-keys probe)."""
     for col, op, _v in where:
         if op not in _PRUNE_OPS:
             raise ValueError(f"prune_files: unsupported op {op!r}")
@@ -448,25 +471,7 @@ def prune_files(manifest: dict, where) -> list[str]:
     for f in manifest["files"]:
         st = stats.get(f) or {}
         bl = blooms.get(f) or {}
-        keep = True
-        for col, op, v in where:
-            if op == "=" and col in bl and not bloom_contains(bl[col], v):
-                keep = False
-                break
-            rng = st.get(col)
-            if not rng:
-                continue
-            mn, mx = rng
-            if (
-                (op == "=" and (v < mn or v > mx))
-                or (op == "<" and mn >= v)
-                or (op == "<=" and mn > v)
-                or (op == ">" and mx <= v)
-                or (op == ">=" and mx < v)
-            ):
-                keep = False
-                break
-        if keep:
+        if all(_may_match(st, bl, col, op, v) for col, op, v in where):
             out.append(f)
     return out
 
@@ -479,7 +484,8 @@ def scan_snapshot(
     footer opens — the metadata-only planning that makes a 1M-file table
     navigable), then the SAME predicates are applied as real filters so
     results are exact regardless of stats coverage. ``where`` is an
-    iterable of ``(column, op, value)`` with op in ``= < <= > >=``.
+    iterable of ``(column, op, value)`` with op in ``= < <= > >= in``
+    (``in`` takes an iterable value — the batch-key probe).
 
     Equivalent to ``read_snapshot(...).filter(...)`` in results; cheaper
     by however many files the stats exclude. At reference bucket counts
@@ -503,7 +509,9 @@ def scan_snapshot(
     for col, op, v in where:
         c = F.col(col)
         df = df.filter(
-            {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+            c.isin(list(v))
+            if op == "in"
+            else {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
         )
     return df
 

@@ -124,3 +124,32 @@ def test_bloom_integral_and_bool_canonicalization(spark, tmp_path):
     assert S.scan_snapshot(spark, path, where=[("even", "=", True)]).count() == 150
     # a range predicate on a bloom-only column is simply not bloom-pruned
     assert len(S.prune_files(m, [("k", ">=", 0)])) == len(m["files"])
+
+
+def test_in_list_batch_probe_pruning(spark, tmp_path):
+    """The real merge probe is a BATCH of keys: op "in" keeps a file iff
+    ANY listed value may be present (bloom + [min,max] per value)."""
+    path = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark, _hashed_df(spark), path, stats_cols=("h",), bloom_cols=("h",)
+    )
+    m = S.read_manifest(path)
+    present = [_key(i) for i in (3, 77, 1500)]
+    absent = [_key(i) for i in range(10_000, 10_020)]
+
+    kept = S.prune_files(m, [("h", "in", present)])
+    assert kept and len(kept) < len(m["files"])
+    got = S.scan_snapshot(spark, path, where=[("h", "in", present)]).collect()
+    assert sorted(r["v"] for r in got) == [3, 77, 1500]
+
+    # all-absent batch: blooms usually drop everything, never wrong rows
+    assert S.scan_snapshot(spark, path, where=[("h", "in", absent)]).count() == 0
+
+    # "in" works stats-only too (range exclusion per value)
+    df = spark.range(1000).select(F.col("id").alias("k")).repartitionByRange(8, "k")
+    p2 = str(tmp_path / "t2")
+    S.overwrite_versioned(spark, df, p2, stats_cols=("k",))
+    m2 = S.read_manifest(p2)
+    kept2 = S.prune_files(m2, [("k", "in", [5, 990])])
+    assert 0 < len(kept2) <= 2
+    assert S.scan_snapshot(spark, p2, where=[("k", "in", [5, 990])]).count() == 2
