@@ -46,6 +46,9 @@ def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark 4.1 Python Data Source pushFilters (SPARK-48921) is
+        # opt-in; the snapshot source's manifest pruning rides on it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long and convert (see load_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
