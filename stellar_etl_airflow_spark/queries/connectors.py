@@ -1,0 +1,179 @@
+"""Connector corpus entries: the batch snapshot Data Source (Catalyst
+filter pushdown -> manifest pruning) and the Change Data Feed reader,
+each oracle-checked end-to-end through a scratch versioned table.
+
+Both operators already have unit suites (tests/test_snapshot_source.py,
+tests/test_cdf.py); these entries put them behind the external driver's
+DuckDB hash gate so the *semantics* — not just the pruning mechanics —
+are cross-engine verified at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import QuerySpec, tables
+
+
+def q55_snapshot_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("snapshot")`` with REAL Catalyst filter
+    pushdown: orders is published as a versioned snapshot table
+    (range-layout on ``o_orderkey``, manifest [min,max] stats), then read
+    back through the Spark 4 Python Data Source with a plain ``.where``.
+    ``pushFilters`` maps the planner's conjuncts onto manifest pruning, so
+    the scan plans ONLY the files whose key range may match — asserted
+    here against the manifest (the entry fails red if pushdown ever stops
+    pruning) — while Spark re-evaluates every filter for exactness.
+
+    Reference parity: BigQuery prunes on clustering-key ranges
+    transparently to the SQL (SURVEY §2.1); this is the same contract on
+    the snapshot store.
+    """
+    from ..sinks import snapshots as S
+    from ..sources import snapshot_source
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    # pushFilters (SPARK-48921) is opt-in; runtime-settable, and the
+    # driver owns its session so set it here, not in get_spark only
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    snapshot_source.register(spark)
+
+    path = os.path.join(tempfile.gettempdir(), f"q55-orders-{uuid.uuid4().hex[:8]}")
+    try:
+        S.overwrite_versioned(
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            path,
+            stats_cols=("o_orderkey",),
+        )
+        n_files = len(S.read_manifest(path)["files"])
+        sel = (
+            spark.read.format(snapshot_source.FORMAT_NAME)
+            .option("path", path)
+            .load()
+            .where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))
+            .where(F.col("o_totalprice") > 50000.0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        )
+        # the pruning proof: input partitions == files surviving the
+        # manifest [min,max] check, strictly fewer than the table's files
+        # (keys 1000..3000 span a minority of the 8 range files)
+        survivors = sel.rdd.getNumPartitions()
+        if survivors >= n_files:
+            raise AssertionError(
+                f"snapshot pushdown pruned nothing: {survivors}/{n_files} files planned"
+            )
+        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q55_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey >= 1000 AND o_orderkey < 3000 AND o_totalprice > 50000.0
+"""
+
+
+def s10_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between two published versions of a merge table:
+    batch 1 seeds latest-per-user state, batch 2 upserts a subset and
+    deletes every fifth user; ``read_changes`` recovers the NET row-level
+    deltas from manifest file churn alone (cost ∝ rewritten buckets) and
+    classifies them Delta-CDF-style. The oracle restates the
+    classification declaratively: FULL OUTER JOIN of the two batch
+    reductions with insert/delete/update_preimage/update_postimage cases
+    — including the two silent cases (a delete for a key that never
+    existed emits nothing; an upsert identical to current state emits
+    nothing).
+    """
+    from ..operators.cdf import CHANGE_TYPE_COL, read_changes
+    from ..operators.merge import apply_changes
+
+    (ev,) = tables(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value", F.lit(False).alias("deleted")
+    )
+    b2 = ev.filter((F.col("event_id") % 3 == 1) & (F.col("user_id") % 2 == 0)).select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("user_id") % 5 == 0).alias("deleted"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"s10-state-{uuid.uuid4().hex[:8]}")
+    try:
+        v1, _ = apply_changes(
+            spark, b1, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        v2, _ = apply_changes(
+            spark, b2, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        out = read_changes(spark, path, from_version=v1, to_version=v2).select(
+            "user_id", CHANGE_TYPE_COL, "ts", "event_id", "value"
+        )
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+S10_SQL = """
+WITH b1 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 0
+),
+s1 AS (SELECT user_id, ts, event_id, value FROM b1 WHERE rn = 1),
+b2 AS (
+  SELECT user_id, ts, event_id, value, (user_id % 5 = 0) AS deleted,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 1 AND user_id % 2 = 0
+),
+c2 AS (SELECT user_id, ts, event_id, value, deleted FROM b2 WHERE rn = 1),
+j AS (
+  SELECT COALESCE(s1.user_id, c2.user_id) AS user_id,
+         s1.user_id IS NOT NULL AS o_present,
+         c2.user_id IS NOT NULL AS n_present,
+         c2.deleted AS del,
+         s1.ts AS o_ts, s1.event_id AS o_eid, s1.value AS o_val,
+         c2.ts AS n_ts, c2.event_id AS n_eid, c2.value AS n_val
+  FROM s1 FULL OUTER JOIN c2 ON s1.user_id = c2.user_id
+),
+diff AS (
+  SELECT *,
+         (o_ts IS DISTINCT FROM n_ts
+          OR o_eid IS DISTINCT FROM n_eid
+          OR o_val IS DISTINCT FROM n_val) AS row_changed
+  FROM j WHERE n_present
+)
+SELECT user_id, 'insert' AS _change_type, n_ts AS ts, n_eid AS event_id, n_val AS value
+FROM diff WHERE NOT del AND NOT o_present
+UNION ALL
+SELECT user_id, 'delete', o_ts, o_eid, o_val
+FROM diff WHERE del AND o_present
+UNION ALL
+SELECT user_id, 'update_preimage', o_ts, o_eid, o_val
+FROM diff WHERE NOT del AND o_present AND row_changed
+UNION ALL
+SELECT user_id, 'update_postimage', n_ts, n_eid, n_val
+FROM diff WHERE NOT del AND o_present AND row_changed
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "q55_snapshot_pushdown": QuerySpec(
+        q55_snapshot_pushdown,
+        Q55_SQL,
+        "batch snapshot Data Source: Catalyst pushFilters -> manifest file pruning, exact results",
+    ),
+    "s10_cdf_net_changes": QuerySpec(
+        s10_cdf_net_changes,
+        S10_SQL,
+        "Change Data Feed between versions == declarative full-outer diff oracle",
+    ),
+}
