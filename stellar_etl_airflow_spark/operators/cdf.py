@@ -84,6 +84,8 @@ def read_changes(
     new_df = _read_files(spark, m_new, new_only)
     if old_df is None and new_df is None:  # no churn in the range
         empty = S.read_snapshot(spark, path, to_version).limit(0)
+        if BUCKET_COL in empty.columns:  # internal layout col, like the churn path
+            empty = empty.drop(BUCKET_COL)
         return empty.withColumn(CHANGE_TYPE_COL, F.lit("insert")).withColumn(
             COMMIT_VERSION_COL, F.lit(to_version)
         ).limit(0)

@@ -77,6 +77,60 @@ def scd2_apply(
     return closed.unionByName(unchanged).unionByName(to_close).unionByName(to_open)
 
 
+def scd2_apply_cdf(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    snapshot_ts,
+) -> DataFrame:
+    """Incremental SCD-2 maintenance from a Change Data Feed.
+
+    ``scd2_apply`` re-reads the FULL new state every snapshot — the dbt
+    snapshot shape the reference runs daily (dag_snapshot.py:118-178). When
+    the state table is versioned by :func:`..operators.merge.apply_changes`,
+    :func:`..operators.cdf.read_changes` already yields exactly the keys
+    that moved, so the dimension can be maintained from the deltas alone:
+
+    - ``insert``            -> fresh open row (valid_from = ts)
+    - ``delete``            -> close the key's open row (valid_to = ts)
+    - ``update_postimage``  -> close open row + fresh open row
+    - ``update_preimage``   -> ignored (the snapshot already holds it)
+
+    Scale shape: the churned-key set is small relative to the dimension
+    history, so untouched rows pass through a **broadcast anti join** —
+    the big snapshot side is never shuffled, unlike ``scd2_apply`` whose
+    hash-join keys the whole open set against the whole new state. At
+    100 TB this is the difference between touching every history file and
+    touching none of them (pair with a bucketed/merge-backed history sink
+    to rewrite only churned buckets).
+
+    Equivalent by construction to ``scd2_apply(snapshot, full_new_state)``
+    whenever ``snapshot``'s open rows equal the table state the CDF range
+    starts from (property-tested in tests/test_scd2_lifecycle.py).
+    """
+    from .cdf import CHANGE_TYPE_COL, COMMIT_VERSION_COL
+
+    ts = F.lit(snapshot_ts).cast("timestamp")
+    kl = list(keys)
+    drop_meta = [c for c in (CHANGE_TYPE_COL, COMMIT_VERSION_COL) if c in changes.columns]
+    ch = changes.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
+    touched = ch.select(*kl).distinct()
+
+    untouched = snapshot.join(F.broadcast(touched), kl, "left_anti")
+    t_hist = snapshot.join(F.broadcast(touched), kl, "left_semi")
+    # a touched key's CLOSED rows are immutable history; only its open row
+    # (if any — a re-insert after delete has none) closes at ts
+    closed_hist = t_hist.filter(F.col("valid_to").isNotNull())
+    newly_closed = t_hist.filter(F.col("valid_to").isNull()).withColumn("valid_to", ts)
+    opens = (
+        ch.filter(F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"))
+        .drop(*drop_meta)
+        .withColumn("valid_from", ts)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    return untouched.unionByName(closed_hist).unionByName(newly_closed).unionByName(opens)
+
+
 def current_of(snapshot: DataFrame) -> DataFrame:
     return snapshot.filter(F.col("valid_to").isNull()).drop("valid_from", "valid_to")
 

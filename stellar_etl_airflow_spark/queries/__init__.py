@@ -28,30 +28,31 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 106 entries as of round 7 — t40/t41, q55, s10
-# new — larger than the window).
+# round (the corpus is 107 entries as of round 7 — t40/t41, q55, q56,
+# s10 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 106-entry corpus, alternate-round freshness is the attainable bound —
+# 107-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 4 new-this-round entries (t40/t41, q55, s10) compete for 50
-# slots, so six r5-stale entries slip to two-rounds-stale this round;
-# they are placed at positions 51-56 and MUST lead _FRONT next round.
-# Round 7 sacrifices q31_setops, q44_cube, q30_rolling_window,
-# q33_unpivot, q32_pivot, q47_grouping_sets (simple deterministic
-# relational plans, unchanged since r5, oracle-verified in-repo by
-# test_oracle_parity.py every session).
+# entries + 5 new-this-round entries (t40/t41, q55, q56, s10) compete
+# for 50 slots, so seven r5-stale entries slip to two-rounds-stale this
+# round; they are placed at positions 51-57 and MUST lead _FRONT next
+# round. Round 7 sacrifices q31_setops, q44_cube, q30_rolling_window,
+# q33_unpivot, q32_pivot, q47_grouping_sets, q34_tumbling_window
+# (simple deterministic relational plans, unchanged since r5,
+# oracle-verified in-repo by test_oracle_parity.py every session).
 _FRONT = [
     # never driver-checked: the two r6 entries the r6 window cut off,
-    # then this round's two new entries (VERDICT r6 ask #2)
+    # then this round's new entries (VERDICT r6 ask #2)
     "t38_importance_weights",
     "t39_duplicate_spans",
     "t40_gopher_rules",
     "t41_source_lang_mix",
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
+    "q56_scd2_from_cdf",
     # r5-stale entries touched by round-7 changes: as-of deterministic
     # salt + right-hot splitting (q52/q53), txn-ledger retention under
     # the incremental mart (q51). (t23_audio_features also changes this
@@ -66,7 +67,6 @@ _FRONT = [
     "q26_correlated_subquery",
     "q28_rollup",
     "q29_percentiles",
-    "q34_tumbling_window",
     "q35_exists_subqueries",
     "q36_window_ranks",
     "q37_lateral_topk",
@@ -102,7 +102,7 @@ _FRONT = [
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "t35_stratified_sample",
-    # the six sacrificed-this-round entries (positions 51-56): front
+    # the seven sacrificed-this-round entries (positions 51-57): front
     # these FIRST next round
     "q31_setops",
     "q44_cube",
@@ -110,6 +110,7 @@ _FRONT = [
     "q33_unpivot",
     "q32_pivot",
     "q47_grouping_sets",
+    "q34_tumbling_window",
     # r6-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()

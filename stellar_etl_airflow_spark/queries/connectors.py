@@ -165,6 +165,95 @@ FROM diff WHERE NOT del AND o_present AND row_changed
 """
 
 
+def q56_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 dimension maintenance from the Change Data Feed:
+    batch 1 seeds the versioned state table and initialises the history at
+    ts1; the CDF between v1 and v2 (inserts / deletes / updates from batch
+    2's upserts) drives ``scd2_apply_cdf``, which closes and opens validity
+    ranges for churned keys ONLY — the untouched history passes through a
+    broadcast anti join, never shuffled (tests/test_scd2_cdf.py pins the
+    plan). The oracle restates the whole lifecycle declaratively: a FULL
+    OUTER diff of the two batch reductions, emitting [ts1, ts2) closed
+    rows for deleted/changed keys, open ts1 rows for untouched keys, and
+    open ts2 rows for inserts/new images.
+
+    Reference parity: dag_snapshot.py:118-178 rebuilds dbt snapshots from
+    FULL state daily; this is the same history from deltas alone.
+    """
+    from datetime import datetime
+
+    from ..operators.cdf import CHANGE_TYPE_COL, read_changes
+    from ..operators.merge import BUCKET_COL, apply_changes
+    from ..operators.scd2 import scd2_apply_cdf, scd2_init
+    from ..sinks import snapshots as S
+
+    ts1, ts2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    (ev,) = tables(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value", F.lit(False).alias("deleted")
+    )
+    b2 = ev.filter((F.col("event_id") % 3 == 1) & (F.col("user_id") % 2 == 0)).select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("user_id") % 5 == 0).alias("deleted"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"q56-state-{uuid.uuid4().hex[:8]}")
+    try:
+        v1, _ = apply_changes(
+            spark, b1, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        v2, _ = apply_changes(
+            spark, b2, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        cols = ["user_id", "ts", "event_id", "value"]
+        snap = scd2_init(
+            S.read_snapshot(spark, path, v1).drop(BUCKET_COL).select(*cols),
+            ("user_id",), ts1,
+        )
+        ch = read_changes(spark, path, v1, v2).select(*cols, CHANGE_TYPE_COL)
+        out = scd2_apply_cdf(snap, ch, ("user_id",), ts2)
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q56_SQL = """
+WITH b1 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 0
+),
+s1 AS (SELECT user_id, ts, event_id, value FROM b1 WHERE rn = 1),
+b2 AS (
+  SELECT user_id, ts, event_id, value, (user_id % 5 = 0) AS deleted,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 1 AND user_id % 2 = 0
+),
+c2 AS (SELECT user_id, ts, event_id, value, deleted FROM b2 WHERE rn = 1),
+j AS (
+  SELECT COALESCE(s1.user_id, c2.user_id) AS user_id,
+         s1.user_id IS NOT NULL AS o_present,
+         c2.user_id IS NOT NULL AS n_present,
+         COALESCE(c2.deleted, FALSE) AS del,
+         s1.ts AS o_ts, s1.event_id AS o_eid, s1.value AS o_val,
+         c2.ts AS n_ts, c2.event_id AS n_eid, c2.value AS n_val,
+         (s1.ts IS DISTINCT FROM c2.ts
+          OR s1.event_id IS DISTINCT FROM c2.event_id
+          OR s1.value IS DISTINCT FROM c2.value) AS row_changed
+  FROM s1 FULL OUTER JOIN c2 ON s1.user_id = c2.user_id
+)
+SELECT user_id, o_ts AS ts, o_eid AS event_id, o_val AS value,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN n_present AND (del OR row_changed)
+            THEN TIMESTAMP '2024-01-02 00:00:00' END AS valid_to
+FROM j WHERE o_present
+UNION ALL
+SELECT user_id, n_ts, n_eid, n_val,
+       TIMESTAMP '2024-01-02 00:00:00', CAST(NULL AS TIMESTAMP)
+FROM j WHERE n_present AND NOT del AND (NOT o_present OR row_changed)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -175,5 +264,10 @@ SPECS: dict[str, QuerySpec] = {
         s10_cdf_net_changes,
         S10_SQL,
         "Change Data Feed between versions == declarative full-outer diff oracle",
+    ),
+    "q56_scd2_from_cdf": QuerySpec(
+        q56_scd2_from_cdf,
+        Q56_SQL,
+        "incremental SCD-2 from CDF deltas == declarative validity-range oracle",
     ),
 }
