@@ -28,19 +28,20 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 107 entries as of round 7 — t40/t41, q55, q56,
-# s10 new — larger than the window).
+# round (the corpus is 108 entries as of round 7 — t40/t41/t42, q55,
+# q56, s10 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 107-entry corpus, alternate-round freshness is the attainable bound —
+# 108-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 5 new-this-round entries (t40/t41, q55, q56, s10) compete
-# for 50 slots, so seven r5-stale entries slip to two-rounds-stale this
-# round; they are placed at positions 51-57 and MUST lead _FRONT next
-# round. Round 7 sacrifices q31_setops, q44_cube, q30_rolling_window,
-# q33_unpivot, q32_pivot, q47_grouping_sets, q34_tumbling_window
+# entries + 6 new-this-round entries (t40/t41/t42, q55, q56, s10)
+# compete for 50 slots, so eight r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-58 and
+# MUST lead _FRONT next round. Round 7 sacrifices q31_setops, q44_cube,
+# q30_rolling_window, q33_unpivot, q32_pivot, q47_grouping_sets,
+# q34_tumbling_window, q35_exists_subqueries
 # (simple deterministic relational plans, unchanged since r5,
 # oracle-verified in-repo by test_oracle_parity.py every session).
 _FRONT = [
@@ -53,6 +54,7 @@ _FRONT = [
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
     "q56_scd2_from_cdf",
+    "t42_bigram_backoff",
     # r5-stale entries touched by round-7 changes: as-of deterministic
     # salt + right-hot splitting (q52/q53), txn-ledger retention under
     # the incremental mart (q51). (t23_audio_features also changes this
@@ -67,7 +69,6 @@ _FRONT = [
     "q26_correlated_subquery",
     "q28_rollup",
     "q29_percentiles",
-    "q35_exists_subqueries",
     "q36_window_ranks",
     "q37_lateral_topk",
     "q38_hopping_window",
@@ -102,7 +103,7 @@ _FRONT = [
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "t35_stratified_sample",
-    # the seven sacrificed-this-round entries (positions 51-57): front
+    # the eight sacrificed-this-round entries (positions 51-58): front
     # these FIRST next round
     "q31_setops",
     "q44_cube",
@@ -111,6 +112,7 @@ _FRONT = [
     "q32_pivot",
     "q47_grouping_sets",
     "q34_tumbling_window",
+    "q35_exists_subqueries",
     # r6-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()

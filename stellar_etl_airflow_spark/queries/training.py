@@ -1671,3 +1671,47 @@ SPECS.update(
         ),
     }
 )
+
+
+def t42_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.bigram_stupid_backoff(docs)
+
+
+T42_SQL = f"""
+WITH {WORDS_CTE},
+tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS term FROM w),
+uni AS MATERIALIZED (SELECT term, count(*) AS uc FROM tok GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS n FROM tok),
+bg AS MATERIALIZED (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+  WHERE len(ws) >= 2
+),
+model AS (SELECT a, b, count(*) AS bc FROM bg GROUP BY a, b HAVING count(*) >= 2),
+sc AS (
+  SELECT bg.doc_id,
+         CASE WHEN m.bc IS NOT NULL THEN m.bc::DOUBLE / ua.uc
+              ELSE 0.4 * ub.uc / total.n END AS s
+  FROM bg
+  LEFT JOIN model m ON bg.a = m.a AND bg.b = m.b
+  JOIN uni ua ON bg.a = ua.term
+  JOIN uni ub ON bg.b = ub.term
+  CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(s)), 6) AS avg_neg_logscore,
+       round(exp(round(avg(-ln(s)), 6)), 6) AS pseudo_ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+SPECS.update(
+    {
+        "t42_bigram_backoff": QuerySpec(
+            t42_bigram_backoff,
+            T42_SQL,
+            "bigram LM with Stupid Backoff (Brants 2007): pruned model + unigram backoff scoring",
+        ),
+    }
+)

@@ -486,6 +486,88 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def bigram_stupid_backoff(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document bigram-LM score with Stupid Backoff — the published
+    distributed n-gram recipe (Brants et al., "Large Language Models in
+    Machine Translation", EMNLP 2007): the bigram model keeps only
+    n-grams with count >= ``min_count`` (pruning IS the scale mechanism
+    — model size is bounded by type frequency, not corpus size), and a
+    scored bigram missing from the pruned model backs off to
+    ``alpha * C(b) / N`` on the unigram. No normalization pass over the
+    model (that is the "stupid" part, and why it distributes: scores are
+    pure count ratios, composable from map-side-combined aggregates).
+
+    One bigram fold (zip_with over the token array — no shuffle to form
+    pairs), materialized once for both the model aggregate and the
+    scoring join; the unigram table and corpus total are vocab-sized and
+    broadcast. The model join is a plain equi-join on (a, b) that AQE
+    sizes (broadcast when pruned small, shuffle otherwise) — at 100 TB
+    the pruned bigram table is the only non-broadcast side and shuffles
+    model-typed rows, never the corpus. Upgrade path: the same plan with
+    trigram structs is the full Brants pipeline.
+
+    Docs with fewer than two tokens have no bigrams and are excluded
+    (explode of an empty array yields no rows). ln/avg rounded to 6
+    decimals for cross-engine ulp stability (t22/t32 discipline).
+    """
+    bigrams = (
+        df.select(F.col(id_col).alias("doc"), words_col(text_col).alias("_ws"))
+        .filter(F.size("_ws") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_ws, 1, size(_ws) - 1),"
+                    " slice(_ws, 2, size(_ws) - 1), (x, y) -> struct(x as a, y as b))"
+                )
+            ).alias("_p"),
+        )
+        .select("doc", "_p.a", "_p.b")
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        df.select(F.explode(words_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("uc"))
+        .localCheckpoint(eager=True)
+    )
+    total = uni.agg(F.sum("uc").cast("double").alias("_n"))
+    model = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") >= min_count)
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("uc").alias("_ca"))
+    ub = uni.select(F.col("term").alias("b"), F.col("uc").alias("_cb"))
+    scored = (
+        bigrams.join(model, ["a", "b"], "left")
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_s",
+            F.when(
+                F.col("bc").isNotNull(), F.col("bc") / F.col("_ca")
+            ).otherwise(F.lit(alpha) * F.col("_cb") / F.col("_n")),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("_s")), 6).alias("avg_neg_logscore"),
+        )
+        .withColumn("pseudo_ppl", F.round(F.exp(F.col("avg_neg_logscore")), 6))
+        .select(F.col("doc").alias(id_col), "n_bigrams", "avg_neg_logscore", "pseudo_ppl")
+    )
+
+
 def rebalance_sources(
     df,
     targets: dict[str, float],
