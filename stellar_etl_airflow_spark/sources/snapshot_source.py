@@ -31,11 +31,14 @@ missing columns as nulls.
 
 from __future__ import annotations
 
+import base64
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -44,6 +47,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -87,7 +91,10 @@ def _unified_arrow_schema(files: list[str]):
     for f in files:
         for fld in pq.ParquetFile(f).schema_arrow:
             if fld.name != "_p":  # bucket layout dir, not table data
-                fields.setdefault(fld.name, _spark_safe(fld))
+                # force nullable: files that PREDATE an added column
+                # surface it as nulls even when the adding writer's
+                # schema declared it required
+                fields.setdefault(fld.name, _spark_safe(fld).with_nullable(True))
     return pa.schema(list(fields.values()))
 
 
@@ -172,10 +179,142 @@ def _align(tbl, schema):
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """One task's durable claim: the file it wrote plus the metadata the
+    manifest needs — computed WHERE THE DATA ALREADY IS (executor-side),
+    so commit is a pure metadata operation."""
+
+    file: str | None = None
+    rows: int = 0
+    stats: dict | None = None
+    blooms: dict | None = None
+
+
+class _SnapshotWriter(DataSourceArrowWriter):
+    """Task-write / driver-commit protocol onto the manifest log — the
+    Iceberg commit model expressed through Spark's DataSourceWriter
+    contract:
+
+    - each task streams its Arrow batches into ONE uniquely-named
+      parquet file directly under the table dir. Unlisted files are
+      invisible to every reader (manifests are the source of truth), so
+      no staging directory or rename dance is needed — a speculative
+      duplicate or failed task leaves garbage that ``vacuum`` sweeps,
+      never a visible row;
+    - per-file [min, max] stats and bloom bitsets are computed in the
+      task from the batches it writes (zero extra reads; the write IS
+      the scan);
+    - ``commit`` (driver, runs once) publishes the next manifest version
+      listing exactly the committed tasks' files — atomic via the
+      manifest log's write-rename. ``overwrite`` lists only the new
+      files (old versions stay for time travel); append carries the
+      previous version's files, stats, blooms, and txn ledger forward.
+    - ``abort`` deletes this attempt's files; readers never saw them.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._overwrite = overwrite
+        self._stats_cols = [c for c in (options.get("stats_cols") or "").split(",") if c]
+        self._bloom_cols = [c for c in (options.get("bloom_cols") or "").split(",") if c]
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._path, exist_ok=True)
+        fpath = os.path.join(self._path, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        bloom_vals: dict[str, set] = {c: set() for c in self._bloom_cols}
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(fpath, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for c in self._bloom_cols:
+                    if c in batch.schema.names:
+                        bloom_vals[c].update(
+                            v for v in batch.column(c).to_pylist() if v is not None
+                        )
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty partition: no file, nothing to commit
+            return _FileCommit()
+        stats = S._file_stats(fpath, self._stats_cols) if self._stats_cols else None
+        blooms = {}
+        for c, vals in bloom_vals.items():
+            m = S._bloom_m_for(rows)
+            bits = bytearray(m >> 3)
+            for v in vals:
+                for p in S._bloom_positions(v, m, S._BLOOM_K):
+                    bits[p >> 3] |= 1 << (p & 7)
+            blooms[c] = {"m": m, "k": S._BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+        return _FileCommit(file=fpath, rows=rows, stats=stats, blooms=blooms or None)
+
+    def commit(self, messages) -> None:
+        import pyarrow.parquet as pq
+
+        new = [m for m in messages if m and m.file]
+        files = [m.file for m in new]
+        stats = {m.file: m.stats for m in new if m.stats}
+        blooms = {m.file: m.blooms for m in new if m.blooms}
+        prev = None if self._overwrite else (
+            S.read_manifest(self._path) if S.latest_version(self._path) else None
+        )
+        mixed, txns = False, None
+        stats_cols, bloom_cols = list(self._stats_cols), list(self._bloom_cols)
+        if prev:
+            mixed = bool(prev.get("mixed_schema"))
+            if not mixed and prev["files"] and files:
+                # one footer read decides whether this append evolves the
+                # schema; readers then (and only then) pay mergeSchema
+                old_s = pq.read_schema(prev["files"][0])
+                new_s = pq.read_schema(files[0])
+                mixed = {f.name: str(f.type) for f in old_s} != {
+                    f.name: str(f.type) for f in new_s
+                }
+            txns = prev.get("txns")
+            stats_cols = sorted(set(prev.get("stats_cols") or []) | set(stats_cols))
+            bloom_cols = sorted(set(prev.get("bloom_cols") or []) | set(bloom_cols))
+            files = list(prev["files"]) + files
+            stats = {**(prev.get("stats") or {}), **stats}
+            blooms = {**(prev.get("blooms") or {}), **blooms}
+        S._publish(
+            self._path,
+            files,
+            mixed_schema=mixed,
+            txns=txns,
+            stats_cols=stats_cols,
+            stats=stats,
+            bloom_cols=bloom_cols,
+            blooms=blooms,
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m and m.file:
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+
+
 class SnapshotSource(DataSource):
-    """``spark.read.format("snapshot")``. Options: ``path`` (table dir,
-    required), ``version`` (time travel; default latest),
-    ``filesPerTask`` (files grouped per input partition; default 1)."""
+    """``spark.read.format("snapshot")`` / ``df.write.format("snapshot")``.
+
+    Read options: ``path`` (table dir, required), ``version`` (time
+    travel; default latest), ``filesPerTask`` (files grouped per input
+    partition; default 1).
+
+    Write options: ``path`` (required), ``stats_cols`` /
+    ``bloom_cols`` (comma-separated: record per-file [min, max] stats /
+    bloom bitsets in the manifest for planning-time pruning). Modes:
+    ``overwrite`` publishes a version listing only this write's files;
+    ``append`` carries the previous version's files + metadata forward.
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -194,6 +333,11 @@ class SnapshotSource(DataSource):
         opts = {k.lower(): v for k, v in self.options.items()}
         opts["path"] = self.options["path"]
         return _SnapshotReader(opts)
+
+    def writer(self, schema: StructType, overwrite: bool) -> _SnapshotWriter:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        opts["path"] = self.options["path"]
+        return _SnapshotWriter(opts, overwrite)
 
 
 def register(spark) -> None:

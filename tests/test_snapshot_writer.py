@@ -1,0 +1,161 @@
+"""df.write.format("snapshot") — the Python Data Source WRITE path
+(sources/snapshot_source.py::_SnapshotWriter): task-write/driver-commit
+onto the manifest log, append/overwrite modes, and executor-side
+stats/bloom metadata feeding the same pruning the library publish path
+(overwrite_versioned) feeds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.sinks import snapshots as S
+from stellar_etl_airflow_spark.sources import snapshot_source
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    snapshot_source.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def _write(df, path, mode, **opts):
+    w = df.write.format(snapshot_source.FORMAT_NAME).option("path", path)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def test_writer_roundtrip_and_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    _write(df1, path, "overwrite")
+    assert S.latest_version(path) == 1
+
+    back = spark.read.format("snapshot").option("path", path).load()
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))
+
+    # append adds rows and carries v1's files forward
+    df2 = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    _write(df2, path, "append")
+    assert S.latest_version(path) == 2
+    assert spark.read.format("snapshot").option("path", path).load().count() == 150
+    m1, m2 = S.read_manifest(path, 1), S.read_manifest(path, 2)
+    assert set(m1["files"]) < set(m2["files"])
+
+    # overwrite publishes a version listing ONLY the new files; v1/v2
+    # stay readable (time travel)
+    _write(df1.limit(10), path, "overwrite")
+    assert spark.read.format("snapshot").option("path", path).load().count() == 10
+    assert (
+        spark.read.format("snapshot").option("path", path).option("version", "2")
+        .load().count() == 150
+    )
+
+
+def test_writer_stats_and_bloom_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    ).repartitionByRange(8, "id")
+    _write(df, path, "overwrite", stats_cols="id", bloom_cols="h")
+
+    m = S.read_manifest(path)
+    assert m["stats_cols"] == ["id"] and m["bloom_cols"] == ["h"]
+    assert len(m["files"]) == 8
+    assert all(f in m["stats"] and "id" in m["stats"][f] for f in m["files"])
+    assert all(f in m["blooms"] and "h" in m["blooms"][f] for f in m["files"])
+
+    # [min,max] pruning: a range slice plans fewer input partitions
+    sel = (
+        spark.read.format("snapshot").option("path", path).load()
+        .where((F.col("id") >= 100) & (F.col("id") < 600))
+    )
+    assert sel.rdd.getNumPartitions() < 8
+    assert sel.count() == 500
+
+    # bloom pruning on the hash column: an equality probe plans ~1 file
+    import hashlib
+
+    probe = hashlib.md5(b"1234").hexdigest()
+    q = (
+        spark.read.format("snapshot").option("path", path).load()
+        .where(F.col("h") == probe)
+    )
+    assert q.rdd.getNumPartitions() < 8
+    assert q.count() == 1
+
+    # writer-computed blooms agree with the library's contains check
+    hit = [f for f in m["files"] if S.bloom_contains(m["blooms"][f]["h"], probe)]
+    assert len(hit) >= 1
+
+
+def test_writer_append_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark.range(0, 5).select("id"), path, "overwrite")
+    _write(
+        spark.range(5, 8).select(F.col("id"), F.lit("x").alias("tag")), path, "append"
+    )
+    m = S.read_manifest(path)
+    assert m["mixed_schema"] is True
+    back = spark.read.format("snapshot").option("path", path).load()
+    assert set(back.columns) == {"id", "tag"}
+    rows = {r["id"]: r["tag"] for r in back.collect()}
+    assert rows[0] is None and rows[7] == "x"
+
+    # same-schema append must NOT flip mixed_schema
+    path2 = str(tmp_path / "t2")
+    _write(spark.range(0, 5).select("id"), path2, "overwrite")
+    _write(spark.range(5, 9).select("id"), path2, "append")
+    assert S.read_manifest(path2)["mixed_schema"] is False
+
+
+def test_writer_empty_partitions_write_no_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 3).repartition(16)  # most partitions empty
+    _write(df, path, "overwrite")
+    m = S.read_manifest(path)
+    assert 0 < len(m["files"]) <= 3
+    assert spark.read.format("snapshot").option("path", path).load().count() == 3
+    # no stray zero-row parquet files on disk beyond the manifest's
+    data = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(data) == len(m["files"])
+
+
+def test_writer_interops_with_library_publishes(spark, tmp_path):
+    """A writer append onto an overwrite_versioned table carries the
+    library-published stats forward (one metadata lineage)."""
+    path = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark,
+        spark.range(0, 100).select("id").repartitionByRange(4, "id"),
+        path,
+        stats_cols=("id",),
+    )
+    _write(spark.range(100, 200).select("id").repartitionByRange(2, "id"),
+           path, "append", stats_cols="id")
+    m = S.read_manifest(path)
+    assert len(m["files"]) == 6
+    assert all(f in m["stats"] for f in m["files"])
+    sel = (
+        spark.read.format("snapshot").option("path", path).load()
+        .where(F.col("id") >= 150)
+    )
+    assert sel.rdd.getNumPartitions() < 6 and sel.count() == 50
+
+
+def test_writer_garbage_swept_by_vacuum(spark, tmp_path):
+    """A crashed/aborted attempt's unlisted file is invisible to readers
+    and reclaimed by vacuum — the no-staging-dir invariant."""
+    path = str(tmp_path / "t")
+    _write(spark.range(0, 10).select("id"), path, "overwrite")
+    orphan = os.path.join(path, "part-deadbeef-orphan.parquet")
+    spark.range(99, 100).toPandas().to_parquet(orphan)
+    assert spark.read.format("snapshot").option("path", path).load().count() == 10
+    deleted = S.vacuum(path, keep_versions=5)
+    assert orphan in deleted and not os.path.exists(orphan)
+    assert spark.read.format("snapshot").option("path", path).load().count() == 10
