@@ -34,6 +34,12 @@ def q55_snapshot_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: BigQuery prunes on clustering-key ranges
     transparently to the SQL (SURVEY §2.1); this is the same contract on
     the snapshot store.
+
+    Since r7 the table is published THROUGH the Data Source's write path
+    (``df.write.format("snapshot")`` with ``stats_cols`` — task-write /
+    driver-commit, per-file stats computed executor-side), so this one
+    entry externally verifies the connector's write AND pushdown-read
+    halves end to end.
     """
     from ..sinks import snapshots as S
     from ..sources import snapshot_source
@@ -46,11 +52,13 @@ def q55_snapshot_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(tempfile.gettempdir(), f"q55-orders-{uuid.uuid4().hex[:8]}")
     try:
-        S.overwrite_versioned(
-            spark,
-            orders.repartitionByRange(8, "o_orderkey"),
-            path,
-            stats_cols=("o_orderkey",),
+        (
+            orders.repartitionByRange(8, "o_orderkey")
+            .write.format(snapshot_source.FORMAT_NAME)
+            .option("path", path)
+            .option("stats_cols", "o_orderkey")
+            .mode("overwrite")
+            .save()
         )
         n_files = len(S.read_manifest(path)["files"])
         sel = (
