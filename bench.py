@@ -116,7 +116,7 @@ def main() -> None:
             "q29_percentiles", "q40_sketch_aggregates", "t20_training_pipeline",
             "s06_stream_upsert_sink", "t28_contamination_report",
             "q54_schema_evolution", "q56_scd2_from_cdf", "t42_bigram_backoff",
-            "s10_cdf_net_changes", "t37_semantic_dedup",
+            "s10_cdf_net_changes", "s11_stream_snapshot_sink", "t37_semantic_dedup",
             "t34_boilerplate_coverage", "t17_neardup_components",
             "t03_minhash_lsh_pairs", "s01_stream_tumbling",
             "s04_stateful_running_counts", "t05_simhash_neardup",

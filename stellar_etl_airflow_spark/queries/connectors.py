@@ -262,6 +262,62 @@ FROM j WHERE n_present AND NOT del AND (NOT o_present OR row_changed)
 """
 
 
+def s11_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``writeStream.format("snapshot")`` end to end: a file-source
+    stream drains through the native streaming Data Source sink
+    (per-micro-batch manifest publication, exactly-once via the txn
+    ledger — the s09 guarantee moved from ``foreachBatch`` glue into the
+    sink itself), then the result is read BACK through the snapshot
+    reader. The oracle is the declarative restatement of the pipeline: a
+    plain filtered projection of events — so the hash gate certifies the
+    sink's append path loses and invents nothing across the
+    stream-write/manifest/batch-read round trip. Redelivered-batch
+    no-op semantics are pytest-pinned (tests/test_snapshot_stream_sink).
+    """
+    from ..session import normalize_nanos
+    from ..sinks import snapshots as S
+    from ..sources import snapshot_source
+    from .streamingq import _stream_scratch
+
+    (_ev,) = tables(spark, sf_dir, "events")  # registers confs + view
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the pipeline is stateless (filter + project: no state stores), so it
+    # runs on the driver's own session — Python data source registration
+    # is per-session and does not follow newSession() children
+    snapshot_source.register(spark)
+    path = os.path.join(tempfile.gettempdir(), f"s11-sink-{uuid.uuid4().hex[:8]}")
+    try:
+        with _stream_scratch("s11", sf_dir, {"events.parquet": "events.parquet"}) as (
+            stream_dir, ckpt,
+        ):
+            stream = normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+            out = stream.where(F.col("event_id") % 5 == 0).select(
+                "event_id", "user_id", "ts", "value"
+            )
+            q = (
+                out.writeStream.format(snapshot_source.FORMAT_NAME)
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        m = S.read_manifest(path)
+        if not any(k.startswith("snapshot_stream:") for k in m.get("txns", {})):
+            raise AssertionError("stream sink published without a ledger entry")
+        back = spark.read.format(snapshot_source.FORMAT_NAME).option("path", path).load()
+        rows, schema = back.collect(), back.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+S11_SQL = """
+SELECT event_id, user_id, ts, value
+FROM events WHERE event_id % 5 = 0
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -277,5 +333,10 @@ SPECS: dict[str, QuerySpec] = {
         q56_scd2_from_cdf,
         Q56_SQL,
         "incremental SCD-2 from CDF deltas == declarative validity-range oracle",
+    ),
+    "s11_stream_snapshot_sink": QuerySpec(
+        s11_stream_snapshot_sink,
+        S11_SQL,
+        "native streaming snapshot sink: exactly-once micro-batch appends, read back via the connector",
     ),
 }

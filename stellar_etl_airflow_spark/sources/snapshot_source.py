@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -255,6 +256,9 @@ class _SnapshotWriter(DataSourceArrowWriter):
         return _FileCommit(file=fpath, rows=rows, stats=stats, blooms=blooms or None)
 
     def commit(self, messages) -> None:
+        self._publish_files(messages)
+
+    def _publish_files(self, messages, txn_id: str | None = None) -> None:
         import pyarrow.parquet as pq
 
         new = [m for m in messages if m and m.file]
@@ -264,7 +268,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         prev = None if self._overwrite else (
             S.read_manifest(self._path) if S.latest_version(self._path) else None
         )
-        mixed, txns = False, None
+        mixed, txns = False, {}
         stats_cols, bloom_cols = list(self._stats_cols), list(self._bloom_cols)
         if prev:
             mixed = bool(prev.get("mixed_schema"))
@@ -276,17 +280,19 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 mixed = {f.name: str(f.type) for f in old_s} != {
                     f.name: str(f.type) for f in new_s
                 }
-            txns = prev.get("txns")
+            txns = dict(prev.get("txns") or {})
             stats_cols = sorted(set(prev.get("stats_cols") or []) | set(stats_cols))
             bloom_cols = sorted(set(prev.get("bloom_cols") or []) | set(bloom_cols))
             files = list(prev["files"]) + files
             stats = {**(prev.get("stats") or {}), **stats}
             blooms = {**(prev.get("blooms") or {}), **blooms}
+        if txn_id is not None:
+            txns[txn_id] = (S.latest_version(self._path) or 0) + 1
         S._publish(
             self._path,
             files,
             mixed_schema=mixed,
-            txns=txns,
+            txns=txns or None,
             stats_cols=stats_cols,
             stats=stats,
             bloom_cols=bloom_cols,
@@ -294,12 +300,57 @@ class _SnapshotWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages) -> None:
-        for m in messages or []:
-            if m and m.file:
-                try:
-                    os.remove(m.file)
-                except OSError:
-                    pass
+        _drop_files(messages)
+
+
+def _drop_files(messages) -> None:
+    for m in messages or []:
+        if m and m.file:
+            try:
+                os.remove(m.file)
+            except OSError:
+                pass
+
+
+class _SnapshotStreamWriter(_SnapshotWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("snapshot")`` — the streaming twin of the
+    batch writer, with EXACTLY-ONCE micro-batch publication through the
+    manifest txn ledger (the Delta txnAppId/txnVersion idea,
+    sinks/snapshots.py ``txns``; same machinery as `operators/merge.py`'s
+    additive merges and the s09 corpus proof):
+
+    - each micro-batch appends task-written files under one ledger key
+      ``snapshot_stream:<appid>:<batchId>``;
+    - Structured Streaming redelivers a micro-batch when the sink commit
+      succeeded but the checkpoint offset commit did not (the crash
+      window s08 exercises). On redelivery the ledger already records the
+      batch's key, so ``commit`` deletes the replay attempt's files and
+      publishes NOTHING — additive appends stay exactly-once without the
+      sink being idempotent per row;
+    - ``appid`` (option, default "stream") namespaces the ledger key so
+      independent queries appending to one table don't collide. Ledger
+      entries are pruned by ``vacuum`` alongside the versions they
+      produced (retention already property-tested).
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        _SnapshotWriter.__init__(self, options, overwrite)
+        self._appid = options.get("appid") or "stream"
+
+    def _txn_key(self, batch_id: int) -> str:
+        return f"snapshot_stream:{self._appid}:{int(batch_id)}"
+
+    def commit(self, messages, batchId: int) -> None:
+        key = self._txn_key(batchId)
+        if S.latest_version(self._path):
+            recorded = (S.read_manifest(self._path).get("txns") or {})
+            if key in recorded:  # redelivered micro-batch: drop, don't publish
+                _drop_files(messages)
+                return
+        self._publish_files(messages, txn_id=key)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_files(messages)
 
 
 class SnapshotSource(DataSource):
@@ -338,6 +389,11 @@ class SnapshotSource(DataSource):
         opts = {k.lower(): v for k, v in self.options.items()}
         opts["path"] = self.options["path"]
         return _SnapshotWriter(opts, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _SnapshotStreamWriter:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        opts["path"] = self.options["path"]
+        return _SnapshotStreamWriter(opts, overwrite)
 
 
 def register(spark) -> None:
