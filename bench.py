@@ -115,7 +115,7 @@ def main() -> None:
             "s05_stream_stream_join", "t39_duplicate_spans", "t19_kmeans_ivf",
             "q29_percentiles", "q40_sketch_aggregates", "t20_training_pipeline",
             "s06_stream_upsert_sink", "t28_contamination_report",
-            "q54_schema_evolution", "q56_scd2_from_cdf", "t42_bigram_backoff",
+            "q54_schema_evolution", "t43_bpe_vocab", "q56_scd2_from_cdf", "t42_bigram_backoff",
             "s10_cdf_net_changes", "s11_stream_snapshot_sink", "t37_semantic_dedup",
             "t34_boilerplate_coverage", "t17_neardup_components",
             "t03_minhash_lsh_pairs", "s01_stream_tumbling",

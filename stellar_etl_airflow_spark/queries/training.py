@@ -1715,3 +1715,28 @@ SPECS.update(
         ),
     }
 )
+
+
+def t43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich 2016 Algorithm 1) over
+    the documents corpus: one corpus token fold reduces to the word-type
+    table, then every round costs |word types|, independent of corpus
+    size. The iterative global argmax is not SQL-expressible, so this
+    entry takes the driver's rows-only check; exactness against a
+    pure-Python reimplementation (deterministic tie-break) is pinned by
+    tests/test_bpe.py."""
+    from ..training import bpe as B
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return B.bpe_merges_df(docs, 12)
+
+
+SPECS.update(
+    {
+        "t43_bpe_vocab": QuerySpec(
+            t43_bpe_vocab,
+            None,
+            "BPE merge learning on word types (Sennrich Algorithm 1), deterministic tie-break",
+        ),
+    }
+)
