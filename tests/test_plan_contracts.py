@@ -340,3 +340,58 @@ def test_bloom_build_prunes_scan_and_broadcasts_m_map(spark, tmp_path):
     # distinct renders as HashAggregate / Exchange / HashAggregate —
     # the lower aggregate IS the map-side combine
     assert plan.count("HashAggregate") >= 2 and "Exchange hashpartitioning" in plan, plan
+
+
+def test_t42_bigram_backoff_plan_shape(spark):
+    """t42 (bigram Stupid Backoff): the only CROSS operator is the 1-row
+    corpus-total attach; unigram joins broadcast; the final per-doc
+    aggregate partial-combines before its single doc-keyed exchange. No
+    cartesian pair blow-up anywhere (the bigram fold is zip_with over the
+    token array, shuffle-free)."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t42_bigram_backoff"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line  # 1-row totals only
+    assert "BroadcastHashJoin" in plan, plan  # unigram attach
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_t43_bpe_round_cost_is_vocab_sized(spark):
+    """BPE learning (t43): after the one corpus token fold, each round's
+    pair-count aggregate runs on the word-type table with map-side
+    partials, and the merge apply is a pure expression map (no join, no
+    Python). Contract: the pair aggregate's plan has exactly one
+    exchange, hashing on the pair key — never a corpus-sized operator."""
+    from pyspark.sql import functions as F
+
+    from stellar_etl_airflow_spark.training import bpe as B
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest")], "doc_id long, text string"
+    )
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    types = words.select(
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit(B.EOW))).alias("sym"), "freq"
+    ).localCheckpoint(eager=True)
+    pair_col = F.expr(
+        "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1),"
+        " (x, y) -> struct(x as a, y as b))"
+    )
+    agg = (
+        types.select(F.explode(pair_col).alias("p"), "freq")
+        .groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+    )
+    plan = _physical(agg)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    # the merge-apply expression is joinless and exchange-free
+    applied = types.select(F.expr(B._merge_expr("sym", "a", "b")).alias("sym"), "freq")
+    aplan = _physical(applied)
+    assert "Exchange" not in aplan and "Join" not in aplan, aplan
