@@ -62,3 +62,57 @@ def enforce(results: list[CheckResult]) -> None:
     failed = [r for r in results if not r.passed]
     if failed:
         raise QualityError("; ".join(f"{r.name}: {r.detail}" for r in failed))
+
+
+def profile_table(
+    df: DataFrame,
+    cols: tuple[str, ...] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """One-pass per-column profile — the ANALYZE/dbt-docs observability
+    op a warehouse runs after every load: one row per profiled column
+    with (n_rows, n_nulls, n_distinct, min_str, max_str).
+
+    Shape at 100 TB: ONE aggregate job. count/nulls/min/max are plain
+    map-side-combined partials; exact ``countDistinct`` over k columns
+    plans Spark's Expand (k-way row replication into one shuffle) — the
+    oracle-checkable twin. ``approx=True`` swaps in
+    ``approx_count_distinct`` (HLL++, mergeable, fixed memory), removing
+    the Expand entirely — the production default at scale, same
+    discipline as q40's sketches.
+
+    min/max are canonicalized to strings deterministically across
+    engines: doubles via round(6)->DECIMAL(38,6), timestamps/dates via
+    ISO casts, so the whole profile is value-hash comparable.
+    """
+    cols = tuple(cols or df.columns)
+    dcount = F.approx_count_distinct if approx else F.count_distinct
+
+    def canon(c: str, agg):
+        # canonicalize AFTER aggregating on the native type — min/max
+        # must order numerically/temporally, never lexicographically
+        t = df.schema[c].dataType.simpleString()
+        if t in ("double", "float"):
+            agg = F.round(agg, 6).cast("decimal(38,6)")
+        return agg.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            dcount(F.col(c)).alias(f"{c}__distinct"),
+            canon(c, F.min(F.col(c))).alias(f"{c}__min"),
+            canon(c, F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    )

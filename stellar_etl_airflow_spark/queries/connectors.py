@@ -318,6 +318,44 @@ FROM events WHERE event_id % 5 = 0
 """
 
 
+def q57_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column table profile (operators/quality.py::
+    profile_table) over lineitem — the ANALYZE/dbt-docs observability op:
+    rows / nulls / exact distinct / canonicalized min+max per column in a
+    single aggregate job (Spark plans the k-column countDistinct as one
+    Expand+shuffle; the approx=True twin removes it at 100 TB). Oracle:
+    per-column UNION ALL of the same statistics."""
+    from ..operators.quality import profile_table
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    )
+
+
+def _q57_col_sql(c: str, expr_min: str, expr_max: str) -> str:
+    return f"""
+SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       {expr_min} AS min_str, {expr_max} AS max_str
+FROM lineitem"""
+
+
+Q57_SQL = " UNION ALL ".join(
+    [
+        _q57_col_sql("l_orderkey", "min(l_orderkey)::VARCHAR", "max(l_orderkey)::VARCHAR"),
+        _q57_col_sql(
+            "l_quantity",
+            "round(min(l_quantity), 6)::DECIMAL(38,6)::VARCHAR",
+            "round(max(l_quantity), 6)::DECIMAL(38,6)::VARCHAR",
+        ),
+        _q57_col_sql("l_returnflag", "min(l_returnflag)", "max(l_returnflag)"),
+        _q57_col_sql("l_shipdate", "min(l_shipdate)::VARCHAR", "max(l_shipdate)::VARCHAR"),
+    ]
+)
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -339,4 +377,10 @@ SPECS: dict[str, QuerySpec] = {
         S11_SQL,
         "native streaming snapshot sink: exactly-once micro-batch appends, read back via the connector",
     ),
+    "q57_table_profile": QuerySpec(
+        q57_table_profile,
+        Q57_SQL,
+        "one-pass per-column profile: rows/nulls/exact-distinct/canonical min-max",
+    ),
 }
+
