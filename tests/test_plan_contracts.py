@@ -395,3 +395,25 @@ def test_t43_bpe_round_cost_is_vocab_sized(spark):
     applied = types.select(F.expr(B._merge_expr("sym", "a", "b")).alias("sym"), "freq")
     aplan = _physical(applied)
     assert "Exchange" not in aplan and "Join" not in aplan, aplan
+
+
+def test_profile_single_job_and_approx_removes_expand(spark):
+    """profile_table: the exact variant is ONE aggregate (its k-column
+    countDistinct plans a single Expand + one final single-partition
+    exchange pair — never per-column jobs); the approx=True twin (HLL++)
+    must plan NO Expand at all — that is the 100 TB shape."""
+    from pyspark.sql import functions as F
+
+    from stellar_etl_airflow_spark.operators.quality import profile_table
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 9).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    )
+    exact = _physical(profile_table(df, ("id", "g", "h")))
+    assert "Expand" in exact, exact
+    assert "Join" not in exact and "CartesianProduct" not in exact, exact
+
+    approx = _physical(profile_table(df, ("id", "g", "h"), approx=True))
+    assert "Expand" not in approx, approx
+    assert "partial" in approx.lower(), approx
