@@ -105,22 +105,36 @@ def main() -> None:
     # pass 2: pooled corpus wall (the throughput headline)
     ordered = sorted(QUERIES.items())
     if par > 1:
-        # longest-first keeps the big iterative jobs (components, pipeline,
-        # LSH) from landing last and serializing the tail
-        # descending by measured r7 uncontended time (min-of-2, sf0.1)
+        # longest-first keeps the big iterative jobs (merge protocols,
+        # streaming drains, LSH) from landing last and serializing the
+        # tail; descending by measured r7 full-corpus time (min-of-2, sf0.1)
         heavy = [
-            "q51_incremental_mart", "s08_stream_crash_resume",
-            "t14_jaccard_dfcapped", "s09_stream_additive_exactly_once",
-            "t02_ngram_jaccard_pairs", "q48_fuzzy_blocked_join",
-            "s05_stream_stream_join", "t39_duplicate_spans", "t19_kmeans_ivf",
-            "q29_percentiles", "q40_sketch_aggregates", "t20_training_pipeline",
-            "s06_stream_upsert_sink", "t28_contamination_report",
-            "q54_schema_evolution", "t43_bpe_vocab", "q56_scd2_from_cdf", "t42_bigram_backoff",
-            "s10_cdf_net_changes", "s11_stream_snapshot_sink", "t37_semantic_dedup",
-            "t34_boilerplate_coverage", "t17_neardup_components",
-            "t03_minhash_lsh_pairs", "s01_stream_tumbling",
-            "s04_stateful_running_counts", "t05_simhash_neardup",
-            "t06_embedding_topk", "t13_multimodal_meta",
+            "q51_incremental_mart",
+            "s08_stream_crash_resume",
+            "t14_jaccard_dfcapped",
+            "q56_scd2_from_cdf",
+            "s09_stream_additive_exactly_once",
+            "t02_ngram_jaccard_pairs",
+            "t39_duplicate_spans",
+            "q48_fuzzy_blocked_join",
+            "s11_stream_snapshot_sink",
+            "t19_kmeans_ivf",
+            "q40_sketch_aggregates",
+            "t20_training_pipeline",
+            "q29_percentiles",
+            "s05_stream_stream_join",
+            "t28_contamination_report",
+            "t03_minhash_lsh_pairs",
+            "t43_bpe_vocab",
+            "q01_pricing_summary",
+            "s10_cdf_net_changes",
+            "s06_stream_upsert_sink",
+            "q21_scalar_functions2",
+            "t34_boilerplate_coverage",
+            "q55_snapshot_pushdown",
+            "q28_rollup",
+            "q54_schema_evolution",
+            "t27_repetition_stats",
         ]
         ordered = [(n, QUERIES[n]) for n in heavy if n in QUERIES]
         ordered += [(n, s) for n, s in sorted(QUERIES.items()) if n not in set(heavy)]
