@@ -284,7 +284,7 @@ def s11_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pipeline is stateless (filter + project: no state stores), so it
     # runs on the driver's own session — Python data source registration
     # is per-session and does not follow newSession() children
-    snapshot_source.register(spark)
+    snapshot_source.register(spark)  # also pins this thread's active session
     path = os.path.join(tempfile.gettempdir(), f"s11-sink-{uuid.uuid4().hex[:8]}")
     try:
         with _stream_scratch("s11", sf_dir, {"events.parquet": "events.parquet"}) as (

@@ -31,6 +31,7 @@ missing columns as nulls.
 
 from __future__ import annotations
 
+import threading
 import base64
 import os
 import uuid
@@ -396,7 +397,31 @@ class SnapshotSource(DataSource):
         return _SnapshotStreamWriter(opts, overwrite)
 
 
+_REG_LOCK = threading.Lock()
+_REG_ATTR = "_snapshot_source_registered"
+
+
 def register(spark) -> None:
     """Register for this session; afterwards
-    ``spark.read.format("snapshot")`` resolves."""
-    spark.dataSource.register(SnapshotSource)
+    ``spark.read.format("snapshot")`` resolves.
+    Idempotent and thread-safe per session: re-registering swaps the
+    entry in Spark's Python data source registry, which leaves a window
+    where a concurrent lookup (e.g. a pooled bench thread starting a
+    stream) misses the format entirely — so each session registers
+    exactly once."""
+    # Registration lands in THIS session's DataSourceManager, but the
+    # static lookup (DataFrameWriter.save / DataStreamWriter.start /
+    # DataFrameReader.load) resolves Python sources through the JVM
+    # THREAD-LOCAL active session. PySpark pins each Python thread to a
+    # JVM thread, and a thread that earlier created a child session
+    # (newSession — the streaming entries do) has THAT session active,
+    # whose manager is empty -> DATA_SOURCE_NOT_FOUND. So: pin the
+    # active session on the CALLING thread every time, register once.
+    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
+    with _REG_LOCK:
+        if getattr(spark, _REG_ATTR, False):
+            return
+        spark.dataSource.register(SnapshotSource)
+        setattr(spark, _REG_ATTR, True)
