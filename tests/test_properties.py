@@ -546,3 +546,78 @@ def test_txn_ledger_retention_matches_model(spark, tmp_path_factory, ops):
                 t: int(v) for t, v in (S.read_manifest(path).get("txns") or {}).items()
             }
             assert got_ledger == ledger, (got_ledger, ledger)
+
+
+# --------------------------------------------------------------- data source
+# writer protocol: random interleavings of batch appends/overwrites,
+# streaming commits (with replayed batchIds), and vacuums, model-checked
+# for contents, version monotonicity, and no file leaks.
+
+_ds_op = st.one_of(
+    st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+    st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+    st.tuples(st.just("stream"), st.lists(st.integers(0, 99), min_size=1, max_size=3)),
+    st.tuples(st.just("replay"), st.lists(st.integers(0, 99), min_size=1, max_size=3)),
+    st.tuples(st.just("vacuum"), st.just([])),
+)
+
+
+@SLOW
+@given(ops=st.lists(_ds_op, min_size=1, max_size=7))
+def test_datasource_writer_interleavings_match_model(spark, tmp_path_factory, ops):
+    """Invariants under any op sequence:
+    - table contents == a Python list model (overwrite resets, append and
+      each FIRST commit of a stream batchId extend, replays are no-ops);
+    - versions grow by exactly 1 per effective publish;
+    - after vacuum(keep=1), the files on disk are exactly the live
+      manifest's files (no leaks from replays or old versions)."""
+    import os
+
+    import pyarrow as pa
+
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+    from stellar_etl_airflow_spark.sources import snapshot_source
+    from stellar_etl_airflow_spark.sources.snapshot_source import _SnapshotStreamWriter
+
+    snapshot_source.register(spark)
+    path = str(tmp_path_factory.mktemp("dsprop") / "t")
+    model: list[int] = []
+    committed_batches: set[int] = set()
+    next_batch = 0
+    for kind, vals in ops:
+        before = S.latest_version(path) or 0
+        if kind in ("overwrite", "append"):
+            df = spark.createDataFrame([(v,) for v in vals], "id long")
+            df.coalesce(1).write.format("snapshot").option("path", path).mode(kind).save()
+            model = list(vals) if kind == "overwrite" else model + list(vals)
+            assert S.latest_version(path) == before + 1
+        elif kind in ("stream", "replay"):
+            if kind == "replay" and not committed_batches:
+                continue
+            bid = max(committed_batches) if kind == "replay" else next_batch
+            w = _SnapshotStreamWriter({"path": path}, overwrite=False)
+            tbl = pa.table({"id": pa.array(vals, type=pa.int64())})
+            w.commit([w.write(iter(tbl.to_batches()))], batchId=bid)
+            if bid in committed_batches:  # replay: must be a no-op
+                assert S.latest_version(path) == before
+            else:
+                model = model + list(vals)
+                committed_batches.add(bid)
+                next_batch = bid + 1
+                assert S.latest_version(path) == before + 1
+        else:  # vacuum
+            if S.latest_version(path):
+                S.vacuum(path, keep_versions=1)
+        if S.latest_version(path):
+            got = sorted(
+                r["id"] for r in
+                spark.read.format("snapshot").option("path", path).load().collect()
+            )
+            assert got == sorted(model)
+    # closing sweep: after a final vacuum the disk holds exactly the
+    # live manifest's files
+    if S.latest_version(path):
+        S.vacuum(path, keep_versions=1)
+        live = {os.path.basename(f) for f in S.read_manifest(path)["files"]}
+        disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+        assert disk == live
