@@ -89,6 +89,14 @@ def _unified_arrow_schema(files: list[str]):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if not files:
+        # a legal state (e.g. an overwrite of an empty frame = truncate)
+        # but schemaless: parquet manifests carry no standalone schema,
+        # so reads of such a version need an explicit reader schema
+        raise ValueError(
+            "snapshot version lists no data files (empty table); "
+            "read an earlier version or supply .schema(...) explicitly"
+        )
     fields: dict[str, object] = {}
     for f in files:
         for fld in pq.ParquetFile(f).schema_arrow:

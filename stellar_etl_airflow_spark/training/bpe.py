@@ -43,7 +43,10 @@ EOW = "▁"
 def _merge_expr(col: str, a: str, b: str) -> str:
     """SQL fold applying one merge (a, b) -> ab left-to-right over a
     symbol array — the greedy adjacency rule of Algorithm 1."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    def q(x: str) -> str:  # SQL string-literal escape: backslash first
+        return x.replace("\\", "\\\\").replace("'", "\\'")
+
+    qa, qb = q(a), q(b)
     return (
         f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "

@@ -159,3 +159,18 @@ def test_writer_garbage_swept_by_vacuum(spark, tmp_path):
     deleted = S.vacuum(path, keep_versions=5)
     assert orphan in deleted and not os.path.exists(orphan)
     assert spark.read.format("snapshot").option("path", path).load().count() == 10
+
+
+def test_writer_empty_overwrite_truncates_with_clear_read_error(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(spark.range(0, 5).select("id"), path, "overwrite")
+    # truncate: overwrite with an empty frame publishes a zero-file version
+    _write(spark.range(0, 0).select("id"), path, "overwrite")
+    assert S.latest_version(path) == 2
+    with pytest.raises(Exception, match="no data files"):
+        spark.read.format("snapshot").option("path", path).load()
+    # time travel to v1 still works
+    assert (
+        spark.read.format("snapshot").option("path", path).option("version", "1")
+        .load().count() == 5
+    )
