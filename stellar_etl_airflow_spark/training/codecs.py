@@ -19,7 +19,8 @@ with stdlib ``struct`` + ``zlib`` + numpy — so the decode seam in
 
 Only codings that genuinely need an external library fall back to the
 deterministic stub: arithmetic-coded JPEG pixels, MP3/Vorbis PCM
-payloads (headers are real), inter-frame video. Progressive JPEG
+payloads (headers are real; MS-RLE8 inter-frame video is REAL since r7,
+see avi_rle8_frames). Progressive JPEG
 decodes for real since r7 (training/jpeg.py, T.81 Annex G).
 
 Format references (all public specs):
@@ -1112,3 +1113,130 @@ def _mp4_mjpeg_frames(payload: bytes) -> list[bytes] | None:
                 si += 1
         return frames or None
     return None
+
+
+# --------------------------------------------------------------------------
+# MS-RLE8 (BI_RLE8) — a REAL inter-frame video codec path. Unlike MJPEG
+# (every frame standalone), RLE8 frames encode DELTAS against the previous
+# frame: the 00 02 (dx, dy) escape and early end-of-line/bitmap leave the
+# skipped pixels at their previous-frame values, so correct decode REQUIRES
+# carrying frame state — the defining inter-frame property. The opcode set
+# is the Windows BITMAPINFOHEADER BI_RLE8 format (public MSDN spec):
+#   (n>0, v)   run: n pixels of value v
+#   (0, 0)     end of line        (0, 1)  end of bitmap
+#   (0, 2)     delta: skip (dx, dy) — dy moves UP (rows are bottom-up)
+#   (0, n>=3)  absolute: n literal pixels, word-aligned
+# --------------------------------------------------------------------------
+
+
+def rle8_decode_frame(data: bytes, w: int, h: int, prev=None):
+    """Decode one BI_RLE8 frame onto ``prev`` (or black); returns a
+    top-down (h, w) uint8 array of palette indices."""
+    import numpy as np
+
+    out = (
+        prev.copy()
+        if prev is not None
+        else np.zeros((h, w), dtype=np.uint8)
+    )
+    x = y = 0  # y counts bottom-up rows, per the BMP convention
+    i, n = 0, len(data)
+    while i + 2 <= n and y < h:
+        b0, b1 = data[i], data[i + 1]
+        i += 2
+        if b0 > 0:  # run
+            end = min(x + b0, w)
+            out[h - 1 - y, x:end] = b1
+            x = end
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:  # delta skip: pixels retain PREVIOUS frame content
+            if i + 2 > n:
+                break
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode
+            m = min(b1, n - i)
+            end = min(x + m, w)
+            px = memoryview(data)[i : i + (end - x)]
+            out[h - 1 - y, x:end] = np.frombuffer(px, dtype=np.uint8)
+            x = end
+            i += m + (m & 1)  # word-aligned
+    return out
+
+
+def rle8_encode_frame(cur, prev=None) -> bytes:
+    """Encode a (h, w) uint8 frame as BI_RLE8, exploiting inter-frame
+    redundancy when ``prev`` is given: rows equal to the previous frame
+    are skipped with a bare end-of-line, unchanged leading spans with a
+    delta escape — the decoder reconstructs them FROM FRAME STATE."""
+    import numpy as np
+
+    h, w = cur.shape
+    outb = bytearray()
+    for yy in range(h):  # bottom-up
+        row = cur[h - 1 - yy]
+        start = 0
+        if prev is not None:
+            prow = prev[h - 1 - yy]
+            if np.array_equal(row, prow):
+                outb += b"\x00\x00"  # bare EOL: whole row carried over
+                continue
+            diff = np.nonzero(row != prow)[0]
+            lead = int(diff[0]) if len(diff) else 0
+            if 0 < lead <= 255:
+                outb += bytes((0, 2, lead, 0))  # delta: skip unchanged prefix
+                start = lead
+        x = start
+        while x < w:
+            v = row[x]
+            run = 1
+            while x + run < w and row[x + run] == v and run < 255:
+                run += 1
+            outb += bytes((run, int(v)))
+            x += run
+        outb += b"\x00\x00"  # end of line
+    outb += b"\x00\x01"  # end of bitmap
+    return bytes(outb)
+
+
+def avi_rle8_frames(payload: bytes):
+    """Decoded frames (list of top-down (h, w) uint8 index arrays) from a
+    RIFF-AVI carrying a BI_RLE8 video stream, applying inter-frame carry
+    chunk by chunk. None unless the strf BITMAPINFOHEADER declares 8-bit
+    BI_RLE8 (biCompression == 1)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    dims: list = []
+    chunks: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            bs, be = i + 8, min(i + 8 + size, end)
+            if cid == b"LIST":
+                walk(bs + 4, be)
+            elif cid == b"strf" and size >= 20 and not dims:
+                bw, bh = struct.unpack("<ii", payload[bs + 4 : bs + 12])
+                bits, comp = struct.unpack("<HI", payload[bs + 14 : bs + 20])
+                dims.append((bw, abs(bh), bits, comp))
+            elif cid[2:4] in (b"dc", b"db"):
+                chunks.append(payload[bs:be])
+            i = bs + size + (size & 1)
+
+    walk(12, len(payload))
+    if not dims or not chunks:
+        return None
+    w, h, bits, comp = dims[0]
+    if comp != 1 or bits != 8 or w <= 0 or h <= 0:  # BI_RLE8 only
+        return None
+    frames, prev = [], None
+    for c in chunks:
+        prev = rle8_decode_frame(c, w, h, prev)
+        frames.append(prev)
+    return frames

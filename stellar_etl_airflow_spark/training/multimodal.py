@@ -125,7 +125,11 @@ def sample_frames(media: DataFrame) -> DataFrame:
     containers keep the deterministic stub (inter-frame codecs need a
     real library); the batch-explode plumbing (one output DataFrame per
     Arrow batch, rows multiplied) is the production shape for frame
-    extraction at scale."""
+    extraction at scale. Since r7 the INTER-FRAME path is real too:
+    BI_RLE8 AVIs decode with frame-state carry (codecs.avi_rle8_frames —
+    delta/skip opcodes reconstruct pixels from the previous frame), and
+    frame_md5 digests the reconstructed pixel array, so a digest match
+    proves the stateful decode, not just the demux."""
     from . import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,10 +137,15 @@ def sample_frames(media: DataFrame) -> DataFrame:
             out = {"doc_id": [], "frame_index": [], "n_frames": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                rle = codecs.avi_rle8_frames(raw)
                 real = (
-                    codecs.avi_mjpeg_frames(raw)
-                    or codecs.mp4_mjpeg_frames(raw)
-                    or codecs.gif_frames(raw)
+                    [f.tobytes() for f in rle]
+                    if rle
+                    else (
+                        codecs.avi_mjpeg_frames(raw)
+                        or codecs.mp4_mjpeg_frames(raw)
+                        or codecs.gif_frames(raw)
+                    )
                 )
                 if real:
                     for i, fr in enumerate(real):
