@@ -123,7 +123,8 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
 # non-interlaced AND Adam7. BMP: uncompressed 24/32-bit
 # BITMAPINFOHEADER rows, bottom-up or top-down, 4-byte row padding.
 # JPEG pixels decode in training/jpeg.py (baseline + progressive);
-# inter-frame video stays stubbed.
+# MS-RLE8 inter-frame video decodes with frame-state carry (r7);
+# H.264-class codecs and MP3/OGG payloads stay documented stubs.
 # ---------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
