@@ -165,6 +165,14 @@ def merge_upsert_versioned(
 ) -> tuple[int, list[int]]:
     """Scoped MERGE with full MVCC: targeted-rewrite cost AND time travel.
 
+    Like ``apply_changes``/``merge_additive_versioned``, an existing
+    table's PINNED layout wins: ``n_buckets`` is adopted from the table
+    props and mismatched ``keys`` are rejected — without this, a direct
+    call with the default bucket count against a table pinned at another
+    would hash the same key into two different buckets and silently
+    duplicate state (caught by tests/test_compact_snapshot.py's
+    evolution path).
+
     ``allow_schema_evolution=True`` permits additive evolution (the
     reference's BigQuery tables evolve via ALLOW_FIELD_ADDITION — see
     SCHEMA_EVOLUTION_EXTRAS in sinks/avro_defs.py): new change columns
@@ -189,6 +197,12 @@ def merge_upsert_versioned(
 
     Returns ``(published_version, touched_buckets)``.
     """
+    props = load_table_props(path)
+    if props is not None:
+        pinned_keys = props.get("keys")
+        if pinned_keys is not None and pinned_keys != list(keys):
+            raise ValueError(f"{path} was created with keys={pinned_keys!r}; got {list(keys)!r}")
+        n_buckets = int(props.get("n_buckets", n_buckets))
     batch_cols = set(changes.columns)
 
     def combine(tgt: DataFrame, ch: DataFrame) -> DataFrame:

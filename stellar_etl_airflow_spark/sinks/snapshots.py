@@ -44,10 +44,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAPDIR = "_snapshots"
 
@@ -776,3 +778,73 @@ def snapshot_files(spark: SparkSession, path: str, version: int | None = None) -
         except OSError:
             rows.append((f, -1, None))
     return spark.createDataFrame(rows, "file string, size_bytes long, mtime double")
+
+
+def compact_snapshot(spark: SparkSession, path: str, target_files: int | None = None) -> int:
+    """OPTIMIZE for versioned tables: rewrite the CURRENT version's data
+    into fewer files and publish the result as the NEXT version — a
+    logical no-op (contents identical; checked cheaply by row count at
+    the caller's discretion) that repairs small-file accumulation from
+    many merges/stream batches without losing anything:
+
+    - time travel intact (old versions still list the old files; they
+      become reclaimable by ``vacuum`` once out of retention);
+    - the applied-txn ledger is CARRIED (compaction must not reopen
+      exactly-once windows — a replayed merge after compaction still
+      no-ops);
+    - bucketed merge tables (``_p=<n>`` layout) compact to ONE file per
+      bucket and keep the hive layout, so later scoped merges still
+      rewrite only touched buckets;
+    - pinned ``stats_cols``/``bloom_cols`` are recomputed for the new
+      files (footer stats driver-side, blooms via the distributed pass).
+
+    ``target_files``: plain (non-bucketed) tables coalesce to this many
+    files (default: the session's shuffle parallelism).
+    """
+    from ..operators.merge import BUCKET_COL, load_table_props
+
+    m = read_manifest(path)
+    df = read_snapshot(spark, path)
+    stage = os.path.join(path, f"_compact-{uuid.uuid4().hex[:8]}")
+    new_files: list[str] = []
+    try:
+        if BUCKET_COL in df.columns:  # bucketed merge table: keep layout
+            (
+                df.repartition(F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .parquet(stage)
+            )
+            for part in sorted(os.listdir(stage)):
+                if not part.startswith(f"{BUCKET_COL}="):
+                    continue
+                dst_dir = os.path.join(path, part)
+                os.makedirs(dst_dir, exist_ok=True)
+                for f in sorted(os.listdir(os.path.join(stage, part))):
+                    if f.endswith(".parquet"):
+                        dst = os.path.join(dst_dir, f"part-{uuid.uuid4().hex}.parquet")
+                        os.replace(os.path.join(stage, part, f), dst)
+                        new_files.append(dst)
+        else:
+            n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+            df.coalesce(max(1, n)).write.parquet(stage)
+            for f in sorted(os.listdir(stage)):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+                    os.replace(os.path.join(stage, f), dst)
+                    new_files.append(dst)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    props = load_table_props(path) or {}
+    stats_cols = props.get("stats_cols") or (m.get("stats_cols") or None)
+    bloom_cols = props.get("bloom_cols") or (m.get("bloom_cols") or None)
+    blooms = compute_blooms(spark, new_files, bloom_cols) if bloom_cols else None
+    return _publish(
+        path,
+        new_files,
+        base=path,
+        mixed_schema=False,  # a full rewrite unifies the schema
+        txns=m.get("txns") or None,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        blooms=blooms,
+    )

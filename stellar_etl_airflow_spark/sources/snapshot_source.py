@@ -274,10 +274,16 @@ class _SnapshotWriter(DataSourceArrowWriter):
         files = [m.file for m in new]
         stats = {m.file: m.stats for m in new if m.stats}
         blooms = {m.file: m.blooms for m in new if m.blooms}
-        prev = None if self._overwrite else (
-            S.read_manifest(self._path) if S.latest_version(self._path) else None
-        )
+        cur = S.read_manifest(self._path) if S.latest_version(self._path) else None
+        prev = None if self._overwrite else cur
         mixed, txns = False, {}
+        # the txn ledger survives OVERWRITE too (Delta's txnAppId
+        # semantics): exactly-once identity belongs to the WRITERS, not
+        # the content — without this, an overwrite landing inside a
+        # stream's commit/offset crash window reopens the replay hole
+        # (caught by the writer-protocol property test)
+        if cur and self._overwrite:
+            txns = dict(cur.get("txns") or {})
         stats_cols, bloom_cols = list(self._stats_cols), list(self._bloom_cols)
         if prev:
             mixed = bool(prev.get("mixed_schema"))

@@ -1,0 +1,129 @@
+"""compact_snapshot (sinks/snapshots.py): OPTIMIZE for versioned tables
+— small-file repair as a new version, preserving time travel, the txn
+ledger's exactly-once windows, and the bucketed merge layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.operators.merge import (
+    BUCKET_COL,
+    apply_changes,
+    merge_additive_versioned,
+)
+from stellar_etl_airflow_spark.sinks import snapshots as S
+
+SCHEMA = "account_id long, balance double, seq long, deleted boolean"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _content(spark, path, version=None):
+    df = S.read_snapshot(spark, path, version)
+    if BUCKET_COL in df.columns:
+        df = df.drop(BUCKET_COL)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_bucketed_merge_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for s in range(1, 4):  # 3 merges
+        apply_changes(
+            spark,
+            _batch(spark, [(i, float(i * s), s, False) for i in range(0, 32)]),
+            path, keys=("account_id",), n_buckets=4, order_cols=("seq",),
+        )
+    # additive schema evolution: untouched buckets keep old-schema files,
+    # so every read now pays the mergeSchema footer pass -- the bucketed
+    # table's reason to compact
+    evolved = spark.createDataFrame(
+        [(5, 5.0 * 4, 4, False, "x")],
+        "account_id long, balance double, seq long, deleted boolean, tag string",
+    )
+    from stellar_etl_airflow_spark.operators.merge import merge_upsert_versioned
+
+    merge_upsert_versioned(spark, evolved, path, ("account_id",),
+                           order_cols=("seq",), allow_schema_evolution=True)
+    assert S.read_manifest(path)["mixed_schema"] is True
+    before = _content(spark, path)
+    v_before = S.latest_version(path)
+
+    v = S.compact_snapshot(spark, path)
+    assert v == v_before + 1
+    m = S.read_manifest(path)
+    # one file per bucket, still under the hive layout; the full rewrite
+    # unified the schema -- no more mergeSchema tax
+    assert len(m["files"]) == 4
+    assert all(f"{BUCKET_COL}=" in f for f in m["files"])
+    assert m["mixed_schema"] is False
+    assert _content(spark, path) == before
+    # time travel to the pre-compaction version is intact
+    assert _content(spark, path, v_before) == before
+
+    # scoped merges keep working and stay scoped: touching one key
+    # rewrites ONE bucket's file (the batch lacks the evolved column, so
+    # it rides the UPDATE SET * path)
+    merge_upsert_versioned(
+        spark, _batch(spark, [(7, 777.0, 9, False)]), path, ("account_id",),
+        order_cols=("seq",), allow_schema_evolution=True,
+    )
+    m2 = S.read_manifest(path)
+    new = set(m2["files"]) - set(m["files"])
+    gone = set(m["files"]) - set(m2["files"])
+    # all churn confined to ONE bucket directory
+    buckets_touched = {os.path.dirname(f) for f in new | gone}
+    assert len(buckets_touched) == 1, buckets_touched
+    got = {r[0]: r[1] for r in _content(spark, path)}
+    assert got[7] == 777.0 and got[8] == 8.0 * 3
+
+    # vacuum now reclaims the pre-compaction churn
+    deleted = S.vacuum(path, keep_versions=2)
+    assert deleted and S.latest_version(path) == v + 1
+    assert {r[0] for r in _content(spark, path)} == set(range(0, 32))
+
+
+def test_compact_preserves_txn_ledger(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b = _batch(spark, [(1, 10.0, 1, False)]).select("account_id", "balance")
+    v1, _ = merge_additive_versioned(
+        spark, b, path, ("account_id",), n_buckets=2,
+        sum_cols=("balance",), txn_id="batch-1",
+    )
+    S.compact_snapshot(spark, path)
+    # replaying batch-1 AFTER compaction must still be a no-op
+    v_replay, touched = merge_additive_versioned(
+        spark, b, path, ("account_id",), n_buckets=2,
+        sum_cols=("balance",), txn_id="batch-1",
+    )
+    assert v_replay == v1 and touched == []
+    got = {r["account_id"]: r["balance"] for r in
+           S.read_snapshot(spark, path).collect()}
+    assert got[1] == 10.0  # not double-counted
+
+
+def test_compact_plain_table_with_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark, spark.range(0, 1000).repartitionByRange(8, "id"), path,
+        stats_cols=("id",),
+    )
+    # append churn through the data source writer
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    snapshot_source.register(spark)
+    (spark.range(1000, 1200).repartition(4).write.format("snapshot")
+     .option("path", path).option("stats_cols", "id").mode("append").save())
+    assert len(S.read_manifest(path)["files"]) > 8
+
+    S.compact_snapshot(spark, path, target_files=4)
+    m = S.read_manifest(path)
+    assert len(m["files"]) <= 4
+    # stats survive the rewrite: pruning still plans a subset
+    got = S.scan_snapshot(spark, path, where=[("id", "<", 100)])
+    assert got.count() == 100
+    assert all(f in m["stats"] for f in m["files"])
