@@ -126,6 +126,7 @@ def main() -> None:
             "t28_contamination_report",
             "t03_minhash_lsh_pairs",
             "t43_bpe_vocab",
+            "t44_pagerank",
             "q01_pricing_summary",
             "s10_cdf_net_changes",
             "s06_stream_upsert_sink",

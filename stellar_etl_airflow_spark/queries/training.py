@@ -1740,3 +1740,66 @@ SPECS.update(
         ),
     }
 )
+
+
+def t44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous iterations, d=0.85) over the events
+    interaction graph (src = user_id % 150, dst = event_id % 200 — the
+    deliberately asymmetric domains leave nodes 150-199 DANGLING, so the
+    dangling-mass redistribution is exercised by data, not just code).
+    Contributions round(12)->DECIMAL(38,12)-sum, per-iteration rank
+    round(12): the fixed iteration count unrolls to EXACT SQL, making
+    this the corpus's first iterative algorithm with a full value-hash
+    gate instead of a rows-only check."""
+    from ..training.graphs import pagerank
+
+    (ev,) = tables(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 150).alias("src"), (F.col("event_id") % 200).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3)
+
+
+def _t44_oracle(n_iter: int = 3, d: float = 0.85) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+c{i} AS (
+  SELECT e.dst AS n,
+         CAST(sum(CAST(round({prev}.r / deg.d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS c
+  FROM e JOIN {prev} ON e.src = {prev}.n JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+g{i} AS (
+  SELECT CAST(COALESCE(sum(CAST(r.r AS DECIMAL(38,12))), 0) AS DOUBLE) AS g
+  FROM {prev} r LEFT JOIN deg ON r.n = deg.src WHERE deg.src IS NULL
+),
+r{i} AS (
+  SELECT nodes.n,
+         round((1 - {d}) / nn.n + {d} * (COALESCE(c{i}.c, 0) + g{i}.g / nn.n), 12) AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.n = c{i}.n CROSS JOIN nn CROSS JOIN g{i}
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT user_id % 150 AS src, event_id % 200 AS dst
+  FROM events WHERE user_id % 150 <> event_id % 200
+),
+nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+r0 AS (SELECT nodes.n, round(1.0 / nn.n, 12) AS r FROM nodes CROSS JOIN nn),{",".join(rounds)}
+SELECT n AS node, round(r, 6) AS rank FROM {prev}
+"""
+
+
+SPECS.update(
+    {
+        "t44_pagerank": QuerySpec(
+            t44_pagerank,
+            _t44_oracle(),
+            "PageRank with dangling-mass redistribution; unrolled-CTE exact oracle",
+        ),
+    }
+)
