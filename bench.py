@@ -113,6 +113,7 @@ def main() -> None:
             "s08_stream_crash_resume",
             "t14_jaccard_dfcapped",
             "q56_scd2_from_cdf",
+            "s12_stream_cdf_to_scd2",
             "s09_stream_additive_exactly_once",
             "t02_ngram_jaccard_pairs",
             "t39_duplicate_spans",

@@ -28,21 +28,22 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 112 entries as of round 7 — t40-t44, q55-q57,
-# s10, s11 new — larger than the window).
+# round (the corpus is 113 entries as of round 7 — t40-t44, q55-q57,
+# s10-s12 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 112-entry corpus, alternate-round freshness is the attainable bound —
+# 113-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 10 new-this-round entries (t40-t44, q55-q57, s10, s11)
-# compete for 50 slots, so twelve r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-62 and
+# entries + 11 new-this-round entries (t40-t44, q55-q57, s10-s12)
+# compete for 50 slots, so thirteen r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-63 and
 # MUST lead _FRONT next round. Round 7 sacrifices q31_setops, q44_cube,
 # q30_rolling_window, q33_unpivot, q32_pivot, q47_grouping_sets,
 # q34_tumbling_window, q35_exists_subqueries, q36_window_ranks,
-# q37_lateral_topk, q38_hopping_window, q39_full_outer
+# q37_lateral_topk, q38_hopping_window, q39_full_outer,
+# q40_sketch_aggregates
 # (simple deterministic relational plans, unchanged since r5,
 # oracle-verified in-repo by test_oracle_parity.py every session).
 _FRONT = [
@@ -60,6 +61,7 @@ _FRONT = [
     "t43_bpe_vocab",
     "q57_table_profile",
     "t44_pagerank",
+    "s12_stream_cdf_to_scd2",
     # r5-stale entries touched by round-7 changes: as-of deterministic
     # salt + right-hot splitting (q52/q53), txn-ledger retention under
     # the incremental mart (q51). (t23_audio_features also changes this
@@ -74,7 +76,6 @@ _FRONT = [
     "q26_correlated_subquery",
     "q28_rollup",
     "q29_percentiles",
-    "q40_sketch_aggregates",
     "q41_salted_join",
     "q43_range_frames",
     "q45_explode_outer",
@@ -104,7 +105,7 @@ _FRONT = [
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "t35_stratified_sample",
-    # the twelve sacrificed-this-round entries (positions 51-62): front
+    # the thirteen sacrificed-this-round entries (positions 51-63): front
     # these FIRST next round
     "q31_setops",
     "q44_cube",
@@ -118,6 +119,7 @@ _FRONT = [
     "q37_lateral_topk",
     "q38_hopping_window",
     "q39_full_outer",
+    "q40_sketch_aggregates",
     # r6-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()

@@ -356,6 +356,84 @@ Q57_SQL = " UNION ALL ".join(
 )
 
 
+def s12_stream_cdf_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-dimension LOOP, streaming end to end: a merge
+    table's Change Data Feed is TAILED as a stream
+    (``readStream.format("snapshot_cdf")``, startingVersion = the
+    initialised snapshot's version) and each micro-batch of deltas drives
+    ``scd2_apply_cdf`` in ``foreachBatch`` — a continuously maintained
+    SCD-2 dimension whose final history must equal q56's batch-computed
+    one, and the oracle IS q56's declarative validity-range SQL. This is
+    the reference's daily dbt-snapshot rebuilt as: merge table -> CDF
+    stream -> incremental dimension, no full-state pass anywhere.
+    (The per-batch collect() bridges the foreachBatch child session to
+    the driver session's accumulated snapshot — bounded by churn size,
+    the corpus-harness pattern.)"""
+    from datetime import datetime
+
+    from ..operators.cdf import CHANGE_TYPE_COL
+    from ..operators.merge import BUCKET_COL, apply_changes
+    from ..operators.scd2 import scd2_apply_cdf, scd2_init
+    from ..sinks import snapshots as S
+    from ..streaming import cdf_source
+
+    ts1, ts2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    (ev,) = tables(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value", F.lit(False).alias("deleted")
+    )
+    b2 = ev.filter((F.col("event_id") % 3 == 1) & (F.col("user_id") % 2 == 0)).select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("user_id") % 5 == 0).alias("deleted"),
+    )
+    cols = ["user_id", "ts", "event_id", "value"]
+    run = uuid.uuid4().hex[:8]
+    path = os.path.join(tempfile.gettempdir(), f"s12-state-{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"s12-ckpt-{run}")
+    try:
+        v1, _ = apply_changes(
+            spark, b1, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        holder = {
+            "snap": scd2_init(
+                S.read_snapshot(spark, path, v1).drop(BUCKET_COL).select(*cols),
+                ("user_id",), ts1,
+            ).localCheckpoint(eager=True)
+        }
+        apply_changes(
+            spark, b2, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        cdf_source.register(spark)
+
+        def fb(batch_df, _bid):
+            ch = batch_df.select(*cols, CHANGE_TYPE_COL)
+            rows = ch.collect()  # child->driver session bridge, churn-sized
+            if not rows:
+                return
+            holder["snap"] = scd2_apply_cdf(
+                holder["snap"], spark.createDataFrame(rows, ch.schema),
+                ("user_id",), ts2,
+            ).localCheckpoint(eager=True)
+
+        (
+            spark.readStream.format(cdf_source.FORMAT_NAME)
+            .option("path", path)
+            .option("startingVersion", str(v1))
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = holder["snap"]
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -382,5 +460,11 @@ SPECS: dict[str, QuerySpec] = {
         Q57_SQL,
         "one-pass per-column profile: rows/nulls/exact-distinct/canonical min-max",
     ),
+    "s12_stream_cdf_to_scd2": QuerySpec(
+        s12_stream_cdf_to_scd2,
+        Q56_SQL,
+        "streamed CDF -> incrementally maintained SCD-2 dimension == q56's declarative oracle",
+    ),
 }
+
 
