@@ -1,11 +1,21 @@
-"""Connector corpus entries: the batch snapshot Data Source (Catalyst
-filter pushdown -> manifest pruning) and the Change Data Feed reader,
-each oracle-checked end-to-end through a scratch versioned table.
+"""Connector corpus entries — the versioned-table stack end to end,
+each oracle-checked through a scratch table:
 
-Both operators already have unit suites (tests/test_snapshot_source.py,
-tests/test_cdf.py); these entries put them behind the external driver's
-DuckDB hash gate so the *semantics* — not just the pruning mechanics —
-are cross-engine verified at sf0.01.
+- q55: Data Source WRITE (task-write/driver-commit, executor-side
+  stats) + batch READ with Catalyst pushFilters -> manifest pruning;
+- s10: Change Data Feed between versions vs a full-outer-diff oracle;
+- q56: incremental SCD-2 from CDF deltas (broadcast-anti untouched
+  path) vs a declarative validity-range oracle;
+- s11: STREAMING snapshot sink, exactly-once micro-batch publication
+  via the txn ledger, read back through the connector;
+- s12: the full loop streamed — CDF tailed as a stream driving a
+  continuously maintained SCD-2 dimension, gated by q56's oracle;
+- q57: the one-pass table profiler (ANALYZE shape).
+
+All have unit suites (tests/test_snapshot_source.py, test_cdf.py,
+test_snapshot_writer.py, test_snapshot_stream_sink.py, test_scd2_cdf.py,
+test_compact_snapshot.py); these entries put the SEMANTICS behind the
+external driver's DuckDB hash gate at sf0.01.
 """
 
 from __future__ import annotations
