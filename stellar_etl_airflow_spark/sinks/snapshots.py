@@ -703,10 +703,31 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # carried forward verbatim by every merge) while preserving
     # exactly-once for every replay of a RETAINED version. Retained
     # manifests are rewritten atomically with the pruned ledger.
+    #
+    # Exception (found by the writer-protocol property test): the
+    # STREAMING sink's redelivery window is offset-based, not
+    # version-based — Structured Streaming can re-run the last committed
+    # micro-batch regardless of what vacuum did in between (crash after
+    # sink commit, before offset commit; then any number of other
+    # writes/vacuums; then restart). So the NEWEST entry of each
+    # ``snapshot_stream:<appid>`` namespace is retained unconditionally:
+    # that one entry IS the one-batch redelivery window, and it costs
+    # O(#queries), not O(#batches).
     for v in _versions_on_disk(path):
         m = read_manifest(path, v)
         txns = m.get("txns") or {}
-        pruned = {t: tv for t, tv in txns.items() if int(tv) > cutoff}
+        stream_latest: dict[str, str] = {}
+        for t, tv in txns.items():
+            if t.startswith("snapshot_stream:"):
+                ns = t.rsplit(":", 1)[0]
+                cur = stream_latest.get(ns)
+                if cur is None or int(txns[cur]) < int(tv):
+                    stream_latest[ns] = t
+        keep_keys = set(stream_latest.values())
+        pruned = {
+            t: tv for t, tv in txns.items()
+            if int(tv) > cutoff or t in keep_keys
+        }
         if len(pruned) != len(txns):
             m["txns"] = pruned
             _atomic_write(_manifest_path(path, v), json.dumps(m))
