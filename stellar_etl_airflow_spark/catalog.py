@@ -27,3 +27,25 @@ def load_warehouse(spark: SparkSession, wh: Warehouse, include_meta: bool = Fals
         spark.read.parquet(wh.meta_path()).createOrReplaceTempView("batch_runs")
         names.append("batch_runs")
     return names
+
+
+def register_snapshot_table(
+    spark: SparkSession, name: str, path: str, version: int | None = None
+) -> None:
+    """Register a versioned snapshot table under a bare SQL name —
+    ``spark.sql("SELECT ... FROM name")`` then resolves through the
+    snapshot Data Source (manifest pruning, pushFilters, time travel via
+    ``version``). The catalog twin of ``load_warehouse`` for
+    manifest-backed tables; the internal bucket column is hidden like
+    PART_COL is for directory tables."""
+    from .operators.merge import BUCKET_COL
+    from .sources import snapshot_source
+
+    snapshot_source.register(spark)
+    reader = spark.read.format(snapshot_source.FORMAT_NAME).option("path", path)
+    if version is not None:
+        reader = reader.option("version", str(version))
+    df = reader.load()
+    if BUCKET_COL in df.columns:
+        df = df.drop(BUCKET_COL)
+    df.createOrReplaceTempView(name)

@@ -174,3 +174,26 @@ def test_writer_empty_overwrite_truncates_with_clear_read_error(spark, tmp_path)
         spark.read.format("snapshot").option("path", path).option("version", "1")
         .load().count() == 5
     )
+
+
+def test_register_snapshot_table_sql_surface(spark, tmp_path):
+    """spark.sql over a versioned table through the connector: bare-name
+    resolution, pruning still applies, time travel via version."""
+    from stellar_etl_airflow_spark.catalog import register_snapshot_table
+
+    path = str(tmp_path / "t")
+    _write(
+        spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("g"))
+        .repartitionByRange(4, "id"),
+        path, "overwrite", stats_cols="id",
+    )
+    _write(
+        spark.range(100, 120).select(F.col("id"), (F.col("id") % 5).alias("g")),
+        path, "append",
+    )
+    register_snapshot_table(spark, "snap_t", path)
+    got = spark.sql("SELECT g, count(*) AS n FROM snap_t GROUP BY g ORDER BY g")
+    assert [(r["g"], r["n"]) for r in got.collect()] == [(i, 24) for i in range(5)]
+
+    register_snapshot_table(spark, "snap_t_v1", path, version=1)
+    assert spark.sql("SELECT count(*) AS n FROM snap_t_v1").collect()[0]["n"] == 100
