@@ -409,16 +409,7 @@ def _merge_versioned_core(
     new_files: list[str] = []
     try:
         merged.write.partitionBy(BUCKET_COL).parquet(stage)
-        for part in sorted(os.listdir(stage)):
-            if not part.startswith(f"{BUCKET_COL}="):
-                continue
-            dst_dir = os.path.join(path, part)
-            os.makedirs(dst_dir, exist_ok=True)
-            for f in sorted(os.listdir(os.path.join(stage, part))):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(dst_dir, f"part-{uuid.uuid4().hex}.parquet")
-                    os.replace(os.path.join(stage, part, f), dst)
-                    new_files.append(dst)
+        new_files.extend(S.adopt_staged(stage, path))
     finally:
         ch.unpersist()
         shutil.rmtree(stage, ignore_errors=True)

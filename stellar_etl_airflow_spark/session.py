@@ -151,3 +151,37 @@ def normalize_nanos(df):
         elif field.dataType.simpleString() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+_DS_REG_LOCK = None  # created lazily to keep module import light
+
+
+def register_python_source(spark, source_cls, attr: str) -> None:
+    """Session-scoped, thread-safe, idempotent Python Data Source
+    registration — shared by every connector (snapshot, snapshot_cdf).
+
+    Two subtleties both connectors need:
+
+    - registration lands in the session's DataSourceManager, but the
+      static lookup (DataFrameReader.load / DataFrameWriter.save /
+      DataStreamWriter.start) resolves Python sources through the JVM
+      THREAD-LOCAL active session. PySpark pins each Python thread to a
+      JVM thread, and a thread that earlier created a child session
+      (newSession — the streaming entries do) has THAT session active,
+      whose manager is empty -> DATA_SOURCE_NOT_FOUND. So the active
+      session is (re)pinned on the calling thread on EVERY call;
+    - re-registering swaps the registry entry, leaving a window where a
+      concurrent lookup misses the format — so each session registers
+      exactly once, guarded by a process-wide lock.
+    """
+    import threading
+
+    global _DS_REG_LOCK
+    if _DS_REG_LOCK is None:
+        _DS_REG_LOCK = threading.Lock()
+    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(spark._jsparkSession)
+    with _DS_REG_LOCK:
+        if getattr(spark, attr, False):
+            return
+        spark.dataSource.register(source_cls)
+        setattr(spark, attr, True)

@@ -381,6 +381,31 @@ def snapshot(path: str) -> int:
     return _publish(path, _list_data_files(path))
 
 
+
+def adopt_staged(stage: str, path: str) -> list[str]:
+    """Move a Spark-written stage directory's parquet output under
+    ``path`` with collision-free final names, preserving any ``col=val``
+    hive layer; returns the adopted absolute file paths. Shared by
+    ``overwrite_versioned``, ``compact_snapshot``, and the merge write
+    path — one implementation so the stage/adopt protocol cannot drift."""
+    out: list[str] = []
+    for entry in sorted(os.listdir(stage)):
+        src = os.path.join(stage, entry)
+        if os.path.isdir(src) and "=" in entry:
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(dst_dir, f"part-{uuid.uuid4().hex}.parquet")
+                    os.replace(os.path.join(src, f), dst)
+                    out.append(dst)
+        elif entry.endswith(".parquet"):
+            dst = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+            os.replace(src, dst)
+            out.append(dst)
+    return out
+
+
 def overwrite_versioned(
     spark: SparkSession, df: DataFrame, path: str, stats_cols=None, bloom_cols=None
 ) -> int:
@@ -398,19 +423,21 @@ def overwrite_versioned(
     [min, max] can't — hash-like high-cardinality keys."""
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
-    files = []
-    for f in sorted(os.listdir(stage)):
-        if f.endswith(".parquet"):
-            # move out of the stage dir under a collision-free final name
-            final = os.path.join(path, f"part-{uuid.uuid4().hex}-{f.lstrip('-')}")
-            os.replace(os.path.join(stage, f), final)
-            files.append(final)
-    for leftover in os.listdir(stage):  # _SUCCESS, .crc files
-        os.remove(os.path.join(stage, leftover))
-    os.rmdir(stage)
+    try:
+        files = adopt_staged(stage, path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     blooms = compute_blooms(spark, files, bloom_cols) if bloom_cols else None
+    # the applied-txn ledger SURVIVES overwrites (Delta txnAppId
+    # semantics): exactly-once identity belongs to the WRITERS, not the
+    # content — an overwrite landing inside a stream's commit/offset
+    # crash window must not reopen the replay hole. Enforced here at the
+    # library layer so every publish path (Data Source writer included)
+    # inherits it.
+    prev_txns = (read_manifest(path).get("txns") or None) if latest_version(path) else None
     return _publish(
-        path, files, stats_cols=stats_cols, bloom_cols=bloom_cols, blooms=blooms
+        path, files, txns=prev_txns,
+        stats_cols=stats_cols, bloom_cols=bloom_cols, blooms=blooms,
     )
 
 
@@ -671,9 +698,10 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # keep_versions larger than the history (cutoff < 1) and gaps left by
     # earlier vacuums are both legal states, not missing-file errors
     # (caught by the r6 protocol property test)
-    for v in _versions_on_disk(path):
+    manifests: dict[int, dict] = {v: read_manifest(path, v) for v in _versions_on_disk(path)}
+    for v, mv in manifests.items():
         if v > cutoff:
-            keep_files.update(read_manifest(path, v)["files"])
+            keep_files.update(mv["files"])
     for marker, clone_dir in _registered_clones(path):
         if os.path.isdir(_snap_dir(clone_dir)):
             keep_files.update(_all_manifest_files(clone_dir))
@@ -713,8 +741,7 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # ``snapshot_stream:<appid>`` namespace is retained unconditionally:
     # that one entry IS the one-batch redelivery window, and it costs
     # O(#queries), not O(#batches).
-    for v in _versions_on_disk(path):
-        m = read_manifest(path, v)
+    for v, m in manifests.items():
         txns = m.get("txns") or {}
         stream_latest: dict[str, str] = {}
         for t, tv in txns.items():
@@ -826,8 +853,10 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int | None = 
 
     m = read_manifest(path)
     df = read_snapshot(spark, path)
-    stage = os.path.join(path, f"_compact-{uuid.uuid4().hex[:8]}")
-    new_files: list[str] = []
+    # the _stage- prefix is excluded by _list_data_files, so a
+    # concurrent vacuum or a crash-then-snapshot() bootstrap can
+    # never see (or delete) the in-flight compaction files
+    stage = os.path.join(path, f"_stage-compact-{uuid.uuid4().hex[:8]}")
     try:
         if BUCKET_COL in df.columns:  # bucketed merge table: keep layout
             (
@@ -835,24 +864,10 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int | None = 
                 .write.partitionBy(BUCKET_COL)
                 .parquet(stage)
             )
-            for part in sorted(os.listdir(stage)):
-                if not part.startswith(f"{BUCKET_COL}="):
-                    continue
-                dst_dir = os.path.join(path, part)
-                os.makedirs(dst_dir, exist_ok=True)
-                for f in sorted(os.listdir(os.path.join(stage, part))):
-                    if f.endswith(".parquet"):
-                        dst = os.path.join(dst_dir, f"part-{uuid.uuid4().hex}.parquet")
-                        os.replace(os.path.join(stage, part, f), dst)
-                        new_files.append(dst)
         else:
             n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
             df.coalesce(max(1, n)).write.parquet(stage)
-            for f in sorted(os.listdir(stage)):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
-                    os.replace(os.path.join(stage, f), dst)
-                    new_files.append(dst)
+        new_files = adopt_staged(stage, path)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     props = load_table_props(path) or {}

@@ -30,8 +30,6 @@ missing columns as nulls.
 """
 
 from __future__ import annotations
-
-import threading
 import base64
 import os
 import uuid
@@ -115,7 +113,7 @@ class _FilePartition(InputPartition):
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema: StructType | None = None) -> None:
         self._path = options["path"]
         v = options.get("version")
         self._version = int(v) if v is not None else None
@@ -123,8 +121,21 @@ class _SnapshotReader(DataSourceReader):
         self._where: list = []
         self._files_per_task = int(options.get("filespertask", 1) or 1)
         # unified schema computed ONCE driver-side (footer reads);
-        # pa.Schema pickles with the reader to every task
-        self._schema_arrow = _unified_arrow_schema(self._manifest["files"])
+        # pa.Schema pickles with the reader to every task. A ZERO-FILE
+        # version (truncate) carries no parquet schema of its own, so the
+        # planner's schema — the user's explicit .schema(...) — is the
+        # source of truth there (and the only way to read such a version).
+        if self._manifest["files"]:
+            self._schema_arrow = _unified_arrow_schema(self._manifest["files"])
+        else:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            if schema is None:
+                raise ValueError(
+                    "snapshot version lists no data files (empty table); "
+                    "read an earlier version or supply .schema(...) explicitly"
+                )
+            self._schema_arrow = to_arrow_schema(schema)
 
     def pushFilters(self, filters):
         for f in filters:
@@ -286,6 +297,20 @@ class _SnapshotWriter(DataSourceArrowWriter):
             txns = dict(cur.get("txns") or {})
         stats_cols, bloom_cols = list(self._stats_cols), list(self._bloom_cols)
         if prev:
+            from ..operators.merge import BUCKET_COL
+
+            # a bucketed merge table's files live under _p=<n>/ dirs;
+            # appending flat root files would publish a MIXED-DEPTH file
+            # list that basePath reads reject ("Conflicting directory
+            # structures") — breaking read_snapshot AND the CDF reader.
+            # Appends to such tables must go through the merge path.
+            if files and any(f"{BUCKET_COL}=" in f for f in prev["files"]):
+                _drop_files(messages)
+                raise ValueError(
+                    f"{self._path} is a bucketed merge table "
+                    f"({BUCKET_COL}= layout); append via apply_changes/"
+                    "merge_upsert_versioned, not the Data Source writer"
+                )
             mixed = bool(prev.get("mixed_schema"))
             if not mixed and prev["files"] and files:
                 # one footer read decides whether this append evolves the
@@ -398,7 +423,7 @@ class SnapshotSource(DataSource):
     def reader(self, schema: StructType) -> _SnapshotReader:
         opts = {k.lower(): v for k, v in self.options.items()}
         opts["path"] = self.options["path"]
-        return _SnapshotReader(opts)
+        return _SnapshotReader(opts, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> _SnapshotWriter:
         opts = {k.lower(): v for k, v in self.options.items()}
@@ -411,31 +436,10 @@ class SnapshotSource(DataSource):
         return _SnapshotStreamWriter(opts, overwrite)
 
 
-_REG_LOCK = threading.Lock()
-_REG_ATTR = "_snapshot_source_registered"
-
-
 def register(spark) -> None:
-    """Register for this session; afterwards
-    ``spark.read.format("snapshot")`` resolves.
-    Idempotent and thread-safe per session: re-registering swaps the
-    entry in Spark's Python data source registry, which leaves a window
-    where a concurrent lookup (e.g. a pooled bench thread starting a
-    stream) misses the format entirely — so each session registers
-    exactly once."""
-    # Registration lands in THIS session's DataSourceManager, but the
-    # static lookup (DataFrameWriter.save / DataStreamWriter.start /
-    # DataFrameReader.load) resolves Python sources through the JVM
-    # THREAD-LOCAL active session. PySpark pins each Python thread to a
-    # JVM thread, and a thread that earlier created a child session
-    # (newSession — the streaming entries do) has THAT session active,
-    # whose manager is empty -> DATA_SOURCE_NOT_FOUND. So: pin the
-    # active session on the CALLING thread every time, register once.
-    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
-        spark._jsparkSession
-    )
-    with _REG_LOCK:
-        if getattr(spark, _REG_ATTR, False):
-            return
-        spark.dataSource.register(SnapshotSource)
-        setattr(spark, _REG_ATTR, True)
+    """Register for this session (idempotent, thread-safe, pins the
+    calling thread's JVM active session — see
+    session.register_python_source for both subtleties)."""
+    from ..session import register_python_source
+
+    register_python_source(spark, SnapshotSource, "_snapshot_source_registered")

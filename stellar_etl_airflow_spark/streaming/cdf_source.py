@@ -29,8 +29,6 @@ version endpoints): ``insert`` / ``delete`` / ``update_preimage`` /
 """
 
 from __future__ import annotations
-
-import threading
 import json
 import os
 from dataclasses import dataclass, field
@@ -261,25 +259,10 @@ class SnapshotCDFSource(DataSource):
         return _CDFStreamReader(schema, opts)
 
 
-_REG_LOCK = threading.Lock()
-_REG_ATTR = "_snapshot_cdf_source_registered"
-
-
 def register(spark) -> None:
-    """Register the source for this session; afterwards
-    ``spark.readStream.format("snapshot_cdf")`` resolves.
-    Idempotent and thread-safe per session: re-registering swaps the
-    entry in Spark's Python data source registry, which leaves a window
-    where a concurrent lookup (e.g. a pooled bench thread starting a
-    stream) misses the format entirely — so each session registers
-    exactly once."""
-    # pin the calling thread's active session first — see
-    # sources/snapshot_source.py::register for why (thread-local lookup)
-    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
-        spark._jsparkSession
-    )
-    with _REG_LOCK:
-        if getattr(spark, _REG_ATTR, False):
-            return
-        spark.dataSource.register(SnapshotCDFSource)
-        setattr(spark, _REG_ATTR, True)
+    """Register for this session (idempotent, thread-safe, pins the
+    calling thread's JVM active session — see
+    session.register_python_source for both subtleties)."""
+    from ..session import register_python_source
+
+    register_python_source(spark, SnapshotCDFSource, "_snapshot_cdf_source_registered")

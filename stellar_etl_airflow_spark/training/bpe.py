@@ -64,7 +64,6 @@ def bpe_learn(
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     ordered merge table [(left, right, pair_freq), ...]. Stops early when
     no pair reaches ``min_pair_count``."""
-    spark = df.sparkSession
     # one corpus shuffle: word types with frequencies
     words = (
         df.select(F.explode(words_col(text_col)).alias("w"))
@@ -145,14 +144,23 @@ def bpe_encode(
     fields = df.select(id_col, text_col).schema
 
     def run(batches):
+        import re
+
         import pandas as pd
 
+        # ASCII \s matches words_col's Java regex split (Java \s is
+        # ASCII-only without UNICODE_CHARACTER_CLASS); plain str.split()
+        # would split on Unicode whitespace (NBSP etc.) that the LEARN
+        # fold kept inside one word type, desynchronizing the two.
+        ws = re.compile(r"\s+", re.ASCII)
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             toks = []
             for text in pdf[text_col].astype(str):
                 out: list[str] = []
-                for w in text.lower().split():
+                for w in ws.split(text.lower()):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = _encode_word(w, ranks)

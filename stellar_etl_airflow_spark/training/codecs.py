@@ -1222,7 +1222,10 @@ def avi_rle8_frames(payload: bytes):
             bs, be = i + 8, min(i + 8 + size, end)
             if cid == b"LIST":
                 walk(bs + 4, be)
-            elif cid == b"strf" and size >= 20 and not dims:
+            elif cid == b"strf" and be - bs >= 20 and not dims:
+                # guard against declared-size-vs-actual-bytes truncation:
+                # malformed payloads must fall through to the stub path,
+                # never raise out of the Arrow batch (the jpeg_decode rule)
                 bw, bh = struct.unpack("<ii", payload[bs + 4 : bs + 12])
                 bits, comp = struct.unpack("<HI", payload[bs + 14 : bs + 20])
                 dims.append((bw, abs(bh), bits, comp))

@@ -197,3 +197,64 @@ def test_register_snapshot_table_sql_surface(spark, tmp_path):
 
     register_snapshot_table(spark, "snap_t_v1", path, version=1)
     assert spark.sql("SELECT count(*) AS n FROM snap_t_v1").collect()[0]["n"] == 100
+
+
+def test_empty_version_readable_with_explicit_schema(spark, tmp_path):
+    """Review fix: the advertised escape hatch works — a zero-file
+    (truncated) version reads as an EMPTY frame when the caller supplies
+    .schema(...) explicitly."""
+    path = str(tmp_path / "t")
+    _write(spark.range(0, 5).select("id"), path, "overwrite")
+    _write(spark.range(0, 0).select("id"), path, "overwrite")
+    got = (
+        spark.read.format("snapshot").schema("id long")
+        .option("path", path).load()
+    )
+    assert got.count() == 0 and got.columns == ["id"]
+
+
+def test_append_to_bucketed_merge_table_rejected(spark, tmp_path):
+    """Review fix: appending flat files onto a bucketed merge table would
+    publish a mixed-depth manifest that basePath reads reject — the
+    writer refuses up front and drops its staged files."""
+    from stellar_etl_airflow_spark.operators.merge import apply_changes
+
+    path = str(tmp_path / "t")
+    apply_changes(
+        spark,
+        spark.createDataFrame([(1, 1.0, 1, False)],
+                              "account_id long, balance double, seq long, deleted boolean"),
+        path, keys=("account_id",), n_buckets=2, order_cols=("seq",),
+    )
+    v = S.latest_version(path)
+    n_files = len(S.read_manifest(path)["files"])
+    with pytest.raises(Exception, match="bucketed merge table"):
+        _write(spark.range(3).select(F.col("id").alias("account_id")), path, "append")
+    assert S.latest_version(path) == v
+    # the rejected attempt's files are not on disk
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 0
+    assert len(S.read_manifest(path)["files"]) == n_files
+
+
+def test_overwrite_versioned_carries_txn_ledger(spark, tmp_path):
+    """Review fix: the ledger-survives-overwrite invariant holds through
+    the LIBRARY publish path too, not just the Data Source writer."""
+    from stellar_etl_airflow_spark.sources.snapshot_source import _SnapshotStreamWriter
+
+    import pyarrow as pa
+
+    path = str(tmp_path / "t")
+    w = _SnapshotStreamWriter({"path": path}, overwrite=False)
+    tbl = pa.table({"id": pa.array([1, 2], type=pa.int64())})
+    w.commit([w.write(iter(tbl.to_batches()))], batchId=0)
+    v_after_stream = S.latest_version(path)
+
+    S.overwrite_versioned(spark, spark.range(9, 12).select("id"), path)
+    # redelivery of batch 0 after the overwrite must still be a no-op
+    replay = w.write(iter(tbl.to_batches()))
+    w.commit([replay], batchId=0)
+    assert S.latest_version(path) == v_after_stream + 1  # only the overwrite
+    assert not os.path.exists(replay.file)
+    got = sorted(r["id"] for r in
+                 spark.read.format("snapshot").option("path", path).load().collect())
+    assert got == [9, 10, 11]
