@@ -828,7 +828,12 @@ def snapshot_files(spark: SparkSession, path: str, version: int | None = None) -
     return spark.createDataFrame(rows, "file string, size_bytes long, mtime double")
 
 
-def compact_snapshot(spark: SparkSession, path: str, target_files: int | None = None) -> int:
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    zorder: tuple[str, ...] | None = None,
+) -> int:
     """OPTIMIZE for versioned tables: rewrite the CURRENT version's data
     into fewer files and publish the result as the NEXT version — a
     logical no-op (contents identical; checked cheaply by row count at
@@ -848,6 +853,14 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int | None = 
 
     ``target_files``: plain (non-bucketed) tables coalesce to this many
     files (default: the session's shuffle parallelism).
+
+    ``zorder``: cluster the rewrite on these columns (Delta's
+    ``OPTIMIZE ... ZORDER BY``): plain tables range-partition + sort on
+    the interleaved z-value (operators/layout.py) so every output file
+    covers a compact window on EVERY listed column — which is what makes
+    the recomputed manifest [min, max] stats actually prune multi-column
+    predicates; bucketed tables keep their hash layout and z-sort WITHIN
+    each bucket (row-group-level skipping).
     """
     from ..operators.merge import BUCKET_COL, load_table_props
 
@@ -859,10 +872,26 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int | None = 
     stage = os.path.join(path, f"_stage-compact-{uuid.uuid4().hex[:8]}")
     try:
         if BUCKET_COL in df.columns:  # bucketed merge table: keep layout
+            part = df.repartition(F.col(BUCKET_COL))
+            if zorder:
+                from ..operators.layout import zvalue
+
+                part = (
+                    part.withColumn("_z", zvalue(df, list(zorder)))
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+            part.write.partitionBy(BUCKET_COL).parquet(stage)
+        elif zorder:
+            from ..operators.layout import zvalue
+
+            n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+            z = df.withColumn("_z", zvalue(df, list(zorder)))
             (
-                df.repartition(F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
-                .parquet(stage)
+                z.repartitionByRange(max(1, n), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+                .write.parquet(stage)
             )
         else:
             n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "8"))

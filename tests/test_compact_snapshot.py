@@ -127,3 +127,33 @@ def test_compact_plain_table_with_stats(spark, tmp_path):
     got = S.scan_snapshot(spark, path, where=[("id", "<", 100)])
     assert got.count() == 100
     assert all(f in m["stats"] for f in m["files"])
+
+
+def test_compact_zorder_improves_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY parity: after a z-ordered compaction, a
+    two-column predicate prunes files from manifest stats alone — the
+    pre-compaction random layout cannot."""
+    path = str(tmp_path / "t")
+    # adversarial layout: files carry interleaved slices of both columns,
+    # so every file spans the full [min, max] on x and y
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 64).alias("x"), ((F.col("id") * 7) % 64).alias("y")
+    )
+    S.overwrite_versioned(
+        spark, df.repartition(8), path, stats_cols=("x", "y")
+    )
+    probe = [("x", "<", 8), ("y", "<", 8)]
+    m0 = S.read_manifest(path)
+    before = len(S.prune_files(m0, probe))
+    assert before == len(m0["files"])  # nothing prunable
+
+    S.compact_snapshot(spark, path, target_files=8, zorder=("x", "y"))
+    m1 = S.read_manifest(path)
+    after = len(S.prune_files(m1, probe))
+    assert after < len(m1["files"]), (after, len(m1["files"]))
+    # contents identical through the rewrite
+    got = S.read_snapshot(spark, path)
+    assert got.count() == 4000
+    assert got.filter((F.col("x") < 8) & (F.col("y") < 8)).count() == (
+        df.filter((F.col("x") < 8) & (F.col("y") < 8)).count()
+    )
