@@ -212,6 +212,24 @@ class _FileCommit(WriterCommitMessage):
     blooms: dict | None = None
 
 
+@dataclass
+class _MultiFileCommit(WriterCommitMessage):
+    """A task that ROLLED files (maxRecordsPerFile) claims them all in
+    one message; the driver flattens before publishing."""
+
+    parts: list = field(default_factory=list)
+
+
+def _flatten_commits(messages):
+    out = []
+    for m in messages or []:
+        if isinstance(m, _MultiFileCommit):
+            out.extend(m.parts)
+        elif m is not None:
+            out.append(m)
+    return out
+
+
 class _SnapshotWriter(DataSourceArrowWriter):
     """Task-write / driver-commit protocol onto the manifest log — the
     Iceberg commit model expressed through Spark's DataSourceWriter
@@ -239,41 +257,81 @@ class _SnapshotWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._stats_cols = [c for c in (options.get("stats_cols") or "").split(",") if c]
         self._bloom_cols = [c for c in (options.get("bloom_cols") or "").split(",") if c]
+        # file sizing (the maxRecordsPerFile knob): a task holding more
+        # rows than this ROLLS to a new file — at 100 TB file size is a
+        # first-order scan/parallelism lever, and a 1-file-per-task rule
+        # couples it to shuffle partitioning
+        mrpf = options.get("maxrecordsperfile")
+        self._max_rows = int(mrpf) if mrpf else None
 
-    def write(self, iterator) -> _FileCommit:
+    def write(self, iterator):
         import pyarrow.parquet as pq
 
         os.makedirs(self._path, exist_ok=True)
-        fpath = os.path.join(self._path, f"part-{uuid.uuid4().hex}.parquet")
-        writer = None
-        rows = 0
+        commits: list[_FileCommit] = []
+        writer, fpath, rows = None, None, 0
         bloom_vals: dict[str, set] = {c: set() for c in self._bloom_cols}
+
+        def close_current():
+            nonlocal writer, fpath, rows
+            writer.close()
+            stats = S._file_stats(fpath, self._stats_cols) if self._stats_cols else None
+            blooms = {}
+            for c, vals in bloom_vals.items():
+                m = S._bloom_m_for(rows)
+                bits = bytearray(m >> 3)
+                for v in vals:
+                    for p in S._bloom_positions(v, m, S._BLOOM_K):
+                        bits[p >> 3] |= 1 << (p & 7)
+                blooms[c] = {
+                    "m": m, "k": S._BLOOM_K,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
+                vals.clear()
+            commits.append(
+                _FileCommit(file=fpath, rows=rows, stats=stats, blooms=blooms or None)
+            )
+            writer, fpath, rows = None, None, 0
+
+        def chunks(batch):
+            # slice WITHIN a batch too: one task often receives a single
+            # large Arrow batch, and rolling only at batch boundaries
+            # would never split it
+            if not self._max_rows:
+                yield batch
+                return
+            off = 0
+            while off < batch.num_rows:
+                take = min(self._max_rows - rows if writer else self._max_rows,
+                           batch.num_rows - off)
+                yield batch.slice(off, take)
+                off += take
+
         try:
-            for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(fpath, batch.schema)
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                for c in self._bloom_cols:
-                    if c in batch.schema.names:
-                        bloom_vals[c].update(
-                            v for v in batch.column(c).to_pylist() if v is not None
-                        )
+            for whole in iterator:
+                for batch in chunks(whole):
+                    if writer is None:
+                        fpath = os.path.join(self._path, f"part-{uuid.uuid4().hex}.parquet")
+                        writer = pq.ParquetWriter(fpath, batch.schema)
+                    writer.write_batch(batch)
+                    rows += batch.num_rows
+                    for c in self._bloom_cols:
+                        if c in batch.schema.names:
+                            bloom_vals[c].update(
+                                v for v in batch.column(c).to_pylist() if v is not None
+                            )
+                    if self._max_rows and rows >= self._max_rows:
+                        close_current()
         finally:
             if writer is not None:
-                writer.close()
-        if writer is None:  # empty partition: no file, nothing to commit
+                close_current()
+        if not commits:  # empty partition: no file, nothing to commit
             return _FileCommit()
-        stats = S._file_stats(fpath, self._stats_cols) if self._stats_cols else None
-        blooms = {}
-        for c, vals in bloom_vals.items():
-            m = S._bloom_m_for(rows)
-            bits = bytearray(m >> 3)
-            for v in vals:
-                for p in S._bloom_positions(v, m, S._BLOOM_K):
-                    bits[p >> 3] |= 1 << (p & 7)
-            blooms[c] = {"m": m, "k": S._BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
-        return _FileCommit(file=fpath, rows=rows, stats=stats, blooms=blooms or None)
+        if len(commits) == 1:
+            return commits[0]
+        # the commit-message contract is one message per task; fold the
+        # rolled files into one message the driver flattens
+        return _MultiFileCommit(parts=commits)
 
     def commit(self, messages) -> None:
         self._publish_files(messages)
@@ -281,7 +339,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
     def _publish_files(self, messages, txn_id: str | None = None) -> None:
         import pyarrow.parquet as pq
 
-        new = [m for m in messages if m and m.file]
+        new = [m for m in _flatten_commits(messages) if m.file]
         files = [m.file for m in new]
         stats = {m.file: m.stats for m in new if m.stats}
         blooms = {m.file: m.blooms for m in new if m.blooms}
@@ -344,8 +402,8 @@ class _SnapshotWriter(DataSourceArrowWriter):
 
 
 def _drop_files(messages) -> None:
-    for m in messages or []:
-        if m and m.file:
+    for m in _flatten_commits(messages):
+        if m.file:
             try:
                 os.remove(m.file)
             except OSError:

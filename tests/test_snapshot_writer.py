@@ -258,3 +258,32 @@ def test_overwrite_versioned_carries_txn_ledger(spark, tmp_path):
     got = sorted(r["id"] for r in
                  spark.read.format("snapshot").option("path", path).load().collect())
     assert got == [9, 10, 11]
+
+
+def test_writer_max_records_per_file_rolls(spark, tmp_path):
+    """File sizing decoupled from task count: a task holding more rows
+    than maxRecordsPerFile rolls to a new file, each rolled file carrying
+    its OWN stats/blooms."""
+    path = str(tmp_path / "t")
+    (
+        spark.range(0, 1000)
+        .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+        .coalesce(1)  # one task...
+        .write.format("snapshot").option("path", path)
+        .option("maxRecordsPerFile", "300")
+        .option("stats_cols", "id").option("bloom_cols", "h")
+        .mode("overwrite").save()
+    )
+    m = S.read_manifest(path)
+    assert len(m["files"]) == 4  # ...rolled into ceil(1000/300) files
+    assert all(f in m["stats"] and f in m["blooms"] for f in m["files"])
+    # per-file stats are DISJOINT slices, not copies of the task range
+    ranges = sorted(tuple(m["stats"][f]["id"]) for f in m["files"])
+    assert ranges[0][1] < ranges[1][0] or ranges[0] != ranges[1]
+    back = spark.read.format("snapshot").option("path", path).load()
+    assert back.count() == 1000
+    import hashlib
+
+    probe = hashlib.md5(b"123").hexdigest()
+    hit = [f for f in m["files"] if S.bloom_contains(m["blooms"][f]["h"], probe)]
+    assert 1 <= len(hit) < 4  # blooms are per rolled file, not per task
