@@ -85,6 +85,17 @@ PROBES = [
     "t38_importance_weights",   # two-model unigram scoring, one fold
     "t39_duplicate_spans",      # gram postings + interval merge
     "t36_image_pixel_stats",    # Arrow PNG round-trip map
+    # round-7 additions. Salting keeps cross-replica bigram types
+    # disjoint, so t42's model table grows Kx (linear); t43's WORD-TYPE
+    # table grows Kx while the claim under test is that each learning
+    # round costs |word types|, independent of CORPUS volume — so its
+    # ratio reads as the vocab-size slope, with the corpus-size
+    # independence shown by the initial-fold share; t44's node set is
+    # modulus-bounded (user_id/event_id % k), so replicas add EDGES but
+    # not nodes — per-iteration cost grows with |edges|, linear.
+    "t42_bigram_backoff",       # pruned bigram model + backoff scoring
+    "t43_bpe_vocab",            # iterative merge learning on word types
+    "t44_pagerank",             # iterative rank, decimal-summed
 ]
 
 # env override: measure a subset without re-timing the whole list
