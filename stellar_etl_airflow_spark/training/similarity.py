@@ -446,3 +446,186 @@ def semantic_dedup(
     return out.select(
         F.col("doc_id").alias(id_col), "component", "is_representative"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the COMPRESSION half of scale
+# ANN: vectors become m small codes (one byte-ish each), and query-time
+# scoring is table lookups (ADC), never full-vector arithmetic over the
+# corpus. The dot product decomposes EXACTLY over contiguous blocks —
+# dot(q, x) = sum_b dot(q_b, x_b) — so ADC's only error is quantizing
+# x_b to its nearest sub-centroid; the q side is exact.
+#
+# Spark shape: codebooks are m * k_sub tiny rows (broadcast everywhere);
+# training is per-block Lloyd with the SAME decimal-mean determinism as
+# kmeans_refine; encoding is one broadcast argmin pass (max_by partials,
+# corpus never shuffles); ADC scoring precomputes each query's m dot
+# tables IN-PLAN (query x codebook join — q * m * k_sub rows), then
+# scores codes with pure array lookups. At 100 TB the corpus side
+# carries only `codes array<int>` — a 4096-dim float corpus compresses
+# ~1000x before any scan starts.
+# --------------------------------------------------------------------------
+
+
+def _pq_blocks(vec: str, m: int, dim: int) -> list[str]:
+    """SQL slices splitting ``vec`` into m contiguous blocks."""
+    size = dim // m
+    return [
+        f"slice({vec}, {b * size + 1}, {size if b < m - 1 else dim - (m - 1) * size})"
+        for b in range(m)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_pred=None,
+) -> DataFrame:
+    """Train per-block sub-codebooks: (block, code, c_vec) rows.
+
+    Seeds are a deterministic corpus subset (``centroid_pred``, default
+    vec_id % 16 == 0 — the t16 convention); each Lloyd round assigns
+    subvectors to their nearest seed by L2 (broadcast argmin, max_by
+    partials) and recomputes means as DECIMAL(38,18) sums, so the
+    codebook is bit-reproducible across partitionings."""
+    dim = len(corpus.select(vec_col).first()[0])
+    pred = centroid_pred if centroid_pred is not None else (F.col(id_col) % 16 == 0)
+    base = _prep(corpus, id_col, vec_col, "n")
+    blocks = _pq_blocks("n_vec", m, dim)
+    # (block, n_id, bvec) subvector table — one explode, reused each round
+    sub = base.select(
+        "n_id",
+        F.posexplode(F.array(*[F.expr(b) for b in blocks])).alias("block", "bvec"),
+    ).localCheckpoint(eager=True)
+    seeds = (
+        _prep(corpus.filter(pred), id_col, vec_col, "c")
+        .select("c_id", F.posexplode(F.array(*[F.expr(b.replace("n_vec", "c_vec")) for b in blocks])).alias("block", "cvec"))
+    )
+    # stable dense codes 0..k_sub-1 per block, ordered by seed id
+    from pyspark.sql.window import Window
+
+    seeds = seeds.withColumn(
+        "code", F.row_number().over(Window.partitionBy("block").orderBy("c_id")) - 1
+    ).select("block", "code", "cvec").localCheckpoint(eager=True)
+
+    l2 = "aggregate(zip_with(bvec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    for _ in range(n_iter):
+        assigned = (
+            sub.join(F.broadcast(seeds), "block")
+            .withColumn("_d", F.expr(l2))
+            .groupBy("block", "n_id")
+            .agg(
+                F.min_by(F.struct("bvec", "code"), F.struct("_d", "code")).alias("_b")
+            )
+            .select("block", F.col("_b.code").alias("code"), F.col("_b.bvec").alias("bvec"))
+        )
+        seeds = (
+            assigned.select("block", "code", F.posexplode("bvec").alias("i", "x"))
+            .groupBy("block", "code", "i")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1))).alias("mu")
+            )
+            .groupBy("block", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("im"))
+            .select("block", "code", F.expr("transform(im, s -> s.mu)").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return seeds
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector quantized blockwise to its
+    nearest sub-centroid (L2, broadcast argmin). This is the table a
+    100 TB deployment PERSISTS; raw vectors leave the hot path."""
+    dim = len(corpus.select(vec_col).first()[0])
+    base = _prep(corpus, id_col, vec_col, "n")
+    blocks = _pq_blocks("n_vec", m, dim)
+    sub = base.select(
+        "n_id",
+        F.posexplode(F.array(*[F.expr(b) for b in blocks])).alias("block", "bvec"),
+    )
+    l2 = "aggregate(zip_with(bvec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    return (
+        sub.join(F.broadcast(codebooks), "block")
+        .withColumn("_d", F.expr(l2))
+        .groupBy("n_id", "block")
+        .agg(F.min_by("code", F.struct("_d", "code")).alias("code"))
+        .groupBy("n_id")
+        .agg(F.array_sort(F.collect_list(F.struct("block", "code"))).alias("bc"))
+        .select(
+            F.col("n_id").alias(id_col),
+            F.expr("transform(bc, s -> s.code)").alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k by (approximate) dot product: per query, the m dot
+    tables dot(q_b, c_{b,j}) are computed in-plan (query x codebook join,
+    q*m*k_sub rows, broadcast); the corpus side is scored with PURE ARRAY
+    LOOKUPS over its codes — zero per-row float math on vectors, the
+    whole point of PQ at scale. Returns (query_id, vec_id, adc_dot,
+    rank)."""
+    dim = len(queries.select(vec_col).first()[0])
+    q = _prep(queries, id_col, vec_col, "q")
+    blocks = _pq_blocks("q_vec", m, dim)
+    qsub = q.select(
+        "q_id",
+        F.posexplode(F.array(*[F.expr(b) for b in blocks])).alias("block", "qvec"),
+    )
+    dot = "aggregate(zip_with(qvec, cvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qtables = (
+        qsub.join(F.broadcast(codebooks), "block")
+        .withColumn("_dot", F.expr(dot))
+        .groupBy("q_id", "block")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "_dot"))).alias("cd"))
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list(F.struct("block", F.expr("transform(cd, s -> s._dot)").alias("t")))).alias("bt"))
+        .select("q_id", F.expr("transform(bt, s -> s.t)").alias("dots"))
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtables))
+        .withColumn(
+            "adc_dot",
+            F.expr(
+                "aggregate(zip_with(codes, dots, (c, d) -> element_at(d, c + 1)),"
+                " 0D, (acc, x) -> acc + x)"
+            ),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("adc_dot")).alias("s"), F.col(id_col).alias("v")))
+                ),
+                1, k,
+            ).alias("top")
+        )
+    )
+    return scored.select(
+        F.col("q_id").alias("query_id"),
+        F.posexplode("top").alias("r", "t"),
+    ).select(
+        "query_id",
+        F.col("t.v").alias(id_col),
+        F.round(-F.col("t.s"), 6).alias("adc_dot"),
+        (F.col("r") + 1).alias("rank"),
+    )
