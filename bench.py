@@ -128,6 +128,7 @@ def main() -> None:
             "t03_minhash_lsh_pairs",
             "t43_bpe_vocab",
             "t44_pagerank",
+            "t45_pq_adc_topk",
             "q01_pricing_summary",
             "s10_cdf_net_changes",
             "s06_stream_upsert_sink",

@@ -1803,3 +1803,71 @@ SPECS.update(
         ),
     }
 )
+
+
+def t45_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jegou 2011) with an UNREFINED seed
+    codebook (n_iter=0: sub-codebooks are the deterministic seed subset's
+    subvectors), which makes the whole pipeline — blockwise L2 encode,
+    per-query dot tables, lookup-only scoring — exactly SQL-expressible,
+    so the driver hash-gates the PQ semantics end to end. The Lloyd-
+    refined production path shares every stage but the codebook
+    (tests/test_pq.py pins its determinism + saturation-exactness)."""
+    from ..training.similarity import pq_encode, pq_topk, pq_train
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, n_iter=0)
+    codes = pq_encode(emb, cb, m=4)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(codes, queries, cb, m=4, k=5)
+
+
+T45_SQL = """
+WITH blocks(block) AS (VALUES (0), (1), (2), (3)),
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+sub AS MATERIALIZED (
+  SELECT vec_id, block, list_slice(v, block * 16 + 1, block * 16 + 16) AS bv
+  FROM emb CROSS JOIN blocks
+),
+cb AS MATERIALIZED (
+  SELECT block, bv AS cvec,
+         CAST(row_number() OVER (PARTITION BY block ORDER BY vec_id) - 1 AS INT) AS code
+  FROM sub WHERE vec_id % 16 = 0
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, block, code FROM (
+    SELECT s.vec_id, s.block, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.block
+             ORDER BY list_sum(list_transform(range(1, 17), i -> (s.bv[i] - c.cvec[i]) * (s.bv[i] - c.cvec[i]))) ASC,
+                      c.code ASC
+           ) AS rn
+    FROM sub s JOIN cb c USING (block)
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         sum(list_sum(list_transform(range(1, 17), i -> q.bv[i] * c.cvec[i]))) AS d
+  FROM sub q
+  JOIN enc e ON q.block = e.block
+  JOIN cb c ON e.block = c.block AND e.code = c.code
+  WHERE q.vec_id % 50 = 0
+  GROUP BY q.vec_id, e.vec_id
+)
+SELECT query_id, vec_id, round(d, 6) AS adc_dot, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
+SPECS.update(
+    {
+        "t45_pq_adc_topk": QuerySpec(
+            t45_pq_adc_topk,
+            T45_SQL,
+            "product-quantization ADC top-k, seed codebook: lookup-only scoring, exact SQL twin",
+        ),
+    }
+)
