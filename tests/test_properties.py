@@ -559,6 +559,7 @@ _ds_op = st.one_of(
     st.tuples(st.just("stream"), st.lists(st.integers(0, 99), min_size=1, max_size=3)),
     st.tuples(st.just("replay"), st.lists(st.integers(0, 99), min_size=1, max_size=3)),
     st.tuples(st.just("vacuum"), st.just([])),
+    st.tuples(st.just("compact"), st.just([])),
 )
 
 
@@ -604,6 +605,12 @@ def test_datasource_writer_interleavings_match_model(spark, tmp_path_factory, op
                 model = model + list(vals)
                 committed_batches.add(bid)
                 next_batch = bid + 1
+                assert S.latest_version(path) == before + 1
+        elif kind == "compact":
+            # content-preserving by contract: versions +1, model unchanged,
+            # and the ledger survives (a later replay must still no-op)
+            if S.latest_version(path) and S.read_manifest(path)["files"]:
+                S.compact_snapshot(spark, path, target_files=2)
                 assert S.latest_version(path) == before + 1
         else:  # vacuum
             if S.latest_version(path):
