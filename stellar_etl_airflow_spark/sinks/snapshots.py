@@ -913,3 +913,26 @@ def compact_snapshot(
         bloom_cols=bloom_cols,
         blooms=blooms,
     )
+
+
+def restore(path: str, version: int) -> int:
+    """Delta's RESTORE: republish ``version``'s file list as the NEXT
+    version — rolling the table back without losing history (the bad
+    versions stay readable until vacuumed; the restore itself is one
+    manifest write, O(1) in data volume). Stats/blooms/layout metadata
+    travel with the restored manifest; the txn ledger carries FORWARD
+    from the current version (rolling back data must not reopen
+    exactly-once windows — a replayed merge/stream batch stays applied)."""
+    target = read_manifest(path, version)
+    cur = read_manifest(path)
+    return _publish(
+        path,
+        list(target["files"]),
+        base=target.get("base"),
+        mixed_schema=bool(target.get("mixed_schema")),
+        txns=cur.get("txns") or None,
+        stats_cols=target.get("stats_cols") or None,
+        stats=target.get("stats") or None,
+        bloom_cols=target.get("bloom_cols") or None,
+        blooms=target.get("blooms") or None,
+    )
