@@ -106,6 +106,21 @@ def _unified_arrow_schema(files: list[str]):
     return pa.schema(list(fields.values()))
 
 
+
+def _epoch(ts: str) -> float:
+    """Epoch seconds from an option string: raw float, or an ISO
+    date/datetime (interpreted as UTC when zoneless)."""
+    try:
+        return float(ts)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+
 @dataclass
 class _FilePartition(InputPartition):
     files: list = field(default_factory=list)
@@ -116,6 +131,13 @@ class _SnapshotReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType | None = None) -> None:
         self._path = options["path"]
         v = options.get("version")
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass either version or timestampAsOf, not both")
+        if ts is not None:
+            # FOR SYSTEM_TIME AS OF: resolve the largest version at or
+            # before the timestamp (epoch seconds or ISO date/datetime)
+            v = S.as_of(self._path, _epoch(ts))
         self._version = int(v) if v is not None else None
         self._manifest = S.read_manifest(self._path, self._version)
         self._where: list = []
@@ -472,10 +494,12 @@ class SnapshotSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        m = S.read_manifest(
-            self.options["path"],
-            int(self.options["version"]) if self.options.get("version") else None,
-        )
+        opts = {k.lower(): v for k, v in self.options.items()}
+        v = opts.get("version")
+        ts = opts.get("timestampasof")
+        if ts is not None and v is None:
+            v = S.as_of(self.options["path"], _epoch(ts))
+        m = S.read_manifest(self.options["path"], int(v) if v is not None else None)
         return from_arrow_schema(_unified_arrow_schema(list(m["files"])))
 
     def reader(self, schema: StructType) -> _SnapshotReader:

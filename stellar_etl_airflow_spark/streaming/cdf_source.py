@@ -97,8 +97,17 @@ class _CDFStreamReader(DataSourceStreamReader):
                 f"{self._path}: no merge keys pinned and no 'keys' option"
             )
         start = options.get("startingversion") or options.get("startingVersion")
+        start_ts = options.get("startingtimestamp") or options.get("startingTimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError("pass either startingVersion or startingTimestamp, not both")
         if start is not None:
             self._start = int(start)
+        elif start_ts is not None:
+            # Delta's startingTimestamp: the base is the table state AS OF
+            # the timestamp; the feed emits changes after it
+            from ..sources.snapshot_source import _epoch
+
+            self._start = S.as_of(self._path, _epoch(start_ts))
         else:  # Delta default: changes from now on
             self._start = S.latest_version(self._path) or 0
 

@@ -139,3 +139,35 @@ def test_stream_cdf_requires_keys(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_stream_cdf_starting_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp: the feed's base is the table state AS
+    OF the timestamp, so changes published after it are emitted."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    apply_changes(
+        spark, _batch(spark, [(1, 1.0, 1, 0, False)]), path,
+        keys=("account_id",), n_buckets=2,
+    )
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    apply_changes(
+        spark, _batch(spark, [(2, 2.0, 2, 0, False)]), path, keys=("account_id",)
+    )
+    q = (
+        spark.readStream.format(cdf_source.FORMAT_NAME)
+        .option("path", path)
+        .option("startingTimestamp", str(t_after_v1))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["account_id"] for r in rows) == [2]  # only the post-ts insert

@@ -112,3 +112,33 @@ def test_unsafe_filter_types_fall_back_to_spark(spark, tmp_path):
     S.overwrite_versioned(spark, df, path, stats_cols=("k", "ts"))
     got = _load(spark, path).where(F.col("ts") > F.lit(datetime(2024, 1, 3)))
     assert sorted(r["k"] for r in got.collect()) == [3, 4]
+
+
+def test_reader_timestamp_as_of(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF through the connector: timestampAsOf
+    resolves the largest version published at or before the timestamp."""
+    import time as _time
+
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    path = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.range(0, 5).select("id"), path)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    S.overwrite_versioned(spark, spark.range(0, 9).select("id"), path)
+
+    got = (
+        spark.read.format("snapshot").option("path", path)
+        .option("timestampAsOf", str(t_between)).load()
+    )
+    assert got.count() == 5
+    # latest without the option
+    assert spark.read.format("snapshot").option("path", path).load().count() == 9
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="version or timestampAsOf"):
+        (
+            spark.read.format("snapshot").option("path", path)
+            .option("timestampAsOf", str(t_between)).option("version", "1")
+            .load().collect()
+        )
