@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -517,6 +518,11 @@ class SnapshotSource(DataSource):
         opts["path"] = self.options["path"]
         return _SnapshotStreamWriter(opts, overwrite)
 
+    def streamReader(self, schema: StructType) -> _SnapshotStreamReader:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        opts["path"] = self.options["path"]
+        return _SnapshotStreamReader(opts, schema)
+
 
 def register(spark) -> None:
     """Register for this session (idempotent, thread-safe, pins the
@@ -525,3 +531,82 @@ def register(spark) -> None:
     from ..session import register_python_source
 
     register_python_source(spark, SnapshotSource, "_snapshot_source_registered")
+
+
+@dataclass
+class _AppendPartition(InputPartition):
+    files: list = field(default_factory=list)
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """``readStream.format("snapshot")`` — Delta's streaming-source shape
+    for append-only versioned tables: offsets are manifest versions, and
+    each micro-batch reads exactly the files ADDED in its version range
+    (the streaming sink's appends, overwrite_versioned bootstraps, …).
+
+    Delta-parity semantics:
+
+    - default start is version 0, so the FIRST batch is the whole
+      existing table (Delta's initial snapshot); ``startingVersion`` /
+      ``startingTimestamp`` begin later;
+    - a range that REMOVED files (an overwrite/compaction/merge rewrote
+      the table) is not append-only and raises, unless
+      ``ignoreChanges=true`` — then only the added files stream, exactly
+      Delta's ignoreChanges contract (rewritten rows may re-emit or be
+      skipped; downstream must key-dedup). For row-level deltas use
+      ``readStream.format("snapshot_cdf")`` instead.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._path = options["path"]
+        self._ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
+        self._files_per_task = int(options.get("filespertask", 1) or 1)
+        self._schema_arrow = to_arrow_schema(schema)
+        start = options.get("startingversion")
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError("pass either startingVersion or startingTimestamp, not both")
+        if start is not None:
+            self._start = int(start)
+        elif start_ts is not None:
+            self._start = S.as_of(self._path, _epoch(start_ts))
+        else:
+            self._start = 0  # initial snapshot: the whole table is batch 0
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": S.latest_version(self._path) or 0}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return [_AppendPartition()]
+        old = set(S.read_manifest(self._path, v0)["files"]) if v0 > 0 else set()
+        new = set(S.read_manifest(self._path, v1)["files"])
+        removed = old - new
+        if removed and not self._ignore_changes:
+            raise ValueError(
+                f"{self._path}: versions {v0}->{v1} removed {len(removed)} "
+                "file(s) — the table is not append-only over this range. "
+                "Stream row-level deltas with format('snapshot_cdf'), or "
+                "set ignoreChanges=true to stream only added files."
+            )
+        added = sorted(new - old)
+        n = max(1, self._files_per_task)
+        groups = [added[i : i + n] for i in range(0, len(added), n)]
+        return [_AppendPartition(files=g) for g in groups] or [_AppendPartition()]
+
+    def read(self, partition: _AppendPartition):
+        if not partition.files:
+            return
+        import pyarrow.parquet as pq
+
+        for f in partition.files:
+            yield from _align(pq.read_table(f), self._schema_arrow).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; manifests are immutable
