@@ -114,6 +114,7 @@ def main() -> None:
             "t14_jaccard_dfcapped",
             "q56_scd2_from_cdf",
             "s12_stream_cdf_to_scd2",
+            "s13_snapshot_stream_roundtrip",
             "s09_stream_additive_exactly_once",
             "t02_ngram_jaccard_pairs",
             "t39_duplicate_spans",

@@ -28,22 +28,22 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 114 entries as of round 7 — t40-t45, q55-q57,
-# s10-s12 new — larger than the window).
+# round (the corpus is 115 entries as of round 7 — t40-t45, q55-q57,
+# s10-s13 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 114-entry corpus, alternate-round freshness is the attainable bound —
+# 115-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 12 new-this-round entries (t40-t45, q55-q57, s10-s12)
-# compete for 50 slots, so fourteen r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-64 and
+# entries + 13 new-this-round entries (t40-t45, q55-q57, s10-s13)
+# compete for 50 slots, so fifteen r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-65 and
 # MUST lead _FRONT next round. Round 7 sacrifices q31_setops, q44_cube,
 # q30_rolling_window, q33_unpivot, q32_pivot, q47_grouping_sets,
 # q34_tumbling_window, q35_exists_subqueries, q36_window_ranks,
 # q37_lateral_topk, q38_hopping_window, q39_full_outer,
-# q40_sketch_aggregates, q41_salted_join
+# q40_sketch_aggregates, q41_salted_join, q43_range_frames
 # (simple deterministic relational plans, unchanged since r5,
 # oracle-verified in-repo by test_oracle_parity.py every session).
 _FRONT = [
@@ -63,6 +63,7 @@ _FRONT = [
     "t44_pagerank",
     "s12_stream_cdf_to_scd2",
     "t45_pq_adc_topk",
+    "s13_snapshot_stream_roundtrip",
     # r5-stale entries touched by round-7 changes: as-of deterministic
     # salt + right-hot splitting (q52/q53), txn-ledger retention under
     # the incremental mart (q51). (t23_audio_features also changes this
@@ -77,7 +78,6 @@ _FRONT = [
     "q26_correlated_subquery",
     "q28_rollup",
     "q29_percentiles",
-    "q43_range_frames",
     "q45_explode_outer",
     "q48_fuzzy_blocked_join",
     "q49_gapfill_ffill",
@@ -105,7 +105,7 @@ _FRONT = [
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "t35_stratified_sample",
-    # the fourteen sacrificed-this-round entries (positions 51-64): front
+    # the fifteen sacrificed-this-round entries (positions 51-65): front
     # these FIRST next round
     "q31_setops",
     "q44_cube",
@@ -121,6 +121,7 @@ _FRONT = [
     "q39_full_outer",
     "q40_sketch_aggregates",
     "q41_salted_join",
+    "q43_range_frames",
     # r6-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()

@@ -444,6 +444,61 @@ def s12_stream_cdf_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def s13_snapshot_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four connector surfaces in one loop, oracle-gated: events are
+    staged into a versioned table via the BATCH writer, tailed with the
+    STREAMING SOURCE (initial-snapshot batch), filtered, published
+    through the STREAMING SINK (exactly-once ledger appends), and read
+    back with the BATCH reader. The oracle is the declarative
+    restatement — a filtered projection of events — so the hash gate
+    certifies that rows survive the
+    write -> stream-read -> stream-write -> read chain exactly."""
+    from ..sinks import snapshots as S
+    from ..sources import snapshot_source
+    from .base import tables as _tables
+
+    (_ev,) = _tables(spark, sf_dir, "events")
+    snapshot_source.register(spark)
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(tempfile.gettempdir(), f"s13-src-{run}")
+    dst = os.path.join(tempfile.gettempdir(), f"s13-dst-{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"s13-ckpt-{run}")
+    try:
+        (
+            spark.table("events")
+            .filter(F.col("event_id") % 7 == 0)
+            .select("event_id", "user_id", "ts", "value")
+            .write.format(snapshot_source.FORMAT_NAME)
+            .option("path", src).mode("overwrite").save()
+        )
+        q = (
+            spark.readStream.format(snapshot_source.FORMAT_NAME)
+            .option("path", src).load()
+            .where(F.col("user_id") % 2 == 1)
+            .writeStream.format(snapshot_source.FORMAT_NAME)
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        m = S.read_manifest(dst)
+        if not any(k.startswith("snapshot_stream:") for k in m.get("txns", {})):
+            raise AssertionError("stream sink published without a ledger entry")
+        back = spark.read.format(snapshot_source.FORMAT_NAME).option("path", dst).load()
+        rows, schema = back.collect(), back.schema  # detach before cleanup
+    finally:
+        for d in (src, dst, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+S13_SQL = """
+SELECT event_id, user_id, ts, value
+FROM events WHERE event_id % 7 = 0 AND user_id % 2 = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -475,6 +530,12 @@ SPECS: dict[str, QuerySpec] = {
         Q56_SQL,
         "streamed CDF -> incrementally maintained SCD-2 dimension == q56's declarative oracle",
     ),
+    "s13_snapshot_stream_roundtrip": QuerySpec(
+        s13_snapshot_stream_roundtrip,
+        S13_SQL,
+        "all four connector surfaces chained: write -> stream-read -> stream-write -> read",
+    ),
 }
+
 
 
