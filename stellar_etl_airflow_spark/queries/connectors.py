@@ -10,6 +10,8 @@ each oracle-checked through a scratch table:
   via the txn ledger, read back through the connector;
 - s12: the full loop streamed — CDF tailed as a stream driving a
   continuously maintained SCD-2 dimension, gated by q56's oracle;
+- s13: all FOUR connector surfaces chained — batch write ->
+  streaming source -> streaming sink -> batch read, one hash gate;
 - q57: the one-pass table profiler (ANALYZE shape).
 
 All have unit suites (tests/test_snapshot_source.py, test_cdf.py,
