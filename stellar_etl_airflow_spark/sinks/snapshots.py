@@ -936,3 +936,63 @@ def restore(path: str, version: int) -> int:
         bloom_cols=target.get("bloom_cols") or None,
         blooms=target.get("blooms") or None,
     )
+
+
+def delete_where(spark: SparkSession, path: str, where: list) -> tuple[int, int]:
+    """Delta's ``DELETE FROM t WHERE ...`` over a versioned table, with
+    file-level pruning: manifest [min, max]/bloom stats decide which
+    files MAY hold matching rows; only those are rewritten (minus the
+    matches), every other file is carried into the new manifest
+    untouched — cost ∝ affected files, never table size. ``where`` is
+    the same ``[(col, op, value), ...]`` conjunction ``scan_snapshot``
+    takes. Returns (new_version, files_rewritten).
+
+    The txn ledger, layout metadata, and (for pinned ``stats_cols``)
+    per-file stats all carry; untouched files keep their recorded stats,
+    rewritten files re-read footers (the `_publish` incremental rule
+    covers files already known to the PREVIOUS manifest, so rewritten
+    files' fresh stats are computed here)."""
+    m = read_manifest(path)
+    candidates = set(prune_files(m, where))
+    keep = [f for f in m["files"] if f not in candidates]
+    if not candidates:
+        return int(m["version"]), 0  # nothing can match: metadata-only no-op
+
+    # build the NOT(where) filter for the rewrite
+    cond = None
+    for col, op, v in where:
+        c = F.col(col)
+        e = {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v,
+             "in": c.isin(list(v) if isinstance(v, (list, tuple)) else [v])}[op]
+        cond = e if cond is None else (cond & e)
+    reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
+    if m.get("base"):
+        reader = reader.option("basePath", m["base"])
+    survivors = reader.parquet(*sorted(candidates)).filter(~F.coalesce(cond, F.lit(False)))
+
+    stage = os.path.join(path, f"_stage-del-{uuid.uuid4().hex[:8]}")
+    try:
+        survivors.write.parquet(stage)
+        new_files = adopt_staged(stage, path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    stats_cols = m.get("stats_cols") or None
+    stats = None
+    if stats_cols:
+        stats = {f: s for f, s in (m.get("stats") or {}).items() if f in set(keep)}
+        for f in new_files:
+            st = _file_stats(f, stats_cols)
+            if st:
+                stats[f] = st
+    version = _publish(
+        path,
+        keep + new_files,
+        base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")),
+        txns=m.get("txns") or None,
+        stats_cols=stats_cols,
+        stats=stats,
+        bloom_cols=m.get("bloom_cols") or None,
+        blooms={f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)},
+    )
+    return version, len(candidates)

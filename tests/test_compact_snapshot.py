@@ -192,3 +192,33 @@ def test_restore_rolls_back_without_losing_history(spark, tmp_path):
     )
     assert touched == []
     assert {r["balance"] for r in S.read_snapshot(spark, path).collect()} == {10.0}
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    """DELETE WHERE parity: stats-pruned candidates are rewritten minus
+    their matches; every other file carries over byte-identical."""
+    path = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark,
+        spark.range(0, 1000).select("id", (F.col("id") % 7).alias("g"))
+        .repartitionByRange(8, "id"),
+        path, stats_cols=("id",),
+    )
+    m0 = S.read_manifest(path)
+    v, rewritten = S.delete_where(spark, path, [("id", ">=", 100), ("id", "<", 200)])
+    assert v == 2
+    assert 0 < rewritten < len(m0["files"])  # pruning bounded the rewrite
+    m1 = S.read_manifest(path)
+    carried = set(m0["files"]) & set(m1["files"])
+    assert len(carried) == len(m0["files"]) - rewritten
+    got = S.read_snapshot(spark, path)
+    assert got.count() == 900
+    assert got.filter((F.col("id") >= 100) & (F.col("id") < 200)).count() == 0
+    # stats carried/recomputed: the deleted range no longer plans files
+    assert S.scan_snapshot(spark, path, where=[("id", "=", 150)]).count() == 0
+    # time travel to v1 still shows the deleted rows
+    assert S.read_snapshot(spark, path, 1).count() == 1000
+
+    # a predicate outside every file's range is a metadata-only no-op
+    v2, n = S.delete_where(spark, path, [("id", ">=", 5000)])
+    assert v2 == v and n == 0
