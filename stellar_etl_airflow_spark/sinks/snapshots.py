@@ -938,41 +938,35 @@ def restore(path: str, version: int) -> int:
     )
 
 
-def delete_where(spark: SparkSession, path: str, where: list) -> tuple[int, int]:
-    """Delta's ``DELETE FROM t WHERE ...`` over a versioned table, with
-    file-level pruning: manifest [min, max]/bloom stats decide which
-    files MAY hold matching rows; only those are rewritten (minus the
-    matches), every other file is carried into the new manifest
-    untouched — cost ∝ affected files, never table size. ``where`` is
-    the same ``[(col, op, value), ...]`` conjunction ``scan_snapshot``
-    takes. Returns (new_version, files_rewritten).
-
-    The txn ledger, layout metadata, and (for pinned ``stats_cols``)
-    per-file stats all carry; untouched files keep their recorded stats,
-    rewritten files re-read footers (the `_publish` incremental rule
-    covers files already known to the PREVIOUS manifest, so rewritten
-    files' fresh stats are computed here)."""
-    m = read_manifest(path)
-    candidates = set(prune_files(m, where))
-    keep = [f for f in m["files"] if f not in candidates]
-    if not candidates:
-        return int(m["version"]), 0  # nothing can match: metadata-only no-op
-
-    # build the NOT(where) filter for the rewrite
+def _where_cond(where: list):
     cond = None
     for col, op, v in where:
         c = F.col(col)
         e = {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v,
              "in": c.isin(list(v) if isinstance(v, (list, tuple)) else [v])}[op]
         cond = e if cond is None else (cond & e)
+    return F.coalesce(cond, F.lit(False))
+
+
+def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
+    """Shared pruned-rewrite core of DELETE/UPDATE WHERE: stats/bloom-
+    prune the candidate files, apply ``transform(df, cond)`` to exactly
+    those, carry every other file untouched into the next version.
+    Returns (new_version, files_rewritten)."""
+    m = read_manifest(path)
+    candidates = set(prune_files(m, where))
+    keep = [f for f in m["files"] if f not in candidates]
+    if not candidates:
+        return int(m["version"]), 0  # nothing can match: metadata-only no-op
+
     reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
     if m.get("base"):
         reader = reader.option("basePath", m["base"])
-    survivors = reader.parquet(*sorted(candidates)).filter(~F.coalesce(cond, F.lit(False)))
+    rewritten = transform(reader.parquet(*sorted(candidates)), _where_cond(where))
 
-    stage = os.path.join(path, f"_stage-del-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(path, f"_stage-dml-{uuid.uuid4().hex[:8]}")
     try:
-        survivors.write.parquet(stage)
+        rewritten.write.parquet(stage)
         new_files = adopt_staged(stage, path)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -996,3 +990,42 @@ def delete_where(spark: SparkSession, path: str, where: list) -> tuple[int, int]
         blooms={f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)},
     )
     return version, len(candidates)
+
+
+def delete_where(spark: SparkSession, path: str, where: list) -> tuple[int, int]:
+    """Delta's ``DELETE FROM t WHERE ...`` over a versioned table, with
+    file-level pruning: manifest [min, max]/bloom stats decide which
+    files MAY hold matching rows; only those are rewritten (minus the
+    matches), every other file is carried into the new manifest
+    untouched — cost ∝ affected files, never table size. ``where`` is
+    the same ``[(col, op, value), ...]`` conjunction ``scan_snapshot``
+    takes. Returns (new_version, files_rewritten).
+
+    The txn ledger, layout metadata, and (for pinned ``stats_cols``)
+    per-file stats all carry; untouched files keep their recorded stats,
+    rewritten files re-read footers (the `_publish` incremental rule
+    covers files already known to the PREVIOUS manifest, so rewritten
+    files' fresh stats are computed here)."""
+    return _rewrite_candidates(
+        spark, path, where, lambda df, cond: df.filter(~cond)
+    )
+
+
+def update_where(
+    spark: SparkSession, path: str, where: list, set_exprs: dict
+) -> tuple[int, int]:
+    """Delta's ``UPDATE t SET ... WHERE ...``: the same pruned-rewrite
+    core as :func:`delete_where` — candidate files only, everything else
+    carried — with matching rows transformed. ``set_exprs`` maps column
+    name -> SQL expression string (evaluated per row, e.g.
+    ``{"balance": "balance * 2"}``)."""
+
+    def transform(df, cond):
+        out = df
+        for colname, expr in set_exprs.items():
+            out = out.withColumn(
+                colname, F.when(cond, F.expr(expr)).otherwise(F.col(colname))
+            )
+        return out
+
+    return _rewrite_candidates(spark, path, where, transform)

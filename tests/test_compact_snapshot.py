@@ -222,3 +222,24 @@ def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
     # a predicate outside every file's range is a metadata-only no-op
     v2, n = S.delete_where(spark, path, [("id", ">=", 5000)])
     assert v2 == v and n == 0
+
+
+def test_update_where_shares_pruned_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark,
+        spark.range(0, 1000).select("id", (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(8, "id"),
+        path, stats_cols=("id",),
+    )
+    n_total = len(S.read_manifest(path)["files"])
+    v, rewritten = S.update_where(
+        spark, path, [("id", ">=", 100), ("id", "<", 150)], {"v": "v * 2 + 1"}
+    )
+    assert v == 2 and 0 < rewritten < n_total
+    got = {r["id"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert len(got) == 1000
+    assert got[120] == 120.0 * 2 + 1 and got[99] == 99.0 and got[150] == 150.0
+    # time travel unaffected
+    old = {r["id"]: r["v"] for r in S.read_snapshot(spark, path, 1).collect()}
+    assert old[120] == 120.0
