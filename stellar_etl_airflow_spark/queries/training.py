@@ -1871,3 +1871,102 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t46 — URL canonicalization + URL-level dedup (RefinedWeb §3.1 / CCNet /
+# Dolma stage 1). URLs are derived deterministically from (source, doc_id)
+# in BOTH engines — the derivation exercises every canonicalization rule:
+# uppercase scheme/host, www. prefix, explicit :443, trailing slash,
+# tracking params (utm_*, ref), unsorted surviving params, fragment.
+# Spark side: one expression fold (zero shuffle) + one hash agg on the
+# canonical string. Oracle mirrors the locate/substr surgery 1:1.
+# ---------------------------------------------------------------------------
+
+
+def t46_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training.urls import url_dedup
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (did % 40).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (did % 40).cast("string"),
+        F.when(did % 7 == 0, F.lit("&ref=tw&b=2&a=1")).otherwise(F.lit("&b=2&a=1")),
+        F.lit("#sec-"),
+        did.cast("string"),
+    )
+    return url_dedup(docs.select(did, url.alias("url")), "url", "doc_id")
+
+
+T46_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+    || source || '.Example.COM'
+    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+    || '/Articles/' || CAST(doc_id % 40 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+    || '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '&ref=tw&b=2&a=1' ELSE '&b=2&a=1' END
+    || '#sec-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CASE WHEN position('#' IN url) > 0 THEN substr(url, 1, position('#' IN url) - 1)
+         ELSE url END AS u0
+  FROM raw
+), p AS (
+  SELECT doc_id,
+    CASE WHEN position('?' IN u0) > 0 THEN substr(u0, 1, position('?' IN u0) - 1) ELSE u0 END AS head,
+    CASE WHEN position('?' IN u0) > 0 THEN substr(u0, position('?' IN u0) + 1) ELSE '' END AS qry
+  FROM c
+), sp AS (
+  SELECT doc_id, qry,
+    CASE WHEN position('://' IN head) > 0
+         THEN lower(substr(head, 1, position('://' IN head) - 1)) ELSE 'http' END AS scheme,
+    CASE WHEN position('://' IN head) > 0
+         THEN substr(head, position('://' IN head) + 3) ELSE head END AS rest
+  FROM p
+), ap AS (
+  SELECT doc_id, qry, scheme,
+    CASE WHEN position('/' IN rest) > 0 THEN substr(rest, 1, position('/' IN rest) - 1) ELSE rest END AS auth,
+    CASE WHEN position('/' IN rest) > 0 THEN substr(rest, position('/' IN rest)) ELSE '/' END AS path
+  FROM sp
+), n AS (
+  SELECT doc_id, scheme,
+    regexp_replace(regexp_replace(lower(auth), '^www\.', ''), ':(80|443)$', '') AS host,
+    CASE WHEN length(path) > 1 AND path LIKE '%/' THEN substr(path, 1, length(path) - 1)
+         ELSE path END AS cpath,
+    array_to_string(
+      list_sort(list_filter(string_split(qry, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src|source)='))),
+      '&') AS qcanon
+  FROM ap
+)
+SELECT scheme || '://' || host || cpath
+       || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS canonical_url,
+       min(doc_id) AS keep_doc_id,
+       count(*)::BIGINT AS n_dups
+FROM n
+GROUP BY 1
+"""
+
+
+SPECS.update(
+    {
+        "t46_url_dedup": QuerySpec(
+            t46_url_dedup,
+            T46_SQL,
+            "URL canonicalization + canonical-URL dedup: expression fold + one hash agg",
+        ),
+    }
+)
