@@ -1970,3 +1970,50 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t47 — bloom-prefiltered decontamination: the 100 TB form of t28. The
+# Bloom filter (JVM xxhash64 bit probes over an array<long> literal)
+# prunes corpus postings map-side before the exact confirm join, so the
+# result is EXACTLY the no-bloom semantics — which is what the oracle
+# states. One decision row per training doc, clean docs included.
+# ---------------------------------------------------------------------------
+
+
+def t47_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..training.contamination import bloom_decontaminate
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return bloom_decontaminate(docs)
+
+
+T47_SQL = f"""
+WITH {GRAMS_CTE},
+pg AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+ev AS (SELECT doc_id AS eval_id, gram FROM pg WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, gram FROM pg WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT tr.doc_id,
+         count(DISTINCT tr.gram)::BIGINT AS n_shared_grams,
+         count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+       coalesce(h.n_eval_docs, 0)::BIGINT AS n_eval_docs,
+       h.doc_id IS NOT NULL AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+SPECS.update(
+    {
+        "t47_bloom_decontaminate": QuerySpec(
+            t47_bloom_decontaminate,
+            T47_SQL,
+            "bloom-prefiltered decontamination: fixed-size bitset probe map-side, exact confirm join",
+        ),
+    }
+)

@@ -55,3 +55,97 @@ def contamination_report(
         F.countDistinct("gram").alias("n_shared_grams"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
     )
+
+def bloom_decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_mod: int = 97,
+    n: int = 3,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Per-training-document contamination decision with a Bloom-filter
+    prefilter — the 100 TB form of `contamination_report`.
+
+    `contamination_report` broadcasts the full eval n-gram table; for a
+    real benchmark suite that broadcast is 100s of MB and every corpus
+    gram probes it. Here the eval grams are folded into a FIXED-SIZE
+    Bloom filter (``m_bits`` bits, ``k`` JVM-side xxhash64 probes)
+    evaluated as a whole-stage-codegen filter over the corpus postings:
+    non-matching grams (the overwhelming majority) die map-side without
+    touching any join. Only the surviving candidates — exact hits plus
+    the bloom's false positives — flow into the exact confirm join, so
+    the RESULT is exactly `contamination_report`'s (a Bloom filter has
+    no false negatives; false positives are removed by the confirm).
+
+    Output: one row per TRAINING document (clean docs included):
+    ``doc_id, n_shared_grams, n_eval_docs, contaminated``.
+
+    Scale accounting: the bloom build collects DISTINCT bit positions —
+    bounded by ``m_bits`` (= 16 KiB of bitset at the default) no matter
+    how large the eval set is; the bitset ships in the plan as an
+    array<long> literal (``m_bits/64`` words). At a production 1e8-gram
+    benchmark suite, size m_bits ~ 10 bits/gram for ~1% fp and the
+    bitset is ~125 MB — at that point broadcast it as a joined 1-row
+    frame instead of a literal; the probe expression is unchanged.
+    """
+    grams = (
+        with_word_ngrams(df, text_col, n)
+        .select(F.col(id_col), F.explode("grams").alias("gram"))
+        .localCheckpoint(eager=True)
+    )
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    eval_grams = grams.filter(is_eval).select(F.col(id_col).alias("eval_id"), "gram")
+
+    # --- bloom build: k xxhash64 positions per distinct eval gram,
+    # deduped map-side; the collect is bounded by m_bits rows.
+    pos_rows = (
+        eval_grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        # literal seed must be BIGINT to match the probe's
+                        # {i}L — xxhash64 folds the input TYPE into the hash
+                        F.pmod(F.xxhash64(F.lit(i).cast("long"), F.col("gram")), F.lit(m_bits))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]  # signed int64
+
+    # --- map-side candidate filter: k bit probes, all JVM expressions.
+    # Function-form shiftright/pmod accept column-valued shift amounts in
+    # SQL (the Python F.shiftright wrapper does not), hence F.expr.
+    probes = " AND ".join(
+        f"((shiftright(element_at(_bw, cast(shiftright(pmod(xxhash64({i}L, gram), {m_bits}L), 6) as int) + 1), "
+        f"cast(pmod(pmod(xxhash64({i}L, gram), {m_bits}L), 64) as int)) & 1L) = 1L)"
+        for i in range(k)
+    )
+    candidates = (
+        grams.filter(~is_eval)
+        .withColumn("_bw", F.lit(words))
+        .filter(probes)
+        .drop("_bw")
+    )
+
+    # --- exact confirm + per-doc rollup (identical to contamination_report)
+    hits = candidates.join(F.broadcast(eval_grams), "gram").groupBy(id_col).agg(
+        F.countDistinct("gram").alias("n_shared_grams"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+    train_docs = df.filter(~is_eval).select(id_col)
+    return train_docs.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+        F.col("n_shared_grams").isNotNull().alias("contaminated"),
+    )

@@ -66,3 +66,46 @@ def test_url_dedup_one_exchange_and_grouping(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_bloom_decontaminate_matches_exact_even_with_tiny_bloom(spark):
+    """With m_bits=64 nearly every probe collides (false positives
+    everywhere) — the confirm join must still produce exactly the
+    no-bloom report, proving fps only cost work, never correctness."""
+    from stellar_etl_airflow_spark.training.contamination import (
+        bloom_decontaminate,
+        contamination_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tiny = bloom_decontaminate(docs, m_bits=64, k=2)
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"], r["contaminated"])
+        for r in tiny.collect()
+    }
+    exact = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"])
+        for r in contamination_report(docs).collect()
+    }
+    assert sum(1 for v in got.values() if v[2]) == len(exact)
+    for d, (a, b) in exact.items():
+        assert got[d] == (a, b, True)
+    # clean docs appear with zero counts
+    assert all(v == (0, 0, False) for d, v in got.items() if d not in exact)
+
+
+def test_bloom_probe_is_mapside_prefilter(spark):
+    """The bloom probe must sit in a Filter BEFORE the confirm join —
+    grams die map-side without shuffling or probing the join hash table."""
+    from stellar_etl_airflow_spark.training.contamination import bloom_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bloom_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # probe expressions present, and no Exchange between the postings and
+    # the broadcast confirm join (broadcast join side only)
+    assert "xxhash64" in plan, plan
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and "xxhash64" in ln]
+    assert filter_lines, plan
+    assert "BroadcastHashJoin" in plan, plan
