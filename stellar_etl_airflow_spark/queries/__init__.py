@@ -28,24 +28,25 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 115 entries as of round 7 — t40-t45, q55-q57,
+# round (the corpus is 118 entries as of round 7 — t40-t48, q55-q57,
 # s10-s13 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 115-entry corpus, alternate-round freshness is the attainable bound —
+# 118-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 13 new-this-round entries (t40-t45, q55-q57, s10-s13)
-# compete for 50 slots, so fifteen r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-65 and
-# MUST lead _FRONT next round. Round 7 sacrifices q31_setops, q44_cube,
+# entries + 16 new-this-round entries (t40-t48, q55-q57, s10-s13)
+# compete for 50 slots, so eighteen r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-68 and
+# MUST lead _FRONT next round. Round 7 sacrifices t33_rebalance_sources,
+# t34_boilerplate_coverage, t35_stratified_sample, q31_setops, q44_cube,
 # q30_rolling_window, q33_unpivot, q32_pivot, q47_grouping_sets,
 # q34_tumbling_window, q35_exists_subqueries, q36_window_ranks,
 # q37_lateral_topk, q38_hopping_window, q39_full_outer,
 # q40_sketch_aggregates, q41_salted_join, q43_range_frames
-# (simple deterministic relational plans, unchanged since r5,
-# oracle-verified in-repo by test_oracle_parity.py every session).
+# (simple deterministic plans, unchanged since r5, oracle-verified
+# in-repo by test_oracle_parity.py every session).
 _FRONT = [
     # never driver-checked: the two r6 entries the r6 window cut off,
     # then this round's new entries (VERDICT r6 ask #2)
@@ -53,6 +54,9 @@ _FRONT = [
     "t39_duplicate_spans",
     "t40_gopher_rules",
     "t41_source_lang_mix",
+    "t46_url_dedup",
+    "t47_bloom_decontaminate",
+    "t48_ccnet_buckets",
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
     "q56_scd2_from_cdf",
@@ -102,11 +106,11 @@ _FRONT = [
     "t30_source_vocab_overlap",
     "t31_per_lang_threshold_gate",
     "t32_unigram_logprob",
+    # the eighteen sacrificed-this-round entries (positions 51-68): front
+    # these FIRST next round
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",
     "t35_stratified_sample",
-    # the fifteen sacrificed-this-round entries (positions 51-65): front
-    # these FIRST next round
     "q31_setops",
     "q44_cube",
     "q30_rolling_window",

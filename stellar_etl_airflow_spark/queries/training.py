@@ -2017,3 +2017,56 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t48 — CCNet perplexity bucketing: per-language head/middle/tail
+# terciles under the corpus's own unigram LM (the t32 scorer + one
+# deterministic percent_rank window per lang). The pr*3<1 / pr*3<2 cut
+# expression is mirrored literally so both engines take the identical
+# IEEE-double path.
+# ---------------------------------------------------------------------------
+
+
+def t48_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.ccnet_perplexity_buckets(docs)
+
+
+T48_SQL = f"""
+WITH {WORDS_CTE},
+tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS term FROM w),
+vocab AS MATERIALIZED (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS n FROM tok),
+scored AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         round(avg(-ln(vocab.tf / total.n)), 6) AS avg_neg_logprob,
+         round(exp(round(avg(-ln(vocab.tf / total.n)), 6)), 6) AS pseudo_ppl
+  FROM tok JOIN vocab USING (term) CROSS JOIN total
+  GROUP BY tok.doc_id
+),
+ranked AS (
+  SELECT s.*, d.lang,
+         percent_rank() OVER (
+           PARTITION BY d.lang ORDER BY s.avg_neg_logprob ASC, s.doc_id ASC
+         ) AS pr
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, avg_neg_logprob, pseudo_ppl,
+       CASE WHEN pr * 3 < 1 THEN 'head'
+            WHEN pr * 3 < 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked
+"""
+
+
+SPECS.update(
+    {
+        "t48_ccnet_buckets": QuerySpec(
+            t48_ccnet_buckets,
+            T48_SQL,
+            "CCNet perplexity bucketing: per-lang head/middle/tail terciles under the corpus unigram LM",
+        ),
+    }
+)

@@ -906,3 +906,54 @@ def source_lang_mix(
         F.round(F.col("_mn") / total, 6).alias("majority_share"),
         F.round(entropy, 6).alias("lang_entropy_bits"),
     )
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every
+    document under the corpus's own unigram LM (`unigram_logprob` — the
+    KenLM stand-in with the identical pipeline shape) and split each
+    language into equal head / middle / tail terciles by perplexity
+    (CCNet §4.3: the head third is kept for training, the middle
+    retained for filtering experiments, the tail dropped).
+
+    Bucketing uses ``percent_rank`` over (lang) ordered by
+    (avg_neg_logprob, doc_id) — the id tiebreak makes ranks, and hence
+    buckets, deterministic. One window exchange on ``lang``; the LM
+    scoring underneath is the two bounded shuffles of
+    `unigram_logprob`. 100 TB note: lang is a skewed key (en dominates)
+    — the threshold form of this gate (compute per-lang tercile cut
+    points as a lang-sized aggregate, broadcast, gate map-side — the
+    t31 pattern) replaces the window exchange when one language is a
+    double-digit fraction of the corpus; the window form here keeps the
+    oracle exact for ties at the cut point.
+
+    Docs with zero tokens have no perplexity and are excluded (same as
+    CCNet, which drops empty pages upstream).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col, id_col).join(
+        df.select(id_col, lang_col), id_col
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy(lang_col).orderBy(
+            F.col("avg_neg_logprob").asc(), F.col(id_col).asc()
+        )
+    )
+    bucket = (
+        F.when(pr * 3 < 1, F.lit("head"))
+        .when(pr * 3 < 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "avg_neg_logprob",
+        "pseudo_ppl",
+        bucket.alias("ppl_bucket"),
+    )

@@ -109,3 +109,26 @@ def test_bloom_probe_is_mapside_prefilter(spark):
     filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and "xxhash64" in ln]
     assert filter_lines, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    """Within each language the head/middle/tail split is ~equal thirds
+    and monotone in avg_neg_logprob (head = lowest perplexity)."""
+    from stellar_etl_airflow_spark.training.text import ccnet_perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_perplexity_buckets(docs).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r["avg_neg_logprob"], r["doc_id"]))
+        seq = [order[r["ppl_bucket"]] for r in rows]
+        assert seq == sorted(seq), f"{lang}: buckets not monotone in score"
+        n = len(rows)
+        if n >= 3:
+            for b in ("head", "middle", "tail"):
+                cnt = sum(1 for r in rows if r["ppl_bucket"] == b)
+                assert abs(cnt - n / 3) <= 1, (lang, b, cnt, n)
