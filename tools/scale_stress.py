@@ -96,6 +96,18 @@ PROBES = [
     "t42_bigram_backoff",       # pruned bigram model + backoff scoring
     "t43_bpe_vocab",            # iterative merge learning on word types
     "t44_pagerank",             # iterative rank, decimal-summed
+    # round-7b additions. t46: canonical groups are (source, doc_id%40)
+    # patterns reproduced per replica, so the GROUP COUNT is constant
+    # and group size grows Kx — map-side min/count partials keep the
+    # shuffle bounded; linear. t47: eval set (doc_id % 97) and train
+    # postings both grow Kx with zero cross-replica gram overlap (the
+    # salting invariant), bitset size fixed; linear. t48: token fold and
+    # vocab grow Kx; the percent_rank window sorts ~4 lang partitions of
+    # Kx rows each — expect a mild super-linear sort term, which is the
+    # documented reason the 100 TB form swaps to the t31 threshold gate.
+    "t46_url_dedup",            # expression canonicalize + one hash agg
+    "t47_bloom_decontaminate",  # fixed bitset map-side prune + confirm
+    "t48_ccnet_buckets",        # unigram LM + per-lang tercile window
 ]
 
 # env override: measure a subset without re-timing the whole list
