@@ -1,0 +1,117 @@
+"""Bloom-prefiltered joins: prune a huge probe side map-side with a
+fixed-size bitset built from the (small) build side, before any join.
+
+This is the engine move behind Spark's own runtime bloom-filter join
+(SPARK-32268) and the classic semi-join reduction in distributed
+databases: when `large ⋈ small` would shuffle (or broadcast-probe) far
+more rows than can match, fold `small.key` into an m-bit Bloom filter
+and evaluate k hash probes as a whole-stage-codegen Filter on `large`
+— non-matching rows die at the scan, and only candidates (matches +
+false positives) pay the join. The result is EXACT: a Bloom filter has
+no false negatives, and the confirm join removes false positives.
+
+Spark's built-in version only triggers inside its cost model; this
+operator makes the plan shape explicit, deterministic, and available
+to any key type `xxhash64` accepts.
+
+Everything stays JVM-side: the bitset is an ``array<long>`` literal in
+the plan and the probes are shiftright/element_at/pmod/xxhash64
+expressions (the Python ``F.shiftright`` wrapper refuses column-valued
+shift amounts, so probes are built with ``F.expr`` — the SQL function
+form accepts expressions).
+
+Scale accounting: the build collects DISTINCT bit positions — bounded
+by ``m_bits`` rows no matter how large the build side is (16 KiB of
+bitset at the default m=2^17). Size m at ~10 bits per distinct build
+key for ~1% false positives; past ~100 MB of bitset, ship it as a
+1-row broadcast frame instead of a literal (same probe expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BW = "_bloom_words"
+
+
+def build_bloom_words(values: DataFrame, col: str, m_bits: int, k: int) -> list[int]:
+    """Fold ``values[col]`` into an m_bits Bloom bitset, returned as
+    ``m_bits/64`` signed int64 words (the array<long> literal layout).
+
+    The aggregation dedups positions map-side (``distinct``); the
+    driver collect is bounded by ``m_bits`` rows regardless of
+    ``values``' size.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    pos_rows = (
+        values.select(
+            F.explode(
+                F.array(
+                    *[
+                        # seed literal must be BIGINT: xxhash64 folds the
+                        # input TYPE into the hash, and the probe side
+                        # hashes {i}L
+                        F.pmod(
+                            F.xxhash64(F.lit(i).cast("long"), F.col(col)),
+                            F.lit(m_bits),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe_predicate(col: str, m_bits: int, k: int, words_col: str = _BW) -> str:
+    """SQL predicate string testing ``col`` against the bitset column
+    ``words_col``: k xxhash64 probes ANDed, all in whole-stage codegen."""
+    return " AND ".join(
+        f"((shiftright(element_at({words_col}, "
+        f"cast(shiftright(pmod(xxhash64({i}L, {col}), {m_bits}L), 6) as int) + 1), "
+        f"cast(pmod(pmod(xxhash64({i}L, {col}), {m_bits}L), 64) as int)) & 1L) = 1L)"
+        for i in range(k)
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    values: DataFrame,
+    values_col: str | None = None,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` MAY appear in ``values[values_col]``
+    — a map-side superset filter (exact hits + bloom false positives,
+    never a false drop). Compose with an exact join to confirm."""
+    words = build_bloom_words(values, values_col or col, m_bits, k)
+    return (
+        df.withColumn(_BW, F.lit(words))
+        .filter(bloom_probe_predicate(col, m_bits, k))
+        .drop(_BW)
+    )
+
+
+def bloom_semi_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT ``large LEFT SEMI JOIN small ON on`` with a bloom
+    prefilter: the bitset kills non-matching rows map-side, the
+    leftsemi join confirms the survivors (removing false positives)."""
+    return bloom_prefilter(large, on, small, m_bits=m_bits, k=k).join(
+        F.broadcast(small.select(on).distinct()), on, "leftsemi"
+    )

@@ -90,6 +90,8 @@ def bloom_decontaminate(
     bitset is ~125 MB — at that point broadcast it as a joined 1-row
     frame instead of a literal; the probe expression is unchanged.
     """
+    from ..operators.bloomjoin import bloom_prefilter
+
     grams = (
         with_word_ngrams(df, text_col, n)
         .select(F.col(id_col), F.explode("grams").alias("gram"))
@@ -98,43 +100,11 @@ def bloom_decontaminate(
     is_eval = (F.col(id_col) % eval_mod) == 0
     eval_grams = grams.filter(is_eval).select(F.col(id_col).alias("eval_id"), "gram")
 
-    # --- bloom build: k xxhash64 positions per distinct eval gram,
-    # deduped map-side; the collect is bounded by m_bits rows.
-    pos_rows = (
-        eval_grams.select(
-            F.explode(
-                F.array(
-                    *[
-                        # literal seed must be BIGINT to match the probe's
-                        # {i}L — xxhash64 folds the input TYPE into the hash
-                        F.pmod(F.xxhash64(F.lit(i).cast("long"), F.col("gram")), F.lit(m_bits))
-                        for i in range(k)
-                    ]
-                )
-            ).alias("pos")
-        )
-        .distinct()
-        .collect()
-    )
-    words = [0] * (m_bits // 64)
-    for r in pos_rows:
-        p = r["pos"]
-        words[p >> 6] |= 1 << (p & 63)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]  # signed int64
-
-    # --- map-side candidate filter: k bit probes, all JVM expressions.
-    # Function-form shiftright/pmod accept column-valued shift amounts in
-    # SQL (the Python F.shiftright wrapper does not), hence F.expr.
-    probes = " AND ".join(
-        f"((shiftright(element_at(_bw, cast(shiftright(pmod(xxhash64({i}L, gram), {m_bits}L), 6) as int) + 1), "
-        f"cast(pmod(pmod(xxhash64({i}L, gram), {m_bits}L), 64) as int)) & 1L) = 1L)"
-        for i in range(k)
-    )
-    candidates = (
-        grams.filter(~is_eval)
-        .withColumn("_bw", F.lit(words))
-        .filter(probes)
-        .drop("_bw")
+    # map-side candidate filter: the shared bloom-join operator
+    # (operators/bloomjoin.py) — bitset build bounded by m_bits, k
+    # xxhash64 probes in whole-stage codegen over the corpus postings
+    candidates = bloom_prefilter(
+        grams.filter(~is_eval), "gram", eval_grams, m_bits=m_bits, k=k
     )
 
     # --- exact confirm + per-doc rollup (identical to contamination_report)

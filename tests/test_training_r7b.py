@@ -132,3 +132,35 @@ def test_ccnet_buckets_terciles_per_lang(spark):
             for b in ("head", "middle", "tail"):
                 cnt = sum(1 for r in rows if r["ppl_bucket"] == b)
                 assert abs(cnt - n / 3) <= 1, (lang, b, cnt, n)
+
+
+def test_bloom_semi_join_exact_and_mapside(spark):
+    """bloom_semi_join == exact leftsemi join, with the probe filter in
+    the plan before the confirm join."""
+    from stellar_etl_airflow_spark.operators.bloomjoin import bloom_semi_join
+
+    large = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), (F.col("id") % 500).cast("string")).alias("key"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("k3",), ("k77",), ("k499",), ("missing",)], "key string"
+    )
+    got = bloom_semi_join(large, small, "key")
+    exact = large.join(small.select("key").distinct(), "key", "leftsemi")
+    assert sorted(r["v"] for r in got.collect()) == sorted(
+        r["v"] for r in exact.collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "LeftSemi" in plan, plan
+
+
+def test_bloom_prefilter_superset_never_drops(spark):
+    """Even a saturated 64-bit bloom never drops a true match."""
+    from stellar_etl_airflow_spark.operators.bloomjoin import bloom_prefilter
+
+    large = spark.range(0, 2000).select(F.col("id").cast("string").alias("key"))
+    small = spark.range(0, 2000, 7).select(F.col("id").cast("string").alias("key"))
+    cand = set(r["key"] for r in bloom_prefilter(large, "key", small, m_bits=64, k=2).collect())
+    truth = set(str(i) for i in range(0, 2000, 7))
+    assert truth <= cand
