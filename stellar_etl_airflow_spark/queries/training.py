@@ -2070,3 +2070,52 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t49 — paragraph-level dedup report (Dolma/RefinedWeb granularity):
+# hash non-overlapping 12-word windows ("paragraphs" — the corpus has
+# no newline structure), count corpus-wide multiplicity, report per-doc
+# duplicate fraction. DuckDB twin mirrors the window slicing exactly
+# (Spark sequence(0,m) inclusive == DuckDB range(0,m+1)).
+# ---------------------------------------------------------------------------
+
+
+def t49_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.paragraph_dedup_stats(docs)
+
+
+T49_SQL = f"""
+WITH {WORDS_CTE},
+par AS MATERIALIZED (
+  SELECT doc_id, md5(ptext) AS ph, ptok FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(ws, i * 12 + 1, i * 12 + 12), ' ') AS ptext,
+           len(list_slice(ws, i * 12 + 1, i * 12 + 12))::BIGINT AS ptok
+    FROM (
+      SELECT doc_id, ws, unnest(range(0, greatest(ceil(len(ws) / 12.0)::INT - 1, 0) + 1)) AS i
+      FROM w WHERE len(ws) > 0
+    )
+  )
+),
+c AS (SELECT ph, count(*)::BIGINT AS cnt FROM par GROUP BY ph)
+SELECT doc_id,
+       count(*)::BIGINT AS n_paragraphs,
+       sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paragraphs,
+       round(sum(CASE WHEN cnt >= 2 THEN ptok ELSE 0 END)::DOUBLE / sum(ptok), 6)
+         AS dup_token_frac
+FROM par JOIN c USING (ph)
+GROUP BY doc_id
+"""
+
+
+SPECS.update(
+    {
+        "t49_paragraph_dedup": QuerySpec(
+            t49_paragraph_dedup,
+            T49_SQL,
+            "paragraph-level dedup report: corpus-wide window-hash multiplicity, per-doc dup fraction",
+        ),
+    }
+)

@@ -463,3 +463,52 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_tokens: int = 12,
+) -> DataFrame:
+    """Paragraph-level exact dedup report — the Dolma/RefinedWeb
+    within-corpus dedup granularity (finer than doc-level t01, coarser
+    than span-level t39): hash every paragraph, count corpus-wide
+    multiplicity, and report per document how much of it is duplicated
+    text. Pipelines drop docs whose duplicate fraction is high and mask
+    the duplicated paragraphs otherwise.
+
+    Paragraphs here are the chunker's (`chunk_documents`)
+    NON-overlapping word windows (stride == chunk = ``para_tokens``) —
+    the corpus has no newline structure, and a deterministic window is
+    what both engines can reproduce exactly; on real crawl text pass
+    the newline-split paragraphs instead (same downstream plan).
+
+    Scale shape: three map-side-combined hash shuffles — paragraph-hash
+    counts, the count join back onto postings (AQE picks the strategy;
+    both sides are corpus-sized, co-partitioned on ph), and the per-doc
+    rollup. The production approximation for 100 TB (Dolma uses exactly
+    this) replaces the count join with a Bloom filter of
+    already-seen paragraph hashes (`operators/bloomjoin.py`) at the
+    cost of false-positive marks; the exact form here is the oracle.
+
+    Output per document (docs with zero tokens drop out):
+    ``doc_id, n_paragraphs, n_dup_paragraphs, dup_token_frac``.
+    """
+    from .text import chunk_documents
+
+    paras = chunk_documents(df, para_tokens, para_tokens, text_col, id_col)
+    h = paras.select(
+        "doc_id", F.md5("chunk_text").alias("ph"), F.col("n_tokens").cast("long").alias("ptok")
+    )
+    counts = h.groupBy("ph").agg(F.count(F.lit(1)).alias("cnt"))
+    j = h.join(counts, "ph")
+    dup = F.col("cnt") >= 2
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_paragraphs"),
+        F.round(
+            F.sum(F.when(dup, F.col("ptok")).otherwise(0))
+            / F.sum("ptok").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+    )

@@ -95,20 +95,26 @@ def test_bloom_decontaminate_matches_exact_even_with_tiny_bloom(spark):
 
 
 def test_bloom_probe_is_mapside_prefilter(spark):
-    """The bloom probe must sit in a Filter BEFORE the confirm join —
-    grams die map-side without shuffling or probing the join hash table."""
+    """The bloom probe must evaluate map-side BEFORE the confirm join:
+    the bitset rides a 1-row broadcast cross join (a literal array would
+    cost a 12k-node expression tree — measured 4x slower) and the probe
+    predicate is that join's condition, so grams die streaming-side
+    without shuffling or probing the confirm hash table."""
     from stellar_etl_airflow_spark.training.contamination import bloom_decontaminate
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = (
         bloom_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    # probe expressions present, and no Exchange between the postings and
-    # the broadcast confirm join (broadcast join side only)
-    assert "xxhash64" in plan, plan
-    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln and "xxhash64" in ln]
-    assert filter_lines, plan
-    assert "BroadcastHashJoin" in plan, plan
+    lines = plan.splitlines()
+    probe = [i for i, ln in enumerate(lines)
+             if "BroadcastNestedLoopJoin" in ln and "Cross" in ln and "xxhash64" in ln]
+    confirm = [i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln]
+    assert probe and confirm, plan
+    # the probe is BELOW the confirm join in the tree (runs first)
+    assert probe[0] > confirm[0], plan
+    # and no exchange between probe and confirm (map-side chain)
+    assert not any("Exchange" in lines[i] for i in range(confirm[0], probe[0])), plan
 
 
 def test_ccnet_buckets_terciles_per_lang(spark):
@@ -164,3 +170,24 @@ def test_bloom_prefilter_superset_never_drops(spark):
     cand = set(r["key"] for r in bloom_prefilter(large, "key", small, m_bits=64, k=2).collect())
     truth = set(str(i) for i in range(0, 2000, 7))
     assert truth <= cand
+
+
+def test_paragraph_dedup_flags_injected_duplicates(spark):
+    """Two docs sharing an identical 12-word window are both flagged;
+    a unique doc reports zero duplicate fraction."""
+    from stellar_etl_airflow_spark.training.dedup import paragraph_dedup_stats
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(12))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(12))),
+            (3, " ".join(f"c{i}" for i in range(24))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup_stats(df).collect()}
+    assert got[1]["n_paragraphs"] == 2 and got[1]["n_dup_paragraphs"] == 1
+    assert got[1]["dup_token_frac"] == 0.5
+    assert got[2]["n_dup_paragraphs"] == 1
+    assert got[3]["n_dup_paragraphs"] == 0 and got[3]["dup_token_frac"] == 0.0
