@@ -108,6 +108,10 @@ PROBES = [
     "t46_url_dedup",            # expression canonicalize + one hash agg
     "t47_bloom_decontaminate",  # fixed bitset map-side prune + confirm
     "t48_ccnet_buckets",        # unigram LM + per-lang tercile window
+    # t49: every 12-word paragraph window crosses a salted word, so
+    # paragraph hashes are cross-replica disjoint — counts table and
+    # postings both grow Kx; linear.
+    "t49_paragraph_dedup",      # window-hash counts + per-doc rollup
 ]
 
 # env override: measure a subset without re-timing the whole list
