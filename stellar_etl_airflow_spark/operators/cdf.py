@@ -82,6 +82,16 @@ def read_changes(
 
     old_df = _read_files(spark, m_old, old_only)
     new_df = _read_files(spark, m_new, new_only)
+    # column mapping: physical names never change (rename/drop are
+    # metadata-only), so BOTH versions' files share physical names and
+    # the diff is emitted under the TO version's logical schema — a
+    # column renamed inside the range appears under its new name, a
+    # column dropped inside the range disappears (Delta CDF's behavior
+    # for columnMapping tables)
+    if old_df is not None:
+        old_df = S.to_logical(old_df, m_new)
+    if new_df is not None:
+        new_df = S.to_logical(new_df, m_new)
     if old_df is None and new_df is None:  # no churn in the range
         empty = S.read_snapshot(spark, path, to_version).limit(0)
         if BUCKET_COL in empty.columns:  # internal layout col, like the churn path

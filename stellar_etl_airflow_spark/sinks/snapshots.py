@@ -324,9 +324,21 @@ def _publish(
     stats: dict | None = None,
     bloom_cols=None,
     blooms: dict | None = None,
+    renames: dict | None = None,
+    dropped_cols=None,
+    reset_mapping: bool = False,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
+    # column mapping (rename/drop without rewrite, see rename_column):
+    # INHERITED from the previous manifest by default so append-style
+    # publishers (merge, the Data Source writer) can't silently lose it;
+    # a full overwrite passes reset_mapping=True (its frame defines a
+    # fresh logical schema), clone/restore/DDL pass explicit values.
+    if not reset_mapping and renames is None and dropped_cols is None and version > 1:
+        prev_m = read_manifest(path)
+        renames = prev_m.get("renames") or None
+        dropped_cols = prev_m.get("dropped_cols") or None
     # file-level column stats (Iceberg's manifest-stats idea): when
     # ``stats_cols`` is set, every listed file carries {col: [min, max]}
     # so readers can prune files from the MANIFEST alone — no footer
@@ -369,6 +381,12 @@ def _publish(
         # compute_blooms (needs a SparkSession), carried verbatim here
         "blooms": {f: b for f, b in (blooms or {}).items() if f in set(files)},
         "bloom_cols": list(bloom_cols or []),
+        # column mapping (Delta/Iceberg rename-and-drop-without-rewrite):
+        # {physical_name_in_files: current_logical_name} for renamed
+        # columns, plus physical names logically dropped. Metadata-only —
+        # files are never rewritten for a rename/drop; readers project.
+        "renames": dict(renames or {}),
+        "dropped_cols": list(dropped_cols or []),
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -435,25 +453,190 @@ def overwrite_versioned(
     # library layer so every publish path (Data Source writer included)
     # inherits it.
     prev_txns = (read_manifest(path).get("txns") or None) if latest_version(path) else None
+    # a full overwrite defines a fresh logical schema: the incoming
+    # frame's names ARE the new physical names, so any prior column
+    # mapping is retired with the prior version (still time-travelable)
     return _publish(
         path, files, txns=prev_txns,
         stats_cols=stats_cols, bloom_cols=bloom_cols, blooms=blooms,
+        reset_mapping=True,
+    )
+
+
+def _read_physical(spark: SparkSession, m: dict, files=None) -> DataFrame:
+    """Raw frame over a manifest's files (or a subset) with the
+    manifest's reader options — columns carry their PHYSICAL names."""
+    reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
+    if m.get("base"):
+        reader = reader.option("basePath", m["base"])
+    return reader.parquet(*(m["files"] if files is None else files))
+
+
+def mapping_of(m: dict) -> tuple[dict, set]:
+    """A manifest's column mapping as ``({physical: logical}, {dropped
+    physical})`` — both empty for tables that never renamed/dropped."""
+    return dict(m.get("renames") or {}), set(m.get("dropped_cols") or [])
+
+
+def logical_to_physical(m: dict, name: str) -> str:
+    """Resolve a LOGICAL column reference to the physical name stored in
+    this version's files (identity for unmapped columns). Referencing a
+    dropped column raises — it does not exist logically."""
+    renames, dropped = mapping_of(m)
+    for phys, log in renames.items():
+        if log == name:
+            return phys
+    if name in dropped:
+        raise ValueError(f"column {name!r} was dropped in version {m.get('version')}")
+    return name
+
+
+def to_logical(df: DataFrame, m: dict) -> DataFrame:
+    """Project a physical frame to the manifest's LOGICAL schema: renamed
+    columns aliased, dropped columns removed. No-op (plan-identical) for
+    identity mappings."""
+    renames, dropped = mapping_of(m)
+    if not renames and not dropped:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames.get(c, c))
+            for c in df.columns
+            if c not in dropped
+        ]
+    )
+
+
+def to_physical(df: DataFrame, m: dict) -> DataFrame:
+    """Inverse of :func:`to_logical` for WRITE paths: alias logical
+    column names back to the physical names files use. Columns outside
+    the mapping pass through (dropped physical columns riding along a
+    rewrite keep their physical names)."""
+    renames, _dropped = mapping_of(m)
+    if not renames:
+        return df
+    inv = {log: phys for phys, log in renames.items()}
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+
+def translate_where(m: dict, where) -> list:
+    """Predicate list with LOGICAL column references resolved to
+    physical names (prune_files stats/blooms are keyed physically)."""
+    return [(logical_to_physical(m, col), op, v) for col, op, v in where]
+
+
+def _mapping_guard(path: str) -> None:
+    from ..operators.merge import BUCKET_COL, load_table_props
+
+    bucketed = load_table_props(path) is not None or any(
+        f"{BUCKET_COL}=" in f for f in read_manifest(path)["files"]
+    )
+    if bucketed:
+        raise NotImplementedError(
+            "rename/drop column is not supported on bucketed merge tables: "
+            "the merge write path appends files with the frame's own column "
+            "names, which would fork the physical schema. Compact-rewrite "
+            "the table to a plain snapshot table first."
+        )
+
+
+def _logical_columns(path: str, m: dict) -> list[str]:
+    """Current LOGICAL column names of a version, derived from one data
+    file's parquet footer plus the mapping (no Spark session needed)."""
+    import pyarrow.parquet as pq
+
+    if not m["files"]:
+        raise ValueError("cannot resolve columns of an empty table version")
+    renames, dropped = mapping_of(m)
+    phys = list(pq.read_schema(m["files"][0]).names)
+    if m.get("mixed_schema"):
+        seen = set(phys)
+        for f in m["files"][1:]:
+            for c in pq.read_schema(f).names:
+                if c not in seen:
+                    seen.add(c)
+                    phys.append(c)
+    return [renames.get(c, c) for c in phys if c not in dropped]
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Delta's ``ALTER TABLE ... RENAME COLUMN`` (columnMapping mode):
+    METADATA-ONLY — publishes the next version with an updated
+    physical->logical mapping; zero files touched, so the cost is one
+    manifest write regardless of table size. Old versions keep their
+    old names (time travel reads each version under its own mapping).
+
+    ``new`` must not collide with any current logical name NOR any
+    physical name alive in the files (a later rewrite carries physical
+    columns; a collision would fuse two columns)."""
+    _mapping_guard(path)
+    m = read_manifest(path)
+    logical = _logical_columns(path, m)
+    if old not in logical:
+        raise ValueError(f"rename_column: no column {old!r} (have {logical})")
+    renames, dropped = mapping_of(m)
+    import pyarrow.parquet as pq
+
+    physical_live = set()
+    for f in m["files"][: None if m.get("mixed_schema") else 1]:
+        physical_live.update(pq.read_schema(f).names)
+    phys = logical_to_physical(m, old)
+    # renaming a column BACK to its own physical name is always legal
+    # (it clears the mapping entry); any other collision with a logical
+    # name, a live physical name, or a dropped column would fuse columns
+    if new != phys and (new in logical or new in physical_live or new in dropped):
+        raise ValueError(f"rename_column: name {new!r} already in use")
+    if new == phys:
+        renames.pop(phys, None)  # renamed back to its physical name
+    else:
+        renames[phys] = new
+    return _publish(
+        path, list(m["files"]), base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
+        stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
+        renames=renames, dropped_cols=sorted(dropped),
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """Delta's ``ALTER TABLE ... DROP COLUMN`` (columnMapping mode):
+    METADATA-ONLY — the column disappears from every logical read of the
+    new version while its bytes stay in the files (reclaimed when a
+    rewrite — compaction, DML — next touches them). Time travel still
+    reads it in older versions."""
+    _mapping_guard(path)
+    m = read_manifest(path)
+    logical = _logical_columns(path, m)
+    if name not in logical:
+        raise ValueError(f"drop_column: no column {name!r} (have {logical})")
+    if len(logical) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    renames, dropped = mapping_of(m)
+    phys = logical_to_physical(m, name)
+    renames.pop(phys, None)
+    dropped.add(phys)
+    return _publish(
+        path, list(m["files"]), base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
+        stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
+        renames=renames, dropped_cols=sorted(dropped),
     )
 
 
 def read_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """DataFrame over one table version (default: latest). Empty versions
-    read as an empty frame only when the table has a readable schema."""
+    """DataFrame over one table version (default: latest), under that
+    version's LOGICAL schema (column mapping applied — see
+    :func:`rename_column`). Empty versions read as an empty frame only
+    when the table has a readable schema."""
     m = read_manifest(path, version)
     # mergeSchema only when the manifest says this version mixes file
     # schemas (schema-evolving merges keep untouched buckets' old-schema
     # files): the union schema reads old files' missing columns as NULL —
     # the additive-evolution contract. Unevolved tables skip the
     # footer-merge job entirely.
-    reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
-    if m.get("base"):
-        reader = reader.option("basePath", m["base"])
-    return reader.parquet(*m["files"])
+    return to_logical(_read_physical(spark, m), m)
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
@@ -521,20 +704,15 @@ def scan_snapshot(
     the stats dict is kilobytes per manifest; sharding manifests (the
     Iceberg manifest-list layer) is the seam when file counts reach
     millions."""
-    where = list(where)
     m = read_manifest(path, version)
+    # predicates arrive in LOGICAL names; stats/blooms are keyed by the
+    # files' physical names — translate once for pruning AND filtering
+    where = translate_where(m, list(where))
     files = prune_files(m, where)
     if files:
-        reader = spark.read.option(
-            "mergeSchema", "true" if m.get("mixed_schema") else "false"
-        )
-        if m.get("base"):
-            reader = reader.option("basePath", m["base"])
-        df = reader.parquet(*files)
+        df = _read_physical(spark, m, files)
     else:  # nothing can match: empty frame with the version's schema
-        df = read_snapshot(spark, path, version).limit(0)
-    from pyspark.sql import functions as F
-
+        df = _read_physical(spark, m).limit(0)
     for col, op, v in where:
         c = F.col(col)
         df = df.filter(
@@ -542,7 +720,7 @@ def scan_snapshot(
             if op == "in"
             else {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
         )
-    return df
+    return to_logical(df, m)
 
 
 def as_of(path: str, ts: float) -> int:
@@ -646,6 +824,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         stats_cols=m.get("stats_cols"),
         blooms=m.get("blooms"),  # same files, same blooms
         bloom_cols=m.get("bloom_cols"),
+        renames=m.get("renames") or None,  # the clone sees the same logical schema
+        dropped_cols=m.get("dropped_cols") or None,
     )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):
@@ -902,6 +1082,16 @@ def compact_snapshot(
     props = load_table_props(path) or {}
     stats_cols = props.get("stats_cols") or (m.get("stats_cols") or None)
     bloom_cols = props.get("bloom_cols") or (m.get("bloom_cols") or None)
+    # compaction reads the LOGICAL view and rewrites every file, so any
+    # column mapping is MATERIALIZED here (renames become the files'
+    # physical names, dropped columns' bytes are reclaimed) and the new
+    # manifest resets to an identity mapping — Delta's "column mapping
+    # removal" rewrite. Stats/bloom column pins follow the rename.
+    renames, dropped = mapping_of(m)
+    if stats_cols:
+        stats_cols = [renames.get(c, c) for c in stats_cols if c not in dropped] or None
+    if bloom_cols:
+        bloom_cols = [renames.get(c, c) for c in bloom_cols if c not in dropped] or None
     blooms = compute_blooms(spark, new_files, bloom_cols) if bloom_cols else None
     return _publish(
         path,
@@ -912,6 +1102,7 @@ def compact_snapshot(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         blooms=blooms,
+        reset_mapping=True,
     )
 
 
@@ -935,6 +1126,11 @@ def restore(path: str, version: int) -> int:
         stats=target.get("stats") or None,
         bloom_cols=target.get("bloom_cols") or None,
         blooms=target.get("blooms") or None,
+        # the restored version's mapping comes back with it — RESTORE
+        # rolls back renames/drops exactly like data
+        renames=target.get("renames") or None,
+        dropped_cols=target.get("dropped_cols") or None,
+        reset_mapping=not (target.get("renames") or target.get("dropped_cols")),
     )
 
 
@@ -954,15 +1150,17 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
     those, carry every other file untouched into the next version.
     Returns (new_version, files_rewritten)."""
     m = read_manifest(path)
-    candidates = set(prune_files(m, where))
+    # prune with PHYSICAL names (stats keyed physically); present the
+    # transform with the LOGICAL view (rename-only — dropped physical
+    # columns are reclaimed here: a rewrite is the moment their bytes go)
+    pwhere = translate_where(m, where)
+    candidates = set(prune_files(m, pwhere))
     keep = [f for f in m["files"] if f not in candidates]
     if not candidates:
         return int(m["version"]), 0  # nothing can match: metadata-only no-op
 
-    reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
-    if m.get("base"):
-        reader = reader.option("basePath", m["base"])
-    rewritten = transform(reader.parquet(*sorted(candidates)), _where_cond(where))
+    logical = to_logical(_read_physical(spark, m, sorted(candidates)), m)
+    rewritten = to_physical(transform(logical, _where_cond(where)), m)
 
     stage = os.path.join(path, f"_stage-dml-{uuid.uuid4().hex[:8]}")
     try:

@@ -108,6 +108,20 @@ def _unified_arrow_schema(files: list[str]):
 
 
 
+def _logical_arrow_schema(schema, m):
+    """Apply a manifest's column mapping (snapshots.rename_column /
+    drop_column) to a PHYSICAL arrow schema: dropped fields removed,
+    renamed fields re-labelled. Identity mappings return the input."""
+    import pyarrow as pa
+
+    renames, dropped = S.mapping_of(m)
+    if not renames and not dropped:
+        return schema
+    return pa.schema(
+        [f.with_name(renames.get(f.name, f.name)) for f in schema if f.name not in dropped]
+    )
+
+
 def _epoch(ts: str) -> float:
     """Epoch seconds from an option string: raw float, or an ISO
     date/datetime (interpreted as UTC when zoneless)."""
@@ -148,8 +162,19 @@ class _SnapshotReader(DataSourceReader):
         # version (truncate) carries no parquet schema of its own, so the
         # planner's schema — the user's explicit .schema(...) — is the
         # source of truth there (and the only way to read such a version).
+        renames, dropped = S.mapping_of(self._manifest)
+        self._l2p = {log: phys for phys, log in renames.items()}
         if self._manifest["files"]:
-            self._schema_arrow = _unified_arrow_schema(self._manifest["files"])
+            import pyarrow as pa
+
+            phys = _unified_arrow_schema(self._manifest["files"])
+            # align target: physical names minus dropped columns (their
+            # bytes are never materialized); batches then re-label to
+            # the version's logical names
+            self._schema_arrow = pa.schema([f for f in phys if f.name not in dropped])
+            self._logical_names = [
+                renames.get(f.name, f.name) for f in self._schema_arrow
+            ]
         else:
             from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -159,6 +184,7 @@ class _SnapshotReader(DataSourceReader):
                     "read an earlier version or supply .schema(...) explicitly"
                 )
             self._schema_arrow = to_arrow_schema(schema)
+            self._logical_names = list(self._schema_arrow.names)
 
     def pushFilters(self, filters):
         for f in filters:
@@ -168,7 +194,9 @@ class _SnapshotReader(DataSourceReader):
                 v = list(f.value) if t is In else f.value
                 vals = v if isinstance(v, list) else [v]
                 if all(isinstance(x, _SAFE_TYPES) for x in vals):
-                    self._where.append((f.attribute[0], op, v))
+                    # filters arrive under LOGICAL names; files and
+                    # manifest stats are keyed physically
+                    self._where.append((self._l2p.get(f.attribute[0], f.attribute[0]), op, v))
             # partial pushdown: the source only skips FILES/row groups,
             # so every filter is returned for Spark to re-evaluate
             yield f
@@ -194,6 +222,8 @@ class _SnapshotReader(DataSourceReader):
             except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
                 tbl = pq.read_table(f)  # incomparable filter types: read all
             tbl = _align(tbl, self._schema_arrow)
+            if list(tbl.column_names) != self._logical_names:
+                tbl = tbl.rename_columns(self._logical_names)
             yield from tbl.to_batches()
 
 
@@ -286,6 +316,17 @@ class _SnapshotWriter(DataSourceArrowWriter):
         # couples it to shuffle partitioning
         mrpf = options.get("maxrecordsperfile")
         self._max_rows = int(mrpf) if mrpf else None
+        # column mapping (snapshots.rename_column): APPENDED files must
+        # carry the table's PHYSICAL names — incoming frames use logical
+        # names, so tasks rename batches before writing (resolved once
+        # driver-side here, pickled to tasks). An overwrite defines a
+        # fresh schema and ignores the prior mapping (reset on publish).
+        self._l2p: dict[str, str] = {}
+        if not overwrite and S.latest_version(self._path):
+            renames, _dropped = S.mapping_of(S.read_manifest(self._path))
+            self._l2p = {log: phys for phys, log in renames.items()}
+            self._stats_cols = [self._l2p.get(c, c) for c in self._stats_cols]
+            self._bloom_cols = [self._l2p.get(c, c) for c in self._bloom_cols]
 
     def write(self, iterator):
         import pyarrow.parquet as pq
@@ -330,9 +371,17 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 yield batch.slice(off, take)
                 off += take
 
+        def physical(batch):
+            if not self._l2p:
+                return batch
+            import pyarrow as pa
+
+            names = [self._l2p.get(n, n) for n in batch.schema.names]
+            return pa.RecordBatch.from_arrays(list(batch.columns), names=names)
+
         try:
             for whole in iterator:
-                for batch in chunks(whole):
+                for batch in chunks(physical(whole)):
                     if writer is None:
                         fpath = os.path.join(self._path, f"part-{uuid.uuid4().hex}.parquet")
                         writer = pq.ParquetWriter(fpath, batch.schema)
@@ -418,6 +467,9 @@ class _SnapshotWriter(DataSourceArrowWriter):
             stats=stats,
             bloom_cols=bloom_cols,
             blooms=blooms,
+            # append: default-inherit carries the column mapping; a full
+            # overwrite retires it (the frame defines a fresh schema)
+            reset_mapping=bool(self._overwrite),
         )
 
     def abort(self, messages) -> None:
@@ -501,7 +553,9 @@ class SnapshotSource(DataSource):
         if ts is not None and v is None:
             v = S.as_of(self.options["path"], _epoch(ts))
         m = S.read_manifest(self.options["path"], int(v) if v is not None else None)
-        return from_arrow_schema(_unified_arrow_schema(list(m["files"])))
+        return from_arrow_schema(
+            _logical_arrow_schema(_unified_arrow_schema(list(m["files"])), m)
+        )
 
     def reader(self, schema: StructType) -> _SnapshotReader:
         opts = {k.lower(): v for k, v in self.options.items()}
@@ -563,7 +617,20 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self._path = options["path"]
         self._ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
         self._files_per_task = int(options.get("filespertask", 1) or 1)
-        self._schema_arrow = to_arrow_schema(schema)
+        # the planner's schema is LOGICAL; files carry physical names.
+        # The column mapping is PINNED AT STREAM START (a rename
+        # mid-stream needs a restart, like Delta's columnMapping streams)
+        import pyarrow as pa
+
+        logical = to_arrow_schema(schema)
+        renames = (
+            (S.read_manifest(self._path).get("renames") or {})
+            if S.latest_version(self._path)
+            else {}
+        )
+        inv = {log: phys for phys, log in renames.items()}
+        self._schema_arrow = pa.schema([f.with_name(inv.get(f.name, f.name)) for f in logical])
+        self._logical_names = list(logical.names)
         start = options.get("startingversion")
         start_ts = options.get("startingtimestamp")
         if start is not None and start_ts is not None:
@@ -606,7 +673,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for f in partition.files:
-            yield from _align(pq.read_table(f), self._schema_arrow).to_batches()
+            tbl = _align(pq.read_table(f), self._schema_arrow)
+            if list(tbl.column_names) != self._logical_names:
+                tbl = tbl.rename_columns(self._logical_names)
+            yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; manifests are immutable
