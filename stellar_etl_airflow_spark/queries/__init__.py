@@ -28,18 +28,19 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 119 entries as of round 7 — t40-t49, q55-q57,
+# round (the corpus is 120 entries as of round 7 — t40-t49, q55-q58,
 # s10-s13 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 119-entry corpus, alternate-round freshness is the attainable bound —
+# 120-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 17 new-this-round entries (t40-t49, q55-q57, s10-s13)
-# compete for 50 slots, so nineteen r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-69 and
-# MUST lead _FRONT next round. Round 7 sacrifices t32_unigram_logprob,
+# entries + 18 new-this-round entries (t40-t49, q55-q58, s10-s13)
+# compete for 50 slots, so twenty r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-70 and
+# MUST lead _FRONT next round. Round 7 sacrifices t31_per_lang_threshold_gate,
+# t32_unigram_logprob,
 # t33_rebalance_sources, t34_boilerplate_coverage, t35_stratified_sample,
 # q31_setops, q44_cube,
 # q30_rolling_window, q33_unpivot, q32_pivot, q47_grouping_sets,
@@ -59,6 +60,7 @@ _FRONT = [
     "t47_bloom_decontaminate",
     "t48_ccnet_buckets",
     "t49_paragraph_dedup",
+    "q58_column_mapping",
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
     "q56_scd2_from_cdf",
@@ -106,9 +108,9 @@ _FRONT = [
     "t28_contamination_report",
     "t29_per_lang_quality_filter",
     "t30_source_vocab_overlap",
-    "t31_per_lang_threshold_gate",
-    # the nineteen sacrificed-this-round entries (positions 51-69): front
+    # the twenty sacrificed-this-round entries (positions 51-70): front
     # these FIRST next round
+    "t31_per_lang_threshold_gate",
     "t32_unigram_logprob",
     "t33_rebalance_sources",
     "t34_boilerplate_coverage",

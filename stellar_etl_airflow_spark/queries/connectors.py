@@ -501,11 +501,80 @@ FROM events WHERE event_id % 7 = 0 AND user_id % 2 = 1
 """
 
 
+def q58_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (RENAME/DROP COLUMN without rewrite) end to end on
+    a scratch versioned table built from ``part``:
+
+    v1 overwrite (range layout + [min,max] stats on p_partkey) ->
+    v2 RENAME p_retailprice->price -> v3 DROP p_brand -> v4 UPDATE WHERE
+    under the LOGICAL name -> pruned scan under the LOGICAL predicate.
+
+    In-entry assertions make the contract externally falsifiable:
+    v1->v3 must share an identical file list (the DDL is metadata-only),
+    the v1 time-travel read must still see the ORIGINAL names, and the
+    final scan must prune files from the physically-keyed stats. The
+    returned frame is the current logical state, which the oracle
+    restates directly over the source parquet.
+    """
+    from ..sinks import snapshots as S
+
+    (part,) = tables(spark, sf_dir, "part")
+    path = os.path.join(tempfile.gettempdir(), f"q58-part-{uuid.uuid4().hex[:8]}")
+    try:
+        S.overwrite_versioned(
+            spark,
+            part.select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+            .repartitionByRange(8, "p_partkey"),
+            path,
+            stats_cols=["p_partkey"],
+        )
+        S.rename_column(path, "p_retailprice", "price")
+        S.drop_column(path, "p_brand")
+        m3 = S.read_manifest(path)
+        if sorted(m3["files"]) != sorted(S.read_manifest(path, 1)["files"]):
+            raise AssertionError("rename/drop rewrote data files (must be metadata-only)")
+        old = S.read_snapshot(spark, path, 1)
+        if "p_retailprice" not in old.columns or "price" in old.columns:
+            raise AssertionError("time travel must read v1 under its original names")
+        S.update_where(spark, path, [("p_partkey", "<", 100)], {"price": "price * 2"})
+        # SF-relative scan threshold (40% of the key range) so the
+        # pruning assertion holds at every test scale; the oracle
+        # computes the identical integer
+        thr = (part.agg(F.max("p_partkey")).collect()[0][0] * 2) // 5
+        m = S.read_manifest(path)
+        pruned = S.prune_files(m, S.translate_where(m, [("p_partkey", "<=", thr)]))
+        if len(pruned) >= len(m["files"]):
+            raise AssertionError(
+                f"stats pruning under the logical name pruned nothing: "
+                f"{len(pruned)}/{len(m['files'])}"
+            )
+        sel = S.scan_snapshot(spark, path, [("p_partkey", "<=", thr)]).select(
+            "p_partkey", "p_name", "price", "p_size"
+        )
+        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q58_SQL = """
+SELECT p_partkey, p_name,
+       CASE WHEN p_partkey < 100 THEN p_retailprice * 2 ELSE p_retailprice END AS price,
+       p_size
+FROM part WHERE p_partkey <= (SELECT (max(p_partkey) * 2) // 5 FROM part)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
         Q55_SQL,
         "batch snapshot Data Source: Catalyst pushFilters -> manifest file pruning, exact results",
+    ),
+    "q58_column_mapping": QuerySpec(
+        q58_column_mapping,
+        Q58_SQL,
+        "RENAME/DROP COLUMN without rewrite: metadata-only DDL, logical DML + pruned scan, time travel",
     ),
     "s10_cdf_net_changes": QuerySpec(
         s10_cdf_net_changes,
