@@ -327,18 +327,24 @@ def _publish(
     renames: dict | None = None,
     dropped_cols=None,
     reset_mapping: bool = False,
+    constraints: dict | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
-    # column mapping (rename/drop without rewrite, see rename_column):
-    # INHERITED from the previous manifest by default so append-style
-    # publishers (merge, the Data Source writer) can't silently lose it;
-    # a full overwrite passes reset_mapping=True (its frame defines a
-    # fresh logical schema), clone/restore/DDL pass explicit values.
-    if not reset_mapping and renames is None and dropped_cols is None and version > 1:
+    # column mapping (rename/drop without rewrite, see rename_column) and
+    # CHECK constraints: INHERITED from the previous manifest by default
+    # so append-style publishers (merge, the Data Source writer) can't
+    # silently lose them; a full overwrite passes reset_mapping=True
+    # (its frame defines a fresh logical schema — constraints, which are
+    # written against logical names, reset with it), clone/restore/DDL
+    # pass explicit values.
+    if version > 1 and not reset_mapping:
         prev_m = read_manifest(path)
-        renames = prev_m.get("renames") or None
-        dropped_cols = prev_m.get("dropped_cols") or None
+        if renames is None and dropped_cols is None:
+            renames = prev_m.get("renames") or None
+            dropped_cols = prev_m.get("dropped_cols") or None
+        if constraints is None:
+            constraints = prev_m.get("constraints") or None
     # file-level column stats (Iceberg's manifest-stats idea): when
     # ``stats_cols`` is set, every listed file carries {col: [min, max]}
     # so readers can prune files from the MANIFEST alone — no footer
@@ -387,6 +393,10 @@ def _publish(
         # files are never rewritten for a rename/drop; readers project.
         "renames": dict(renames or {}),
         "dropped_cols": list(dropped_cols or []),
+        # CHECK constraints {name: sql_expr over LOGICAL names} enforced
+        # on every library write surface (Delta ADD CONSTRAINT parity);
+        # carried forward exactly like the mapping
+        "constraints": dict(constraints or {}),
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -439,6 +449,13 @@ def overwrite_versioned(
     ``bloom_cols``: additionally record a per-file bloom filter for these
     columns (string/integral/boolean), pruning EQUALITY probes that
     [min, max] can't — hash-like high-cardinality keys."""
+    prev_constraints = (
+        (read_manifest(path).get("constraints") or None)
+        if latest_version(path)
+        else None
+    )
+    if prev_constraints:
+        check_constraints(df, prev_constraints)
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
     try:
@@ -455,11 +472,14 @@ def overwrite_versioned(
     prev_txns = (read_manifest(path).get("txns") or None) if latest_version(path) else None
     # a full overwrite defines a fresh logical schema: the incoming
     # frame's names ARE the new physical names, so any prior column
-    # mapping is retired with the prior version (still time-travelable)
+    # mapping is retired with the prior version (still time-travelable).
+    # CHECK constraints, written against logical names, SURVIVE the
+    # overwrite (Delta semantics) — enforced above, carried explicitly
+    # through the mapping reset.
     return _publish(
         path, files, txns=prev_txns,
         stats_cols=stats_cols, bloom_cols=bloom_cols, blooms=blooms,
-        reset_mapping=True,
+        reset_mapping=True, constraints=prev_constraints,
     )
 
 
@@ -622,6 +642,75 @@ def drop_column(path: str, name: str) -> int:
         stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
         bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
         renames=renames, dropped_cols=sorted(dropped),
+    )
+
+
+class ConstraintViolation(ValueError):
+    """A write would publish rows that violate a CHECK constraint."""
+
+
+def check_constraints(df: DataFrame, constraints: dict) -> None:
+    """Raise :class:`ConstraintViolation` if any constraint evaluates to
+    FALSE on any row of ``df`` (SQL-standard CHECK: NULL passes). ONE
+    aggregation pass over the frame regardless of constraint count —
+    each constraint is a map-side conditional sum."""
+    if not constraints:
+        return
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in constraints.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(row[n]) for n in constraints if row[n]}
+    if bad:
+        raise ConstraintViolation(
+            f"CHECK constraint(s) violated: "
+            + ", ".join(f"{n} ({c} rows, expr: {constraints[n]!r})" for n, c in bad.items())
+        )
+
+
+def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """Delta's ``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``:
+    validates the CURRENT version satisfies ``expr`` (one aggregate
+    scan), then publishes a metadata-only next version carrying it.
+    ``expr`` is a SQL boolean over LOGICAL column names; NULL passes
+    (SQL-standard CHECK). Enforced on every library write surface
+    (overwrite_versioned, update_where); the Data Source writer and the
+    bucketed merge path are documented seams — validate upstream there.
+    """
+    m = read_manifest(path)
+    constraints = dict(m.get("constraints") or {})
+    if name in constraints:
+        raise ValueError(f"constraint {name!r} already exists: {constraints[name]!r}")
+    check_constraints(read_snapshot(spark, path), {name: expr})
+    constraints[name] = expr
+    return _publish(
+        path, list(m["files"]), base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
+        stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
+        renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
+        constraints=constraints,
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Metadata-only removal of a CHECK constraint."""
+    m = read_manifest(path)
+    constraints = dict(m.get("constraints") or {})
+    if name not in constraints:
+        raise ValueError(f"no constraint {name!r} (have {sorted(constraints)})")
+    del constraints[name]
+    return _publish(
+        path, list(m["files"]), base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
+        stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
+        renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
+        constraints=constraints,
     )
 
 
@@ -826,6 +915,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         bloom_cols=m.get("bloom_cols"),
         renames=m.get("renames") or None,  # the clone sees the same logical schema
         dropped_cols=m.get("dropped_cols") or None,
+        constraints=m.get("constraints") or None,
     )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):
@@ -1103,6 +1193,9 @@ def compact_snapshot(
         bloom_cols=bloom_cols,
         blooms=blooms,
         reset_mapping=True,
+        # compaction preserves the logical schema, so CHECK constraints
+        # (logical-name exprs) carry through the mapping materialization
+        constraints=m.get("constraints") or None,
     )
 
 
@@ -1131,6 +1224,7 @@ def restore(path: str, version: int) -> int:
         renames=target.get("renames") or None,
         dropped_cols=target.get("dropped_cols") or None,
         reset_mapping=not (target.get("renames") or target.get("dropped_cols")),
+        constraints=dict(target.get("constraints") or {}),
     )
 
 
@@ -1160,7 +1254,12 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
         return int(m["version"]), 0  # nothing can match: metadata-only no-op
 
     logical = to_logical(_read_physical(spark, m, sorted(candidates)), m)
-    rewritten = to_physical(transform(logical, _where_cond(where)), m)
+    out = transform(logical, _where_cond(where))
+    # CHECK constraints guard the only rows a DML can change — the
+    # rewritten candidates (carried files were valid when published)
+    if m.get("constraints"):
+        check_constraints(out, m["constraints"])
+    rewritten = to_physical(out, m)
 
     stage = os.path.join(path, f"_stage-dml-{uuid.uuid4().hex[:8]}")
     try:
