@@ -28,18 +28,19 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 120 entries as of round 7 — t40-t49, q55-q58,
+# round (the corpus is 121 entries as of round 7 — t40-t50, q55-q58,
 # s10-s13 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 120-entry corpus, alternate-round freshness is the attainable bound —
+# 121-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 18 new-this-round entries (t40-t49, q55-q58, s10-s13)
-# compete for 50 slots, so twenty r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-70 and
-# MUST lead _FRONT next round. Round 7 sacrifices t31_per_lang_threshold_gate,
+# entries + 19 new-this-round entries (t40-t50, q55-q58, s10-s13)
+# compete for 50 slots, so twenty-one r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-71 and
+# MUST lead _FRONT next round. Round 7 sacrifices t30_source_vocab_overlap,
+# t31_per_lang_threshold_gate,
 # t32_unigram_logprob,
 # t33_rebalance_sources, t34_boilerplate_coverage, t35_stratified_sample,
 # q31_setops, q44_cube,
@@ -61,6 +62,7 @@ _FRONT = [
     "t48_ccnet_buckets",
     "t49_paragraph_dedup",
     "q58_column_mapping",
+    "t50_source_overlap_matrix",
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
     "q56_scd2_from_cdf",
@@ -107,9 +109,9 @@ _FRONT = [
     "t27_repetition_stats",
     "t28_contamination_report",
     "t29_per_lang_quality_filter",
+    # the twenty-one sacrificed-this-round entries (positions 51-71):
+    # front these FIRST next round
     "t30_source_vocab_overlap",
-    # the twenty sacrificed-this-round entries (positions 51-70): front
-    # these FIRST next round
     "t31_per_lang_threshold_gate",
     "t32_unigram_logprob",
     "t33_rebalance_sources",

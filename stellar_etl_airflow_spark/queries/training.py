@@ -2119,3 +2119,57 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t50 — cross-source duplication matrix: MinHash-LSH near-dup pairs
+# (t03's exact machinery) rolled up to (source_a, source_b) with the
+# pair canonically ordered — the who-copies-whom curation audit run
+# before mixture weighting. Oracle = T03's CTE chain + two dim joins +
+# least/greatest rollup.
+# ---------------------------------------------------------------------------
+
+
+def t50_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return D.near_dup_source_matrix(docs, num_hashes=32, bands=8)
+
+
+T50_SQL = f"""
+WITH {GRAMS_CTE},
+postings AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+gh AS MATERIALIZED (SELECT doc_id, {_G1} AS g1, {_G2} AS g2 FROM postings),
+hashes AS MATERIALIZED (
+  SELECT doc_id, k, min(g1 + k * (g2 % {_MOD55})) AS mh
+  FROM gh CROSS JOIN (SELECT unnest(range(32)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS digest
+  FROM hashes GROUP BY doc_id, k // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs
+JOIN documents da ON pairs.doc_a = da.doc_id
+JOIN documents db ON pairs.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+SPECS.update(
+    {
+        "t50_source_overlap_matrix": QuerySpec(
+            t50_source_overlap_matrix,
+            T50_SQL,
+            "cross-source near-dup matrix: LSH pairs rolled up to canonical source pairs",
+        ),
+    }
+)

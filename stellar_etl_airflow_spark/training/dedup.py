@@ -512,3 +512,44 @@ def paragraph_dedup_stats(
             6,
         ).alias("dup_token_frac"),
     )
+
+def near_dup_source_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-source duplication matrix: which sources share near-dup
+    content with which — the curation audit that catches mirror sites,
+    scraped re-posts, and aggregator feeds before mixture weighting
+    (a source whose content is largely duplicated FROM another should
+    not count twice in the mixture).
+
+    Composes MinHash-LSH candidate pairs (`minhash_lsh_pairs` — banded,
+    never all-pairs) with two broadcast attaches of the doc->source dim,
+    then one matrix-sized rollup on the canonically ordered source pair
+    (least/greatest, so A~B and B~A accumulate together). Shuffle cost:
+    the LSH band join (bounded) + one |sources|^2-sized aggregate.
+    Self-pairs (both docs in one source) land on the diagonal."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands)
+    dim = df.select(F.col(id_col), F.col(source_col))
+    j = (
+        pairs.join(
+            F.broadcast(dim.select(F.col(id_col).alias("doc_a"), F.col(source_col).alias("_sa"))),
+            "doc_a",
+        ).join(
+            F.broadcast(dim.select(F.col(id_col).alias("doc_b"), F.col(source_col).alias("_sb"))),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
