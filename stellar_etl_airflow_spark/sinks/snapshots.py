@@ -579,6 +579,26 @@ def _logical_columns(path: str, m: dict) -> list[str]:
     return [renames.get(c, c) for c in phys if c not in dropped]
 
 
+def _constraint_reference_guard(m: dict, col: str, action: str) -> None:
+    """Reject renaming/dropping a column a CHECK constraint references
+    (Delta's rule) — otherwise the constraint expression would orphan.
+    Word-boundary match is conservative: a constraint whose expr merely
+    CONTAINS the name as a token also blocks (drop the constraint first).
+    """
+    import re
+
+    hits = [
+        name
+        for name, expr in (m.get("constraints") or {}).items()
+        if re.search(rf"\b{re.escape(col)}\b", expr)
+    ]
+    if hits:
+        raise ValueError(
+            f"cannot {action} column {col!r}: referenced by CHECK "
+            f"constraint(s) {sorted(hits)} — drop them first"
+        )
+
+
 def rename_column(path: str, old: str, new: str) -> int:
     """Delta's ``ALTER TABLE ... RENAME COLUMN`` (columnMapping mode):
     METADATA-ONLY — publishes the next version with an updated
@@ -600,6 +620,7 @@ def rename_column(path: str, old: str, new: str) -> int:
     physical_live = set()
     for f in m["files"][: None if m.get("mixed_schema") else 1]:
         physical_live.update(pq.read_schema(f).names)
+    _constraint_reference_guard(m, old, "rename")
     phys = logical_to_physical(m, old)
     # renaming a column BACK to its own physical name is always legal
     # (it clears the mapping entry); any other collision with a logical
@@ -632,6 +653,7 @@ def drop_column(path: str, name: str) -> int:
         raise ValueError(f"drop_column: no column {name!r} (have {logical})")
     if len(logical) == 1:
         raise ValueError("drop_column: cannot drop the only column")
+    _constraint_reference_guard(m, name, "drop")
     renames, dropped = mapping_of(m)
     phys = logical_to_physical(m, name)
     renames.pop(phys, None)
@@ -656,14 +678,22 @@ def check_constraints(df: DataFrame, constraints: dict) -> None:
     each constraint is a map-side conditional sum."""
     if not constraints:
         return
-    row = df.agg(
-        *[
-            F.sum(
-                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
-            ).alias(name)
-            for name, expr in constraints.items()
-        ]
-    ).collect()[0]
+    try:
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+                ).alias(name)
+                for name, expr in constraints.items()
+            ]
+        ).collect()[0]
+    except Exception as e:  # unresolved column: schema-incompatible write
+        raise ConstraintViolation(
+            f"cannot evaluate CHECK constraint(s) {sorted(constraints)} against "
+            f"columns {df.columns} — the written frame's schema no longer "
+            f"resolves a constraint's expression; DROP the constraint or "
+            f"align the schema ({e.__class__.__name__})"
+        ) from e
     bad = {n: int(row[n]) for n in constraints if row[n]}
     if bad:
         raise ConstraintViolation(

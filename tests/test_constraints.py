@@ -84,3 +84,30 @@ def test_constraints_compose_with_column_mapping(spark, tmp_path):
         S.update_where(spark, tbl, [("id", "=", 2)], {"balance": "-1.0"})
     S.update_where(spark, tbl, [("id", "=", 2)], {"balance": "2.0"})
     assert {r["id"]: r["balance"] for r in S.read_snapshot(spark, tbl).collect()}[2] == 2.0
+
+
+def test_rename_drop_blocked_when_constraint_references_column(spark, tmp_path):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    S.add_constraint(spark, tbl, "amount_pos", "amount > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        S.rename_column(tbl, "amount", "balance")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        S.drop_column(tbl, "amount")
+    S.drop_constraint(tbl, "amount_pos")
+    S.rename_column(tbl, "amount", "balance")  # now legal
+    assert "balance" in S.read_snapshot(spark, tbl).columns
+
+
+def test_overwrite_with_unresolvable_constraint_fails_cleanly(spark, tmp_path):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    S.rename_column(tbl, "amount", "balance")
+    S.add_constraint(spark, tbl, "bal_pos", "balance > 0")
+    v_before = S.latest_version(tbl)
+    # fresh frame defines schema (payload has no 'balance'): must fail
+    # with the constraint error, not a raw AnalysisException, and
+    # publish nothing
+    with pytest.raises(ConstraintViolation, match="no longer resolves"):
+        S.overwrite_versioned(
+            spark, spark.createDataFrame([(1, 2.0)], "id long, amount double"), tbl
+        )
+    assert S.latest_version(tbl) == v_before

@@ -628,3 +628,104 @@ def test_datasource_writer_interleavings_match_model(spark, tmp_path_factory, op
         live = {os.path.basename(f) for f in S.read_manifest(path)["files"]}
         disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
         assert disk == live
+
+
+# ---------------------------------------------------------------------------
+# Schema-DDL interleavings (r7): rename/drop/constraint/restore are
+# manifest-only versions sharing every data file with their
+# predecessors — interleaved with writes and vacuum, every retained
+# version must read back its own content UNDER ITS OWN LOGICAL SCHEMA,
+# and vacuum's manifest-counting must not free files that metadata-only
+# versions still share.
+# ---------------------------------------------------------------------------
+
+ddl_op = st.one_of(
+    st.tuples(st.just("write"), st.integers(0, 99)),
+    st.tuples(st.just("rename"), st.just(0)),
+    st.tuples(st.just("drop_i"), st.just(0)),
+    st.tuples(st.just("constraint"), st.just(0)),
+    st.tuples(st.just("restore"), st.integers(0, 7)),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+)
+
+
+@SLOW
+@given(ops=st.lists(ddl_op, min_size=3, max_size=10))
+def test_schema_ddl_vacuum_interleavings_match_model(spark, tmp_path_factory, ops):
+    import os
+    import uuid
+
+    import pytest as _pt
+
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    tbl = os.path.join(str(tmp_path_factory.mktemp("ddlprop")), uuid.uuid4().hex[:8])
+    # model: version -> (frozenset rows, payload_col_name, has_i,
+    #                    frozenset of columns referenced by constraints)
+    model: dict[int, tuple[frozenset, str, bool, frozenset]] = {}
+    seq = 0
+    n_constraints = 0
+
+    def rows_for(payload: int) -> frozenset:
+        return frozenset((payload, i) for i in range(3))
+
+    def write(payload: int, ccols: frozenset) -> None:
+        df = spark.createDataFrame(sorted(rows_for(payload)), "payload long, i long")
+        v = S.overwrite_versioned(spark, df, tbl)
+        model[v] = (rows_for(payload), "payload", True, ccols)
+
+    write(1000, frozenset())
+    for kind, arg in ops:
+        cur = model[max(model)]
+        if kind == "write":
+            seq += 1
+            if not cur[3] <= {"payload", "i"}:
+                # a constraint references a logical name the fresh frame
+                # lacks: the overwrite MUST fail and publish nothing
+                with _pt.raises(S.ConstraintViolation):
+                    S.overwrite_versioned(
+                        spark,
+                        spark.createDataFrame([(1, 1)], "payload long, i long"),
+                        tbl,
+                    )
+                continue
+            write(arg * 1000 + seq, cur[3])
+        elif kind == "rename":
+            old, new = (
+                (cur[1], "amount") if cur[1] == "payload" else (cur[1], "payload")
+            )
+            if old in cur[3]:  # constraint-referenced: DDL must refuse
+                with _pt.raises(ValueError, match="referenced by CHECK"):
+                    S.rename_column(tbl, old, new)
+                continue
+            v = S.rename_column(tbl, old, new)
+            model[v] = (cur[0], new, cur[2], cur[3])
+        elif kind == "drop_i":
+            if not cur[2]:
+                continue  # already dropped at this version
+            v = S.drop_column(tbl, "i")
+            model[v] = (cur[0], cur[1], False, cur[3])
+        elif kind == "constraint":
+            n_constraints += 1
+            v = S.add_constraint(spark, tbl, f"c{n_constraints}", f"{cur[1]} >= 0")
+            model[v] = (cur[0], cur[1], cur[2], cur[3] | {cur[1]})
+        elif kind == "restore":
+            target = sorted(model)[arg % len(model)]
+            v = S.restore(tbl, target)
+            model[v] = model[target]
+        else:  # vacuum
+            newest = max(model)
+            S.vacuum(tbl, keep_versions=arg)
+            cutoff = newest - arg
+            model = {v: c for v, c in model.items() if v > cutoff}
+
+        for v, (content, pname, has_i, _cc) in model.items():
+            df = S.read_snapshot(spark, tbl, version=v)
+            want_cols = {pname} | ({"i"} if has_i else set())
+            assert set(df.columns) == want_cols, (v, df.columns, want_cols)
+            if has_i:
+                got = frozenset((r[pname], r["i"]) for r in df.collect())
+                assert got == content, (v, got, content)
+            else:
+                got = frozenset(r[pname] for r in df.collect())
+                assert got == frozenset(p for p, _ in content), (v, got)
