@@ -78,12 +78,27 @@ def latest_version(path: str) -> int | None:
         return None
 
 
-def read_manifest(path: str, version: int | None = None) -> dict:
+def read_manifest(path: str, version: int | None = None, resolve: bool = True) -> dict:
+    """One version's manifest. ``resolve=True`` (default) inlines any
+    stats/bloom shard sidecars (see ``_shard_stats``) so every consumer
+    sees the classic {file: stats} dicts; pass ``resolve=False`` on
+    planning paths that want LAZY shard loading (``prune_files`` handles
+    the sharded form directly) or metadata-only rewrites (vacuum)."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {path}")
     with open(_manifest_path(path, v)) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    if resolve and m.get("stats_shards"):
+        stats, blooms = dict(m.get("stats") or {}), dict(m.get("blooms") or {})
+        for sh in m["stats_shards"]:
+            with open(sh["path"]) as fh:
+                payload = json.load(fh)
+            stats.update(payload.get("stats") or {})
+            blooms.update(payload.get("blooms") or {})
+        m["stats"], m["blooms"] = stats, blooms
+        m["stats_shards"] = []
+    return m
 
 
 def _list_data_files(path: str) -> list[str]:
@@ -398,9 +413,62 @@ def _publish(
         # carried forward exactly like the mapping
         "constraints": dict(constraints or {}),
     }
+    _shard_stats(path, version, manifest)
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
     return version
+
+
+# Above this many files, per-file stats/blooms move out of the manifest
+# into shard sidecars (the Iceberg manifest-list idea): the manifest
+# stays O(file list) and planning loads only the shards whose summary
+# [min, max] may match the predicate. At the r6 bloom-study rate
+# (~22 KiB of stats+bloom per file) a 1M-file table would otherwise
+# carry a ~22 GB manifest; sharded, the manifest holds one summary row
+# per ~_SHARD_SIZE files and the worst-case planning read is the
+# matching shards only.
+_SHARD_AFTER_FILES = 2048
+_SHARD_SIZE = 1024
+
+
+def _shard_stats(path: str, version: int, manifest: dict) -> None:
+    """Move ``manifest``'s per-file stats/blooms into sidecar shard files
+    when the table is big enough to care; mutates ``manifest`` in place.
+    Each shard record carries a per-column [min, max] SUMMARY over its
+    file subset, so ``prune_files`` can skip whole shards without
+    opening them (two-level pruning)."""
+    stats, blooms = manifest.get("stats") or {}, manifest.get("blooms") or {}
+    files = manifest["files"]
+    if len(files) <= _SHARD_AFTER_FILES or not (stats or blooms):
+        manifest.setdefault("stats_shards", [])
+        return
+    shards = []
+    for i in range(0, len(files), _SHARD_SIZE):
+        chunk = files[i : i + _SHARD_SIZE]
+        sh_stats = {f: stats[f] for f in chunk if f in stats}
+        sh_blooms = {f: blooms[f] for f in chunk if f in blooms}
+        if not (sh_stats or sh_blooms):
+            continue
+        # per-column summary over the shard: a column is summarizable
+        # only if EVERY file in the shard has stats for it — otherwise a
+        # stats-less file could hold rows outside the summarized range
+        # and a shard-level skip would wrongly drop it
+        cols: dict = {}
+        per_col: dict[str, list] = {}
+        for f in chunk:
+            for c, rng in (sh_stats.get(f) or {}).items():
+                per_col.setdefault(c, []).append(rng)
+        for c, ranges in per_col.items():
+            if len(ranges) == len(chunk):
+                cols[c] = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+        name = os.path.join(
+            os.path.abspath(_snap_dir(path)),
+            f"stats-v{version:08d}-{i // _SHARD_SIZE:04d}.json",
+        )
+        _atomic_write(name, json.dumps({"stats": sh_stats, "blooms": sh_blooms}))
+        shards.append({"path": name, "start": i, "end": i + len(chunk), "cols": cols})
+    manifest["stats"], manifest["blooms"] = {}, {}
+    manifest["stats_shards"] = shards
 
 
 def snapshot(path: str) -> int:
@@ -796,6 +864,31 @@ def prune_files(manifest: dict, where) -> list[str]:
     for col, op, _v in where:
         if op not in _PRUNE_OPS:
             raise ValueError(f"prune_files: unsupported op {op!r}")
+    shards = manifest.get("stats_shards") or []
+    if shards:
+        # two-level pruning (the Iceberg manifest-list walk): the
+        # per-shard [min, max] summary decides whether the shard's
+        # sidecar is opened at all; a summary that provably excludes a
+        # predicate drops the WHOLE shard's files in O(1)
+        survive: set = set()
+        covered: set = set()
+        for sh in shards:
+            chunk = manifest["files"][sh["start"] : sh["end"]]
+            covered.update(chunk)
+            summary = sh.get("cols") or {}
+            if not all(_may_match(summary, {}, col, op, v) for col, op, v in where):
+                continue  # shard skipped unopened
+            with open(sh["path"]) as fh:
+                payload = json.load(fh)
+            sh_stats = payload.get("stats") or {}
+            sh_blooms = payload.get("blooms") or {}
+            for f in chunk:
+                st = sh_stats.get(f) or {}
+                bl = sh_blooms.get(f) or {}
+                if all(_may_match(st, bl, col, op, v) for col, op, v in where):
+                    survive.add(f)
+        # files no shard covers carry no stats: never pruned
+        return [f for f in manifest["files"] if f in survive or f not in covered]
     stats = manifest.get("stats") or {}
     blooms = manifest.get("blooms") or {}
     out = []
@@ -998,7 +1091,9 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # keep_versions larger than the history (cutoff < 1) and gaps left by
     # earlier vacuums are both legal states, not missing-file errors
     # (caught by the r6 protocol property test)
-    manifests: dict[int, dict] = {v: read_manifest(path, v) for v in _versions_on_disk(path)}
+    manifests: dict[int, dict] = {
+        v: read_manifest(path, v, resolve=False) for v in _versions_on_disk(path)
+    }
     for v, mv in manifests.items():
         if v > cutoff:
             keep_files.update(mv["files"])
@@ -1023,6 +1118,21 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.remove(_manifest_path(path, v))
         except FileNotFoundError:
             pass
+    # stats shard sidecars travel with their manifest version
+    try:
+        for n in os.listdir(_snap_dir(path)):
+            if n.startswith("stats-v") and n.endswith(".json"):
+                try:
+                    sv = int(n[len("stats-v") : len("stats-v") + 8])
+                except ValueError:
+                    continue
+                if sv <= cutoff:
+                    try:
+                        os.remove(os.path.join(_snap_dir(path), n))
+                    except FileNotFoundError:
+                        pass
+    except FileNotFoundError:
+        pass
     # Txn-ledger retention (r7): entries recorded at versions that no
     # longer exist cannot be re-produced by any checkpoint the table can
     # still serve — a replayer would be replaying a batch whose result

@@ -1,0 +1,105 @@
+"""Manifest-stats sharding (the Iceberg manifest-list seam): above a
+file-count threshold, per-file stats/blooms move to sidecar shards with
+per-shard [min,max] summaries; planning walks summaries first and opens
+only shards that may match."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from stellar_etl_airflow_spark.sinks import snapshots as S
+
+
+@pytest.fixture()
+def small_shards(monkeypatch):
+    monkeypatch.setattr(S, "_SHARD_AFTER_FILES", 4)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 3)
+
+
+def _mk(spark, path, n_files=8):
+    df = spark.range(0, n_files * 10).select(
+        (S.F.col("id")).alias("k"), (S.F.col("id") % 7).alias("v")
+    )
+    S.overwrite_versioned(
+        spark, df.repartitionByRange(n_files, "k"), path, stats_cols=["k"]
+    )
+    return path
+
+
+def test_sharded_publish_and_resolved_read(spark, tmp_path, small_shards):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    raw = S.read_manifest(tbl, resolve=False)
+    assert raw["stats"] == {} and raw["stats_shards"], raw.get("stats_shards")
+    assert all(os.path.exists(sh["path"]) for sh in raw["stats_shards"])
+    # every shard summarizes k (all its files carry k stats)
+    assert all("k" in sh["cols"] for sh in raw["stats_shards"])
+    resolved = S.read_manifest(tbl)
+    assert len(resolved["stats"]) == len(raw["files"])
+    assert resolved["stats_shards"] == []
+    # end-to-end read unchanged
+    assert S.read_snapshot(spark, tbl).count() == 80
+
+
+def test_two_level_prune_matches_inline(spark, tmp_path, small_shards):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    raw = S.read_manifest(tbl, resolve=False)
+    resolved = S.read_manifest(tbl)
+    for where in ([("k", "=", 5)], [("k", ">=", 60)], [("k", "<", 0)], [("k", "in", [5, 75])]):
+        assert S.prune_files(raw, where) == S.prune_files(resolved, where), where
+    # and the pruning actually prunes
+    assert len(S.prune_files(raw, [("k", "=", 5)])) < len(raw["files"])
+    got = sorted(r["k"] for r in S.scan_snapshot(spark, tbl, [("k", "<", 3)]).collect())
+    assert got == [0, 1, 2]
+
+
+def test_summary_skip_never_opens_excluded_shards(spark, tmp_path, small_shards):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    raw = S.read_manifest(tbl, resolve=False)
+    # delete every shard sidecar: a predicate outside the table's range
+    # must prune everything from SUMMARIES ALONE (no shard opened, or
+    # this raises FileNotFoundError)
+    for sh in raw["stats_shards"]:
+        os.remove(sh["path"])
+    assert S.prune_files(raw, [("k", "<", -1)]) == []
+    assert S.prune_files(raw, [("k", ">", 10_000)]) == []
+
+
+def test_vacuum_reaps_shards_with_their_manifests(spark, tmp_path, small_shards):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    _mk(spark, tbl)  # v2 overwrites
+    snapdir = S._snap_dir(tbl)
+    v1_shards = [n for n in os.listdir(snapdir) if n.startswith("stats-v00000001")]
+    assert v1_shards
+    S.vacuum(tbl, keep_versions=1)
+    left = [n for n in os.listdir(snapdir) if n.startswith("stats-v")]
+    assert all(n.startswith("stats-v00000002") for n in left) and left
+    # retained version still fully readable + prunable
+    m = S.read_manifest(tbl, resolve=False)
+    assert S.prune_files(m, [("k", "=", 5)])
+    assert S.read_snapshot(spark, tbl).count() == 80
+
+
+def test_clone_resharding_is_self_contained(spark, tmp_path, small_shards):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    cl = str(tmp_path / "c")
+    S.clone(tbl, cl)
+    raw = S.read_manifest(cl, resolve=False)
+    assert raw["stats_shards"]
+    # the clone's shards live under ITS OWN snapshot dir (no cross-table
+    # sidecar references for vacuum to break)
+    assert all(sh["path"].startswith(os.path.abspath(S._snap_dir(cl))) for sh in raw["stats_shards"])
+    assert len(S.prune_files(raw, [("k", "=", 5)])) < len(raw["files"])
+
+
+def test_dml_on_sharded_table(spark, tmp_path, small_shards):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    v, rewritten = S.delete_where(spark, tbl, [("k", "<", 10)])
+    assert rewritten >= 1
+    assert S.read_snapshot(spark, tbl).count() == 70
+    # stats carried/recomputed and re-sharded in the new version
+    raw = S.read_manifest(tbl, resolve=False)
+    assert raw["stats_shards"]
+    assert S.prune_files(raw, [("k", "=", 75)])
