@@ -44,14 +44,16 @@ COMMIT_VERSION_COL = "_commit_version"
 
 
 def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame | None:
+    """A version's VISIBLE rows from a subset of its files: deletion
+    vectors are anti-joined out, so CDF diffs logical contents, never
+    the raw bytes."""
     if not files:
         return None
-    reader = spark.read.option(
-        "mergeSchema", "true" if m.get("mixed_schema") else "false"
-    )
-    if m.get("base"):
-        reader = reader.option("basePath", m["base"])
-    return reader.parquet(*files)
+    dv = {f: ids for f, ids in S.read_dv(m).items() if f in set(files)}
+    df = S._read_physical(spark, m, files, with_meta=bool(dv))
+    if dv:
+        df = S._apply_dv(spark, df, dv)
+    return df
 
 
 def read_changes(
@@ -79,6 +81,16 @@ def read_changes(
     m_new = S.read_manifest(path, to_version)
     old_only = [f for f in m_old["files"] if f not in set(m_new["files"])]
     new_only = [f for f in m_new["files"] if f not in set(m_old["files"])]
+    # a file BOTH versions list whose deletion vector changed holds
+    # row-level churn without file churn (merge-on-read deletes): read
+    # it on both sides — each side under its own vectors — and the
+    # net-diff classifier below handles the rest (rows untouched by the
+    # vector appear identically on both sides and net out)
+    dv_old, dv_new = S.read_dv(m_old), S.read_dv(m_new)
+    common = [f for f in m_new["files"] if f in set(m_old["files"])]
+    dv_changed = [f for f in common if dv_old.get(f, []) != dv_new.get(f, [])]
+    old_only = old_only + dv_changed
+    new_only = new_only + dv_changed
 
     old_df = _read_files(spark, m_old, old_only)
     new_df = _read_files(spark, m_new, new_only)

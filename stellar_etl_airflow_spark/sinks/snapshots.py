@@ -343,6 +343,7 @@ def _publish(
     dropped_cols=None,
     reset_mapping: bool = False,
     constraints: dict | None = None,
+    dv: dict | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
@@ -360,6 +361,12 @@ def _publish(
             dropped_cols = prev_m.get("dropped_cols") or None
         if constraints is None:
             constraints = prev_m.get("constraints") or None
+        if dv is None and prev_m.get("dv"):
+            # deletion vectors ride along for files still listed; a
+            # file leaving the list (rewritten/compacted) takes its DV
+            # with it — the rewrite already materialized the deletes
+            live = set(files)
+            dv = {f: ids for f, ids in read_dv(prev_m).items() if f in live} or None
     # file-level column stats (Iceberg's manifest-stats idea): when
     # ``stats_cols`` is set, every listed file carries {col: [min, max]}
     # so readers can prune files from the MANIFEST alone — no footer
@@ -412,7 +419,17 @@ def _publish(
         # on every library write surface (Delta ADD CONSTRAINT parity);
         # carried forward exactly like the mapping
         "constraints": dict(constraints or {}),
+        # merge-on-read deletion vectors: sidecar ref + per-file counts
+        # (the sidecar holds {file: [row_index, ...]}); {} = none
+        "dv": {},
     }
+    dv = {f: sorted(set(int(i) for i in ids)) for f, ids in (dv or {}).items() if ids}
+    if dv:
+        sidecar = os.path.join(
+            os.path.abspath(_snap_dir(path)), f"dv-v{version:08d}.json"
+        )
+        _atomic_write(sidecar, json.dumps(dv))
+        manifest["dv"] = {"path": sidecar, "counts": {f: len(v) for f, v in dv.items()}}
     _shard_stats(path, version, manifest)
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
@@ -551,13 +568,48 @@ def overwrite_versioned(
     )
 
 
-def _read_physical(spark: SparkSession, m: dict, files=None) -> DataFrame:
+def _read_physical(
+    spark: SparkSession, m: dict, files=None, with_meta: bool = False
+) -> DataFrame:
     """Raw frame over a manifest's files (or a subset) with the
-    manifest's reader options — columns carry their PHYSICAL names."""
+    manifest's reader options — columns carry their PHYSICAL names.
+    ``with_meta`` attaches the file path (scheme-stripped) and per-file
+    row index as ``_dv_file``/``_dv_idx`` — the deletion-vector join key."""
     reader = spark.read.option("mergeSchema", "true" if m.get("mixed_schema") else "false")
     if m.get("base"):
         reader = reader.option("basePath", m["base"])
-    return reader.parquet(*(m["files"] if files is None else files))
+    df = reader.parquet(*(m["files"] if files is None else files))
+    if with_meta:
+        df = df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_idx"),
+        )
+    return df
+
+
+def read_dv(m: dict) -> dict:
+    """A manifest's deletion vectors as {file: sorted [row_index, ...]}
+    — {} for tables with no merge-on-read deletes. Row indices are
+    positions within the PHYSICAL file (parquet row order, stable)."""
+    ref = m.get("dv") or {}
+    if not ref:
+        return {}
+    with open(ref["path"]) as fh:
+        return {f: sorted(int(i) for i in ids) for f, ids in json.load(fh).items()}
+
+
+def _apply_dv(spark: SparkSession, df_with_meta: DataFrame, dv: dict) -> DataFrame:
+    """Anti-join the (file, row_index) deletion set out of a frame read
+    with ``with_meta=True``. The DV frame is driver-resident (it IS the
+    deleted-row list) and broadcasts; at Delta scale DVs are per-file
+    bitmaps applied scan-side — the Data Source reader does exactly that
+    (numpy mask per file), this is the DataFrame-read twin."""
+    rows = [(f, int(i)) for f, ids in dv.items() for i in ids]
+    dv_df = spark.createDataFrame(rows, "_dv_file string, _dv_idx long")
+    return df_with_meta.join(
+        F.broadcast(dv_df), ["_dv_file", "_dv_idx"], "left_anti"
+    ).drop("_dv_file", "_dv_idx")
 
 
 def mapping_of(m: dict) -> tuple[dict, set]:
@@ -822,7 +874,11 @@ def read_snapshot(spark: SparkSession, path: str, version: int | None = None) ->
     # schemas (schema-evolving merges keep untouched buckets' old-schema
     # files): the union schema reads old files' missing columns as NULL —
     # the additive-evolution contract. Unevolved tables skip the
-    # footer-merge job entirely.
+    # footer-merge job entirely. Deletion vectors (merge-on-read
+    # deletes) are anti-joined out before the logical projection.
+    dv = read_dv(m)
+    if dv:
+        return to_logical(_apply_dv(spark, _read_physical(spark, m, with_meta=True), dv), m)
     return to_logical(_read_physical(spark, m), m)
 
 
@@ -921,8 +977,12 @@ def scan_snapshot(
     # files' physical names — translate once for pruning AND filtering
     where = translate_where(m, list(where))
     files = prune_files(m, where)
+    dv = read_dv(m)
+    dv = {f: ids for f, ids in dv.items() if f in set(files)}
     if files:
-        df = _read_physical(spark, m, files)
+        df = _read_physical(spark, m, files, with_meta=bool(dv))
+        if dv:
+            df = _apply_dv(spark, df, dv)
     else:  # nothing can match: empty frame with the version's schema
         df = _read_physical(spark, m).limit(0)
     for col, op, v in where:
@@ -1039,6 +1099,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         renames=m.get("renames") or None,  # the clone sees the same logical schema
         dropped_cols=m.get("dropped_cols") or None,
         constraints=m.get("constraints") or None,
+        dv=read_dv(m),  # re-sidecared under the CLONE's own snapshot dir
     )
     for owner in _owning_tables(m["files"]):
         if os.path.abspath(owner) != os.path.abspath(dst):
@@ -1118,12 +1179,15 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             os.remove(_manifest_path(path, v))
         except FileNotFoundError:
             pass
-    # stats shard sidecars travel with their manifest version
+    # stats shard + deletion-vector sidecars travel with their manifest
     try:
         for n in os.listdir(_snap_dir(path)):
-            if n.startswith("stats-v") and n.endswith(".json"):
+            pref = "stats-v" if n.startswith("stats-v") else (
+                "dv-v" if n.startswith("dv-v") else None
+            )
+            if pref and n.endswith(".json"):
                 try:
-                    sv = int(n[len("stats-v") : len("stats-v") + 8])
+                    sv = int(n[len(pref) : len(pref) + 8])
                 except ValueError:
                     continue
                 if sv <= cutoff:
@@ -1336,6 +1400,7 @@ def compact_snapshot(
         # compaction preserves the logical schema, so CHECK constraints
         # (logical-name exprs) carry through the mapping materialization
         constraints=m.get("constraints") or None,
+        dv={},  # the rewrite materialized every deletion vector
     )
 
 
@@ -1365,6 +1430,7 @@ def restore(path: str, version: int) -> int:
         dropped_cols=target.get("dropped_cols") or None,
         reset_mapping=not (target.get("renames") or target.get("dropped_cols")),
         constraints=dict(target.get("constraints") or {}),
+        dv=read_dv(target),  # the restored version's vectors come back too
     )
 
 
@@ -1393,7 +1459,14 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
     if not candidates:
         return int(m["version"]), 0  # nothing can match: metadata-only no-op
 
-    logical = to_logical(_read_physical(spark, m, sorted(candidates)), m)
+    dv_all = read_dv(m)
+    dv_cand = {f: ids for f, ids in dv_all.items() if f in candidates}
+    raw = _read_physical(spark, m, sorted(candidates), with_meta=bool(dv_cand))
+    if dv_cand:
+        # rewriting a DV-bearing file materializes its deletes — the
+        # masked rows must not be resurrected into the rewritten output
+        raw = _apply_dv(spark, raw, dv_cand)
+    logical = to_logical(raw, m)
     out = transform(logical, _where_cond(where))
     # CHECK constraints guard the only rows a DML can change — the
     # rewritten candidates (carried files were valid when published)
@@ -1425,6 +1498,7 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
         stats=stats,
         bloom_cols=m.get("bloom_cols") or None,
         blooms={f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)},
+        dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
     )
     return version, len(candidates)
 
@@ -1446,6 +1520,81 @@ def delete_where(spark: SparkSession, path: str, where: list) -> tuple[int, int]
     return _rewrite_candidates(
         spark, path, where, lambda df, cond: df.filter(~cond)
     )
+
+
+def delete_where_dv(
+    spark: SparkSession, path: str, where: list, max_rows: int = 5_000_000
+) -> tuple[int, int]:
+    """Merge-on-read ``DELETE WHERE``: record matching rows' (file,
+    row_index) positions in a DELETION VECTOR sidecar instead of
+    rewriting any data file — Delta's deletion-vector shape. Cost is
+    proportional to the DELETED ROWS (one pruned scan + a sidecar
+    write), not to the affected files: deleting 0.1% of a 100 TB table
+    rewrites nothing. Readers (read_snapshot / scan_snapshot / the Data
+    Source) anti-join the vectors out scan-side; the next REWRITE of a
+    file (compaction, copy-on-write DML) materializes its deletes and
+    drops the vector.
+
+    The vector is driver-assembled (the deleted-row position list IS
+    the payload); ``max_rows`` bounds that at ~100 MB of positions —
+    beyond it the copy-on-write :func:`delete_where` is the right tool
+    (you are deleting a large fraction; rewriting is proportional to
+    survivors). Returns (new_version, rows_deleted). Bucketed merge
+    tables are refused — their merge path rewrites buckets wholesale
+    and would resurrect masked rows."""
+    from ..operators.merge import BUCKET_COL, load_table_props
+
+    m = read_manifest(path)
+    if load_table_props(path) is not None or any(
+        f"{BUCKET_COL}=" in f for f in m["files"]
+    ):
+        raise NotImplementedError(
+            "deletion vectors are not supported on bucketed merge tables: "
+            "the merge write path rewrites buckets without consulting "
+            "vectors. Use delete_where (copy-on-write) instead."
+        )
+    pwhere = translate_where(m, where)
+    candidates = prune_files(m, pwhere)
+    if not candidates:
+        return int(m["version"]), 0  # metadata-only no-op
+    existing = read_dv(m)
+    hits_df = (
+        _read_physical(spark, m, candidates, with_meta=True)
+        .filter(_where_cond(pwhere))
+        .select("_dv_file", "_dv_idx")
+    )
+    if existing:  # rows already masked are not deleted again
+        hits_df = hits_df.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(f, int(i)) for f, ids in existing.items() for i in ids],
+                    "_dv_file string, _dv_idx long",
+                )
+            ),
+            ["_dv_file", "_dv_idx"],
+            "left_anti",
+        )
+    hits = hits_df.limit(max_rows + 1).collect()
+    if len(hits) > max_rows:
+        raise ValueError(
+            f"delete_where_dv: more than {max_rows} rows match — use "
+            "delete_where (copy-on-write rewrite) for bulk deletes"
+        )
+    if not hits:
+        return int(m["version"]), 0
+    merged = {f: set(ids) for f, ids in existing.items()}
+    for r in hits:
+        merged.setdefault(r["_dv_file"], set()).add(int(r["_dv_idx"]))
+    version = _publish(
+        path, list(m["files"]), base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
+        stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
+        renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
+        constraints=m.get("constraints") or None,
+        dv={f: sorted(ids) for f, ids in merged.items()},
+    )
+    return version, len(hits)
 
 
 def update_where(

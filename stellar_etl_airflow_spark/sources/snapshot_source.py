@@ -140,6 +140,7 @@ def _epoch(ts: str) -> float:
 class _FilePartition(InputPartition):
     files: list = field(default_factory=list)
     where: list = field(default_factory=list)
+    dv: dict = field(default_factory=dict)  # {file: [deleted row_index]}
 
 
 class _SnapshotReader(DataSourceReader):
@@ -164,6 +165,7 @@ class _SnapshotReader(DataSourceReader):
         # source of truth there (and the only way to read such a version).
         renames, dropped = S.mapping_of(self._manifest)
         self._l2p = {log: phys for phys, log in renames.items()}
+        self._dv = S.read_dv(self._manifest)
         if self._manifest["files"]:
             import pyarrow as pa
 
@@ -206,7 +208,12 @@ class _SnapshotReader(DataSourceReader):
         n = max(1, self._files_per_task)
         groups = [files[i : i + n] for i in range(0, len(files), n)]
         return [
-            _FilePartition(files=g, where=list(self._where)) for g in groups
+            _FilePartition(
+                files=g,
+                where=list(self._where),
+                dv={f: self._dv[f] for f in g if f in self._dv},
+            )
+            for g in groups
         ] or [_FilePartition()]
 
     def read(self, partition: _FilePartition):
@@ -217,10 +224,22 @@ class _SnapshotReader(DataSourceReader):
 
         pa_filters = _pyarrow_filters(partition.where)
         for f in partition.files:
-            try:
-                tbl = pq.read_table(f, filters=pa_filters)
-            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
-                tbl = pq.read_table(f)  # incomparable filter types: read all
+            dv = partition.dv.get(f)
+            if dv:
+                # deletion vector: indices refer to the file's ORIGINAL
+                # row order, so pyarrow predicate filtering (which drops
+                # rows) must be skipped; Spark re-evaluates every filter
+                # anyway (partial-pushdown contract)
+                import numpy as np
+
+                tbl = pq.read_table(f)
+                keep = np.setdiff1d(np.arange(tbl.num_rows), np.asarray(dv, dtype=np.int64))
+                tbl = tbl.take(keep)
+            else:
+                try:
+                    tbl = pq.read_table(f, filters=pa_filters)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
+                    tbl = pq.read_table(f)  # incomparable filter types: read all
             tbl = _align(tbl, self._schema_arrow)
             if list(tbl.column_names) != self._logical_names:
                 tbl = tbl.rename_columns(self._logical_names)
@@ -590,6 +609,7 @@ def register(spark) -> None:
 @dataclass
 class _AppendPartition(InputPartition):
     files: list = field(default_factory=list)
+    dv: dict = field(default_factory=dict)
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -652,20 +672,36 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return [_AppendPartition()]
-        old = set(S.read_manifest(self._path, v0)["files"]) if v0 > 0 else set()
-        new = set(S.read_manifest(self._path, v1)["files"])
+        m_old = S.read_manifest(self._path, v0, resolve=False) if v0 > 0 else {"files": []}
+        m_new = S.read_manifest(self._path, v1, resolve=False)
+        old = set(m_old["files"])
+        new = set(m_new["files"])
         removed = old - new
-        if removed and not self._ignore_changes:
+        # a deletion-vector change on a file both versions list is a
+        # row-level REMOVAL without file churn — same append-only breach
+        # as a removed file (Delta raises likewise without ignoreChanges)
+        dv_counts_old = (m_old.get("dv") or {}).get("counts") or {}
+        dv_counts_new = (m_new.get("dv") or {}).get("counts") or {}
+        dv_changed = [
+            f for f in (old & new) if dv_counts_old.get(f, 0) != dv_counts_new.get(f, 0)
+        ]
+        if (removed or dv_changed) and not self._ignore_changes:
             raise ValueError(
                 f"{self._path}: versions {v0}->{v1} removed {len(removed)} "
-                "file(s) — the table is not append-only over this range. "
-                "Stream row-level deltas with format('snapshot_cdf'), or "
-                "set ignoreChanges=true to stream only added files."
+                f"file(s) and changed deletion vectors on {len(dv_changed)} "
+                "— the table is not append-only over this range. Stream "
+                "row-level deltas with format('snapshot_cdf'), or set "
+                "ignoreChanges=true to stream only added files."
             )
         added = sorted(new - old)
+        end_dv = S.read_dv(S.read_manifest(self._path, v1))
+        dv = {f: end_dv[f] for f in added if f in end_dv}
         n = max(1, self._files_per_task)
         groups = [added[i : i + n] for i in range(0, len(added), n)]
-        return [_AppendPartition(files=g) for g in groups] or [_AppendPartition()]
+        return [
+            _AppendPartition(files=g, dv={f: dv[f] for f in g if f in dv})
+            for g in groups
+        ] or [_AppendPartition()]
 
     def read(self, partition: _AppendPartition):
         if not partition.files:
@@ -673,7 +709,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for f in partition.files:
-            tbl = _align(pq.read_table(f), self._schema_arrow)
+            tbl = pq.read_table(f)
+            dv = partition.dv.get(f)
+            if dv:
+                import numpy as np
+
+                keep = np.setdiff1d(np.arange(tbl.num_rows), np.asarray(dv, dtype=np.int64))
+                tbl = tbl.take(keep)
+            tbl = _align(tbl, self._schema_arrow)
             if list(tbl.column_names) != self._logical_names:
                 tbl = tbl.rename_columns(self._logical_names)
             yield from tbl.to_batches()
