@@ -28,18 +28,19 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 121 entries as of round 7 — t40-t50, q55-q58,
+# round (the corpus is 122 entries as of round 7 — t40-t50, q55-q59,
 # s10-s13 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 121-entry corpus, alternate-round freshness is the attainable bound —
+# 122-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 19 new-this-round entries (t40-t50, q55-q58, s10-s13)
-# compete for 50 slots, so twenty-one r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-71 and
-# MUST lead _FRONT next round. Round 7 sacrifices t30_source_vocab_overlap,
+# entries + 20 new-this-round entries (t40-t50, q55-q59, s10-s13)
+# compete for 50 slots, so twenty-two r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-72 and
+# MUST lead _FRONT next round. Round 7 sacrifices t29_per_lang_quality_filter,
+# t30_source_vocab_overlap,
 # t31_per_lang_threshold_gate,
 # t32_unigram_logprob,
 # t33_rebalance_sources, t34_boilerplate_coverage, t35_stratified_sample,
@@ -63,6 +64,7 @@ _FRONT = [
     "t49_paragraph_dedup",
     "q58_column_mapping",
     "t50_source_overlap_matrix",
+    "q59_deletion_vectors",
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
     "q56_scd2_from_cdf",
@@ -108,9 +110,9 @@ _FRONT = [
     "t20_training_pipeline",
     "t27_repetition_stats",
     "t28_contamination_report",
-    "t29_per_lang_quality_filter",
-    # the twenty-one sacrificed-this-round entries (positions 51-71):
+    # the twenty-two sacrificed-this-round entries (positions 51-72):
     # front these FIRST next round
+    "t29_per_lang_quality_filter",
     "t30_source_vocab_overlap",
     "t31_per_lang_threshold_gate",
     "t32_unigram_logprob",

@@ -565,6 +565,51 @@ FROM part WHERE p_partkey <= (SELECT (max(p_partkey) * 2) // 5 FROM part)
 """
 
 
+def q59_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end to end: two deletion-vector deletes on a
+    scratch versioned copy of ``orders`` — in-entry assertions pin that
+    NO data file changes across the DV versions (the delete is a
+    position-list sidecar) and that time travel still reads the
+    pre-delete row count — then the current logical state is returned
+    for the hash gate. The oracle restates the surviving rows directly.
+    """
+    from ..sinks import snapshots as S
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"q59-orders-{uuid.uuid4().hex[:8]}")
+    try:
+        S.overwrite_versioned(
+            spark,
+            orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .repartitionByRange(8, "o_orderkey"),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        n0 = S.read_snapshot(spark, path).count()
+        files_v1 = sorted(S.read_manifest(path)["files"])
+        _, n_f = S.delete_where_dv(spark, path, [("o_orderstatus", "=", "F")])
+        _, n_p = S.delete_where_dv(spark, path, [("o_totalprice", ">", 200000.0)])
+        m = S.read_manifest(path)
+        if sorted(m["files"]) != files_v1:
+            raise AssertionError("DV delete rewrote data files (must be sidecar-only)")
+        if sum(m["dv"]["counts"].values()) != n_f + n_p:
+            raise AssertionError("DV counts do not add up across merged deletes")
+        if S.read_snapshot(spark, path, 1).count() != n0:
+            raise AssertionError("time travel must still see pre-delete rows")
+        sel = S.read_snapshot(spark, path)
+        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q59_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'F') AND NOT (o_totalprice > 200000.0)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -575,6 +620,11 @@ SPECS: dict[str, QuerySpec] = {
         q58_column_mapping,
         Q58_SQL,
         "RENAME/DROP COLUMN without rewrite: metadata-only DDL, logical DML + pruned scan, time travel",
+    ),
+    "q59_deletion_vectors": QuerySpec(
+        q59_deletion_vectors,
+        Q59_SQL,
+        "merge-on-read DELETE: deletion-vector sidecars, zero file rewrites, time travel intact",
     ),
     "s10_cdf_net_changes": QuerySpec(
         s10_cdf_net_changes,

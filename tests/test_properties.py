@@ -646,6 +646,7 @@ ddl_op = st.one_of(
     st.tuples(st.just("constraint"), st.just(0)),
     st.tuples(st.just("restore"), st.integers(0, 7)),
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    st.tuples(st.just("dv_delete"), st.integers(0, 2)),
 )
 
 
@@ -709,6 +710,17 @@ def test_schema_ddl_vacuum_interleavings_match_model(spark, tmp_path_factory, op
             n_constraints += 1
             v = S.add_constraint(spark, tbl, f"c{n_constraints}", f"{cur[1]} >= 0")
             model[v] = (cur[0], cur[1], cur[2], cur[3] | {cur[1]})
+        elif kind == "dv_delete":
+            # merge-on-read delete of one i-slot's rows, under the
+            # CURRENT logical payload name; interleaves with every other
+            # op (rename/restore/vacuum must carry/roll/reap vectors)
+            if not cur[2]:
+                continue  # 'i' dropped: the predicate column is gone
+            v, _n = S.delete_where_dv(spark, tbl, [("i", "=", arg)])
+            remaining = frozenset((p, i) for p, i in cur[0] if i != arg)
+            if v in model and model[v] == cur:
+                continue  # no row matched: metadata no-op, same version
+            model[v] = (remaining, cur[1], cur[2], cur[3])
         elif kind == "restore":
             target = sorted(model)[arg % len(model)]
             v = S.restore(tbl, target)
