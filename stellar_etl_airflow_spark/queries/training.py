@@ -2173,3 +2173,104 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t51 — keep-BEST near-dup dedup: production pipelines keep the highest-
+# QUALITY member of each near-dup cluster, not the smallest id (RefinedWeb
+# keeps longest/cleanest). Composes t17's simhash components with t10's
+# deterministic quality score; survivor = argmax(quality, tiebreak min
+# doc_id) per component — one window over components (bounded by cluster
+# size) after the component labeling. Oracle = T17's recursive-reach CTE
+# + T10's score expression + the same row_number.
+# ---------------------------------------------------------------------------
+
+
+def t51_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..training import components as C
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sketches = D.simhash(docs).localCheckpoint(eager=True)
+    pairs = D.simhash_neardup_pairs_auto(docs, max_hamming=8, sketches=sketches)
+    comp = C.dedup_decisions(sketches.select("doc_id"), pairs).select("doc_id", "component")
+    q = T.quality_score(docs).select("doc_id", "quality_score")
+    j = comp.join(q, "doc_id")
+    rn = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id").asc()
+        )
+    )
+    return j.select(
+        "doc_id",
+        "component",
+        F.round("quality_score", 6).alias("quality_score"),
+        (rn == 1).alias("keep_best"),
+    )
+
+
+T51_SQL = rf"""
+WITH RECURSIVE {WORDS_CTE},
+wc AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+hs AS MATERIALIZED (SELECT doc_id, {_WH} AS h FROM wc),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(2 * ((h >> CAST(b AS INT)) & 1) - 1) > 0
+              THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END AS bitval
+  FROM hs CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS MATERIALIZED (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+prs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM prs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS lab FROM sh
+  UNION
+  SELECT e.dst AS v, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v AS doc_id, min(lab) AS component FROM reach GROUP BY v),
+m AS (
+  SELECT d.doc_id,
+         length(d.text)::DOUBLE AS n_chars,
+         len(w.ws)::DOUBLE AS n_words,
+         length(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS n_punct,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits,
+         len(list_filter(w.ws, x -> x IN ({_EN_SET})))::DOUBLE AS n_stops
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+),
+q AS (
+  SELECT doc_id,
+         least(n_words / 100.0, 1.0) * 0.4
+           + least(n_stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+           + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+           + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.1 AS quality_score
+  FROM m
+)
+SELECT comp.doc_id, comp.component,
+       round(q.quality_score, 6) AS quality_score,
+       row_number() OVER (
+         PARTITION BY comp.component
+         ORDER BY q.quality_score DESC, comp.doc_id ASC
+       ) = 1 AS keep_best
+FROM comp JOIN q USING (doc_id)
+"""
+
+
+SPECS.update(
+    {
+        "t51_keep_best_dedup": QuerySpec(
+            t51_keep_best_dedup,
+            T51_SQL,
+            "keep-best near-dup dedup: quality-argmax survivor per simhash component",
+        ),
+    }
+)
