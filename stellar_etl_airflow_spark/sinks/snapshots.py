@@ -1260,7 +1260,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     prev: set[str] | None = None
     current = latest_version(path)
     for v in _versions_on_disk(path):
-        m = read_manifest(path, v)
+        m = read_manifest(path, v, resolve=False)
         files = set(m["files"])
         size = 0
         for f in files:
@@ -1269,6 +1269,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
             except OSError:
                 size = -1  # a referenced file is gone: surface, don't crash
                 break
+        renames, dropped = mapping_of(m)
         rows.append(
             (
                 v,
@@ -1278,13 +1279,19 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                 len(files - prev) if prev is not None else len(files),
                 len(prev - files) if prev is not None else 0,
                 v == current,
+                sum((m.get("dv") or {}).get("counts", {}).values()),
+                len(renames),
+                len(dropped),
+                len(m.get("constraints") or {}),
             )
         )
         prev = files
     return spark.createDataFrame(
         rows,
         "version int, ts double, n_files int, total_bytes long, "
-        "n_added int, n_removed int, is_current boolean",
+        "n_added int, n_removed int, is_current boolean, "
+        "n_deleted_rows long, n_renamed_cols int, n_dropped_cols int, "
+        "n_constraints int",
     )
 
 

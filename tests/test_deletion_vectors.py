@@ -171,3 +171,14 @@ def test_cdf_emits_dv_deletes(spark, tmp_path):
     ch = read_changes(spark, tbl, from_version=1, keys=("k",)).collect()
     kinds = {(r["k"], r["_change_type"]) for r in ch}
     assert kinds == {(30, "delete")}
+
+
+def test_describe_history_surfaces_metadata_ops(spark, tmp_path):
+    tbl = _mk(spark, str(tmp_path / "t"))
+    S.delete_where_dv(spark, tbl, [("k", "<", 3)])
+    S.rename_column(tbl, "v", "val")
+    S.add_constraint(spark, tbl, "k_pos", "k >= 0")
+    hist = {r["version"]: r for r in S.describe_history(spark, tbl).collect()}
+    assert hist[1]["n_deleted_rows"] == 0 and hist[2]["n_deleted_rows"] == 3
+    assert hist[3]["n_renamed_cols"] == 1 and hist[3]["n_constraints"] == 0
+    assert hist[4]["n_constraints"] == 1 and hist[4]["n_deleted_rows"] == 3
