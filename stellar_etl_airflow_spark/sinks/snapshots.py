@@ -1411,6 +1411,87 @@ def compact_snapshot(
     )
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    min_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Partial OPTIMIZE (Delta autoCompact's bin-packing): rewrite ONLY
+    files smaller than ``min_bytes`` into ~``target_file_bytes`` files,
+    carrying every adequately-sized file untouched — the small-file
+    repair a streaming sink needs, at a cost proportional to the SMALL
+    files, never the table. Full `compact_snapshot` rewrites everything
+    (and is the right tool for Z-ordering or mapping materialization);
+    at 100 TB only this partial form is affordable on cadence.
+
+    Content-preserving and ledger-carrying like full compaction;
+    deletion vectors on rewritten small files are materialized, vectors
+    on carried files ride along. Bucketed merge tables are refused
+    (bin-packing across ``_p=`` dirs would break the bucket layout —
+    use `compact_snapshot`, which keeps it). Returns (version,
+    n_files_rewritten); (current, 0) when fewer than two small files.
+    """
+    from ..operators.merge import BUCKET_COL
+
+    m = read_manifest(path)
+    if any(f"{BUCKET_COL}=" in f for f in m["files"]):
+        raise NotImplementedError(
+            "compact_small_files would break the bucket layout; use "
+            "compact_snapshot (keeps one file per bucket)"
+        )
+    sizes = {}
+    for f in m["files"]:
+        try:
+            sizes[f] = os.path.getsize(f)
+        except OSError:
+            sizes[f] = min_bytes  # unreadable size: leave the file alone
+    small = [f for f in m["files"] if sizes[f] < min_bytes]
+    if len(small) < 2:
+        return int(m["version"]), 0
+    keep = [f for f in m["files"] if f not in set(small)]
+    dv_all = read_dv(m)
+    dv_small = {f: ids for f, ids in dv_all.items() if f in set(small)}
+    raw = _read_physical(spark, m, small, with_meta=bool(dv_small))
+    if dv_small:
+        raw = _apply_dv(spark, raw, dv_small)  # materialize their deletes
+    n_out = max(1, -(-sum(sizes[f] for f in small) // max(target_file_bytes, 1)))
+    stage = os.path.join(path, f"_stage-autocompact-{uuid.uuid4().hex[:8]}")
+    try:
+        raw.coalesce(n_out).write.parquet(stage)
+        new_files = adopt_staged(stage, path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    stats_cols = m.get("stats_cols") or None
+    stats = None
+    if stats_cols:
+        stats = {f: st for f, st in (m.get("stats") or {}).items() if f in set(keep)}
+        for f in new_files:
+            st = _file_stats(f, stats_cols)
+            if st:
+                stats[f] = st
+    bloom_cols = m.get("bloom_cols") or None
+    blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)}
+    if bloom_cols:
+        blooms.update(compute_blooms(spark, new_files, bloom_cols) or {})
+    version = _publish(
+        path,
+        keep + new_files,
+        base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")),
+        txns=m.get("txns") or None,
+        stats_cols=stats_cols,
+        stats=stats,
+        bloom_cols=bloom_cols,
+        blooms=blooms,
+        renames=m.get("renames") or None,
+        dropped_cols=m.get("dropped_cols") or None,
+        constraints=m.get("constraints") or None,
+        dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
+    )
+    return version, len(small)
+
+
 def restore(path: str, version: int) -> int:
     """Delta's RESTORE: republish ``version``'s file list as the NEXT
     version — rolling the table back without losing history (the bad

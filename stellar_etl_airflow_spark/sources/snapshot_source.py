@@ -529,6 +529,15 @@ class _SnapshotStreamWriter(_SnapshotWriter, DataSourceStreamArrowWriter):
         _SnapshotWriter.__init__(self, options, overwrite)
         self._appid = options.get("appid") or "stream"
 
+    # NOTE (r7): Delta-style in-sink autoCompact is architecturally
+    # impossible here — a Python Data Source's driver-side commit runs
+    # in Spark's ISOLATED plan-data-source worker, which has no
+    # SparkSession and cannot launch jobs (verified: getActiveSession()
+    # is None there). The equivalent is `snapshots.compact_small_files`
+    # on a cadence or post-drain — the same content-preserving,
+    # ledger-carrying bin-packing, run where a session exists; Delta
+    # itself runs autoCompact as a separate post-commit job too.
+
     def _txn_key(self, batch_id: int) -> str:
         return f"snapshot_stream:{self._appid}:{int(batch_id)}"
 

@@ -182,3 +182,80 @@ def test_describe_history_surfaces_metadata_ops(spark, tmp_path):
     assert hist[1]["n_deleted_rows"] == 0 and hist[2]["n_deleted_rows"] == 3
     assert hist[3]["n_renamed_cols"] == 1 and hist[3]["n_constraints"] == 0
     assert hist[4]["n_constraints"] == 1 and hist[4]["n_deleted_rows"] == 3
+
+
+def test_compact_small_files_binpacks_and_carries(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    # one big file + many tiny appends
+    S.overwrite_versioned(
+        spark,
+        spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS v").coalesce(1),
+        tbl,
+        stats_cols=["k"],
+    )
+    big = S.read_manifest(tbl)["files"][0]
+    from stellar_etl_airflow_spark.sources.snapshot_source import register
+
+    register(spark)
+    for i in range(3):
+        (
+            spark.createDataFrame([(2000 + i, 0)], "k long, v long")
+            .coalesce(1)
+            .write.format("snapshot")
+            .option("path", tbl)
+            .mode("append")
+            .save()
+        )
+    S.delete_where_dv(spark, tbl, [("k", "=", 2001)])
+    assert len(S.read_manifest(tbl)["files"]) == 4
+    import os as _os
+
+    min_bytes = _os.path.getsize(big)  # strict <: the big file stays
+    v, n = S.compact_small_files(spark, tbl, min_bytes=min_bytes)
+    assert n == 3  # the big file stayed put
+    m = S.read_manifest(tbl)
+    assert big in m["files"] and len(m["files"]) == 2
+    assert m["dv"] == {}  # the small files' vector was materialized
+    ks = sorted(r["k"] for r in S.read_snapshot(spark, tbl).collect())
+    assert ks == list(range(0, 1000)) + [2000, 2002]
+    # stats carried for the big file, computed for the packed file
+    assert set(m["stats"]) == set(m["files"])
+    # no-op below the two-small-files bar
+    v2, n2 = S.compact_small_files(spark, tbl, min_bytes=min_bytes)
+    assert (v2, n2) == (v, 0)
+
+
+def test_post_drain_autocompact_repairs_stream_small_files(spark, tmp_path):
+    """The autoCompact cadence for the streaming sink: drain, then
+    `compact_small_files` — in-sink compaction is impossible for a
+    Python Data Source (its commit runs in the isolated
+    plan-data-source worker, no SparkSession), so the bin-packing runs
+    post-drain where a session exists; the txn ledger must survive so
+    the stream's exactly-once window stays closed."""
+    from stellar_etl_airflow_spark.sources.snapshot_source import register
+
+    register(spark)
+    tbl = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, v long"
+    ).repartition(6).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .writeStream.format("snapshot")
+        .option("path", tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_before = len(S.read_manifest(tbl)["files"])
+    assert n_before >= 2
+    v, n = S.compact_small_files(spark, tbl, min_bytes=1 << 20)
+    assert n == n_before
+    m = S.read_manifest(tbl)
+    assert len(m["files"]) == 1
+    assert m["txns"], "stream txn ledger must survive the bin-packing"
+    assert sorted(r["k"] for r in S.read_snapshot(spark, tbl).collect()) == list(range(30))
