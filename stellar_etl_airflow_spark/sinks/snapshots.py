@@ -69,6 +69,36 @@ def _atomic_write(target: str, payload: str) -> None:
     os.replace(tmp, target)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency, Delta's commit-conflict): reload the table state and
+    retry — nothing was clobbered."""
+
+
+def _atomic_write_exclusive(target: str, payload: str) -> None:
+    """Write-and-LINK: the manifest slot is claimed atomically via
+    os.link (fails with EEXIST if any other writer got there first) —
+    version numbers can never be silently overwritten, which is the
+    whole ACID story of a version log. `os.replace` (the `_latest`
+    pointer, txn rewrites of EXISTING versions) stays last-write-wins
+    by design: manifests are the truth, the pointer is a cache."""
+    tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version manifest {os.path.basename(target)} already published "
+            "by a concurrent writer; reload and retry"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
 def latest_version(path: str) -> int | None:
     """Current published version, or None for an un-snapshotted directory."""
     try:
@@ -344,9 +374,20 @@ def _publish(
     reset_mapping: bool = False,
     constraints: dict | None = None,
     dv: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
+    # compare-and-swap for read-modify-write publishers: the caller
+    # computed its file list against ``expected_version``; if another
+    # writer published since, the derived list is stale — raise so the
+    # caller rebases (the exclusive manifest link below only guards the
+    # version SLOT, not the read window; both checks are needed)
+    if expected_version is not None and version != expected_version + 1:
+        raise ConcurrentWriteError(
+            f"table advanced to v{version - 1} while this writer worked "
+            f"from v{expected_version}; reload and retry"
+        )
     # column mapping (rename/drop without rewrite, see rename_column) and
     # CHECK constraints: INHERITED from the previous manifest by default
     # so append-style publishers (merge, the Data Source writer) can't
@@ -431,8 +472,12 @@ def _publish(
         _atomic_write(sidecar, json.dumps(dv))
         manifest["dv"] = {"path": sidecar, "counts": {f: len(v) for f, v in dv.items()}}
     _shard_stats(path, version, manifest)
-    _atomic_write(_manifest_path(path, version), json.dumps(manifest))
-    _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
+    _atomic_write_exclusive(_manifest_path(path, version), json.dumps(manifest))
+    # advance the cache pointer monotonically: a slower concurrent
+    # publisher of an OLDER version must not roll it back
+    cur = latest_version(path)
+    if cur is None or version > cur:
+        _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
     return version
 
 
@@ -757,6 +802,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
         bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
         renames=renames, dropped_cols=sorted(dropped),
+        expected_version=int(m["version"]),
     )
 
 
@@ -784,6 +830,7 @@ def drop_column(path: str, name: str) -> int:
         stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
         bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
         renames=renames, dropped_cols=sorted(dropped),
+        expected_version=int(m["version"]),
     )
 
 
@@ -844,6 +891,7 @@ def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
         bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
         renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
         constraints=constraints,
+        expected_version=int(m["version"]),
     )
 
 
@@ -861,6 +909,7 @@ def drop_constraint(path: str, name: str) -> int:
         bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
         renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
         constraints=constraints,
+        expected_version=int(m["version"]),
     )
 
 
@@ -1408,6 +1457,7 @@ def compact_snapshot(
         # (logical-name exprs) carry through the mapping materialization
         constraints=m.get("constraints") or None,
         dv={},  # the rewrite materialized every deletion vector
+        expected_version=int(m["version"]),
     )
 
 
@@ -1488,6 +1538,7 @@ def compact_small_files(
         dropped_cols=m.get("dropped_cols") or None,
         constraints=m.get("constraints") or None,
         dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
+        expected_version=int(m["version"]),
     )
     return version, len(small)
 
@@ -1519,6 +1570,7 @@ def restore(path: str, version: int) -> int:
         reset_mapping=not (target.get("renames") or target.get("dropped_cols")),
         constraints=dict(target.get("constraints") or {}),
         dv=read_dv(target),  # the restored version's vectors come back too
+        expected_version=int(cur["version"]),
     )
 
 
@@ -1587,6 +1639,7 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
         bloom_cols=m.get("bloom_cols") or None,
         blooms={f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)},
         dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
+        expected_version=int(m["version"]),
     )
     return version, len(candidates)
 
@@ -1681,6 +1734,7 @@ def delete_where_dv(
         renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
         constraints=m.get("constraints") or None,
         dv={f: sorted(ids) for f, ids in merged.items()},
+        expected_version=int(m["version"]),
     )
     return version, len(hits)
 

@@ -425,7 +425,18 @@ class _SnapshotWriter(DataSourceArrowWriter):
         return _MultiFileCommit(parts=commits)
 
     def commit(self, messages) -> None:
-        self._publish_files(messages)
+        # optimistic-concurrency rebase (Delta's concurrent-append
+        # semantics): _publish_files re-reads the CURRENT manifest each
+        # attempt, so a lost race just means recomputing the file-list
+        # union against the interleaved writer's version and re-claiming
+        # the next slot. Appends commute; overwrite retries win-latest.
+        for attempt in range(5):
+            try:
+                self._publish_files(messages)
+                return
+            except S.ConcurrentWriteError:
+                if attempt == 4:
+                    raise
 
     def _publish_files(self, messages, txn_id: str | None = None) -> None:
         import pyarrow.parquet as pq
@@ -435,6 +446,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         stats = {m.file: m.stats for m in new if m.stats}
         blooms = {m.file: m.blooms for m in new if m.blooms}
         cur = S.read_manifest(self._path) if S.latest_version(self._path) else None
+        expected = int(cur["version"]) if cur else 0
         prev = None if self._overwrite else cur
         mixed, txns = False, {}
         # the txn ledger survives OVERWRITE too (Delta's txnAppId
@@ -489,6 +501,11 @@ class _SnapshotWriter(DataSourceArrowWriter):
             # append: default-inherit carries the column mapping; a full
             # overwrite retires it (the frame defines a fresh schema)
             reset_mapping=bool(self._overwrite),
+            # compare-and-swap: the file list above was derived from
+            # ``cur`` — if the table advanced since, rebase via the
+            # commit retry loop instead of silently dropping the
+            # interleaved writer's files from the union
+            expected_version=expected,
         )
 
     def abort(self, messages) -> None:
@@ -542,6 +559,15 @@ class _SnapshotStreamWriter(_SnapshotWriter, DataSourceStreamArrowWriter):
         return f"snapshot_stream:{self._appid}:{int(batch_id)}"
 
     def commit(self, messages, batchId: int) -> None:
+        for attempt in range(5):
+            try:
+                self._commit_once(messages, batchId)
+                return
+            except S.ConcurrentWriteError:
+                if attempt == 4:
+                    raise
+
+    def _commit_once(self, messages, batchId: int) -> None:
         key = self._txn_key(batchId)
         if S.latest_version(self._path):
             recorded = (S.read_manifest(self._path).get("txns") or {})
