@@ -436,6 +436,11 @@ def _merge_versioned_core(
         path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,
         stats_cols=props.get("stats_cols") or None,
         bloom_cols=bloom_cols, blooms=blooms,
+        # compare-and-swap (r7): the kept-bucket list was derived from
+        # ``m`` — a concurrent merge interleaving would otherwise drop
+        # its buckets from this union. On ConcurrentWriteError just
+        # re-run the merge: the txn ledger makes replays exactly-once.
+        expected_version=int(m["version"]),
     )
     return version, touched
 

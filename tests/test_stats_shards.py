@@ -177,3 +177,27 @@ def test_datasource_append_rebases_on_conflict(spark, tmp_path, monkeypatch):
     assert "part-ext.parquet" in names and "part-mine.parquet" in names
     ids = sorted(r["id"] for r in S.read_snapshot(spark, tbl).collect())
     assert ids == [1, 1, 1]  # base + rebased ext + mine
+
+
+def test_kitchen_sink_composition(spark, tmp_path, small_shards):
+    """All the r7 table features on ONE table: sharded stats + rename +
+    CHECK constraint + DV delete + partial compaction + vacuum, with
+    reads correct at every step."""
+    tbl = _mk(spark, str(tmp_path / "t"))  # 8 files > shard threshold
+    S.rename_column(tbl, "k", "key")
+    S.add_constraint(spark, tbl, "key_nonneg", "key >= 0")
+    S.delete_where_dv(spark, tbl, [("key", "<", 5)])
+    got = sorted(r["key"] for r in S.scan_snapshot(spark, tbl, [("key", "<", 10)]).collect())
+    assert got == [5, 6, 7, 8, 9]
+    raw = S.read_manifest(tbl, resolve=False)
+    assert raw["stats_shards"] and raw["dv"]["counts"] and raw["renames"]
+    # partial compaction materializes DVs + keeps mapping/constraints
+    v, n = S.compact_small_files(spark, tbl, min_bytes=1 << 30)  # all small
+    m = S.read_manifest(tbl, resolve=False)
+    assert m["dv"] == {} and m["renames"] and m["constraints"]
+    assert sorted(r["key"] for r in S.read_snapshot(spark, tbl).collect()) == list(range(5, 80))
+    # constraint still enforced through the mapping after everything
+    with pytest.raises(S.ConstraintViolation):
+        S.update_where(spark, tbl, [("key", "=", 7)], {"key": "-1"})
+    S.vacuum(tbl, keep_versions=1)
+    assert sorted(r["key"] for r in S.read_snapshot(spark, tbl).collect()) == list(range(5, 80))
