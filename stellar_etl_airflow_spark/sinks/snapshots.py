@@ -969,6 +969,8 @@ def prune_files(manifest: dict, where) -> list[str]:
     for col, op, _v in where:
         if op not in _PRUNE_OPS:
             raise ValueError(f"prune_files: unsupported op {op!r}")
+    if not where:  # no predicates: nothing can prune, open no sidecars
+        return list(manifest["files"])
     shards = manifest.get("stats_shards") or []
     if shards:
         # two-level pruning (the Iceberg manifest-list walk): the
