@@ -32,6 +32,7 @@ missing columns as nulls.
 from __future__ import annotations
 import base64
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -430,13 +431,14 @@ class _SnapshotWriter(DataSourceArrowWriter):
         # attempt, so a lost race just means recomputing the file-list
         # union against the interleaved writer's version and re-claiming
         # the next slot. Appends commute; overwrite retries win-latest.
-        for attempt in range(5):
+        for attempt in range(20):
             try:
                 self._publish_files(messages)
                 return
             except S.ConcurrentWriteError:
-                if attempt == 4:
+                if attempt == 19:
                     raise
+                time.sleep(0.02 * (attempt + 1))  # linear backoff
 
     def _publish_files(self, messages, txn_id: str | None = None) -> None:
         import pyarrow.parquet as pq
@@ -559,13 +561,14 @@ class _SnapshotStreamWriter(_SnapshotWriter, DataSourceStreamArrowWriter):
         return f"snapshot_stream:{self._appid}:{int(batch_id)}"
 
     def commit(self, messages, batchId: int) -> None:
-        for attempt in range(5):
+        for attempt in range(20):
             try:
                 self._commit_once(messages, batchId)
                 return
             except S.ConcurrentWriteError:
-                if attempt == 4:
+                if attempt == 19:
                     raise
+                time.sleep(0.02 * (attempt + 1))  # linear backoff
 
     def _commit_once(self, messages, batchId: int) -> None:
         key = self._txn_key(batchId)

@@ -201,3 +201,38 @@ def test_kitchen_sink_composition(spark, tmp_path, small_shards):
         S.update_where(spark, tbl, [("key", "=", 7)], {"key": "-1"})
     S.vacuum(tbl, keep_versions=1)
     assert sorted(r["key"] for r in S.read_snapshot(spark, tbl).collect()) == list(range(5, 80))
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    """Eight writer threads race one table: the exclusive-link + CAS +
+    rebase protocol must land ALL files with no lost update and a dense
+    version chain — the actual concurrency the single-writer assumption
+    used to hand-wave."""
+    import shutil as _sh
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stellar_etl_airflow_spark.sources.snapshot_source import (
+        _FileCommit,
+        _SnapshotWriter,
+    )
+
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark, spark.createDataFrame([(0,)], "id long").coalesce(1), tbl
+    )
+    base_file = max(S.read_manifest(tbl)["files"], key=os.path.getsize)
+
+    def append_one(i: int) -> None:
+        mine = os.path.join(tbl, f"part-thread{i}.parquet")
+        _sh.copyfile(base_file, mine)
+        w = _SnapshotWriter({"path": tbl}, overwrite=False)
+        w.commit([_FileCommit(file=mine, rows=1)])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(append_one, range(8)))
+
+    m = S.read_manifest(tbl)
+    names = {os.path.basename(f) for f in m["files"]}
+    assert {f"part-thread{i}.parquet" for i in range(8)} <= names, names
+    assert m["version"] == 9  # dense chain: 1 seed + 8 appends
+    assert S.read_snapshot(spark, tbl).count() == 9
