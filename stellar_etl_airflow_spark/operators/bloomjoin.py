@@ -53,8 +53,11 @@ def build_bloom_words(values: DataFrame, col: str, m_bits: int, k: int) -> list[
                         # seed literal must be BIGINT: xxhash64 folds the
                         # input TYPE into the hash, and the probe side
                         # hashes {i}L
+                        # value hashed as STRING on both sides (see
+                        # bloom_probe_predicate) — xxhash64 is type-
+                        # sensitive and schema drift must not flip bits
                         F.pmod(
-                            F.xxhash64(F.lit(i).cast("long"), F.col(col)),
+                            F.xxhash64(F.lit(i).cast("long"), F.col(col).cast("string")),
                             F.lit(m_bits),
                         )
                         for i in range(k)
@@ -74,11 +77,16 @@ def build_bloom_words(values: DataFrame, col: str, m_bits: int, k: int) -> list[
 
 def bloom_probe_predicate(col: str, m_bits: int, k: int, words_col: str = _BW) -> str:
     """SQL predicate string testing ``col`` against the bitset column
-    ``words_col``: k xxhash64 probes ANDed, all in whole-stage codegen."""
+    ``words_col``: k xxhash64 probes ANDed, all in whole-stage codegen.
+    The value hashes as a STRING (matching :func:`build_bloom_words`) —
+    xxhash64 folds the input TYPE into the hash, so an int build side
+    probed through a bigint column (routine schema drift) would
+    otherwise produce false NEGATIVES (review r7)."""
+    c = f"cast({col} as string)"
     return " AND ".join(
         f"((shiftright(element_at({words_col}, "
-        f"cast(shiftright(pmod(xxhash64({i}L, {col}), {m_bits}L), 6) as int) + 1), "
-        f"cast(pmod(pmod(xxhash64({i}L, {col}), {m_bits}L), 64) as int)) & 1L) = 1L)"
+        f"cast(shiftright(pmod(xxhash64({i}L, {c}), {m_bits}L), 6) as int) + 1), "
+        f"cast(pmod(pmod(xxhash64({i}L, {c}), {m_bits}L), 64) as int)) & 1L) = 1L)"
         for i in range(k)
     )
 

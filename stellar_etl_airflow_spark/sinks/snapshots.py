@@ -100,12 +100,25 @@ def _atomic_write_exclusive(target: str, payload: str) -> None:
 
 
 def latest_version(path: str) -> int | None:
-    """Current published version, or None for an un-snapshotted directory."""
+    """Current published version, or None for an un-snapshotted directory.
+
+    The ``_latest`` pointer is a cache; the MANIFESTS are the truth. A
+    writer can crash between claiming the version slot (exclusive link,
+    complete manifest) and advancing the pointer — healing from the
+    newest manifest on disk keeps that crash recoverable (without it,
+    every later publish recomputes the same claimed slot and fails
+    forever: found by review of the optimistic-concurrency change)."""
+    pointer = None
     try:
         with open(os.path.join(_snap_dir(path), "_latest")) as fh:
-            return int(fh.read().strip())
+            pointer = int(fh.read().strip())
     except (FileNotFoundError, ValueError):
-        return None
+        pass
+    disk = _versions_on_disk(path)
+    newest = disk[-1] if disk else None
+    if pointer is None:
+        return newest
+    return max(pointer, newest) if newest is not None else pointer
 
 
 def read_manifest(path: str, version: int | None = None, resolve: bool = True) -> dict:
@@ -466,8 +479,9 @@ def _publish(
     }
     dv = {f: sorted(set(int(i) for i in ids)) for f, ids in (dv or {}).items() if ids}
     if dv:
+        # uuid suffix for the same losing-racer reason as stats shards
         sidecar = os.path.join(
-            os.path.abspath(_snap_dir(path)), f"dv-v{version:08d}.json"
+            os.path.abspath(_snap_dir(path)), f"dv-v{version:08d}-{uuid.uuid4().hex[:8]}.json"
         )
         _atomic_write(sidecar, json.dumps(dv))
         manifest["dv"] = {"path": sidecar, "counts": {f: len(v) for f, v in dv.items()}}
@@ -523,9 +537,13 @@ def _shard_stats(path: str, version: int, manifest: dict) -> None:
         for c, ranges in per_col.items():
             if len(ranges) == len(chunk):
                 cols[c] = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+        # uuid suffix: a publisher that LOSES the version race must not
+        # clobber the winner's same-version sidecar (os.replace is
+        # last-write-wins; only the manifest link is exclusive). Orphans
+        # from losers are reaped with the version by vacuum.
         name = os.path.join(
             os.path.abspath(_snap_dir(path)),
-            f"stats-v{version:08d}-{i // _SHARD_SIZE:04d}.json",
+            f"stats-v{version:08d}-{i // _SHARD_SIZE:04d}-{uuid.uuid4().hex[:8]}.json",
         )
         _atomic_write(name, json.dumps({"stats": sh_stats, "blooms": sh_blooms}))
         shards.append({"path": name, "start": i, "end": i + len(chunk), "cols": cols})
@@ -649,8 +667,12 @@ def _apply_dv(spark: SparkSession, df_with_meta: DataFrame, dv: dict) -> DataFra
     with ``with_meta=True``. The DV frame is driver-resident (it IS the
     deleted-row list) and broadcasts; at Delta scale DVs are per-file
     bitmaps applied scan-side — the Data Source reader does exactly that
-    (numpy mask per file), this is the DataFrame-read twin."""
-    rows = [(f, int(i)) for f, ids in dv.items() for i in ids]
+    (numpy mask per file), this is the DataFrame-read twin.
+
+    DV keys are the manifest's file strings (possibly relative); the
+    scan's ``_dv_file`` is always absolute — normalize here so a table
+    opened via a relative path still masks (review finding r7)."""
+    rows = [(os.path.abspath(f), int(i)) for f, ids in dv.items() for i in ids]
     dv_df = spark.createDataFrame(rows, "_dv_file string, _dv_idx long")
     return df_with_meta.join(
         F.broadcast(dv_df), ["_dv_file", "_dv_idx"], "left_anti"
@@ -1710,7 +1732,7 @@ def delete_where_dv(
         hits_df = hits_df.join(
             F.broadcast(
                 spark.createDataFrame(
-                    [(f, int(i)) for f, ids in existing.items() for i in ids],
+                    [(os.path.abspath(f), int(i)) for f, ids in existing.items() for i in ids],
                     "_dv_file string, _dv_idx long",
                 )
             ),
@@ -1725,9 +1747,16 @@ def delete_where_dv(
         )
     if not hits:
         return int(m["version"]), 0
+    # the scan reports ABSOLUTE paths; key the vector by the manifest's
+    # own file strings so every `f in files` comparison downstream
+    # (reader partitions, inheritance, compaction carries) stays exact
+    # for relative table paths too
+    by_abs = {os.path.abspath(f): f for f in m["files"]}
     merged = {f: set(ids) for f, ids in existing.items()}
     for r in hits:
-        merged.setdefault(r["_dv_file"], set()).add(int(r["_dv_idx"]))
+        merged.setdefault(by_abs.get(r["_dv_file"], r["_dv_file"]), set()).add(
+            int(r["_dv_idx"])
+        )
     version = _publish(
         path, list(m["files"]), base=m.get("base"),
         mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,

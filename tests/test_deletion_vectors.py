@@ -259,3 +259,40 @@ def test_post_drain_autocompact_repairs_stream_small_files(spark, tmp_path):
     assert len(m["files"]) == 1
     assert m["txns"], "stream txn ledger must survive the bin-packing"
     assert sorted(r["k"] for r in S.read_snapshot(spark, tbl).collect()) == list(range(30))
+
+
+def test_dv_on_relative_table_path(spark, tmp_path):
+    """A table opened via a RELATIVE path must mask identically across
+    every surface — DV keys normalize to the manifest's file strings
+    and reads compare by abspath (review finding r7). The path is
+    relative to the PROCESS cwd (JVM and Python must agree on it, so no
+    chdir games; cleaned up after)."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    tbl = os.path.relpath(
+        os.path.join(os.getcwd(), "spark-warehouse", f"relpath-{_uuid.uuid4().hex[:8]}")
+    )
+    df = spark.range(0, 40).selectExpr("id AS k", "id % 7 AS v")
+    S.overwrite_versioned(spark, df.repartitionByRange(2, "k"), tbl, stats_cols=["k"])
+    S.delete_where_dv(spark, tbl, [("k", "<", 5)])
+    assert _ks(spark, tbl) == list(range(5, 40))
+    assert sorted(
+        r["k"] for r in S.scan_snapshot(spark, tbl, [("k", "<", 10)]).collect()
+    ) == [5, 6, 7, 8, 9]
+    # append keeps the vector (the `f in live` inheritance check)
+    from stellar_etl_airflow_spark.sources.snapshot_source import register
+
+    register(spark)
+    (
+        spark.createDataFrame([(100, 0)], "k long, v long")
+        .coalesce(1)
+        .write.format("snapshot")
+        .option("path", tbl)
+        .mode("append")
+        .save()
+    )
+    try:
+        assert _ks(spark, tbl) == list(range(5, 40)) + [100]
+    finally:
+        _sh.rmtree(tbl, ignore_errors=True)

@@ -105,7 +105,7 @@ def test_dml_on_sharded_table(spark, tmp_path, small_shards):
     assert S.prune_files(raw, [("k", "=", 75)])
 
 
-def test_concurrent_publish_never_clobbers(spark, tmp_path):
+def test_concurrent_publish_never_clobbers(spark, tmp_path, monkeypatch):
     """Optimistic concurrency: the version slot is claimed with an
     exclusive link — a racing writer that computed the same next
     version gets ConcurrentWriteError, never a silent overwrite."""
@@ -117,14 +117,54 @@ def test_concurrent_publish_never_clobbers(spark, tmp_path):
     S.overwrite_versioned(
         spark, spark.createDataFrame([(1,)], "id long"), tbl
     )
-    # simulate the race: claim version 2 out-of-band, then publish
-    S._atomic_write_exclusive(
-        S._manifest_path(tbl, 2), json.dumps({"version": 2, "files": [], "ts": 0})
-    )
+    # the slot primitive: second exclusive write of one target raises
+    target = S._manifest_path(tbl, 2)
+    S._atomic_write_exclusive(target, json.dumps({"version": 2, "files": [], "ts": 0}))
     with _pt.raises(S.ConcurrentWriteError):
-        S.overwrite_versioned(spark, spark.createDataFrame([(2,)], "id long"), tbl)
-    # the out-of-band manifest is intact (nothing clobbered)
+        S._atomic_write_exclusive(target, json.dumps({"version": 2, "files": ["x"]}))
     assert S.read_manifest(tbl, 2, resolve=False)["files"] == []
+
+    # the racing-writer path end to end: both compute version 3 (the
+    # loser's stale read is simulated by pinning latest_version once)
+    real_latest = S.latest_version
+    state = {"stale": True}
+
+    def stale_latest(path):
+        v = real_latest(path)
+        if state["stale"]:
+            state["stale"] = False
+            # winner claims v3 between the loser's read and its link
+            S._atomic_write_exclusive(
+                S._manifest_path(tbl, 3), json.dumps({"version": 3, "files": [], "ts": 0})
+            )
+            return 2
+        return v
+
+    monkeypatch.setattr(S, "latest_version", stale_latest)
+    with _pt.raises(S.ConcurrentWriteError):
+        S._publish(tbl, list(S.read_manifest(tbl, 1)["files"]), reset_mapping=True)
+    monkeypatch.undo()
+    assert S.read_manifest(tbl, 3, resolve=False)["files"] == []  # winner intact
+
+
+def test_latest_pointer_heals_from_disk(spark, tmp_path):
+    """A crash between the exclusive manifest link and the _latest
+    pointer write must not brick the table: latest_version heals from
+    the newest manifest on disk and the next publish claims the NEXT
+    slot (found by review of the optimistic-concurrency change)."""
+    import json
+
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.createDataFrame([(1,)], "id long"), tbl)
+    # simulate the crash window: v2 linked, pointer still at 1
+    S._atomic_write_exclusive(
+        S._manifest_path(tbl, 2),
+        json.dumps({"version": 2, "files": S.read_manifest(tbl)["files"], "ts": 0}),
+    )
+    assert S.latest_version(tbl) == 2  # healed
+    v = S.overwrite_versioned(spark, spark.createDataFrame([(2,)], "id long"), tbl)
+    assert v == 3
+    assert sorted(r["id"] for r in S.read_snapshot(spark, tbl).collect()) == [2]
 
 
 def test_datasource_append_rebases_on_conflict(spark, tmp_path, monkeypatch):

@@ -191,3 +191,18 @@ def test_paragraph_dedup_flags_injected_duplicates(spark):
     assert got[1]["dup_token_frac"] == 0.5
     assert got[2]["n_dup_paragraphs"] == 1
     assert got[3]["n_dup_paragraphs"] == 0 and got[3]["dup_token_frac"] == 0.0
+
+
+def test_bloom_semi_join_survives_type_drift(spark):
+    """int build side probed by a bigint column (routine schema drift)
+    must not produce false negatives — values hash as strings on both
+    sides (review r7)."""
+    from stellar_etl_airflow_spark.operators.bloomjoin import bloom_semi_join
+
+    large = spark.range(0, 1000).select(F.col("id").cast("long").alias("key"))
+    small = spark.createDataFrame([(7,), (500,)], "key int")
+    got = sorted(r["key"] for r in bloom_semi_join(large, small.selectExpr("cast(key as long) key"), "key").collect())
+    assert got == [7, 500]
+    # and with the raw INT build side against the BIGINT probe side
+    got2 = sorted(r["key"] for r in bloom_semi_join(large, small, "key").collect())
+    assert got2 == [7, 500]
