@@ -48,6 +48,7 @@ import shutil
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -409,7 +410,7 @@ def _publish(
     # written against logical names, reset with it), clone/restore/DDL
     # pass explicit values.
     if version > 1 and not reset_mapping:
-        prev_m = read_manifest(path)
+        prev_m = read_manifest(path, resolve=False)
         if renames is None and dropped_cols is None:
             renames = prev_m.get("renames") or None
             dropped_cols = prev_m.get("dropped_cols") or None
@@ -598,7 +599,7 @@ def overwrite_versioned(
     columns (string/integral/boolean), pruning EQUALITY probes that
     [min, max] can't — hash-like high-cardinality keys."""
     prev_constraints = (
-        (read_manifest(path).get("constraints") or None)
+        (read_manifest(path, resolve=False).get("constraints") or None)
         if latest_version(path)
         else None
     )
@@ -617,7 +618,11 @@ def overwrite_versioned(
     # crash window must not reopen the replay hole. Enforced here at the
     # library layer so every publish path (Data Source writer included)
     # inherits it.
-    prev_txns = (read_manifest(path).get("txns") or None) if latest_version(path) else None
+    prev_txns = (
+        (read_manifest(path, resolve=False).get("txns") or None)
+        if latest_version(path)
+        else None
+    )
     # a full overwrite defines a fresh logical schema: the incoming
     # frame's names ARE the new physical names, so any prior column
     # mapping is retired with the prior version (still time-travelable).
@@ -677,6 +682,20 @@ def _apply_dv(spark: SparkSession, df_with_meta: DataFrame, dv: dict) -> DataFra
     return df_with_meta.join(
         F.broadcast(dv_df), ["_dv_file", "_dv_idx"], "left_anti"
     ).drop("_dv_file", "_dv_idx")
+
+
+def resolved_stats_blooms(m: dict) -> tuple[dict, dict]:
+    """Full {file: stats}/{file: blooms} dicts of a manifest, loading
+    shard sidecars if it was read with ``resolve=False``. Use on WRITE
+    paths that carry stats forward; READ paths should prune lazily via
+    :func:`prune_files` on the raw manifest instead."""
+    stats, blooms = dict(m.get("stats") or {}), dict(m.get("blooms") or {})
+    for sh in m.get("stats_shards") or []:
+        with open(sh["path"]) as fh:
+            payload = json.load(fh)
+        stats.update(payload.get("stats") or {})
+        blooms.update(payload.get("blooms") or {})
+    return stats, blooms
 
 
 def mapping_of(m: dict) -> tuple[dict, set]:
@@ -876,7 +895,7 @@ def check_constraints(df: DataFrame, constraints: dict) -> None:
                 for name, expr in constraints.items()
             ]
         ).collect()[0]
-    except Exception as e:  # unresolved column: schema-incompatible write
+    except AnalysisException as e:  # unresolved column: schema-incompatible write
         raise ConstraintViolation(
             f"cannot evaluate CHECK constraint(s) {sorted(constraints)} against "
             f"columns {df.columns} — the written frame's schema no longer "
@@ -1045,7 +1064,10 @@ def scan_snapshot(
     the stats dict is kilobytes per manifest; sharding manifests (the
     Iceberg manifest-list layer) is the seam when file counts reach
     millions."""
-    m = read_manifest(path, version)
+    # resolve=False: pruning walks shard SUMMARIES and opens only the
+    # sidecars that may match — the two-level planning this layout is
+    # for (a resolved read would inline every shard up front)
+    m = read_manifest(path, version, resolve=False)
     # predicates arrive in LOGICAL names; stats/blooms are keyed by the
     # files' physical names — translate once for pruning AND filtering
     where = translate_where(m, list(where))
@@ -1613,7 +1635,7 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
     prune the candidate files, apply ``transform(df, cond)`` to exactly
     those, carry every other file untouched into the next version.
     Returns (new_version, files_rewritten)."""
-    m = read_manifest(path)
+    m = read_manifest(path, resolve=False)  # lazy shard pruning
     # prune with PHYSICAL names (stats keyed physically); present the
     # transform with the LOGICAL view (rename-only — dropped physical
     # columns are reclaimed here: a rewrite is the moment their bytes go)
@@ -1645,9 +1667,10 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     stats_cols = m.get("stats_cols") or None
+    all_stats, all_blooms = resolved_stats_blooms(m)  # carry needs them all
     stats = None
     if stats_cols:
-        stats = {f: s for f, s in (m.get("stats") or {}).items() if f in set(keep)}
+        stats = {f: s for f, s in all_stats.items() if f in set(keep)}
         for f in new_files:
             st = _file_stats(f, stats_cols)
             if st:
@@ -1661,7 +1684,7 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
         stats_cols=stats_cols,
         stats=stats,
         bloom_cols=m.get("bloom_cols") or None,
-        blooms={f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)},
+        blooms={f: b for f, b in all_blooms.items() if f in set(keep)},
         dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
         expected_version=int(m["version"]),
     )
@@ -1709,7 +1732,7 @@ def delete_where_dv(
     and would resurrect masked rows."""
     from ..operators.merge import BUCKET_COL, load_table_props
 
-    m = read_manifest(path)
+    m = read_manifest(path, resolve=False)  # lazy shard pruning
     if load_table_props(path) is not None or any(
         f"{BUCKET_COL}=" in f for f in m["files"]
     ):
@@ -1757,11 +1780,12 @@ def delete_where_dv(
         merged.setdefault(by_abs.get(r["_dv_file"], r["_dv_file"]), set()).add(
             int(r["_dv_idx"])
         )
+    dvs_stats, dvs_blooms = resolved_stats_blooms(m)
     version = _publish(
         path, list(m["files"]), base=m.get("base"),
         mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
-        stats_cols=m.get("stats_cols") or None, stats=m.get("stats") or None,
-        bloom_cols=m.get("bloom_cols") or None, blooms=m.get("blooms") or None,
+        stats_cols=m.get("stats_cols") or None, stats=dvs_stats or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=dvs_blooms or None,
         renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
         constraints=m.get("constraints") or None,
         dv={f: sorted(ids) for f, ids in merged.items()},

@@ -156,7 +156,9 @@ class _SnapshotReader(DataSourceReader):
             # before the timestamp (epoch seconds or ISO date/datetime)
             v = S.as_of(self._path, _epoch(ts))
         self._version = int(v) if v is not None else None
-        self._manifest = S.read_manifest(self._path, self._version)
+        # resolve=False: prune_files walks shard summaries lazily; the
+        # reader needs only files / mapping / dv refs besides that
+        self._manifest = S.read_manifest(self._path, self._version, resolve=False)
         self._where: list = []
         self._files_per_task = int(options.get("filespertask", 1) or 1)
         # unified schema computed ONCE driver-side (footer reads);
@@ -732,7 +734,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "ignoreChanges=true to stream only added files."
             )
         added = sorted(new - old)
-        end_dv = S.read_dv(S.read_manifest(self._path, v1))
+        end_dv = S.read_dv(m_new)  # ref-based; no shard resolution needed
         dv = {f: end_dv[f] for f in added if f in end_dv}
         n = max(1, self._files_per_task)
         groups = [added[i : i + n] for i in range(0, len(added), n)]

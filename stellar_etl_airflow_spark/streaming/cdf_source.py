@@ -121,8 +121,22 @@ class _CDFStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return [_ChurnPartition()]  # empty batch (API wants >=1)
-        m_old = S.read_manifest(self._path, v0) if v0 > 0 else {"files": []}
-        m_new = S.read_manifest(self._path, v1)
+        m_old = S.read_manifest(self._path, v0, resolve=False) if v0 > 0 else {"files": []}
+        m_new = S.read_manifest(self._path, v1, resolve=False)
+        # the streaming CDF reader diffs FILE sets and reads raw bytes:
+        # deletion vectors (row churn with no file churn) and column
+        # mapping would be silently misread — both are metadata-only
+        # table states this reader does not support (the batch
+        # operators/cdf.read_changes does). Guard loudly (review r7).
+        if (m_old.get("dv") or {}).get("counts") != (m_new.get("dv") or {}).get(
+            "counts"
+        ) or m_new.get("renames") or m_new.get("dropped_cols"):
+            raise ValueError(
+                f"{self._path}: version range {v0}->{v1} involves deletion "
+                "vectors or column mapping, which the snapshot_cdf STREAM "
+                "does not decode; use operators.cdf.read_changes (batch) "
+                "for these tables"
+            )
         base = m_new.get("base") or self._path
         old_set, new_set = set(m_old["files"]), set(m_new["files"])
         buckets: dict[str, _ChurnPartition] = {}

@@ -276,3 +276,15 @@ def test_threaded_appends_all_land(spark, tmp_path):
     assert {f"part-thread{i}.parquet" for i in range(8)} <= names, names
     assert m["version"] == 9  # dense chain: 1 seed + 8 appends
     assert S.read_snapshot(spark, tbl).count() == 9
+
+
+def test_public_scan_is_lazy_on_shards(spark, tmp_path, small_shards):
+    """scan_snapshot itself must prune from shard summaries without
+    opening excluded sidecars (review r7: the lazy path was dead code
+    behind a resolving read_manifest)."""
+    tbl = _mk(spark, str(tmp_path / "t"))
+    raw = S.read_manifest(tbl, resolve=False)
+    for sh in raw["stats_shards"]:
+        os.remove(sh["path"])  # any sidecar open now raises
+    got = S.scan_snapshot(spark, tbl, [("k", ">", 10_000)]).collect()
+    assert got == []
