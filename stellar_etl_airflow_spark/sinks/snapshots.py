@@ -1223,10 +1223,14 @@ def clone_untracked(src: str, dst: str, as_of_ts: float | None = None) -> int:
     return _publish(dst, files, base=src)
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(path: str, keep_versions: int = 1, dry_run: bool = False) -> list[str]:
     """Delete data files under ``path`` referenced only by expired versions
     (everything older than the newest ``keep_versions``), then drop those
     manifests. Returns the deleted paths.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns the data
+    files that WOULD be deleted and touches nothing — no files, no
+    manifests, no txn-ledger rewrite, no clone-marker GC.
 
     Two clone-safety guarantees (both directions of the Delta
     shallow-clone hazard):
@@ -1256,7 +1260,7 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     for marker, clone_dir in _registered_clones(path):
         if os.path.isdir(_snap_dir(clone_dir)):
             keep_files.update(_all_manifest_files(clone_dir))
-        else:  # clone dropped: retire the stale back-reference
+        elif not dry_run:  # clone dropped: retire the stale back-reference
             try:
                 os.remove(marker)
             except FileNotFoundError:
@@ -1267,8 +1271,11 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     deleted = []
     for f in _list_data_files(path):
         if os.path.abspath(f) not in keep_abs:
-            os.remove(f)
+            if not dry_run:
+                os.remove(f)
             deleted.append(f)
+    if dry_run:
+        return deleted
     for v in range(1, cutoff + 1):
         try:
             os.remove(_manifest_path(path, v))

@@ -288,3 +288,17 @@ def test_public_scan_is_lazy_on_shards(spark, tmp_path, small_shards):
         os.remove(sh["path"])  # any sidecar open now raises
     got = S.scan_snapshot(spark, tbl, [("k", ">", 10_000)]).collect()
     assert got == []
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.createDataFrame([(1,)], "id long"), tbl)
+    S.overwrite_versioned(spark, spark.createDataFrame([(2,)], "id long"), tbl)
+    would = S.vacuum(tbl, keep_versions=1, dry_run=True)
+    assert would  # v1's files are reclaimable
+    # nothing actually happened: v1 still reads, files still on disk
+    assert sorted(r["id"] for r in S.read_snapshot(spark, tbl, 1).collect()) == [1]
+    assert all(os.path.exists(f) for f in would)
+    gone = S.vacuum(tbl, keep_versions=1)
+    assert sorted(gone) == sorted(would)  # the dry run predicted exactly
+    assert not any(os.path.exists(f) for f in gone)
