@@ -429,7 +429,11 @@ def _publish(
     # manifest keep their recorded stats; only new files read footers.
     # An explicit ``stats`` dict (clone) is carried verbatim.
     if stats is None and stats_cols:
-        prev = read_manifest(path).get("stats") or {} if version > 1 else {}
+        prev = (
+            resolved_stats_blooms(read_manifest(path, resolve=False))[0]
+            if version > 1
+            else {}
+        )
         stats = {}
         for f in files:
             st = prev.get(f)
