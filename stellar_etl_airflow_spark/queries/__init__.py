@@ -28,18 +28,19 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 123 entries as of round 7 — t40-t51, q55-q59,
+# round (the corpus is 124 entries as of round 7 — t40-t52, q55-q59,
 # s10-s13 new — larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
-# 123-entry corpus, alternate-round freshness is the attainable bound —
+# 124-entry corpus, alternate-round freshness is the attainable bound —
 # each round fronts (a) any entry that has NEVER had a driver row, then
 # (b) every entry whose latest row is one round old, ordered so that
 # entries touched by this round's code changes come first. 52 r5-stale
-# entries + 21 new-this-round entries (t40-t51, q55-q59, s10-s13)
-# compete for 50 slots, so twenty-three r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-73 and
-# MUST lead _FRONT next round. Round 7 sacrifices t28_contamination_report,
+# entries + 22 new-this-round entries (t40-t52, q55-q59, s10-s13)
+# compete for 50 slots, so twenty-four r5-stale entries slip to
+# two-rounds-stale this round; they are placed at positions 51-74 and
+# MUST lead _FRONT next round. Round 7 sacrifices t27_repetition_stats,
+# t28_contamination_report,
 # t29_per_lang_quality_filter,
 # t30_source_vocab_overlap,
 # t31_per_lang_threshold_gate,
@@ -67,6 +68,7 @@ _FRONT = [
     "t50_source_overlap_matrix",
     "q59_deletion_vectors",
     "t51_keep_best_dedup",
+    "t52_temperature_mixture",
     "q55_snapshot_pushdown",
     "s10_cdf_net_changes",
     "q56_scd2_from_cdf",
@@ -110,9 +112,9 @@ _FRONT = [
     "t17_neardup_components",
     "t19_kmeans_ivf",
     "t20_training_pipeline",
-    "t27_repetition_stats",
-    # the twenty-three sacrificed-this-round entries (positions 51-73):
+    # the twenty-four sacrificed-this-round entries (positions 51-74):
     # front these FIRST next round
+    "t27_repetition_stats",
     "t28_contamination_report",
     "t29_per_lang_quality_filter",
     "t30_source_vocab_overlap",

@@ -2274,3 +2274,44 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t52 — temperature mixture sampling (GPT-3/PaLM alpha-mixing): targets
+# are sqrt-size shares computed in a source-ordered left-to-right fold
+# (bit-exact across engines), then t33's deterministic hash-gate
+# subsample. alpha=0.5 hard-wired in the corpus entry (sqrt is the one
+# power both libms round identically).
+# ---------------------------------------------------------------------------
+
+
+def t52_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.temperature_mixture(docs, alpha=0.5)
+
+
+T52_SQL = f"""
+WITH cnt AS (SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY source),
+w AS (SELECT source, c, sqrt(c) AS wgt FROM cnt),
+tot AS (SELECT list_reduce(list(wgt ORDER BY source), (a, b) -> a + b) AS t FROM w),
+tgt AS (SELECT source, c, wgt / tot.t AS p FROM w CROSS JOIN tot),
+m AS (SELECT min(c / p) AS m FROM tgt),
+rates AS (
+  SELECT source, least(1.0, (p * m.m) / c) AS keep_rate FROM tgt CROSS JOIN m
+)
+SELECT d.doc_id, d.source, r.keep_rate
+FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE {ph_duck("d.doc_id::VARCHAR")} % 1000000 < round(r.keep_rate * 1000000, 0)
+"""
+
+
+SPECS.update(
+    {
+        "t52_temperature_mixture": QuerySpec(
+            t52_temperature_mixture,
+            T52_SQL,
+            "temperature mixture sampling: sqrt-size target shares + deterministic hash-gate subsample",
+        ),
+    }
+)

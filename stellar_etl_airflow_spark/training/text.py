@@ -957,3 +957,41 @@ def ccnet_perplexity_buckets(
         "pseudo_ppl",
         bucket.alias("ppl_bucket"),
     )
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture sampling (GPT-3 appendix A / PaLM /
+    multilingual-T5 alpha-mixing): target source proportions are the
+    ALPHA-POWERED size shares ``p_s = c_s^alpha / sum(c^alpha)`` —
+    alpha=1 keeps natural proportions, alpha->0 flattens toward uniform,
+    0.5 is the customary compromise that up-weights small sources
+    without drowning large ones. The actual subsampling is
+    :func:`rebalance_sources` (deterministic hash gate, zero corpus
+    shuffle; the per-source math is a |sources|-sized driver fold).
+
+    Cross-engine determinism: alpha=0.5 uses ``math.sqrt`` (IEEE
+    correctly-rounded, matching SQL ``sqrt``) and the weight total is a
+    SOURCE-ORDERED left-to-right fold, so the oracle reproduces every
+    double bit-exactly; other alphas use ``pow``, whose last-ulp
+    behavior libms do not pin — fine for production, not for the hash
+    gate.
+    """
+    import math
+
+    counts = sorted(
+        (r["s"], r["c"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    wfun = math.sqrt if alpha == 0.5 else (lambda c: c**alpha)
+    weights = [(s, wfun(float(c))) for s, c in counts]
+    total = 0.0
+    for _s, w in weights:  # fixed order: source-sorted left-to-right
+        total += w
+    targets = {s: w / total for s, w in weights}
+    return rebalance_sources(df, targets, id_col, source_col)
