@@ -424,17 +424,23 @@ def _merge_versioned_core(
     # untouched buckets' files keep their recorded stats (incremental in
     # _publish), only the newly written files read footers
     props = load_table_props(path) or {}
+    # fall back to the previous manifest's pins (ADVICE r7, same rule as
+    # compact_snapshot): a table bootstrapped via overwrite_versioned(
+    # stats_cols=...) has manifest pins but no props file — sourcing only
+    # props would publish stats_cols=[] and silently drop all per-file
+    # stats (pruning stops working) after the first merge
+    stats_cols = props.get("stats_cols") or m.get("stats_cols") or None
     # blooms are incremental like stats: untouched buckets' files keep
     # their recorded filters; only the newly written files get one
     # distributed column-pruned pass per bloom column
-    bloom_cols = props.get("bloom_cols") or None
+    bloom_cols = props.get("bloom_cols") or m.get("bloom_cols") or None
     blooms = None
     if bloom_cols:
         blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)}
         blooms.update(S.compute_blooms(spark, new_files, bloom_cols))
     version = S._publish(
         path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,
-        stats_cols=props.get("stats_cols") or None,
+        stats_cols=stats_cols,
         bloom_cols=bloom_cols, blooms=blooms,
         # compare-and-swap (r7): the kept-bucket list was derived from
         # ``m`` — a concurrent merge interleaving would otherwise drop

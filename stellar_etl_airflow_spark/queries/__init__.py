@@ -28,92 +28,34 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 124 entries as of round 7 — t40-t52, q55-q59,
-# s10-s13 new — larger than the window).
+# round (the corpus is 124 entries as of round 8 — larger than the
+# window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
 # 124-entry corpus, alternate-round freshness is the attainable bound —
-# each round fronts (a) any entry that has NEVER had a driver row, then
-# (b) every entry whose latest row is one round old, ordered so that
-# entries touched by this round's code changes come first. 52 r5-stale
-# entries + 22 new-this-round entries (t40-t52, q55-q59, s10-s13)
-# compete for 50 slots, so twenty-four r5-stale entries slip to
-# two-rounds-stale this round; they are placed at positions 51-74 and
-# MUST lead _FRONT next round. Round 7 sacrifices t27_repetition_stats,
-# t28_contamination_report,
-# t29_per_lang_quality_filter,
-# t30_source_vocab_overlap,
-# t31_per_lang_threshold_gate,
-# t32_unigram_logprob,
-# t33_rebalance_sources, t34_boilerplate_coverage, t35_stratified_sample,
-# q31_setops, q44_cube,
-# q30_rolling_window, q33_unpivot, q32_pivot, q47_grouping_sets,
-# q34_tumbling_window, q35_exists_subqueries, q36_window_ranks,
-# q37_lateral_topk, q38_hopping_window, q39_full_outer,
-# q40_sketch_aggregates, q41_salted_join, q43_range_frames
-# (simple deterministic plans, unchanged since r5, oracle-verified
-# in-repo by test_oracle_parity.py every session).
+# each round fronts (a) any entry that has NEVER had a green driver row,
+# then (b) the STALEST entries first (latest row oldest round), ordered
+# within a staleness class so entries touched by this round's code
+# changes come first.
+#
+# Round 8 window (50 slots): t43 first (r7 row was err=no_oracle — its
+# oracle lands this round, making it the last entry ever to get its
+# first full value-hash row), then t45 (pq_topk's final top-k is
+# re-planned this round per VERDICT ask #2 — its green r7 row describes
+# the old plan), then ALL twenty-four r5-stale entries (the r7
+# sacrifice list, honoring "MUST lead _FRONT next round"), then 24 of
+# the 50 r6-stale entries — codec/ANN/stream entries whose backing code
+# changed in r7 (FLAC, progressive JPEG, stream-writer plumbing) ahead
+# of untouched ones. The 26 r6-stale entries that miss the window are
+# the early relational ports q01-q27 + q42/q46 (unchanged since r2-r4,
+# oracle-verified in-repo by test_oracle_parity.py every pytest run);
+# they sit at positions 51-76 and MUST lead _FRONT in round 9.
 _FRONT = [
-    # never driver-checked: the two r6 entries the r6 window cut off,
-    # then this round's new entries (VERDICT r6 ask #2)
-    "t38_importance_weights",
-    "t39_duplicate_spans",
-    "t40_gopher_rules",
-    "t41_source_lang_mix",
-    "t46_url_dedup",
-    "t47_bloom_decontaminate",
-    "t48_ccnet_buckets",
-    "t49_paragraph_dedup",
-    "q58_column_mapping",
-    "t50_source_overlap_matrix",
-    "q59_deletion_vectors",
-    "t51_keep_best_dedup",
-    "t52_temperature_mixture",
-    "q55_snapshot_pushdown",
-    "s10_cdf_net_changes",
-    "q56_scd2_from_cdf",
-    "t42_bigram_backoff",
-    "s11_stream_snapshot_sink",
+    # (a) never fully driver-verified: oracle added this round
     "t43_bpe_vocab",
-    "q57_table_profile",
-    "t44_pagerank",
-    "s12_stream_cdf_to_scd2",
+    # re-planned this round (VERDICT r7 ask #2): bounded two-phase top-k
     "t45_pq_adc_topk",
-    "s13_snapshot_stream_roundtrip",
-    # r5-stale entries touched by round-7 changes: as-of deterministic
-    # salt + right-hot splitting (q52/q53), txn-ledger retention under
-    # the incremental mart (q51). (t23_audio_features also changes this
-    # round — FLAC subframe decode — but is r6-fresh; its parity rides
-    # on the in-repo oracle gate until its next rotation.)
-    "q52_asof_tolerance",
-    "q53_asof_forward",
-    "q51_incremental_mart",
-    # remaining r5-stale entries
-    "q17_apply_changes",
-    "q19_sessionize",
-    "q26_correlated_subquery",
-    "q28_rollup",
-    "q29_percentiles",
-    "q45_explode_outer",
-    "q48_fuzzy_blocked_join",
-    "q49_gapfill_ffill",
-    "q50_funnel",
-    "s01_stream_tumbling",
-    "s02_stream_dedup",
-    "s03_stream_sessionize",
-    "s04_stateful_running_counts",
-    "s05_stream_stream_join",
-    "s06_stream_upsert_sink",
-    "s07_stream_static_enrich",
-    "t01_exact_dedup",
-    "t02_ngram_jaccard_pairs",
-    "t03_minhash_lsh_pairs",
-    "t16_embedding_ivf_topk",
-    "t17_neardup_components",
-    "t19_kmeans_ivf",
-    "t20_training_pipeline",
-    # the twenty-four sacrificed-this-round entries (positions 51-74):
-    # front these FIRST next round
+    # (b) the 24 r5-stale entries — the r7 sacrifice list, oldest class
     "t27_repetition_stats",
     "t28_contamination_report",
     "t29_per_lang_quality_filter",
@@ -138,7 +80,64 @@ _FRONT = [
     "q40_sketch_aggregates",
     "q41_salted_join",
     "q43_range_frames",
-    # r6-fresh remainder rides in back (dict-merge below appends them)
+    # (c) 24 of the r6-stale entries; r7/r8-touched code first:
+    # stream sink plumbing (r8 bloom type gate in the writer ctor),
+    # snapshot publish paths (r8 ADVICE fixes), FLAC (r7), progressive
+    # JPEG / codecs (r7), then the ANN + text families
+    "s08_stream_crash_resume",
+    "s09_stream_additive_exactly_once",
+    "q54_schema_evolution",
+    "t23_audio_features",
+    "t36_image_pixel_stats",
+    "t13_multimodal_meta",
+    "t15_frame_sample",
+    "t37_semantic_dedup",
+    "t06_embedding_topk",
+    "t07_embedding_lsh_topk",
+    "t18_embedding_multiprobe_topk",
+    "t08_embedding_neardup",
+    "t04_simhash",
+    "t05_simhash_neardup",
+    "t14_jaccard_dfcapped",
+    "t22_tfidf_top_terms",
+    "t21_vocab_stats",
+    "t24_deterministic_sampling",
+    "t25_chunking",
+    "t26_sequence_packing",
+    "t09_lang_id",
+    "t10_quality_score",
+    "t11_token_stats",
+    "t12_fingerprint",
+    # --- window boundary (~50) ---
+    # the twenty-six sacrificed-this-round r6-stale entries: front these
+    # FIRST next round (round 9)
+    "q01_pricing_summary",
+    "q02_latest_state_dedup",
+    "q03_shipping_priority",
+    "q04_oldest_wins_dedup",
+    "q05_anti_join",
+    "q06_semi_join_union",
+    "q07_asof_price_join",
+    "q08_cross_join_latest",
+    "q09_scalar_functions",
+    "q10_json_extract",
+    "q11_validity_windows",
+    "q12_ohlc",
+    "q13_array_agg_ordered",
+    "q14_union_branches",
+    "q15_multiway_join",
+    "q16_distinct_groupall",
+    "q18_sequence_explode",
+    "q20_export_slice",
+    "q21_scalar_functions2",
+    "q22_provider_accounting",
+    "q23_docs_embeddings_join",
+    "q24_enriched_rows",
+    "q25_top_parts_per_brand",
+    "q27_asof_union",
+    "q42_bucketed_range_join",
+    "q46_higher_order",
+    # r7-fresh remainder rides in back (dict-merge below appends them)
 ]
 _seen = set()
 _FRONT = [n for n in _FRONT if not (n in _seen or _seen.add(n))]

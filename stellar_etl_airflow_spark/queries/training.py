@@ -1721,9 +1721,14 @@ def t43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (Sennrich 2016 Algorithm 1) over
     the documents corpus: one corpus token fold reduces to the word-type
     table, then every round costs |word types|, independent of corpus
-    size. The iterative global argmax is not SQL-expressible, so this
-    entry takes the driver's rows-only check; exactness against a
-    pure-Python reimplementation (deterministic tie-break) is pinned by
+    size. The iterative global argmax IS SQL-expressible for a FIXED
+    merge count: the oracle unrolls the 12 rounds as a chain of
+    materialized CTEs, each round = all-adjacent pair count -> argmax
+    with the (n DESC, a ASC, b ASC) tie-break of bpe.bpe_learn -> greedy
+    left-to-right merge application via gaps-and-islands (consecutive
+    candidate runs keep odd positions — exactly the left-fold's
+    overlap rule, which only bites when left == right). Exactness vs a
+    pure-Python reimplementation is additionally pinned by
     tests/test_bpe.py."""
     from ..training import bpe as B
 
@@ -1731,11 +1736,84 @@ def t43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_merges_df(docs, 12)
 
 
+def _t43_sql(num_merges: int = 12, min_pair_count: int = 2) -> str:
+    """Unrolled-round DuckDB oracle for :func:`t43_bpe_vocab`.
+
+    Mirrors ``bpe.bpe_learn`` exactly: ASCII-\\s lowercase word split,
+    char symbols + EOW sentinel, ALL-adjacent pair counting (overlaps
+    included), argmax tie-broken (count DESC, left ASC, right ASC),
+    HAVING >= min_pair_count early-stop (an empty round leaves the state
+    unchanged, so emptiness propagates and ranks stay dense), and the
+    greedy left-fold merge application. CTEs are MATERIALIZED — without
+    it DuckDB inlines each round's two references to the previous state
+    and the plan grows 2^rounds."""
+    from ..training.bpe import EOW
+
+    parts = [
+        r"""
+w AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+t0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY w) AS wid,
+         list_transform(range(1, length(w)+1), i -> w[i]) || ['"""
+        + EOW
+        + """'] AS sym,
+         freq
+  FROM w
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(f"""
+pr{k} AS MATERIALIZED (
+  SELECT wid, freq, pos, s, lead(s) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+  FROM (SELECT wid, freq, unnest(generate_series(1, len(sym))) AS pos, unnest(sym) AS s
+        FROM t{k - 1})
+),
+m{k} AS MATERIALIZED (
+  SELECT s AS a, nxt AS b, sum(freq)::BIGINT AS n
+  FROM pr{k} WHERE nxt IS NOT NULL
+  GROUP BY s, nxt HAVING sum(freq) >= {min_pair_count}
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+),
+k{k} AS (
+  SELECT *, cand AND (row_number() OVER (PARTITION BY wid, cand, grp ORDER BY pos) % 2 = 1) AS keep
+  FROM (SELECT *, pos - row_number() OVER (PARTITION BY wid, cand ORDER BY pos) AS grp
+        FROM (SELECT wid, freq, pos, s,
+                     coalesce(s = (SELECT a FROM m{k}) AND nxt = (SELECT b FROM m{k}), FALSE) AS cand
+              FROM pr{k}))
+),
+t{k} AS MATERIALIZED (
+  SELECT wid, freq,
+         list(CASE WHEN keep THEN s || (SELECT b FROM m{k}) ELSE s END ORDER BY pos) AS sym
+  FROM (SELECT *, coalesce(lag(keep) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS consumed
+        FROM k{k})
+  WHERE NOT consumed
+  GROUP BY wid, freq
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS k, * FROM m{k}" for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT (row_number() OVER (ORDER BY k) - 1)::INT AS "rank", a AS "left", b AS "right", n AS pair_freq
+FROM ({union}) ORDER BY "rank" """
+    )
+
+
+T43_SQL = _t43_sql()
+
+
 SPECS.update(
     {
         "t43_bpe_vocab": QuerySpec(
             t43_bpe_vocab,
-            None,
+            T43_SQL,
             "BPE merge learning on word types (Sennrich Algorithm 1), deterministic tie-break",
         ),
     }

@@ -302,6 +302,24 @@ def _bloom_position_sets(spark, files, c, mdf, k):
     ).distinct()
 
 
+def _check_bloomable(col: str, dtype) -> None:
+    """Raise unless ``dtype`` round-trips identically through Spark's
+    CAST AS STRING (bloom recording) and Python's str() (bloom_contains
+    probing): string / integral / boolean. Floats, decimals, timestamps
+    and dates format differently between the two and would produce
+    silent bloom false negatives — wrongly pruned files (ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    ok = (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+          T.BooleanType)
+    if not isinstance(dtype, ok):
+        raise TypeError(
+            f"bloom column {col!r} has type {dtype.simpleString()}; bloom "
+            "filters support only string/integral/boolean columns (Spark "
+            "CAST AS STRING must match Python str() exactly)"
+        )
+
+
 def compute_blooms(
     spark: SparkSession,
     files: list[str],
@@ -356,6 +374,15 @@ def compute_blooms(
     mdf = spark.createDataFrame(
         [(f, m) for f, m in file_m.items()], "_fp string, _m long"
     )
+    # enforce the docstring's type contract (ADVICE r7): a float/timestamp
+    # bloom column would record hashes of Spark's CAST AS STRING, which
+    # Python's str() in bloom_contains does NOT reproduce — silent false
+    # negatives, i.e. wrongly pruned files. Fail loudly instead.
+    schema = spark.read.parquet(*files).schema
+    for c in cols:
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is not None:
+            _check_bloomable(c, f.dataType)
     out: dict[str, dict] = {}
     for c in cols:
         rows = (
@@ -992,13 +1019,20 @@ def _may_match(st: dict, bl: dict, col, op, v) -> bool:
     if not rng:
         return True
     mn, mx = rng
-    return not (
-        (op == "=" and (v < mn or v > mx))
-        or (op == "<" and mn >= v)
-        or (op == "<=" and mn > v)
-        or (op == ">" and mx <= v)
-        or (op == ">=" and mx < v)
-    )
+    try:
+        return not (
+            (op == "=" and (v < mn or v > mx))
+            or (op == "<" and mn >= v)
+            or (op == "<=" and mn > v)
+            or (op == ">" and mx <= v)
+            or (op == ">=" and mx < v)
+        )
+    except TypeError:
+        # probe value and JSON-recorded stat have incomparable types
+        # (int probe vs string-stat column, or vice versa): never prune
+        # on a comparison we can't make — the file survives and Spark's
+        # exact filter decides (ADVICE r7)
+        return True
 
 
 def prune_files(manifest: dict, where) -> list[str]:
@@ -1322,6 +1356,12 @@ def vacuum(path: str, keep_versions: int = 1, dry_run: bool = False) -> list[str
     # that one entry IS the one-batch redelivery window, and it costs
     # O(#queries), not O(#batches).
     for v, m in manifests.items():
+        if v <= cutoff:
+            # this manifest was just os.remove'd above — rewriting its
+            # pruned ledger would resurrect an expired version (a zombie
+            # manifest referencing deleted data files); only RETAINED
+            # manifests get the pruned ledger (ADVICE r7)
+            continue
         txns = m.get("txns") or {}
         stream_latest: dict[str, str] = {}
         for t, tv in txns.items():

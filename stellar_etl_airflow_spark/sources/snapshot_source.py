@@ -327,11 +327,19 @@ class _SnapshotWriter(DataSourceArrowWriter):
     - ``abort`` deletes this attempt's files; readers never saw them.
     """
 
-    def __init__(self, options: dict, overwrite: bool) -> None:
+    def __init__(self, options: dict, overwrite: bool, schema=None) -> None:
         self._path = options["path"]
         self._overwrite = overwrite
         self._stats_cols = [c for c in (options.get("stats_cols") or "").split(",") if c]
         self._bloom_cols = [c for c in (options.get("bloom_cols") or "").split(",") if c]
+        # type-gate bloom columns at plan time (ADVICE r7): a float/
+        # timestamp bloom column records str()-hashes that Spark's CAST
+        # AS STRING probe won't reproduce — silent false negatives.
+        if schema is not None:
+            for c in self._bloom_cols:
+                f = next((f for f in schema.fields if f.name == c), None)
+                if f is not None:
+                    S._check_bloomable(c, f.dataType)
         # file sizing (the maxRecordsPerFile knob): a task holding more
         # rows than this ROLLS to a new file — at 100 TB file size is a
         # first-order scan/parallelism lever, and a 1-file-per-task rule
@@ -546,8 +554,8 @@ class _SnapshotStreamWriter(_SnapshotWriter, DataSourceStreamArrowWriter):
       produced (retention already property-tested).
     """
 
-    def __init__(self, options: dict, overwrite: bool) -> None:
-        _SnapshotWriter.__init__(self, options, overwrite)
+    def __init__(self, options: dict, overwrite: bool, schema=None) -> None:
+        _SnapshotWriter.__init__(self, options, overwrite, schema)
         self._appid = options.get("appid") or "stream"
 
     # NOTE (r7): Delta-style in-sink autoCompact is architecturally
@@ -624,12 +632,12 @@ class SnapshotSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> _SnapshotWriter:
         opts = {k.lower(): v for k, v in self.options.items()}
         opts["path"] = self.options["path"]
-        return _SnapshotWriter(opts, overwrite)
+        return _SnapshotWriter(opts, overwrite, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> _SnapshotStreamWriter:
         opts = {k.lower(): v for k, v in self.options.items()}
         opts["path"] = self.options["path"]
-        return _SnapshotStreamWriter(opts, overwrite)
+        return _SnapshotStreamWriter(opts, overwrite, schema)
 
     def streamReader(self, schema: StructType) -> _SnapshotStreamReader:
         opts = {k.lower(): v for k, v in self.options.items()}
