@@ -55,15 +55,147 @@ def _merge_expr(col: str, a: str, b: str) -> str:
     )
 
 
+def _select_batch_approx(
+    rows, min_pair_count: int, max_batch: int, room: int
+) -> list[tuple[str, str, int]]:
+    """Standard batched-BPE selection (``exact=False``): up to
+    ``max_batch`` mutually symbol-disjoint pairs, skipping (not
+    stopping at) overlaps. Each selected pair's recorded count is its
+    EXACT pre-batch count (disjoint merges don't change each other's
+    counts), and no selected symbol is another batch member's concat,
+    so every batch member is a well-defined merge of the round's state.
+
+    Divergence bound vs sequential greedy: every batch member was one
+    of the round's top-T pairs by count, and the batch's k-th member
+    has count >= every pair it skipped below it — so the batch is a
+    reordering-with-gaps of a PREFIX of the sequential merge sequence
+    restricted to this round's counts; sequential interleaves chained
+    merges (x, concat) between them, which batching defers to the next
+    round. The learned VOCAB differs only in merge order and in
+    chain-tail merges deferred by one round; tests measure the realized
+    set overlap on the fixture."""
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    for r in rows:
+        a, b, n = r["a"], r["b"], int(r["n"])
+        if n < min_pair_count:
+            break
+        if len(sel) >= min(max_batch, room):
+            break
+        if a in used or b in used or a in concats or b in concats:
+            continue
+        sel.append((a, b, n))
+        used.update((a, b))
+        concats.add(a + b)
+    return sel
+
+
+def _select_batch(
+    rows, alphabet: set[str], min_pair_count: int, max_batch: int, room: int
+) -> list[tuple[str, str, int]]:
+    """Greedy EXACT batch selection from the sorted (n DESC, a, b) top-T
+    pair rows: the largest prefix-consistent set of merges whose batched
+    application provably replays the sequential argmax sequence.
+
+    Three guards make batched == sequential (proof sketch in
+    :func:`bpe_learn`'s docstring):
+
+    - **disjointness**: a selected pair shares no symbol with an earlier
+      selected pair (applying one merge never changes a disjoint pair's
+      count), and none of its symbols is an earlier selected CONCAT
+      (created symbols never participate in the same batch);
+    - **strict count cut**: every selected pair except the first must
+      beat (strictly) the count of the first rejected/unseen pair —
+      newly created pairs inherit counts from overlapping donors, all of
+      which sort at or below the cut, so no new pair can tie into the
+      selected range;
+    - **fresh concats**: if a selected pair's concat already exists in
+      the alphabet, existing pairs around that symbol could be BOOSTED
+      past the cut, so the batch ends right after that pair (it is
+      itself still exact — boosts only affect later picks).
+    """
+    if not rows or rows[0]["n"] < min_pair_count:
+        return []
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    cut = None  # count bound for everything NOT selected
+    for i, r in enumerate(rows):
+        a, b, n = r["a"], r["b"], int(r["n"])
+        if (
+            n < min_pair_count
+            or len(sel) >= min(max_batch, room)
+            or a in used or b in used or a in concats or b in concats
+        ):
+            cut = n
+            break
+        sel.append((a, b, n))
+        used.update((a, b))
+        concats.add(a + b)
+        if (a + b) in alphabet:  # boosted-pair hazard: end the batch here
+            cut = int(rows[i + 1]["n"]) if i + 1 < len(rows) else 0
+            break
+    if cut is None:  # exhausted the top-T window: row T bounds the rest
+        cut = int(rows[-1]["n"])
+    # strict-cut trim (first pair is always the exact argmax — exempt)
+    while len(sel) > 1 and sel[-1][2] <= cut:
+        sel.pop()
+    return sel
+
+
 def bpe_learn(
     df: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    max_batch: int = 32,
+    stats: dict | None = None,
+    exact: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     ordered merge table [(left, right, pair_freq), ...]. Stops early when
-    no pair reaches ``min_pair_count``."""
+    no pair reaches ``min_pair_count``.
+
+    BATCHED ROUNDS (r8, VERDICT r7 ask #4): instead of one Spark job per
+    merge (32k sequential jobs for a production vocab), each round
+    collects the top-T pair counts (T = 4*max_batch rows — the only
+    driver traffic) and selects up to ``max_batch`` merges that are
+    provably exact w.r.t. the sequential greedy argmax:
+
+    - mutually SYMBOL-DISJOINT pairs keep their exact counts while the
+      earlier batch members are applied (a merge (a,b) only changes
+      counts of pairs touching a or b), so the recorded pair_freq equals
+      what sequential would have seen;
+    - every pair that OVERLAPS a selected pair sorts strictly after the
+      whole selection (else it would have been selected first), so its
+      count — and the count of any pair a merge CREATES, which inherits
+      from overlapping donors — is bounded by the count at the cut;
+      requiring selected counts to STRICTLY beat the cut means no
+      created pair can tie into the selected range under the
+      (n DESC, a ASC, b ASC) order;
+    - a selected concat that already exists as a live symbol could boost
+      an existing pair past the cut, so the batch ends there; the
+      alphabet is maintained driver-side (initial distinct symbols +
+      one concat per applied merge, a superset — false positives only
+      shrink batches, never break exactness).
+
+    The batch applies as ONE nested expression fold (one job +
+    localCheckpoint), so a 32k-merge vocab costs ~num_merges/avg_batch
+    jobs, not num_merges. ``max_batch=1`` reproduces the r7 sequential
+    loop exactly; the batched/sequential equivalence is pinned by
+    ``tests/test_bpe.py`` and the t43 DuckDB oracle (which replays the
+    sequential algorithm round by round).
+
+    ``exact=True`` guarantees sequence identity but a corpus whose
+    greedy chain is dependent (suffix buildup: (e,r) then (er,EOW))
+    yields small batches. ``exact=False`` switches to the standard
+    batched selection (:func:`_select_batch_approx`): up to max_batch
+    disjoint pairs per round by SKIPPING overlaps — chain merges defer
+    one round, the learned vocab is order-perturbed but count-faithful
+    (each recorded pair_freq is that pair's exact count in its round's
+    state); use it for production-size vocabs where job count, not
+    sequence identity, is the constraint."""
     # one corpus shuffle: word types with frequencies
     words = (
         df.select(F.explode(words_col(text_col)).alias("w"))
@@ -75,28 +207,49 @@ def bpe_learn(
         F.concat(F.split(F.col("w"), ""), F.array(F.lit(EOW))).alias("sym"),
         "freq",
     ).localCheckpoint(eager=True)
+    # driver-side alphabet superset: initial distinct symbols (tiny —
+    # the character set) + every applied concat
+    alphabet = {
+        r["s"] for r in types.select(F.explode("sym").alias("s")).distinct().collect()
+    }
 
     merges: list[tuple[str, str, int]] = []
     pair_col = F.expr(
         "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1),"
         " (x, y) -> struct(x as a, y as b))"
     )
-    for _ in range(num_merges):
-        top = (
+    top_t = max(4 * max_batch, 8)
+    rounds = 0
+    batch_sizes: list[int] = []
+    while len(merges) < num_merges:
+        rows = (
             types.select(F.explode(pair_col).alias("p"), "freq")
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(top_t)
             .collect()
         )
-        if not top or top[0]["n"] < min_pair_count:
+        room = num_merges - len(merges)
+        if exact:
+            batch = _select_batch(rows, alphabet, min_pair_count, max_batch, room)
+        else:
+            batch = _select_batch_approx(rows, min_pair_count, max_batch, room)
+        if not batch:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((a, b, n))
-        types = types.select(
-            F.expr(_merge_expr("sym", a, b)).alias("sym"), "freq"
-        ).localCheckpoint(eager=True)
+        rounds += 1
+        batch_sizes.append(len(batch))
+        merges.extend(batch)
+        expr = "sym"
+        for a, b, _n in batch:  # rank order: inner-first == sequential
+            expr = _merge_expr(expr, a, b)
+            alphabet.add(a + b)
+        types = types.select(F.expr(expr).alias("sym"), "freq").localCheckpoint(
+            eager=True
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["batches"] = batch_sizes
     return merges
 
 
