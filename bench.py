@@ -168,6 +168,7 @@ def main() -> None:
     # budget (BASELINE.md; the untimed prepare step stands in for the
     # reference's 300 s export task, which writes the NDJSON we ingest).
     e2e_sec = None
+    e2e_stages = None
     if not fast:
         import tempfile
 
@@ -176,8 +177,11 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as d:
             led_src, acc_src = E2E.prepare(spark, sf_dir, d)
             t0 = time.perf_counter()
-            E2E.run(spark, led_src, acc_src, d)
+            res = E2E.run(spark, led_src, acc_src, d)
             e2e_sec = round(time.perf_counter() - t0, 3)
+            # per-stage sub-timings (r8): a regression names its stage —
+            # ingest_delins / state_merge (the MERGE leg) / view_export
+            e2e_stages = res.get("stages")
 
     # Two lines, detail first: the driver captures a bounded tail of stdout
     # and keeps the LAST complete JSON line, so the compact headline metric
@@ -204,6 +208,7 @@ def main() -> None:
                 "reps": reps,
                 "walls": walls,
                 "e2e_batch_sec": e2e_sec,
+                "e2e_stages_sec": e2e_stages,
                 "e2e_ref_budget_sec": 400,
                 "sf": sf,
             }

@@ -111,24 +111,34 @@ def run(
 ) -> dict:
     """TIMED: one complete batch through the engine — del/ins ingest,
     MVCC state merge, current-state view, Avro export. Returns stage
-    row counts for assertions; the caller times the whole call."""
+    row counts for assertions plus per-stage wall times (``stages``,
+    r8 VERDICT r7 ask #8 — a regression in the e2e number must name
+    its stage); the caller times the whole call."""
+    import time
+
     w = plan_window()
     wh = Warehouse(os.path.join(workdir, "wh"))
+    stages: dict[str, float] = {}
 
+    t0 = time.perf_counter()
     led_df = ingest_batch(
         spark, wh, "history_ledgers", led_src, LEDGERS_SCHEMA, w, cluster_fields=("sequence",)
     )
     acc_df = ingest_batch(spark, wh, "accounts", acc_src, ACCOUNTS_SCHEMA, w)
+    stages["ingest_delins"] = round(time.perf_counter() - t0, 3)
 
     chg = acc_df.drop("batch_id", "batch_run_date", "batch_insert_ts")
     led = led_df.drop("batch_id", "batch_run_date", "batch_insert_ts")
     state_tbl = wh.path("accounts_state")
+    t0 = time.perf_counter()
     version, touched = apply_changes(
         spark, chg, state_tbl, ("account_id",), n_buckets=n_buckets, txn_id=w.batch_id,
         stats_cols=("account_id", "last_modified_ledger"),
     )
     state_rows = S.read_snapshot(spark, state_tbl, version).count()
+    stages["state_merge"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
     cur = CS.v_accounts_current(chg, led)
     dest = exports.avro_export_dir(os.path.join(workdir, "avro"), "accounts", w.interval_end)
     fmt = exports.export_slice(
@@ -140,10 +150,12 @@ def run(
         dest,
     )
     export_rows = exports.read_export(spark, fmt, dest).count()
+    stages["view_export"] = round(time.perf_counter() - t0, 3)
     return {
         "state_rows": state_rows,
         "export_rows": export_rows,
         "export_format": fmt,
         "touched_buckets": len(touched),
         "version": version,
+        "stages": stages,
     }

@@ -28,8 +28,8 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 124 entries as of round 8 — larger than the
-# window).
+# round (the corpus is 125 entries as of round 8 — q60 new — larger
+# than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
 # 124-entry corpus, alternate-round freshness is the attainable bound —
@@ -40,19 +40,22 @@ QUERIES.update(connectors.SPECS)
 #
 # Round 8 window (50 slots): t43 first (r7 row was err=no_oracle — its
 # oracle lands this round, making it the last entry ever to get its
-# first full value-hash row), then t45 (pq_topk's final top-k is
-# re-planned this round per VERDICT ask #2 — its green r7 row describes
-# the old plan), then ALL twenty-four r5-stale entries (the r7
-# sacrifice list, honoring "MUST lead _FRONT next round"), then 24 of
-# the 50 r6-stale entries — codec/ANN/stream entries whose backing code
-# changed in r7 (FLAC, progressive JPEG, stream-writer plumbing) ahead
-# of untouched ones. The 26 r6-stale entries that miss the window are
-# the early relational ports q01-q27 + q42/q46 (unchanged since r2-r4,
-# oracle-verified in-repo by test_oracle_parity.py every pytest run);
-# they sit at positions 51-76 and MUST lead _FRONT in round 9.
+# first full value-hash row), q60 (new this round: the bucketed-table
+# surgery escape hatch), then t45 (pq_topk's final top-k is re-planned
+# this round per VERDICT ask #2 — its green r7 row describes the old
+# plan), then ALL twenty-four r5-stale entries (the r7 sacrifice list,
+# honoring "MUST lead _FRONT next round"), then 23 of the 50 r6-stale
+# entries — codec/ANN/stream entries whose backing code changed in r7
+# (FLAC, progressive JPEG, stream-writer plumbing) ahead of untouched
+# ones. The 27 r6-stale entries that miss the window are
+# t12_fingerprint plus the early relational ports q01-q27 + q42/q46
+# (unchanged since r2-r4, oracle-verified in-repo by
+# test_oracle_parity.py every pytest run); they sit at positions 51-77
+# and MUST lead _FRONT in round 9.
 _FRONT = [
-    # (a) never fully driver-verified: oracle added this round
+    # (a) never fully driver-verified: oracle added this round / new
     "t43_bpe_vocab",
+    "q60_state_surgery",
     # re-planned this round (VERDICT r7 ask #2): bounded two-phase top-k
     "t45_pq_adc_topk",
     # (b) the 24 r5-stale entries — the r7 sacrifice list, oldest class

@@ -610,6 +610,79 @@ WHERE NOT (o_orderstatus = 'F') AND NOT (o_totalprice > 200000.0)
 """
 
 
+def q60_state_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema surgery on a DEFAULT bucketed apply_changes state table
+    (r8, VERDICT r7 ask #5) end to end: two MERGE batches build the
+    state (upserts + deleted->DELETE), then the jobs-level wrappers
+    take the bucketed table through RENAME COLUMN and a
+    deletion-vector DELETE — each auto-unbucketing exactly once via
+    ``snapshots.unbucket_snapshot``. In-entry assertions pin the
+    contract: the rename publishes NO new data files over the unbucket
+    rewrite (metadata-only), the DV delete publishes NO new data files
+    over the rename (sidecar-only), and the txn ledger carries through
+    the whole surgery (exactly-once survives). The oracle restates the
+    merge + rename + delete declaratively over ``customer``."""
+    from ..operators import jobs as J
+    from ..operators.merge import apply_changes
+    from ..sinks import snapshots as S
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    b1 = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("balance"),
+        "c_mktsegment",
+        F.lit(False).alias("deleted"),
+        F.lit(1).cast("long").alias("last_modified_ledger"),
+        F.lit(1).alias("ledger_entry_change"),
+    )
+    b2 = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100).alias("balance"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 15 == 0).alias("deleted"),
+        F.lit(2).cast("long").alias("last_modified_ledger"),
+        F.lit(1).alias("ledger_entry_change"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"q60-state-{uuid.uuid4().hex[:8]}")
+    try:
+        apply_changes(spark, b1, path, ("c_custkey",), n_buckets=8, txn_id="b1")
+        apply_changes(spark, b2, path, ("c_custkey",), n_buckets=8, txn_id="b2")
+        v_ren = J.rename_state_column(spark, path, "balance", "acct_balance")
+        m_ren = S.read_manifest(path)
+        if sorted(m_ren["files"]) != sorted(S.read_manifest(path, v_ren - 1)["files"]):
+            raise AssertionError("rename rewrote data files (must be metadata-only)")
+        if any("_p=" in f for f in m_ren["files"]):
+            raise AssertionError("surgery left the bucketed layout in place")
+        v_del, _ = J.delete_state_rows_dv(
+            spark, path, [("c_mktsegment", "=", "BUILDING")]
+        )
+        m = S.read_manifest(path)
+        if sorted(m["files"]) != sorted(m_ren["files"]):
+            raise AssertionError("DV delete rewrote data files (must be sidecar-only)")
+        if not {"b1", "b2"} <= set(m.get("txns") or {}):
+            raise AssertionError("txn ledger lost across the surgery")
+        sel = S.read_snapshot(spark, path).select(
+            "c_custkey", "acct_balance", "c_mktsegment"
+        )
+        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q60_SQL = """
+WITH merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS acct_balance,
+         c_mktsegment
+  FROM customer
+  WHERE NOT (c_custkey % 15 = 0)
+)
+SELECT c_custkey, acct_balance, c_mktsegment
+FROM merged WHERE NOT (c_mktsegment = 'BUILDING')
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q55_snapshot_pushdown": QuerySpec(
         q55_snapshot_pushdown,
@@ -625,6 +698,11 @@ SPECS: dict[str, QuerySpec] = {
         q59_deletion_vectors,
         Q59_SQL,
         "merge-on-read DELETE: deletion-vector sidecars, zero file rewrites, time travel intact",
+    ),
+    "q60_state_surgery": QuerySpec(
+        q60_state_surgery,
+        Q60_SQL,
+        "bucketed state table through auto-unbucket + RENAME + DV DELETE, ledger carried (r8)",
     ),
     "s10_cdf_net_changes": QuerySpec(
         s10_cdf_net_changes,
