@@ -2393,3 +2393,49 @@ SPECS.update(
         ),
     }
 )
+
+
+def t53_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-shard manifest (r8): deterministic hash-shuffled training
+    order + distributed prefix-sum shard assignment + one manifest row
+    per shard (counts, order endpoints, bit_xor id checksum). The Spark
+    side computes the global cumsum as segmented prefix sums (window
+    per hash-segment + broadcast offsets — no single-partition window
+    over the corpus); the oracle restates it as DuckDB's single global
+    window, which the segmented form provably equals."""
+    from ..training.text import shard_manifest
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return shard_manifest(docs, shard_tokens=2000)
+
+
+T53_SQL = f"""
+WITH {WORDS_CTE},
+t AS (
+  SELECT doc_id, {ph_duck("doc_id::VARCHAR")} AS k, CAST(len(ws) AS BIGINT) AS n_tokens
+  FROM w
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       first(doc_id ORDER BY k, doc_id) AS first_doc,
+       last(doc_id ORDER BY k, doc_id) AS last_doc,
+       bit_xor(k) AS checksum
+FROM c GROUP BY 1
+"""
+
+
+SPECS.update(
+    {
+        "t53_shard_manifest": QuerySpec(
+            t53_shard_manifest,
+            T53_SQL,
+            "loader-shard manifest: hash-shuffled order, distributed prefix-sum sharding, checksums",
+        ),
+    }
+)

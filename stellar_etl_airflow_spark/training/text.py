@@ -228,6 +228,79 @@ def pack_sequences(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int = 4096,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data loader shards (the WebDataset/ArrayRecord manifest
+    shape): documents are DETERMINISTICALLY SHUFFLED by a portable
+    60-bit hash of their id (reproducible decorrelated training order
+    — no RNG state, any engine derives the same order), assigned to
+    consecutive shards of ~``shard_tokens`` whitespace tokens by a
+    running total over that order, and summarized one row per shard
+    (doc/token counts, first/last doc in order, an order-independent
+    ``bit_xor`` id checksum a loader can verify against).
+
+    Scale shape — the global cumulative sum is a DISTRIBUTED PREFIX
+    SUM, not a single-partition window: the hash key's high bits define
+    ``n_buckets`` ordered segments; the within-segment cumsum is a
+    window PARTITIONED by segment (parallel, shuffles only the narrow
+    (id, hash, count) table), and the cross-segment offsets come from a
+    ``n_buckets``-row aggregate folded by one tiny single-partition
+    window and BROADCAST back — no driver collect, no corpus-sized
+    single-partition operator (contrast :func:`pack_sequences`, whose
+    documented global-window form is the per-shard recipe). Exact:
+    prefix sums decompose over ordered segments, so the result is
+    bit-identical to the single-window formulation the oracle uses."""
+    from pyspark.sql.window import Window
+
+    key = F.expr(PH.format(x=f"cast({id_col} as string)"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("k"),
+        F.size(words_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    # high bits of the 60-bit hash: segment boundaries respect key order
+    seg_div = (1 << 60) // n_buckets
+    toks = toks.withColumn("seg", (F.col("k") / F.lit(seg_div)).cast("int"))
+    w_in = (
+        Window.partitionBy("seg")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive cross-segment offsets: n_buckets rows, folded by a tiny
+    # window and broadcast — the distributed-prefix-sum glue
+    w_seg = Window.orderBy("seg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        toks.groupBy("seg")
+        .agg(F.sum("n_tokens").alias("_segtot"))
+        .withColumn("offset", F.sum("_segtot").over(w_seg) - F.col("_segtot"))
+        .select("seg", "offset")
+    )
+    cum = (
+        toks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "seg")
+        .withColumn("cum", F.col("cum_in") + F.col("offset"))
+    )
+    shard = ((F.col("cum") - F.col("n_tokens")) / shard_tokens).cast("long")
+    return (
+        cum.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min_by("doc_id", F.struct("k", "doc_id")).alias("first_doc"),
+            F.max_by("doc_id", F.struct("k", "doc_id")).alias("last_doc"),
+            F.expr("bit_xor(k)").alias("checksum"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over whitespace-normalized text:
     full md5 hex + the portable 60-bit integer fingerprint."""

@@ -464,3 +464,28 @@ def test_pq_topk_candidate_exchange_is_bounded(spark, tmp_path):
     # and it is still the exact top-k
     rows = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
     assert len(rows) == 9
+
+
+def test_shard_manifest_prefix_sum_is_segmented(spark):
+    """t53 (r8): the global cumsum must be the DISTRIBUTED prefix sum —
+    the corpus-side window partitions by the hash segment (parallel),
+    and the only single-partition operators act on the n_buckets-row
+    offsets branch, never on the per-document table. A plain global
+    window (Window.orderBy with no partition) over the corpus would
+    funnel every row through one task at 100 TB."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t53_shard_manifest"].fn(spark, SF_SMOKE))
+    # corpus-side window keyed by segment
+    assert "hashpartitioning(seg" in plan, plan
+    # offsets fold + broadcast join present; the broadcast marks the
+    # n_buckets-row branch, so corpus rows never cross a SinglePartition
+    # exchange (the one SinglePartition allowed feeds that tiny branch)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # at most one SinglePartition exchange, and it must sit inside the
+    # broadcast (offsets) branch — i.e. after the broadcast node in the
+    # top-down plan print — never on the corpus window chain
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    if "Exchange SinglePartition" in plan:
+        bcast = plan.index("BroadcastExchange") if "BroadcastExchange" in plan else plan.index("BroadcastHashJoin")
+        assert plan.index("Exchange SinglePartition") > bcast, plan
