@@ -28,7 +28,7 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 126 entries as of round 8 — q60 + t53 new —
+# round (the corpus is 127 entries as of round 8 — q60, t53, t54 new —
 # larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
@@ -44,19 +44,20 @@ QUERIES.update(connectors.SPECS)
 # surgery escape hatch), then t45 (pq_topk's final top-k is re-planned
 # this round per VERDICT ask #2 — its green r7 row describes the old
 # plan), then ALL twenty-four r5-stale entries (the r7 sacrifice list,
-# honoring "MUST lead _FRONT next round"), then 22 of the 50 r6-stale
+# honoring "MUST lead _FRONT next round"), then 21 of the 50 r6-stale
 # entries — codec/ANN/stream entries whose backing code changed in r7
 # (FLAC, progressive JPEG, stream-writer plumbing) ahead of untouched
-# ones. The 28 r6-stale entries that miss the window are
-# t11_token_stats and t12_fingerprint plus the early relational ports
-# q01-q27 + q42/q46 (unchanged since r2-r4, oracle-verified in-repo by
-# test_oracle_parity.py every pytest run); they sit at positions 51-78
-# and MUST lead _FRONT in round 9.
+# ones. The 29 r6-stale entries that miss the window are
+# t10_quality_score, t11_token_stats, t12_fingerprint plus the early
+# relational ports q01-q27 + q42/q46 (unchanged since r2-r4,
+# oracle-verified in-repo by test_oracle_parity.py every pytest run);
+# they sit at positions 51-79 and MUST lead _FRONT in round 9.
 _FRONT = [
     # (a) never fully driver-verified: oracle added this round / new
     "t43_bpe_vocab",
     "q60_state_surgery",
     "t53_shard_manifest",
+    "t54_leakage_free_split",
     # re-planned this round (VERDICT r7 ask #2): bounded two-phase top-k
     "t45_pq_adc_topk",
     # (b) the 24 r5-stale entries — the r7 sacrifice list, oldest class

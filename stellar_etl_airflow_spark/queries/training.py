@@ -543,7 +543,7 @@ def t17_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dedup_decisions(vertices, pairs)
 
 
-T17_SQL = f"""
+_T17_CORE = f"""
 WITH RECURSIVE {WORDS_CTE},
 wc AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
 hs AS MATERIALIZED (SELECT doc_id, {_WH} AS h FROM wc),
@@ -569,10 +569,15 @@ reach AS (
   SELECT doc_id AS v, doc_id AS lab FROM sh
   UNION
   SELECT e.dst AS v, r.lab AS lab FROM reach r JOIN edges e ON e.src = r.v
-)
+)"""
+
+T17_SQL = (
+    _T17_CORE
+    + """
 SELECT v AS doc_id, min(lab) AS component, (v = min(lab)) AS is_representative
 FROM reach GROUP BY v
 """
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2436,6 +2441,49 @@ SPECS.update(
             t53_shard_manifest,
             T53_SQL,
             "loader-shard manifest: hash-shuffled order, distributed prefix-sum sharding, checksums",
+        ),
+    }
+)
+
+
+def t54_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/eval split (r8): the GPT-3/FineWeb practice
+    of assigning WHOLE near-duplicate clusters to one side, so no eval
+    document has a near-dup in train. Composition: simhash near-dup
+    pairs (t04/t05 machinery, cost-based all-pairs/banded switch) ->
+    connected components (t17's label propagation) -> side chosen by a
+    portable hash of the COMPONENT representative (deterministic, no
+    RNG; ~90/10). Per-doc output (doc_id, component, split) so the
+    value-hash gate certifies every assignment; leakage-freedom is
+    structural — split is a pure function of component."""
+    from ..training import components as C
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sketches = D.simhash(docs).localCheckpoint(eager=True)
+    pairs = D.simhash_neardup_pairs_auto(docs, max_hamming=8, sketches=sketches)
+    comps = C.dedup_decisions(sketches.select("doc_id"), pairs)
+    split = F.when(
+        F.expr(T.PH.format(x="cast(component as string)")) % 10 < 9, "train"
+    ).otherwise("eval")
+    return comps.select("doc_id", "component").withColumn("split", split)
+
+
+T54_SQL = (
+    _T17_CORE
+    + f"""
+SELECT v AS doc_id, min(lab) AS component,
+       CASE WHEN {ph_duck("min(lab)::VARCHAR")} % 10 < 9 THEN 'train' ELSE 'eval' END AS split
+FROM reach GROUP BY v
+"""
+)
+
+
+SPECS.update(
+    {
+        "t54_leakage_free_split": QuerySpec(
+            t54_leakage_free_split,
+            T54_SQL,
+            "decontaminated train/eval split: near-dup clusters assigned whole-side by rep hash",
         ),
     }
 )
