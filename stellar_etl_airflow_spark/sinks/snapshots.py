@@ -1713,6 +1713,41 @@ def restore(path: str, version: int) -> int:
     )
 
 
+def fsck_repair(path: str, dry_run: bool = False) -> list[str]:
+    """Delta's ``FSCK REPAIR TABLE``: drop manifest references to data
+    files that no longer exist on storage (out-of-band deletion, a
+    partial restore, an interrupted manual cleanup), so reads stop
+    failing with FileNotFound. Returns the missing file paths; with
+    ``dry_run=True`` reports without publishing.
+
+    Metadata travels: surviving files keep their stats/blooms, the txn
+    ledger and column mapping carry, deletion vectors for vanished
+    files are dropped with them. Repairing is a NEW version — the
+    damaged manifest stays in history (a later out-of-band restore of
+    the files makes the old version readable again; RESTORE can then
+    roll forward). No-op (current version, empty list) when nothing is
+    missing."""
+    m = read_manifest(path)
+    missing = [f for f in m["files"] if not os.path.exists(f)]
+    if not missing or dry_run:
+        return missing
+    gone = set(missing)
+    keep = [f for f in m["files"] if f not in gone]
+    stats = {f: s for f, s in (m.get("stats") or {}).items() if f not in gone}
+    blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f not in gone}
+    dv = {f: ids for f, ids in read_dv(m).items() if f not in gone}
+    _publish(
+        path, keep, base=m.get("base"),
+        mixed_schema=bool(m.get("mixed_schema")), txns=m.get("txns") or None,
+        stats_cols=m.get("stats_cols") or None, stats=stats or None,
+        bloom_cols=m.get("bloom_cols") or None, blooms=blooms or None,
+        renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
+        constraints=m.get("constraints") or None, dv=dv or None,
+        expected_version=int(m["version"]),
+    )
+    return missing
+
+
 def _where_cond(where: list):
     cond = None
     for col, op, v in where:

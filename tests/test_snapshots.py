@@ -103,3 +103,31 @@ def test_staging_refresh_zero_copy_clone(spark, tmp_path):
     assert _ids(spark, dst.path("accounts")) == [1]
     # zero-copy: staging holds manifests, not parquet
     assert not [f for f in os.listdir(dst.path("trades")) if f.endswith(".parquet")]
+
+
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    """FSCK (r8): out-of-band file loss stops breaking reads — the
+    repair drops vanished references (and their stats/DVs), keeps
+    surviving metadata, and publishes a NEW version so the damaged one
+    stays in history."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").repartitionByRange(4, "id")
+    S.overwrite_versioned(spark, df, tbl, stats_cols=["id"])
+    m = S.read_manifest(tbl)
+    victim = sorted(m["files"])[0]
+    os.remove(victim)
+    # dry run reports without touching anything
+    assert S.fsck_repair(tbl, dry_run=True) == [victim]
+    assert S.latest_version(tbl) == 1
+    missing = S.fsck_repair(tbl)
+    assert missing == [victim]
+    assert S.latest_version(tbl) == 2
+    m2 = S.read_manifest(tbl)
+    assert victim not in m2["files"] and victim not in (m2.get("stats") or {})
+    got = S.read_snapshot(spark, tbl).count()
+    assert 0 < got < 100  # survivors readable, victim's rows gone
+    # idempotent no-op when healthy
+    assert S.fsck_repair(tbl) == []
+    assert S.latest_version(tbl) == 2
