@@ -28,7 +28,7 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 127 entries as of round 8 — q60, t53, t54 new —
+# round (the corpus is 128 entries as of round 8 — q60, t53-t55 new —
 # larger than the window).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2): with a 50-entry window over a
@@ -44,20 +44,21 @@ QUERIES.update(connectors.SPECS)
 # surgery escape hatch), then t45 (pq_topk's final top-k is re-planned
 # this round per VERDICT ask #2 — its green r7 row describes the old
 # plan), then ALL twenty-four r5-stale entries (the r7 sacrifice list,
-# honoring "MUST lead _FRONT next round"), then 21 of the 50 r6-stale
+# honoring "MUST lead _FRONT next round"), then 20 of the 50 r6-stale
 # entries — codec/ANN/stream entries whose backing code changed in r7
 # (FLAC, progressive JPEG, stream-writer plumbing) ahead of untouched
-# ones. The 29 r6-stale entries that miss the window are
-# t10_quality_score, t11_token_stats, t12_fingerprint plus the early
-# relational ports q01-q27 + q42/q46 (unchanged since r2-r4,
-# oracle-verified in-repo by test_oracle_parity.py every pytest run);
-# they sit at positions 51-79 and MUST lead _FRONT in round 9.
+# ones. The 30 r6-stale entries that miss the window are
+# t09_lang_id, t10_quality_score, t11_token_stats, t12_fingerprint
+# plus the early relational ports q01-q27 + q42/q46 (unchanged since
+# r2-r4, oracle-verified in-repo by test_oracle_parity.py every pytest
+# run); they sit at positions 51-80 and MUST lead _FRONT in round 9.
 _FRONT = [
     # (a) never fully driver-verified: oracle added this round / new
     "t43_bpe_vocab",
     "q60_state_surgery",
     "t53_shard_manifest",
     "t54_leakage_free_split",
+    "t55_quality_classifier",
     # re-planned this round (VERDICT r7 ask #2): bounded two-phase top-k
     "t45_pq_adc_topk",
     # (b) the 24 r5-stale entries — the r7 sacrifice list, oldest class
@@ -85,7 +86,7 @@ _FRONT = [
     "q40_sketch_aggregates",
     "q41_salted_join",
     "q43_range_frames",
-    # (c) 24 of the r6-stale entries; r7/r8-touched code first:
+    # (c) 20 of the r6-stale entries; r7/r8-touched code first:
     # stream sink plumbing (r8 bloom type gate in the writer ctor),
     # snapshot publish paths (r8 ADVICE fixes), FLAC (r7), progressive
     # JPEG / codecs (r7), then the ANN + text families
@@ -113,9 +114,9 @@ _FRONT = [
     "t10_quality_score",
     "t11_token_stats",
     "t12_fingerprint",
-    # --- window boundary (~50) ---
-    # the twenty-six sacrificed-this-round r6-stale entries: front these
-    # FIRST next round (round 9)
+    # --- window boundary (~50): t09-t12 above land just outside ---
+    # the thirty sacrificed-this-round r6-stale entries (t09-t12 + the
+    # relational ports below): front these FIRST next round (round 9)
     "q01_pricing_summary",
     "q02_latest_state_dedup",
     "q03_shipping_priority",
