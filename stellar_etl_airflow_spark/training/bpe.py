@@ -92,7 +92,12 @@ def _select_batch_approx(
 
 
 def _select_batch(
-    rows, alphabet: set[str], min_pair_count: int, max_batch: int, room: int
+    rows,
+    alphabet: set[str],
+    min_pair_count: int,
+    max_batch: int,
+    room: int,
+    top_t_hint: int = 0,
 ) -> list[tuple[str, str, int]]:
     """Greedy EXACT batch selection from the sorted (n DESC, a, b) top-T
     pair rows: the largest prefix-consistent set of merges whose batched
@@ -136,8 +141,15 @@ def _select_batch(
         if (a + b) in alphabet:  # boosted-pair hazard: end the batch here
             cut = int(rows[i + 1]["n"]) if i + 1 < len(rows) else 0
             break
-    if cut is None:  # exhausted the top-T window: row T bounds the rest
-        cut = int(rows[-1]["n"])
+    if cut is None:
+        if len(rows) >= top_t_hint > 0:
+            # exhausted a FULL top-T window: unseen pairs below row T are
+            # bounded by row T's count
+            cut = int(rows[-1]["n"])
+        else:
+            # the window held EVERY live pair and all were selected:
+            # nothing unseen exists to tie in — no trim needed
+            cut = min_pair_count - 1
     # strict-cut trim (first pair is always the exact argmax — exempt)
     while len(sel) > 1 and sel[-1][2] <= cut:
         sel.pop()
@@ -232,7 +244,9 @@ def bpe_learn(
         )
         room = num_merges - len(merges)
         if exact:
-            batch = _select_batch(rows, alphabet, min_pair_count, max_batch, room)
+            batch = _select_batch(
+                rows, alphabet, min_pair_count, max_batch, room, top_t_hint=top_t
+            )
         else:
             batch = _select_batch_approx(rows, min_pair_count, max_batch, room)
         if not batch:
