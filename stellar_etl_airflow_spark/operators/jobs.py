@@ -182,8 +182,12 @@ def _is_bucketed(path: str) -> bool:
     from ..sinks import snapshots as S
     from .merge import BUCKET_COL, load_table_props
 
+    # resolve=False: this only scans file name strings — eagerly inlining
+    # stats/bloom shard sidecars here would read every shard JSON on a
+    # large table for nothing (review r8, same rule as delete_where_dv)
     return load_table_props(path) is not None or any(
-        f"{BUCKET_COL}=" in f for f in S.read_manifest(path)["files"]
+        f"{BUCKET_COL}=" in f
+        for f in S.read_manifest(path, resolve=False)["files"]
     )
 
 

@@ -348,9 +348,13 @@ def compute_blooms(
     import pyarrow.parquet as pq
 
     file_m: dict[str, int] = {}
+    arrow_schema = None
     for f in files:
         try:
-            n = pq.ParquetFile(f).metadata.num_rows
+            pf = pq.ParquetFile(f)
+            n = pf.metadata.num_rows
+            if arrow_schema is None:
+                arrow_schema = pf.schema_arrow
         except Exception:
             n = _BLOOM_M_MAX  # unreadable footer: size for the cap
         file_m[os.path.abspath(f)] = _bloom_m_for(n)
@@ -377,12 +381,24 @@ def compute_blooms(
     # enforce the docstring's type contract (ADVICE r7): a float/timestamp
     # bloom column would record hashes of Spark's CAST AS STRING, which
     # Python's str() in bloom_contains does NOT reproduce — silent false
-    # negatives, i.e. wrongly pruned files. Fail loudly instead.
-    schema = spark.read.parquet(*files).schema
-    for c in cols:
-        f = next((f for f in schema.fields if f.name == c), None)
-        if f is not None:
-            _check_bloomable(c, f.dataType)
+    # negatives, i.e. wrongly pruned files. Fail loudly instead. The
+    # schema comes from the footers the sizing loop already opened — no
+    # extra Spark read (review r8).
+    if arrow_schema is not None:
+        import pyarrow as pa
+
+        for c in cols:
+            idx = arrow_schema.get_field_index(c)
+            if idx < 0:
+                continue
+            t = arrow_schema.field(idx).type
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_integer(t) or pa.types.is_boolean(t)):
+                raise TypeError(
+                    f"bloom column {c!r} has type {t}; bloom filters support "
+                    "only string/integral/boolean columns (Spark CAST AS "
+                    "STRING must match Python str() exactly)"
+                )
     out: dict[str, dict] = {}
     for c in cols:
         rows = (
@@ -615,7 +631,12 @@ def adopt_staged(stage: str, path: str) -> list[str]:
 
 
 def overwrite_versioned(
-    spark: SparkSession, df: DataFrame, path: str, stats_cols=None, bloom_cols=None
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols=None,
+    bloom_cols=None,
+    expected_version: int | None = None,
 ) -> int:
     """Replace the table's contents WITHOUT touching prior versions' files:
     write ``df`` to a unique subdirectory, publish a manifest listing only
@@ -664,6 +685,9 @@ def overwrite_versioned(
         path, files, txns=prev_txns,
         stats_cols=stats_cols, bloom_cols=bloom_cols, blooms=blooms,
         reset_mapping=True, constraints=prev_constraints,
+        # optional CAS (r8): content-derived rewrites (unbucket_snapshot)
+        # must fail on a concurrent publish instead of clobbering it
+        expected_version=expected_version,
     )
 
 
@@ -699,7 +723,16 @@ def unbucket_snapshot(
         df = df.drop(BUCKET_COL)
     sc = stats_cols or props.get("stats_cols") or m.get("stats_cols") or None
     bc = bloom_cols or props.get("bloom_cols") or m.get("bloom_cols") or None
-    v = overwrite_versioned(spark, df, path, stats_cols=sc, bloom_cols=bc)
+    # CAS on the version this rewrite derived its content from (review
+    # r8): a concurrent apply_changes landing between the read above and
+    # the publish would otherwise be silently clobbered — and its
+    # txn_id, re-read at publish time, would be carried as "applied",
+    # turning every replay into a no-op (permanent loss). Raises
+    # ConcurrentWriteError; re-run the unbucket to retry on fresh state.
+    v = overwrite_versioned(
+        spark, df, path, stats_cols=sc, bloom_cols=bc,
+        expected_version=int(m["version"]),
+    )
     try:
         os.remove(_props_path(path))
     except FileNotFoundError:

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import STOPWORDS, words_col
+from .text import quality_score
 
 LR = 12.0
 N_ITER = 16
@@ -42,61 +42,45 @@ N_ITER = 16
 def logit_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, y, f1, f2, f3): label y = the t10 rule gate
-    (quality_score >= 0.5); features = stopword-hit ratio, punctuation
-    ratio, capped length — three of the gate's four ingredients (the
-    digit term is withheld, so the fit is a genuine approximation)."""
-    inset = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
-    base = df.select(
+    """(doc_id, y, f1, f2, f3): label y = the t10 rule gate — taken
+    DIRECTLY from :func:`text.quality_score`'s ``keep`` column so the
+    distillation target can never drift from the real gate (review r8);
+    features = its stopword/punct ratios + capped length, three of the
+    gate's four ingredients (the digit term is withheld, so the fit is
+    a genuine approximation)."""
+    q = quality_score(df, text_col=text_col, id_col=id_col)
+    return q.select(
         F.col(id_col).alias("doc_id"),
-        words_col(text_col).alias("_ws"),
-        F.length(text_col).cast("double").alias("_nc"),
-        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
-        .cast("double")
-        .alias("_np"),
-        F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
-        .cast("double")
-        .alias("_nd"),
-    ).select(
-        "doc_id",
-        "_nc",
-        "_np",
-        "_nd",
-        F.size("_ws").cast("double").alias("_nw"),
-        F.expr(f"size(filter(_ws, x -> x in ({inset})))").cast("double").alias("_ns"),
-    )
-    nw1 = F.greatest(F.col("_nw"), F.lit(1.0))
-    nc1 = F.greatest(F.col("_nc"), F.lit(1.0))
-    score = (
-        F.least(F.col("_nw") / 100.0, F.lit(1.0)) * 0.4
-        + F.least(F.col("_ns") / nw1 * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(F.col("_np") / nc1 * 10.0, F.lit(1.0))) * 0.2
-        + (1.0 - F.least(F.col("_nd") / nc1 * 10.0, F.lit(1.0))) * 0.1
-    )
-    return base.select(
-        "doc_id",
-        F.when(score >= 0.5, 1.0).otherwise(0.0).alias("y"),
-        (F.col("_ns") / nw1).alias("f1"),
-        (F.col("_np") / nc1).alias("f2"),
-        F.least(F.col("_nw") / 100.0, F.lit(1.0)).alias("f3"),
+        F.when(F.col("keep"), 1.0).otherwise(0.0).alias("y"),
+        F.col("stopword_ratio").alias("f1"),
+        F.col("punct_ratio").alias("f2"),
+        F.least(F.col("n_words") / 100.0, F.lit(1.0)).alias("f3"),
     )
 
 
-def fit_weights(feats: DataFrame, n_iter: int = N_ITER, lr: float = LR) -> list[float]:
-    """``n_iter`` full-batch gradient steps from w=0. One aggregate job
-    per step; every arithmetic step mirrors the unrolled SQL oracle."""
+def _prepare(feats: DataFrame) -> DataFrame:
+    """Checkpoint + right-size the per-step task count: sequential
+    32-task jobs over a few thousand rows are pure scheduler overhead,
+    and the decimal-exact sums make the result partition-layout-
+    invariant (pinned by test_weights_partitioning_independent), so
+    coalescing small feature tables is free. At 100 TB rows/200k keeps
+    every step a parallel map-side-combined aggregate."""
     feats = feats.localCheckpoint(eager=True)
-    # right-size the per-step task count: 20 sequential 32-task jobs
-    # over a few thousand rows are pure scheduler overhead, and the
-    # decimal-exact sums make the result partition-layout-invariant
-    # (pinned by test_weights_partitioning_independent), so coalescing
-    # small feature tables is free. At 100 TB rows/200k keeps every
-    # step a parallel map-side-combined aggregate.
     n_rows = feats.count()
     cur = feats.rdd.getNumPartitions()
     parts = max(1, min(cur, n_rows // 200_000 + 1))
     if parts < cur:
         feats = feats.coalesce(parts).localCheckpoint(eager=True)
+    return feats
+
+
+def fit_weights(
+    feats: DataFrame, n_iter: int = N_ITER, lr: float = LR, prepared: bool = False
+) -> list[float]:
+    """``n_iter`` full-batch gradient steps from w=0. One aggregate job
+    per step; every arithmetic step mirrors the unrolled SQL oracle."""
+    if not prepared:
+        feats = _prepare(feats)
     w = [0.0, 0.0, 0.0, 0.0]
     fcols = ["1.0", "f1", "f2", "f3"]
     for _ in range(n_iter):
@@ -132,8 +116,11 @@ def distill_logit_gate(
     distilled replacement for the hard rule gate (~87% agreement at every
     fixture scale vs an ~82% majority base rate; the gap is the withheld digit
     feature plus the smooth boundary)."""
-    feats = logit_features(df, text_col, id_col)
-    w = fit_weights(feats, n_iter, lr)
+    # one checkpointed feature table serves BOTH training and the final
+    # scoring pass (review r8: scoring over the raw lineage re-ran the
+    # corpus-wide feature extraction a second time)
+    feats = _prepare(logit_features(df, text_col, id_col))
+    w = fit_weights(feats, n_iter, lr, prepared=True)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("f1") + F.lit(w[2]) * F.col("f2") + F.lit(w[3]) * F.col("f3")
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 6))), 6)
     return feats.select(

@@ -649,6 +649,17 @@ def pq_topk(
                 }
             )
 
+    # ids ride the Arrow scorer as int64; a non-integral id column would
+    # cast('long') to silent NULLs — refuse loudly instead (review r8)
+    from pyspark.sql import types as T
+
+    id_type = codes.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"pq_topk: id column {id_col!r} has type {id_type.simpleString()}; "
+            "integral ids required (string/UUID ids: add a zipWithIndex-style "
+            "surrogate before encoding)"
+        )
     cand = codes.select(
         F.col(id_col).cast("long").alias("_vid"), "codes"
     ).mapInPandas(score, "q_id long, v long, s double")

@@ -100,3 +100,19 @@ def test_apply_changes_rebuckets_after_unbucket(spark, state_table):
     m = S.read_manifest(state_table)
     assert set(m["txns"]) == {"b1", "b2", "b3"}  # exactly-once survived
     assert all("_p=" in f for f in m["files"])
+
+
+def test_unbucket_publish_is_cas_guarded(spark, state_table):
+    """Review r8: unbucket derives content from version v and must fail
+    (ConcurrentWriteError) if another writer published meanwhile, never
+    silently clobber — same CAS rule as the merge paths. Pinned via the
+    overwrite_versioned expected_version plumbing unbucket uses."""
+    m = S.read_manifest(state_table, resolve=False)
+    df = S.read_snapshot(spark, state_table).drop("_p")
+    with pytest.raises(S.ConcurrentWriteError):
+        S.overwrite_versioned(
+            spark, df, state_table, expected_version=int(m["version"]) - 1
+        )
+    # the failed attempt consumed no version slot; the happy path
+    # publishes the next version as usual
+    assert S.unbucket_snapshot(spark, state_table) == int(m["version"]) + 1
