@@ -48,18 +48,18 @@ FORMAT_NAME = "snapshot_cdf"
 
 def _arrow_to_spark_schema(files: list[str]) -> StructType:
     """Union of the files' parquet schemas (additive evolution keeps
-    old-schema files alive), as a Spark StructType."""
-    import pyarrow.parquet as pq
+    old-schema files alive), as a Spark StructType. Delegates to the
+    batch connector's `_unified_arrow_schema` (review r8): that one
+    coerces ns timestamps to us/UTC (Spark's Arrow bridge rejects ns —
+    any Spark-written INT96 column would fail at .load() here),
+    forces nullable (pre-evolution files null-fill added columns), and
+    raises loudly on a zero-file (truncated) version instead of
+    returning a schema of only the meta columns."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    fields: dict[str, object] = {}
-    for f in files:
-        sch = pq.ParquetFile(f).schema_arrow
-        for fld in sch:
-            fields.setdefault(fld.name, fld)
-    import pyarrow as pa
+    from ..sources.snapshot_source import _unified_arrow_schema
 
-    return from_arrow_schema(pa.schema(list(fields.values())))
+    return from_arrow_schema(_unified_arrow_schema(files))
 
 
 def _bucket_of(f: str, base: str) -> str:
@@ -128,9 +128,16 @@ class _CDFStreamReader(DataSourceStreamReader):
         # mapping would be silently misread — both are metadata-only
         # table states this reader does not support (the batch
         # operators/cdf.read_changes does). Guard loudly (review r7).
-        if (m_old.get("dv") or {}).get("counts") != (m_new.get("dv") or {}).get(
-            "counts"
-        ) or m_new.get("renames") or m_new.get("dropped_cols"):
+        # BOTH endpoints must be mapping-free (review r8): a batch
+        # spanning a mapping-materializing compact (old manifest mapped,
+        # new one reset to identity) would otherwise pass and outer-merge
+        # files whose physical names disagree — null keys, garbage rows.
+        if (
+            (m_old.get("dv") or {}).get("counts")
+            != (m_new.get("dv") or {}).get("counts")
+            or m_new.get("renames") or m_new.get("dropped_cols")
+            or m_old.get("renames") or m_old.get("dropped_cols")
+        ):
             raise ValueError(
                 f"{self._path}: version range {v0}->{v1} involves deletion "
                 "vectors or column mapping, which the snapshot_cdf STREAM "
@@ -147,15 +154,30 @@ class _CDFStreamReader(DataSourceStreamReader):
         ]
         cols = tuple(f.name for f in data_fields)
         types = tuple(f.dataType.simpleString() for f in data_fields)
+        def bucket(f: str) -> str:
+            seg = _bucket_of(f, base)
+            if seg and not seg.startswith("_p="):
+                # hive `col=val` dirs carry DATA columns the leaf-file
+                # pyarrow reads here cannot recover (the DataFrame path
+                # uses basePath discovery for exactly this) — refuse
+                # instead of silently dropping the column (review r8)
+                raise ValueError(
+                    f"{self._path}: data files live under hive partition "
+                    f"dirs ({seg}); the snapshot_cdf STREAM reads leaf "
+                    "files and would drop that column — use "
+                    "operators.cdf.read_changes (batch) for this layout"
+                )
+            return seg
+
         for f in sorted(old_set - new_set):
             b = buckets.setdefault(
-                _bucket_of(f, base),
+                bucket(f),
                 _ChurnPartition(keys=self._keys, cols=cols, types=types, version=v1),
             )
             b.old_files.append(f)
         for f in sorted(new_set - old_set):
             b = buckets.setdefault(
-                _bucket_of(f, base),
+                bucket(f),
                 _ChurnPartition(keys=self._keys, cols=cols, types=types, version=v1),
             )
             b.new_files.append(f)
@@ -170,30 +192,69 @@ class _CDFStreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the checkpoint; manifests immutable
 
 
+def _types_mapper(t):
+    """Arrow -> pandas NULLABLE dtypes for integrals and booleans: the
+    default to_pandas would NaN-fill int64 columns to float64 across
+    the outer merge, silently corrupting values above 2^53 and making
+    distinct int64s that collapse to one double compare equal — a
+    suppressed real update (review r8)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    m = {
+        pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }
+    return m.get(t)
+
+
 def _read_pandas(files: list, cols: tuple):
     """One pandas frame over the listed files, aligned to ``cols``
-    (missing columns — older schemas — null-filled)."""
+    (missing columns — older schemas — null-filled). Array cells become
+    tuples (hashable, elementwise-comparable — raw ndarrays break both
+    ``==`` and truth testing in the classifier). A file carrying a
+    column OUTSIDE ``cols`` means the schema evolved after stream
+    start: raise (Delta fails the stream on schema change too) rather
+    than silently dropping the new column's changes."""
+    import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
 
     frames = []
+    known = set(cols) | {"_p"}
     for f in files:
-        pdf = pq.read_table(f).to_pandas()
-        frames.append(pdf)
+        tbl = pq.read_table(f)
+        extra = [c for c in tbl.schema.names if c not in known]
+        if extra:
+            raise ValueError(
+                f"{f}: columns {extra} were added after stream start; "
+                "restart the stream to pick up the evolved schema"
+            )
+        frames.append(tbl.to_pandas(types_mapper=_types_mapper))
     if not frames:
         return pd.DataFrame({c: [] for c in cols})
     out = pd.concat(frames, ignore_index=True)
     for c in cols:
         if c not in out.columns:
             out[c] = None
-    return out[list(cols)]
+    out = out[list(cols)]
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].map(
+                lambda v: tuple(v) if isinstance(v, (np.ndarray, list)) else v
+            )
+    return out
 
 
 def _coerce(v, spark_type: str):
-    """pandas outer merges NaN-fill and upcast (int64 -> float64);
-    Spark's Python-source row verification wants exact types back."""
+    """pandas outer merges NaN-fill; Spark's Python-source row
+    verification wants exact types back."""
+    import numpy as np
     import pandas as pd
 
+    if isinstance(v, np.ndarray):
+        return v.tolist()
     if v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v)):
         return None
     if spark_type in ("tinyint", "smallint", "int", "bigint"):
@@ -202,6 +263,8 @@ def _coerce(v, spark_type: str):
         return float(v)
     if spark_type == "boolean":
         return bool(v)
+    if spark_type.startswith("array"):
+        return list(v)
     if hasattr(v, "to_pydatetime"):
         return v.to_pydatetime()
     if hasattr(v, "item"):  # residual numpy scalar
@@ -211,7 +274,10 @@ def _coerce(v, spark_type: str):
 
 def _classify_bucket(p: _ChurnPartition):
     """Executor-side: outer-merge one bucket's old vs new rows on the
-    merge keys, yield (cols..., _change_type, _commit_version) tuples."""
+    merge keys, yield (cols..., _change_type, _commit_version) tuples.
+    Classification is VECTORIZED (review r8): the left/right/changed
+    masks are columnwise boolean algebra; Python touches only the rows
+    that actually emit."""
     import pandas as pd
 
     cols = list(p.cols)
@@ -224,26 +290,26 @@ def _classify_bucket(p: _ChurnPartition):
         new, on=keys, how="outer", suffixes=("__o", "__n"), indicator=True
     )
 
-    def _row(r, side: str):
+    def _row(r: dict, side: str):
         return [_coerce(r[k], typ[k]) for k in keys] + [
             _coerce(r[f"{c}__{side}"], typ[c]) for c in val_cols
         ]
 
-    for _, r in m.iterrows():
-        where = r["_merge"]
-        if where == "right_only":
-            yield (*_row(r, "n"), "insert", p.version)
-        elif where == "left_only":
-            yield (*_row(r, "o"), "delete", p.version)
-        elif val_cols:
-            same = all(
-                (pd.isna(r[f"{c}__o"]) and pd.isna(r[f"{c}__n"]))
-                or r[f"{c}__o"] == r[f"{c}__n"]
-                for c in val_cols
-            )
-            if not same:
-                yield (*_row(r, "o"), "update_preimage", p.version)
-                yield (*_row(r, "n"), "update_postimage", p.version)
+    mm = m["_merge"]
+    for r in m[mm == "right_only"].to_dict("records"):
+        yield (*_row(r, "n"), "insert", p.version)
+    for r in m[mm == "left_only"].to_dict("records"):
+        yield (*_row(r, "o"), "delete", p.version)
+    if val_cols:
+        eq_all = pd.Series(True, index=m.index)
+        for c in val_cols:
+            o, n = m[f"{c}__o"], m[f"{c}__n"]
+            # nullable dtypes compare to pd.NA where either side is
+            # null — fillna(False) keeps the null!=value case a change
+            eq_all &= ((o.isna() & n.isna()) | (o == n).fillna(False))
+        for r in m[(mm == "both") & ~eq_all].to_dict("records"):
+            yield (*_row(r, "o"), "update_preimage", p.version)
+            yield (*_row(r, "n"), "update_postimage", p.version)
 
 
 class SnapshotCDFSource(DataSource):
@@ -251,7 +317,14 @@ class SnapshotCDFSource(DataSource):
     merge table. Options: ``path`` (table dir, required), ``keys``
     (csv; default = the table's pinned merge keys),
     ``startingVersion`` (default: latest at stream start — only new
-    changes, Delta's semantics)."""
+    changes).
+
+    SEMANTICS NOTE vs Delta: ``startingVersion=N`` here names the BASE
+    snapshot — the feed emits changes of versions AFTER N (N+1, N+2,
+    ...). Delta's option is inclusive (changes committed AT N and
+    later); pass ``N-1`` here for Delta's behavior. Same for
+    ``startingTimestamp``: the as-of version at the timestamp is the
+    base, its own changes are not re-emitted."""
 
     @classmethod
     def name(cls) -> str:
@@ -259,14 +332,10 @@ class SnapshotCDFSource(DataSource):
 
     def schema(self) -> StructType:
         path = self.options["path"]
-        m = S.read_manifest(path)
-        base = StructType(
-            [
-                f
-                for f in _arrow_to_spark_schema(list(m["files"])).fields
-                if f.name != "_p"  # bucket partition dir, not table data
-            ]
-        )
+        # resolve=False: only the file list is needed — eager shard
+        # inlining would parse every stats sidecar per schema() call
+        m = S.read_manifest(path, resolve=False)
+        base = _arrow_to_spark_schema(list(m["files"]))
         return StructType(
             base.fields
             + [

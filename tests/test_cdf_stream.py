@@ -171,3 +171,114 @@ def test_stream_cdf_starting_timestamp(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["account_id"] for r in rows) == [2]  # only the post-ts insert
+
+
+def test_stream_cdf_array_and_bigint_precision(spark, tmp_path):
+    """Review r8: array cells used to crash classification (ndarray
+    truthiness) and int64 values rode a float64 upcast through the
+    outer merge (silent corruption above 2^53). Both paths exact now."""
+    path = str(tmp_path / "t")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    big = (1 << 60) + 1  # not representable in float64
+    sch = "k long, big long, tags array<string>, deleted boolean, last_modified_ledger long, ledger_entry_change long"
+    apply_changes(
+        spark,
+        spark.createDataFrame([(1, big, ["a", "b"], False, 1, 0),
+                               (2, big + 2, ["c"], False, 1, 0)], sch),
+        path, keys=("k",), n_buckets=2,
+    )
+    out1 = _drain(spark, path, ckpt, sink).collect()
+    assert sorted(r["big"] for r in out1) == [big, big + 2]
+    assert sorted(tuple(r["tags"]) for r in out1) == [("a", "b"), ("c",)]
+    # an update one ULP-of-double away must still be detected
+    apply_changes(
+        spark,
+        spark.createDataFrame([(1, big + 1, ["a", "b"], False, 2, 0)], sch),
+        path, keys=("k",), n_buckets=2,
+    )
+    out2 = _drain(spark, path, ckpt, sink)
+    ups = {r[CHANGE_TYPE_COL]: r["big"] for r in out2.collect()
+           if r[CHANGE_TYPE_COL].startswith("update")}
+    assert ups == {"update_preimage": big, "update_postimage": big + 1}
+
+
+def test_stream_cdf_refuses_old_side_mapping(spark, tmp_path):
+    """Review r8: a batch whose OLD endpoint carries column mapping
+    (e.g. spanning a mapping-materializing compact) must refuse, not
+    outer-merge mismatched physical names."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    S.overwrite_versioned(spark, df, path)
+    S.rename_column(path, "v", "val")          # v2: mapped
+    v2 = S.latest_version(path)
+    S.compact_snapshot(spark, path)            # v3: mapping materialized, reset
+    cdf_source.register(spark)
+    reader = cdf_source._CDFStreamReader(
+        spark.createDataFrame([], "k long, val long").schema,
+        {"path": path, "keys": "k"},
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        reader.partitions({"version": v2}, {"version": v2 + 1})
+
+
+def test_stream_cdf_refuses_post_start_column_add(spark, tmp_path):
+    """Review r8: a RUNNING stream's schema is frozen at start; a
+    column added by an evolving merge must fail the batch loudly (Delta
+    fails the stream on schema change too) instead of silently netting
+    the new column's changes out. A RESTARTED query re-resolves the
+    union schema — the documented remedy."""
+    path = str(tmp_path / "t")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    sch = "k long, v long, deleted boolean, last_modified_ledger long, ledger_entry_change long"
+    apply_changes(spark, spark.createDataFrame([(1, 10, False, 1, 0)], sch),
+                  path, keys=("k",), n_buckets=2)
+    _drain(spark, path, ckpt, sink)
+    frozen = (spark.readStream.format(cdf_source.FORMAT_NAME)
+              .option("path", path).load().schema)
+    from stellar_etl_airflow_spark.operators.merge import merge_upsert_versioned
+
+    merge_upsert_versioned(
+        spark,
+        spark.createDataFrame(
+            [(1, 11, 7, False, 2, 0)],
+            "k long, v long, extra long, deleted boolean, last_modified_ledger long, ledger_entry_change long",
+        ),
+        path, keys=("k",), n_buckets=2, allow_schema_evolution=True,
+    )
+    # simulate the long-running query: its schema was resolved BEFORE
+    # the evolving merge
+    with pytest.raises(Exception, match="added after stream start"):
+        q = (
+            spark.readStream.format(cdf_source.FORMAT_NAME)
+            .schema(frozen)
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    # restarted with a fresh schema resolution: the batch goes through
+    out = _drain(spark, path, str(tmp_path / "ckpt2"), str(tmp_path / "sink2"))
+    assert "extra" in out.columns
+
+
+def test_stream_cdf_schema_handles_spark_written_timestamps(spark, tmp_path):
+    """Review r8: Spark-written timestamp columns read back as
+    timestamp[ns]; the stream schema must coerce like the batch
+    connector or .load() raises."""
+    path = str(tmp_path / "t")
+    sch = "k long, ts timestamp, deleted boolean, last_modified_ledger long, ledger_entry_change long"
+    from datetime import datetime
+
+    apply_changes(
+        spark,
+        spark.createDataFrame([(1, datetime(2024, 1, 1), False, 1, 0)], sch),
+        path, keys=("k",), n_buckets=2,
+    )
+    cdf_source.register(spark)
+    df = (spark.readStream.format(cdf_source.FORMAT_NAME)
+          .option("path", path).load())
+    assert "ts" in df.columns  # schema resolution didn't throw
