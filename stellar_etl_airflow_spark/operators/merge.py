@@ -361,7 +361,8 @@ def _merge_versioned_core(
         keep = [
             f for f in m["files"] if bucket_of(f) not in touched_set and bucket_of(f) is not None
         ]
-        rewrite = [f for f in m["files"] if f not in set(keep)]
+        keep_set_ = set(keep)
+        rewrite = [f for f in m["files"] if f not in keep_set_]
     if rewrite:
         # A bootstrap snapshot may mix partition-dir layouts (flat root
         # files vs `_p=` dirs vs other `col=` trees). One basePath read
@@ -405,7 +406,7 @@ def _merge_versioned_core(
         tgt = spark.createDataFrame([], ch.schema)
     merged = combine(tgt, ch)
 
-    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
+    stage = os.path.abspath(os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}"))
     new_files: list[str] = []
     try:
         merged.write.partitionBy(BUCKET_COL).parquet(stage)
@@ -436,7 +437,8 @@ def _merge_versioned_core(
     bloom_cols = props.get("bloom_cols") or m.get("bloom_cols") or None
     blooms = None
     if bloom_cols:
-        blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)}
+        _keep = set(keep)
+        blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in _keep}
         blooms.update(S.compute_blooms(spark, new_files, bloom_cols))
     version = S._publish(
         path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,

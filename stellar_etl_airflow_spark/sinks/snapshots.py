@@ -399,6 +399,10 @@ def compute_blooms(
                     "only string/integral/boolean columns (Spark CAST AS "
                     "STRING must match Python str() exactly)"
                 )
+    # key results by the CALLER'S file strings: manifests may hold
+    # relative paths, and _publish filters blooms by membership in that
+    # list — abspath keys would silently drop every bloom (review r8)
+    orig_by_abs = {os.path.abspath(f): f for f in files}
     out: dict[str, dict] = {}
     for c in cols:
         rows = (
@@ -408,7 +412,8 @@ def compute_blooms(
             .collect()
         )
         for r in rows:
-            out.setdefault(r["_f"], {})[c] = {
+            key = orig_by_abs.get(os.path.abspath(r["_f"]), r["_f"])
+            out.setdefault(key, {})[c] = {
                 "m": int(r["_m"]),
                 "k": k,
                 "b64": r["_b64"],
@@ -484,6 +489,7 @@ def _publish(
                 st = _file_stats(f, stats_cols)
             if st:
                 stats[f] = st
+    file_set = set(files)  # hoisted: a per-element set(files) is O(n^2)
     manifest = {
         "version": version,
         "ts": time.time(),
@@ -509,7 +515,7 @@ def _publish(
         # per-file bloom filters for equality pruning on hash-like keys
         # ({file: {col: {"m","k","b64"}}}); computed by callers via
         # compute_blooms (needs a SparkSession), carried verbatim here
-        "blooms": {f: b for f, b in (blooms or {}).items() if f in set(files)},
+        "blooms": {f: b for f, b in (blooms or {}).items() if f in file_set},
         "bloom_cols": list(bloom_cols or []),
         # column mapping (Delta/Iceberg rename-and-drop-without-rewrite):
         # {physical_name_in_files: current_logical_name} for renamed
@@ -601,7 +607,17 @@ def _shard_stats(path: str, version: int, manifest: dict) -> None:
 
 def snapshot(path: str) -> int:
     """Publish the directory's current data files as the next version
-    (bootstrap for tables written by plain writers)."""
+    (bootstrap for tables written by plain writers). Refuses tables
+    that are ALREADY version-tracked: their directory holds every
+    retained version's files, so a blind re-bootstrap would publish
+    superseded files alongside current ones and double rows
+    (review r8)."""
+    if latest_version(path) is not None:
+        raise ValueError(
+            f"{path} is already snapshot-tracked (v{latest_version(path)}): "
+            "bootstrap would republish superseded versions' files and "
+            "duplicate rows. Write through the versioned APIs instead."
+        )
     return _publish(path, _list_data_files(path))
 
 
@@ -609,7 +625,10 @@ def snapshot(path: str) -> int:
 def adopt_staged(stage: str, path: str) -> list[str]:
     """Move a Spark-written stage directory's parquet output under
     ``path`` with collision-free final names, preserving any ``col=val``
-    hive layer; returns the adopted absolute file paths. Shared by
+    hive layer; returns the adopted file paths (``path``-prefixed, so
+    relative tables keep relative manifest entries). Callers stage at an
+    ABSOLUTE dir: Spark resolves relative write paths against the JVM's
+    CWD, which does not follow Python's os.chdir. Shared by
     ``overwrite_versioned``, ``compact_snapshot``, and the merge write
     path — one implementation so the stage/adopt protocol cannot drift."""
     out: list[str] = []
@@ -650,14 +669,17 @@ def overwrite_versioned(
     ``bloom_cols``: additionally record a per-file bloom filter for these
     columns (string/integral/boolean), pruning EQUALITY probes that
     [min, max] can't — hash-like high-cardinality keys."""
-    prev_constraints = (
-        (read_manifest(path, resolve=False).get("constraints") or None)
-        if latest_version(path)
-        else None
+    # one metadata read serves constraints AND the txn-ledger carry
+    # (review r8: four per-overwrite round-trips also widened the window
+    # in which a concurrent publish made the two come from different
+    # versions)
+    prev = (
+        read_manifest(path, resolve=False) if latest_version(path) else None
     )
+    prev_constraints = (prev.get("constraints") or None) if prev else None
     if prev_constraints:
         check_constraints(df, prev_constraints)
-    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}")
+    stage = os.path.abspath(os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}"))
     df.write.mode("overwrite").parquet(stage)
     try:
         files = adopt_staged(stage, path)
@@ -670,11 +692,7 @@ def overwrite_versioned(
     # crash window must not reopen the replay hole. Enforced here at the
     # library layer so every publish path (Data Source writer included)
     # inherits it.
-    prev_txns = (
-        (read_manifest(path, resolve=False).get("txns") or None)
-        if latest_version(path)
-        else None
-    )
+    prev_txns = (prev.get("txns") or None) if prev else None
     # a full overwrite defines a fresh logical schema: the incoming
     # frame's names ARE the new physical names, so any prior column
     # mapping is retired with the prior version (still time-travelable).
@@ -752,9 +770,16 @@ def _read_physical(
         reader = reader.option("basePath", m["base"])
     df = reader.parquet(*(m["files"] if files is None else files))
     if with_meta:
+        # _metadata.file_path renders URL-ENCODED ("file:/a/has%20space/x")
+        # — verified on this Spark — so strip the scheme AND url_decode,
+        # matching the bloom path's input_file_name normalization; a raw
+        # strip would leave %-escapes that never equal the manifest's os
+        # paths and deletion vectors would silently fail open (review r8)
         df = df.select(
             "*",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias("_dv_file"),
+            F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+            ).alias("_dv_file"),
             F.col("_metadata.row_index").alias("_dv_idx"),
         )
     return df
@@ -1087,7 +1112,17 @@ def _may_match(st: dict, bl: dict, col, op, v) -> bool:
         # a batch-key probe (THE MERGE shape): the file survives if ANY
         # listed value may be present
         return any(_may_match(st, bl, col, "=", x) for x in v)
-    if op == "=" and col in bl and not bloom_contains(bl[col], v):
+    # bloom verdicts are only sound when the probe's canonical string is
+    # the one recording used: a float probe against an int column would
+    # hash "5.0" vs the stored "5" — a definitive-looking miss that
+    # wrongly prunes files Spark's exact filter WOULD match (review r8).
+    # Non-str/int/bool probes skip the bloom; range stats still apply.
+    if (
+        op == "="
+        and col in bl
+        and isinstance(v, (str, int, bool))
+        and not bloom_contains(bl[col], v)
+    ):
         return False
     rng = st.get(col)
     if not rng:
@@ -1185,7 +1220,8 @@ def scan_snapshot(
     where = translate_where(m, list(where))
     files = prune_files(m, where)
     dv = read_dv(m)
-    dv = {f: ids for f, ids in dv.items() if f in set(files)}
+    surviving = set(files)
+    dv = {f: ids for f, ids in dv.items() if f in surviving}
     if files:
         df = _read_physical(spark, m, files, with_meta=bool(dv))
         if dv:
@@ -1240,16 +1276,22 @@ def _owning_tables(files: list[str]) -> set[str]:
     return owners
 
 
-def _register_clone(owner: str, clone_dir: str) -> None:
+def _register_clone(owner: str, clone_dir: str, pinned=None) -> None:
     """Back-reference marker so ``vacuum(owner)`` knows ``clone_dir``'s
     manifests may pin files under ``owner`` (the Delta shallow-clone
-    hazard: vacuuming a clone SOURCE must not break clones)."""
+    hazard: vacuuming a clone SOURCE must not break clones). ``pinned``
+    (the file list the in-flight clone is about to publish) rides the
+    marker so a vacuum racing the clone's publish window can protect
+    exactly those files (review r8)."""
     marker_dir = os.path.join(_snap_dir(owner), "_clones")
     os.makedirs(marker_dir, exist_ok=True)
     key = uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(clone_dir)).hex
+    payload = {"path": os.path.abspath(clone_dir)}
+    if pinned:
+        payload["pinned"] = sorted(pinned)
     _atomic_write(
         os.path.join(marker_dir, f"{key}.json"),
-        json.dumps({"path": os.path.abspath(clone_dir)}),
+        json.dumps(payload),
     )
 
 
@@ -1295,22 +1337,42 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     silently break clones — the classic Delta shallow-clone hazard.)"""
     m = read_manifest(src, version)
     os.makedirs(dst, exist_ok=True)
-    v = _publish(
-        dst, list(m["files"]), base=m.get("base", src),
-        mixed_schema=bool(m.get("mixed_schema")),
-        txns=m.get("txns"),  # the clone keeps exactly-once against replays
-        stats=m.get("stats"),  # same files, same stats — no footer reads
-        stats_cols=m.get("stats_cols"),
-        blooms=m.get("blooms"),  # same files, same blooms
-        bloom_cols=m.get("bloom_cols"),
-        renames=m.get("renames") or None,  # the clone sees the same logical schema
-        dropped_cols=m.get("dropped_cols") or None,
-        constraints=m.get("constraints") or None,
-        dv=read_dv(m),  # re-sidecared under the CLONE's own snapshot dir
-    )
-    for owner in _owning_tables(m["files"]):
-        if os.path.abspath(owner) != os.path.abspath(dst):
-            _register_clone(owner, dst)
+    # register the vacuum-protecting back-references BEFORE publishing
+    # (review r8): a source vacuum running between publish and a
+    # post-publish registration would see the pinned files unprotected
+    # and delete them, permanently breaking the just-created clone.
+    # Vacuum treats a fresh marker whose clone has no manifests yet as
+    # PENDING and protects conservatively; on publish failure the
+    # markers are removed again.
+    owners = [
+        o for o in _owning_tables(m["files"])
+        if os.path.abspath(o) != os.path.abspath(dst)
+    ]
+    for owner in owners:
+        _register_clone(owner, dst, pinned=m["files"])
+    try:
+        v = _publish(
+            dst, list(m["files"]), base=m.get("base", src),
+            mixed_schema=bool(m.get("mixed_schema")),
+            txns=m.get("txns"),  # the clone keeps exactly-once against replays
+            stats=m.get("stats"),  # same files, same stats — no footer reads
+            stats_cols=m.get("stats_cols"),
+            blooms=m.get("blooms"),  # same files, same blooms
+            bloom_cols=m.get("bloom_cols"),
+            renames=m.get("renames") or None,  # the clone sees the same logical schema
+            dropped_cols=m.get("dropped_cols") or None,
+            constraints=m.get("constraints") or None,
+            dv=read_dv(m),  # re-sidecared under the CLONE's own snapshot dir
+        )
+    except BaseException:
+        for owner in owners:
+            for marker, cd in _registered_clones(owner):
+                if os.path.abspath(cd) == os.path.abspath(dst):
+                    try:
+                        os.remove(marker)
+                    except FileNotFoundError:
+                        pass
+        raise
     return v
 
 
@@ -1335,7 +1397,12 @@ def clone_untracked(src: str, dst: str, as_of_ts: float | None = None) -> int:
     return _publish(dst, files, base=src)
 
 
-def vacuum(path: str, keep_versions: int = 1, dry_run: bool = False) -> list[str]:
+def vacuum(
+    path: str,
+    keep_versions: int = 1,
+    dry_run: bool = False,
+    orphan_retention_s: float = 3600.0,
+) -> list[str]:
     """Delete data files under ``path`` referenced only by expired versions
     (everything older than the newest ``keep_versions``), then drop those
     manifests. Returns the deleted paths.
@@ -1372,6 +1439,21 @@ def vacuum(path: str, keep_versions: int = 1, dry_run: bool = False) -> list[str
     for marker, clone_dir in _registered_clones(path):
         if os.path.isdir(_snap_dir(clone_dir)):
             keep_files.update(_all_manifest_files(clone_dir))
+            continue
+        # PENDING clone (review r8): clone() registers its marker (with
+        # the pinned file list) BEFORE publishing the clone manifest; a
+        # fresh marker whose clone has no manifests yet means the publish
+        # may be in flight — protect the pinned files instead of breaking
+        # the clone mid-creation. Aged markers (or markers without a pin
+        # list) are treated as dropped clones and retired.
+        try:
+            fresh = time.time() - os.path.getmtime(marker) < orphan_retention_s
+            with open(marker) as fh:
+                pinned = json.load(fh).get("pinned") or []
+        except (OSError, ValueError):
+            fresh, pinned = False, []
+        if fresh and pinned and orphan_retention_s > 0:
+            keep_files.update(pinned)
         elif not dry_run:  # clone dropped: retire the stale back-reference
             try:
                 os.remove(marker)
@@ -1380,12 +1462,31 @@ def vacuum(path: str, keep_versions: int = 1, dry_run: bool = False) -> list[str
     # compare by abspath: manifests may record absolute paths while the
     # caller passed a relative table path (or vice versa)
     keep_abs = {os.path.abspath(f) for f in keep_files}
+    # files referenced by NO manifest at all (vs. files whose only
+    # references are EXPIRED manifests) may be a concurrent writer's
+    # adopted-but-not-yet-published output: adopt_staged moves files to
+    # final names BEFORE _publish links the manifest, and deleting them
+    # in that window would make the writer's commit reference dead files.
+    # Delta's VACUUM retention threshold exists for exactly this; young
+    # orphans survive ``orphan_retention_s`` (0 disables). (review r8)
+    referenced_abs = {
+        os.path.abspath(f) for mv in manifests.values() for f in mv["files"]
+    }
+    now = time.time()
     deleted = []
     for f in _list_data_files(path):
-        if os.path.abspath(f) not in keep_abs:
-            if not dry_run:
-                os.remove(f)
-            deleted.append(f)
+        a = os.path.abspath(f)
+        if a in keep_abs:
+            continue
+        if a not in referenced_abs and orphan_retention_s > 0:
+            try:
+                if now - os.path.getmtime(f) < orphan_retention_s:
+                    continue  # young orphan: possibly an in-flight publish
+            except OSError:
+                continue
+        if not dry_run:
+            os.remove(f)
+        deleted.append(f)
     if dry_run:
         return deleted
     for v in range(1, cutoff + 1):
@@ -1570,7 +1671,7 @@ def compact_snapshot(
     # the _stage- prefix is excluded by _list_data_files, so a
     # concurrent vacuum or a crash-then-snapshot() bootstrap can
     # never see (or delete) the in-flight compaction files
-    stage = os.path.join(path, f"_stage-compact-{uuid.uuid4().hex[:8]}")
+    stage = os.path.abspath(os.path.join(path, f"_stage-compact-{uuid.uuid4().hex[:8]}"))
     try:
         if BUCKET_COL in df.columns:  # bucketed merge table: keep layout
             part = df.repartition(F.col(BUCKET_COL))
@@ -1671,14 +1772,16 @@ def compact_small_files(
     small = [f for f in m["files"] if sizes[f] < min_bytes]
     if len(small) < 2:
         return int(m["version"]), 0
-    keep = [f for f in m["files"] if f not in set(small)]
+    small_set = set(small)
+    keep = [f for f in m["files"] if f not in small_set]
+    keep_set = set(keep)
     dv_all = read_dv(m)
-    dv_small = {f: ids for f, ids in dv_all.items() if f in set(small)}
+    dv_small = {f: ids for f, ids in dv_all.items() if f in small_set}
     raw = _read_physical(spark, m, small, with_meta=bool(dv_small))
     if dv_small:
         raw = _apply_dv(spark, raw, dv_small)  # materialize their deletes
     n_out = max(1, -(-sum(sizes[f] for f in small) // max(target_file_bytes, 1)))
-    stage = os.path.join(path, f"_stage-autocompact-{uuid.uuid4().hex[:8]}")
+    stage = os.path.abspath(os.path.join(path, f"_stage-autocompact-{uuid.uuid4().hex[:8]}"))
     try:
         raw.coalesce(n_out).write.parquet(stage)
         new_files = adopt_staged(stage, path)
@@ -1687,13 +1790,13 @@ def compact_small_files(
     stats_cols = m.get("stats_cols") or None
     stats = None
     if stats_cols:
-        stats = {f: st for f, st in (m.get("stats") or {}).items() if f in set(keep)}
+        stats = {f: st for f, st in (m.get("stats") or {}).items() if f in keep_set}
         for f in new_files:
             st = _file_stats(f, stats_cols)
             if st:
                 stats[f] = st
     bloom_cols = m.get("bloom_cols") or None
-    blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in set(keep)}
+    blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in keep_set}
     if bloom_cols:
         blooms.update(compute_blooms(spark, new_files, bloom_cols) or {})
     version = _publish(
@@ -1709,7 +1812,7 @@ def compact_small_files(
         renames=m.get("renames") or None,
         dropped_cols=m.get("dropped_cols") or None,
         constraints=m.get("constraints") or None,
-        dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
+        dv={f: ids for f, ids in dv_all.items() if f in keep_set},
         expected_version=int(m["version"]),
     )
     return version, len(small)
@@ -1821,21 +1924,29 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
         check_constraints(out, m["constraints"])
     rewritten = to_physical(out, m)
 
-    stage = os.path.join(path, f"_stage-dml-{uuid.uuid4().hex[:8]}")
+    stage = os.path.abspath(os.path.join(path, f"_stage-dml-{uuid.uuid4().hex[:8]}"))
     try:
         rewritten.write.parquet(stage)
         new_files = adopt_staged(stage, path)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     stats_cols = m.get("stats_cols") or None
+    bloom_cols = m.get("bloom_cols") or None
     all_stats, all_blooms = resolved_stats_blooms(m)  # carry needs them all
+    keep_set = set(keep)  # hoisted: per-element set() builds are O(n^2)
     stats = None
     if stats_cols:
-        stats = {f: s for f, s in all_stats.items() if f in set(keep)}
+        stats = {f: s for f, s in all_stats.items() if f in keep_set}
         for f in new_files:
             st = _file_stats(f, stats_cols)
             if st:
                 stats[f] = st
+    blooms = {f: b for f, b in all_blooms.items() if f in keep_set}
+    if bloom_cols and new_files:
+        # rewritten files get fresh bloom filters like compact_small_files'
+        # output — omitting them silently retired equality pruning for
+        # every file a DELETE/UPDATE ever touched (review r8)
+        blooms.update(compute_blooms(spark, new_files, bloom_cols))
     version = _publish(
         path,
         keep + new_files,
@@ -1844,9 +1955,9 @@ def _rewrite_candidates(spark: SparkSession, path: str, where: list, transform):
         txns=m.get("txns") or None,
         stats_cols=stats_cols,
         stats=stats,
-        bloom_cols=m.get("bloom_cols") or None,
-        blooms={f: b for f, b in all_blooms.items() if f in set(keep)},
-        dv={f: ids for f, ids in dv_all.items() if f in set(keep)},
+        bloom_cols=bloom_cols,
+        blooms=blooms or None,
+        dv={f: ids for f, ids in dv_all.items() if f in keep_set},
         expected_version=int(m["version"]),
     )
     return version, len(candidates)

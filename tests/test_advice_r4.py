@@ -57,7 +57,10 @@ def test_vacuum_of_clone_source_keeps_clone_referenced_files(spark, tmp_path):
 
 def test_vacuum_collects_after_clone_dropped(spark, tmp_path):
     """Once the clone directory is gone its back-reference marker is
-    garbage-collected and the pinned files become collectable."""
+    garbage-collected and the pinned files become collectable. The
+    marker must first AGE past the pending-clone retention window
+    (r8: clone registers markers before publishing, so a fresh marker
+    without clone manifests is treated as an in-flight clone)."""
     import shutil
 
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
@@ -66,6 +69,14 @@ def test_vacuum_collects_after_clone_dropped(spark, tmp_path):
     pinned = set(S.read_manifest(dst)["files"])
     _write(spark, src, [3])
     shutil.rmtree(dst)
+    # a fresh marker is protected (could be an in-flight clone publish)
+    assert not set(S.vacuum(src, keep_versions=1)) & pinned
+    # age the marker AND the now-unreferenced data files past both
+    # retention windows (marker-pending + orphan)
+    aged = [m for m, _d in S._registered_clones(src)] + sorted(pinned)
+    for f in aged:
+        t = os.path.getmtime(f) - 7200
+        os.utime(f, (t, t))
     deleted = set(S.vacuum(src, keep_versions=1))
     assert pinned <= deleted  # no live clone -> v1 files collected
     assert _ids(spark, src) == [3]

@@ -1,0 +1,130 @@
+"""Regression tests for the round-8 targeted review of the snapshot
+storage plane: DV path normalization (URL-encoded file_path), vacuum's
+orphan retention window, bloom keying for relative paths, bloom probe
+type guard, the snapshot() re-bootstrap guard, rewritten-file blooms,
+and the bucketed-table delete_where roundtrip."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_etl_airflow_spark.operators.merge import apply_changes
+from stellar_etl_airflow_spark.sinks import snapshots as S
+
+
+def test_dv_masks_on_path_with_space(spark, tmp_path):
+    """_metadata.file_path renders URL-encoded ('has%20space'); without
+    url_decode the DV anti-join matched nothing and deleted rows were
+    resurrected silently."""
+    tbl = str(tmp_path / "has space" / "t")
+    df = spark.range(50).selectExpr("id", "id * 2 AS v").repartitionByRange(2, "id")
+    S.overwrite_versioned(spark, df, tbl, stats_cols=["id"])
+    version, deleted = S.delete_where_dv(spark, tbl, [("id", "=", 7)])
+    assert deleted == 1
+    got = sorted(r["id"] for r in S.read_snapshot(spark, tbl).collect())
+    assert 7 not in got and len(got) == 49
+    # scan path applies the vector too
+    got2 = S.scan_snapshot(spark, tbl, [("id", "<", 10)]).count()
+    assert got2 == 9
+
+
+def test_compute_blooms_keys_match_caller_strings(spark, tmp_path):
+    """Bloom results must be keyed by the CALLER'S file strings —
+    abspath keys were silently dropped by _publish's membership filter
+    for relative-path manifests."""
+    p = str(tmp_path / "pq")
+    spark.createDataFrame([(i,) for i in range(50)], "id long").write.parquet(p)
+    rel_files = [
+        os.path.relpath(os.path.join(p, f), os.getcwd())
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    ]
+    blooms = S.compute_blooms(spark, rel_files, ["id"])
+    assert set(blooms) == set(rel_files), "keys must equal the input strings"
+
+
+def test_bloom_probe_type_mismatch_never_prunes():
+    """A float probe against an int bloom column hashes '5.0' vs the
+    recorded '5' — a fake definitive miss that wrongly pruned files.
+    Non-str/int/bool probes now skip the bloom."""
+    bits = bytearray(64)
+    for pos in S._bloom_positions(5, 512, 3):
+        bits[pos >> 3] |= 1 << (pos & 7)
+    import base64
+
+    bl = {"c": {"m": 512, "k": 3, "b64": base64.b64encode(bytes(bits)).decode()}}
+    assert S._may_match({}, bl, "c", "=", 5) is True        # recorded value
+    assert S._may_match({}, bl, "c", "=", 6) is False       # int probe prunes
+    assert S._may_match({}, bl, "c", "=", 5.0) is True      # float: no verdict
+    assert S._may_match({}, bl, "c", "=", 6.0) is True
+
+
+def test_snapshot_refuses_tracked_table(spark, tmp_path):
+    """Re-bootstrapping a version-tracked table would publish superseded
+    files alongside current ones and double every row."""
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.range(5).selectExpr("id"), tbl)
+    S.overwrite_versioned(spark, spark.range(5, 9).selectExpr("id"), tbl)
+    with pytest.raises(ValueError, match="already snapshot-tracked"):
+        S.snapshot(tbl)
+    assert S.read_snapshot(spark, tbl).count() == 4  # no duplication
+
+
+def test_vacuum_spares_young_orphans(spark, tmp_path):
+    """A file referenced by NO manifest may be a concurrent writer's
+    adopted-but-unpublished output: vacuum keeps it inside the orphan
+    retention window and collects it once aged."""
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.range(5).selectExpr("id"), tbl)
+    orphan = os.path.join(tbl, "part-inflight.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not yet published")
+    assert orphan not in S.vacuum(tbl, keep_versions=1)
+    assert os.path.exists(orphan)
+    t = time.time() - 7200
+    os.utime(orphan, (t, t))
+    assert orphan in S.vacuum(tbl, keep_versions=1)
+    assert not os.path.exists(orphan)
+    # expired VERSIONS' files are manifest-referenced -> still collected
+    # immediately regardless of age (the normal retention path)
+    S.overwrite_versioned(spark, spark.range(9).selectExpr("id"), tbl)
+    deleted = S.vacuum(tbl, keep_versions=1)
+    assert deleted, "expired-version files must not need aging"
+
+
+def test_delete_where_rewrites_keep_blooms(spark, tmp_path):
+    """DELETE/UPDATE WHERE used to publish rewritten files with no
+    bloom filters while bloom_cols stayed pinned — equality pruning
+    silently died for every touched file."""
+    tbl = str(tmp_path / "t")
+    df = spark.range(200).selectExpr("id", "id % 7 AS v").repartitionByRange(4, "id")
+    S.overwrite_versioned(spark, df, tbl, stats_cols=["id"], bloom_cols=["id"])
+    S.delete_where(spark, tbl, [("id", "=", 10)])
+    m = S.read_manifest(tbl)
+    missing = [f for f in m["files"] if "id" not in (m.get("blooms") or {}).get(f, {})]
+    assert not missing, f"rewritten files lost their blooms: {missing}"
+
+
+def test_bucketed_delete_where_then_merge_roundtrip(spark, tmp_path):
+    """The DV guard tells bucketed-table users to use copy-on-write
+    delete_where; pin that the rewrite (which carries the bucket column
+    physically) stays readable and merge-compatible."""
+    p = str(tmp_path / "bt")
+    b = spark.createDataFrame(
+        [(i, i, False, 1, 0) for i in range(10)],
+        "k long, v long, deleted boolean, last_modified_ledger long, ledger_entry_change int",
+    )
+    apply_changes(spark, b, p, keys=("k",), n_buckets=4, txn_id="b1")
+    S.delete_where(spark, p, [("k", "=", 3)])
+    b2 = spark.createDataFrame(
+        [(2, 99, False, 2, 1), (11, 110, False, 2, 1)],
+        "k long, v long, deleted boolean, last_modified_ledger long, ledger_entry_change int",
+    )
+    apply_changes(spark, b2, p, keys=("k",), n_buckets=4, txn_id="b2")
+    got = {r["k"]: r["v"] for r in S.read_snapshot(spark, p).collect()}
+    exp = {i: i for i in range(10) if i != 3} | {2: 99, 11: 110}
+    assert got == exp

@@ -150,12 +150,21 @@ def test_writer_interops_with_library_publishes(spark, tmp_path):
 
 def test_writer_garbage_swept_by_vacuum(spark, tmp_path):
     """A crashed/aborted attempt's unlisted file is invisible to readers
-    and reclaimed by vacuum — the no-staging-dir invariant."""
+    and reclaimed by vacuum — the no-staging-dir invariant. Since r8 a
+    YOUNG never-referenced file is protected for the orphan-retention
+    window (it may be a concurrent writer's adopted-but-unpublished
+    output); garbage is swept once aged."""
+    import time
+
     path = str(tmp_path / "t")
     _write(spark.range(0, 10).select("id"), path, "overwrite")
     orphan = os.path.join(path, "part-deadbeef-orphan.parquet")
     spark.range(99, 100).toPandas().to_parquet(orphan)
     assert spark.read.format("snapshot").option("path", path).load().count() == 10
+    # inside the retention window: kept (could be an in-flight publish)
+    assert orphan not in S.vacuum(path, keep_versions=5)
+    t = time.time() - 7200
+    os.utime(orphan, (t, t))
     deleted = S.vacuum(path, keep_versions=5)
     assert orphan in deleted and not os.path.exists(orphan)
     assert spark.read.format("snapshot").option("path", path).load().count() == 10
