@@ -169,6 +169,23 @@ class _SnapshotReader(DataSourceReader):
         renames, dropped = S.mapping_of(self._manifest)
         self._l2p = {log: phys for phys, log in renames.items()}
         self._dv = S.read_dv(self._manifest)
+        # leaf-file pyarrow reads cannot recover hive `col=val` DATA
+        # columns (the manifest's `base` exists for DataFrame-path
+        # partition discovery); refuse such layouts loudly instead of
+        # silently dropping the column (review r8 — `_p=` bucket dirs
+        # are layout metadata, not data, and stay readable)
+        base = self._manifest.get("base") or self._path
+        for f in self._manifest["files"]:
+            rel = os.path.relpath(f, base)
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg and not seg.startswith("_p="):
+                    raise ValueError(
+                        f"{self._path}: data files live under hive partition "
+                        f"dirs ({seg}); the snapshot Data Source reads leaf "
+                        "files and would drop that column — use "
+                        "snapshots.read_snapshot / scan_snapshot (DataFrame "
+                        "path with partition discovery) for this layout"
+                    )
         if self._manifest["files"]:
             import pyarrow as pa
 

@@ -128,3 +128,22 @@ def test_bucketed_delete_where_then_merge_roundtrip(spark, tmp_path):
     got = {r["k"]: r["v"] for r in S.read_snapshot(spark, p).collect()}
     exp = {i: i for i in range(10) if i != 3} | {2: 99, 11: 110}
     assert got == exp
+
+
+def test_batch_connector_refuses_hive_partition_layout(spark, tmp_path):
+    """The snapshot Data Source reads leaf files; a hive col=val layout
+    (e.g. an adopted writer.py table) would silently drop the partition
+    column — refuse loudly, directing to the DataFrame path."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    (spark.range(20).selectExpr("id", "id % 3 AS part")
+     .write.partitionBy("part").parquet(tbl))
+    S.snapshot(tbl)
+    snapshot_source.register(spark)
+    with pytest.raises(Exception, match="hive partition"):
+        (spark.read.format(snapshot_source.FORMAT_NAME)
+         .option("path", tbl).load().count())
+    # the DataFrame path recovers the partition column fine
+    df = S.read_snapshot(spark, tbl)
+    assert "part" in df.columns and df.count() == 20
