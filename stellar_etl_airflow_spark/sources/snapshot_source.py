@@ -100,12 +100,48 @@ def _unified_arrow_schema(files: list[str]):
     fields: dict[str, object] = {}
     for f in files:
         for fld in pq.ParquetFile(f).schema_arrow:
-            if fld.name != "_p":  # bucket layout dir, not table data
-                # force nullable: files that PREDATE an added column
-                # surface it as nulls even when the adding writer's
-                # schema declared it required
-                fields.setdefault(fld.name, _spark_safe(fld).with_nullable(True))
+            if fld.name == "_p":  # bucket layout dir, not table data
+                continue
+            # force nullable: files that PREDATE an added column
+            # surface it as nulls even when the adding writer's
+            # schema declared it required
+            fld = _spark_safe(fld).with_nullable(True)
+            cur = fields.get(fld.name)
+            if cur is None:
+                fields[fld.name] = fld
+            elif cur.type != fld.type:
+                # type-evolved files (int32 table + int64 append): take
+                # the PROMOTED type so _align's casts always widen —
+                # first-seen-wins made the cast overflow-crash or pass
+                # depending on file order (review r8)
+                try:
+                    fields[fld.name] = pa.unify_schemas(
+                        [pa.schema([cur]), pa.schema([fld])],
+                        promote_options="permissive",
+                    ).field(0)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+                    pass  # non-unifiable: keep first-seen (old behavior)
     return pa.schema(list(fields.values()))
+
+
+def _hive_layout_guard(path: str, m: dict) -> None:
+    """Leaf-file pyarrow reads cannot recover hive ``col=val`` DATA
+    columns (the manifest's ``base`` exists for DataFrame-path partition
+    discovery); refuse such layouts loudly instead of silently dropping
+    the column (review r8 — ``_p=`` bucket dirs are layout metadata, not
+    data, and stay readable)."""
+    base = m.get("base") or path
+    for f in m["files"]:
+        rel = os.path.relpath(f, base)
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg and not seg.startswith("_p="):
+                raise ValueError(
+                    f"{path}: data files live under hive partition "
+                    f"dirs ({seg}); the snapshot Data Source reads leaf "
+                    "files and would drop that column — use "
+                    "snapshots.read_snapshot / scan_snapshot (DataFrame "
+                    "path with partition discovery) for this layout"
+                )
 
 
 
@@ -169,27 +205,19 @@ class _SnapshotReader(DataSourceReader):
         renames, dropped = S.mapping_of(self._manifest)
         self._l2p = {log: phys for phys, log in renames.items()}
         self._dv = S.read_dv(self._manifest)
-        # leaf-file pyarrow reads cannot recover hive `col=val` DATA
-        # columns (the manifest's `base` exists for DataFrame-path
-        # partition discovery); refuse such layouts loudly instead of
-        # silently dropping the column (review r8 — `_p=` bucket dirs
-        # are layout metadata, not data, and stay readable)
-        base = self._manifest.get("base") or self._path
-        for f in self._manifest["files"]:
-            rel = os.path.relpath(f, base)
-            for seg in rel.split(os.sep)[:-1]:
-                if "=" in seg and not seg.startswith("_p="):
-                    raise ValueError(
-                        f"{self._path}: data files live under hive partition "
-                        f"dirs ({seg}); the snapshot Data Source reads leaf "
-                        "files and would drop that column — use "
-                        "snapshots.read_snapshot / scan_snapshot (DataFrame "
-                        "path with partition discovery) for this layout"
-                    )
+        _hive_layout_guard(self._path, self._manifest)
         if self._manifest["files"]:
             import pyarrow as pa
 
-            phys = _unified_arrow_schema(self._manifest["files"])
+            # a non-mixed_schema manifest guarantees every file shares
+            # one schema: one footer suffices (review r8 — opening all
+            # 100k footers per plan defeats metadata-only planning)
+            sfiles = (
+                self._manifest["files"]
+                if self._manifest.get("mixed_schema")
+                else self._manifest["files"][:1]
+            )
+            phys = _unified_arrow_schema(sfiles)
             # align target: physical names minus dropped columns (their
             # bytes are never materialized); batches then re-label to
             # the version's logical names
@@ -197,6 +225,23 @@ class _SnapshotReader(DataSourceReader):
             self._logical_names = [
                 renames.get(f.name, f.name) for f in self._schema_arrow
             ]
+            if schema is not None and list(schema.names) != self._logical_names:
+                # a user .schema(...) was previously IGNORED whenever the
+                # version had files — Spark then bound the emitted batches
+                # positionally against the divergent plan schema (review
+                # r8). Honor it as a projection/reorder over the logical
+                # columns, or reject loudly at plan time.
+                unknown = [n for n in schema.names if n not in self._logical_names]
+                if unknown:
+                    raise ValueError(
+                        f"{self._path}: .schema(...) names {unknown} not in "
+                        f"this version's columns {self._logical_names}"
+                    )
+                by_logical = dict(zip(self._logical_names, self._schema_arrow))
+                self._schema_arrow = pa.schema(
+                    [by_logical[n] for n in schema.names]
+                )
+                self._logical_names = list(schema.names)
         else:
             from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -250,20 +295,15 @@ class _SnapshotReader(DataSourceReader):
                 # row order, so pyarrow predicate filtering (which drops
                 # rows) must be skipped; Spark re-evaluates every filter
                 # anyway (partial-pushdown contract)
-                import numpy as np
-
                 tbl = pq.read_table(f)
-                keep = np.setdiff1d(np.arange(tbl.num_rows), np.asarray(dv, dtype=np.int64))
-                tbl = tbl.take(keep)
             else:
                 try:
                     tbl = pq.read_table(f, filters=pa_filters)
                 except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
                     tbl = pq.read_table(f)  # incomparable filter types: read all
-            tbl = _align(tbl, self._schema_arrow)
-            if list(tbl.column_names) != self._logical_names:
-                tbl = tbl.rename_columns(self._logical_names)
-            yield from tbl.to_batches()
+            yield from _mask_align(
+                tbl, dv, self._schema_arrow, self._logical_names
+            ).to_batches()
 
 
 def _pyarrow_filters(where):
@@ -276,6 +316,22 @@ def _pyarrow_filters(where):
     for col, op, v in where:
         out.append((col, "==" if op == "=" else op, v))
     return out
+
+
+def _mask_align(tbl, dv, schema_arrow, logical_names):
+    """Shared read tail of the batch and stream readers (review r8 —
+    two drifting copies before): deletion-vector row mask (indices are
+    ORIGINAL parquet row order), align to the unified physical schema,
+    re-label to logical names."""
+    if dv:
+        import numpy as np
+
+        keep = np.setdiff1d(np.arange(tbl.num_rows), np.asarray(dv, dtype=np.int64))
+        tbl = tbl.take(keep)
+    tbl = _align(tbl, schema_arrow)
+    if list(tbl.column_names) != logical_names:
+        tbl = tbl.rename_columns(logical_names)
+    return tbl
 
 
 def _align(tbl, schema):
@@ -369,11 +425,38 @@ class _SnapshotWriter(DataSourceArrowWriter):
         # driver-side here, pickled to tasks). An overwrite defines a
         # fresh schema and ignores the prior mapping (reset on publish).
         self._l2p: dict[str, str] = {}
-        if not overwrite and S.latest_version(self._path):
-            renames, _dropped = S.mapping_of(S.read_manifest(self._path))
-            self._l2p = {log: phys for phys, log in renames.items()}
-            self._stats_cols = [self._l2p.get(c, c) for c in self._stats_cols]
-            self._bloom_cols = [self._l2p.get(c, c) for c in self._bloom_cols]
+        if S.latest_version(self._path):
+            # resolve=False: mapping/constraints/pins only (review r8)
+            cur = S.read_manifest(self._path, resolve=False)
+            if cur.get("constraints"):
+                # the Data Source commit runs in Spark's isolated
+                # plan-data-source worker (no SparkSession — see the r7
+                # autoCompact note), so CHECK constraints CANNOT be
+                # enforced here; silently publishing unvalidated rows
+                # (or silently dropping the constraints on overwrite,
+                # the previous behavior) breaks the constraint contract.
+                # Refuse loudly (review r8).
+                raise ValueError(
+                    f"{self._path} has CHECK constraints "
+                    f"{sorted(cur['constraints'])}; the Data Source writer "
+                    "cannot enforce them (no session at commit time) — "
+                    "write via the library paths (overwrite_versioned / "
+                    "merge) or drop_constraint first"
+                )
+            if not overwrite:
+                renames, _dropped = S.mapping_of(cur)
+                self._l2p = {log: phys for phys, log in renames.items()}
+                # appends INHERIT the table's stats/bloom pins when the
+                # options don't repeat them: tasks then keep computing
+                # per-file metadata in flight, so pruning doesn't silently
+                # degrade as unadorned appends accumulate (review r8; the
+                # same fallback rule as the merge path)
+                if not self._stats_cols:
+                    self._stats_cols = list(cur.get("stats_cols") or [])
+                if not self._bloom_cols:
+                    self._bloom_cols = list(cur.get("bloom_cols") or [])
+                self._stats_cols = [self._l2p.get(c, c) for c in self._stats_cols]
+                self._bloom_cols = [self._l2p.get(c, c) for c in self._bloom_cols]
 
     def write(self, iterator):
         import pyarrow.parquet as pq
@@ -489,17 +572,36 @@ class _SnapshotWriter(DataSourceArrowWriter):
         if prev:
             from ..operators.merge import BUCKET_COL
 
-            # a bucketed merge table's files live under _p=<n>/ dirs;
+            # files under ANY col=val dir (the _p= bucket layout OR a
+            # generic hive partition layout adopted via snapshot()):
             # appending flat root files would publish a MIXED-DEPTH file
             # list that basePath reads reject ("Conflicting directory
             # structures") — breaking read_snapshot AND the CDF reader.
-            # Appends to such tables must go through the merge path.
-            if files and any(f"{BUCKET_COL}=" in f for f in prev["files"]):
+            # Appends to such tables go through the merge path /
+            # partition-aware writers (review r8: the guard previously
+            # checked only _p=).
+            base = prev.get("base") or self._path
+            layered = next(
+                (
+                    seg
+                    for f in prev["files"]
+                    for seg in os.path.relpath(f, base).split(os.sep)[:-1]
+                    if "=" in seg
+                ),
+                None,
+            )
+            if files and layered:
                 _drop_files(messages)
+                kind, hint = (
+                    ("a bucketed merge table",
+                     "append via apply_changes/merge_upsert_versioned")
+                    if layered.startswith(f"{BUCKET_COL}=")
+                    else ("a hive-partitioned table",
+                          "append via the partition-aware library writers")
+                )
                 raise ValueError(
-                    f"{self._path} is a bucketed merge table "
-                    f"({BUCKET_COL}= layout); append via apply_changes/"
-                    "merge_upsert_versioned, not the Data Source writer"
+                    f"{self._path} is {kind} ({layered} layout); flat "
+                    f"Data Source appends would mix directory depths — {hint}"
                 )
             mixed = bool(prev.get("mixed_schema"))
             if not mixed and prev["files"] and files:
@@ -600,7 +702,11 @@ class _SnapshotStreamWriter(_SnapshotWriter, DataSourceStreamArrowWriter):
     def _commit_once(self, messages, batchId: int) -> None:
         key = self._txn_key(batchId)
         if S.latest_version(self._path):
-            recorded = (S.read_manifest(self._path).get("txns") or {})
+            # resolve=False: only the ledger key matters — eager shard
+            # inlining would parse every stats sidecar per micro-batch
+            recorded = (
+                S.read_manifest(self._path, resolve=False).get("txns") or {}
+            )
             if key in recorded:  # redelivered micro-batch: drop, don't publish
                 _drop_files(messages)
                 return
@@ -636,9 +742,15 @@ class SnapshotSource(DataSource):
         ts = opts.get("timestampasof")
         if ts is not None and v is None:
             v = S.as_of(self.options["path"], _epoch(ts))
-        m = S.read_manifest(self.options["path"], int(v) if v is not None else None)
+        # resolve=False (metadata-only); a non-mixed manifest needs only
+        # ONE footer for the schema (review r8 — planning used to open
+        # every file's footer twice per read)
+        m = S.read_manifest(
+            self.options["path"], int(v) if v is not None else None, resolve=False
+        )
+        sfiles = list(m["files"]) if m.get("mixed_schema") else list(m["files"])[:1]
         return from_arrow_schema(
-            _logical_arrow_schema(_unified_arrow_schema(list(m["files"])), m)
+            _logical_arrow_schema(_unified_arrow_schema(sfiles), m)
         )
 
     def reader(self, schema: StructType) -> _SnapshotReader:
@@ -708,11 +820,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         logical = to_arrow_schema(schema)
-        renames = (
-            (S.read_manifest(self._path).get("renames") or {})
-            if S.latest_version(self._path)
-            else {}
-        )
+        renames = {}
+        if S.latest_version(self._path):
+            # resolve=False: only mapping + layout are needed (review r8)
+            m0 = S.read_manifest(self._path, resolve=False)
+            renames, _dropped = S.mapping_of(m0)
+            _hive_layout_guard(self._path, m0)  # same leaf-read limit as batch
         inv = {log: phys for phys, log in renames.items()}
         self._schema_arrow = pa.schema([f.with_name(inv.get(f.name, f.name)) for f in logical])
         self._logical_names = list(logical.names)
@@ -723,7 +836,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if start is not None:
             self._start = int(start)
         elif start_ts is not None:
-            self._start = S.as_of(self._path, _epoch(start_ts))
+            try:
+                self._start = S.as_of(self._path, _epoch(start_ts))
+            except LookupError:
+                # pre-history timestamp: Delta streams the whole table
+                # from the earliest version; "everything since yesterday"
+                # on a table created today must not crash (review r8)
+                self._start = 0
         else:
             self._start = 0  # initial snapshot: the whole table is batch 0
 
@@ -774,17 +893,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for f in partition.files:
-            tbl = pq.read_table(f)
-            dv = partition.dv.get(f)
-            if dv:
-                import numpy as np
-
-                keep = np.setdiff1d(np.arange(tbl.num_rows), np.asarray(dv, dtype=np.int64))
-                tbl = tbl.take(keep)
-            tbl = _align(tbl, self._schema_arrow)
-            if list(tbl.column_names) != self._logical_names:
-                tbl = tbl.rename_columns(self._logical_names)
-            yield from tbl.to_batches()
+            yield from _mask_align(
+                pq.read_table(f), partition.dv.get(f),
+                self._schema_arrow, self._logical_names,
+            ).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; manifests are immutable

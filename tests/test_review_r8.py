@@ -147,3 +147,131 @@ def test_batch_connector_refuses_hive_partition_layout(spark, tmp_path):
     # the DataFrame path recovers the partition column fine
     df = S.read_snapshot(spark, tbl)
     assert "part" in df.columns and df.count() == 20
+
+
+def _ds_write(df, path, mode, **opts):
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    w = df.write.format(snapshot_source.FORMAT_NAME).option("path", path)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def test_stream_source_refuses_hive_layout(spark, tmp_path):
+    """The streaming snapshot source reads leaf files like the batch
+    reader — a hive col=val layout must refuse, not silently drop or
+    null-fill the partition column."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    (spark.range(12).selectExpr("id", "id % 3 AS part")
+     .write.partitionBy("part").parquet(tbl))
+    S.snapshot(tbl)
+    snapshot_source.register(spark)
+    with pytest.raises(Exception, match="hive partition"):
+        q = (
+            spark.readStream.format(snapshot_source.FORMAT_NAME)
+            .schema("id long, part long").option("path", tbl).load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+
+def test_stream_source_pre_history_timestamp(spark, tmp_path):
+    """startingTimestamp before the first retained version streams from
+    the initial snapshot (Delta semantics) instead of crashing."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.range(7).selectExpr("id"), tbl)
+    snapshot_source.register(spark)
+    q = (
+        spark.readStream.format(snapshot_source.FORMAT_NAME)
+        .option("path", tbl).option("startingTimestamp", "2000-01-01")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 7
+
+
+def test_batch_reader_honors_user_schema(spark, tmp_path):
+    """A user .schema(...) used to be silently ignored whenever the
+    version had files (batches then bound positionally against the
+    divergent plan schema). It now projects/reorders, and unknown names
+    reject at plan time."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(
+        spark, spark.range(9).selectExpr("id", "id * 2 AS v", "id % 3 AS g"), tbl
+    )
+    snapshot_source.register(spark)
+    out = (spark.read.format(snapshot_source.FORMAT_NAME)
+           .schema("v long, id long").option("path", tbl).load())
+    assert out.columns == ["v", "id"]
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows == {i: i * 2 for i in range(9)}
+    with pytest.raises(Exception, match="not in this version's columns"):
+        (spark.read.format(snapshot_source.FORMAT_NAME)
+         .schema("nope long").option("path", tbl).load().collect())
+
+
+def test_type_widening_across_evolved_appends(spark, tmp_path):
+    """int32 table + int64 append: the unified schema must take the
+    PROMOTED type so casts always widen — first-seen-wins crashed on
+    values over 2^31 depending on file order."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    snapshot_source.register(spark)
+    _ds_write(spark.range(3).selectExpr("CAST(id AS int) AS id"), tbl, "overwrite")
+    big = (1 << 40)
+    _ds_write(spark.createDataFrame([(big,)], "id long"), tbl, "append")
+    out = (spark.read.format(snapshot_source.FORMAT_NAME)
+           .option("path", tbl).load())
+    vals = sorted(r["id"] for r in out.collect())
+    assert vals == [0, 1, 2, big]
+    assert dict(out.dtypes)["id"] == "bigint"
+
+
+def test_ds_writer_refuses_constrained_table(spark, tmp_path):
+    """The Data Source commit worker has no session and cannot enforce
+    CHECK constraints; it used to silently DROP them on overwrite. Now
+    it refuses up front."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    S.overwrite_versioned(spark, spark.range(5).selectExpr("id"), tbl)
+    S.add_constraint(spark, tbl, "id_pos", "id >= 0")
+    snapshot_source.register(spark)
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _ds_write(spark.range(5).selectExpr("id"), tbl, "overwrite")
+    assert S.read_manifest(tbl).get("constraints"), "constraints must survive"
+
+
+def test_ds_append_inherits_stats_and_bloom_pins(spark, tmp_path):
+    """An unadorned Data Source append to a stats/bloom-pinned table
+    keeps computing per-file metadata in flight — pruning must not
+    silently degrade as appends accumulate."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    tbl = str(tmp_path / "t")
+    snapshot_source.register(spark)
+    _ds_write(spark.range(100).selectExpr("id"), tbl, "overwrite",
+              stats_cols="id", bloom_cols="id")
+    _ds_write(spark.range(100, 200).selectExpr("id"), tbl, "append")  # no options
+    m = S.read_manifest(tbl)
+    no_stats = [f for f in m["files"] if f not in (m.get("stats") or {})]
+    no_bloom = [f for f in m["files"] if "id" not in (m.get("blooms") or {}).get(f, {})]
+    assert not no_stats, f"files without stats after plain append: {no_stats}"
+    assert not no_bloom, f"files without blooms after plain append: {no_bloom}"
