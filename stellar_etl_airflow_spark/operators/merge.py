@@ -128,6 +128,16 @@ def merge_upsert_scoped(
     ]
     if existing:
         tgt = spark.read.option("basePath", path).parquet(*[leaf(path, v) for v in existing])
+        extra = [c for c in tgt.columns if c not in set(ch.columns)]
+        if extra:
+            # a subset batch would silently DROP the target-only columns
+            # from every rewritten bucket (the versioned core raises for
+            # exactly this; review r8 added the same guard here)
+            ch.unpersist()
+            raise ValueError(
+                f"{path}: change batch columns {sorted(ch.columns)} lack "
+                f"table columns {sorted(extra)}; rewriting would drop them"
+            )
         # basePath keeps the _p column; align column order with changes
         tgt = tgt.select(*ch.columns)
     else:
@@ -203,6 +213,17 @@ def merge_upsert_versioned(
         if pinned_keys is not None and pinned_keys != list(keys):
             raise ValueError(f"{path} was created with keys={pinned_keys!r}; got {list(keys)!r}")
         n_buckets = int(props.get("n_buckets", n_buckets))
+    else:
+        # pin the layout on FIRST use like apply_changes/additive do
+        # (review r8): without the pin, a later direct call with a
+        # different n_buckets would hash the same key into another
+        # bucket and silently duplicate state — the exact failure the
+        # docstring documents the pin preventing
+        save_table_props(
+            path,
+            {"n_buckets": n_buckets, "keys": list(keys),
+             "deleted_col": deleted_col, "order_cols": list(order_cols)},
+        )
     batch_cols = set(changes.columns)
 
     def combine(tgt: DataFrame, ch: DataFrame) -> DataFrame:
@@ -332,7 +353,20 @@ def _merge_versioned_core(
     if S.latest_version(path) is None:
         # bootstrap: adopt whatever bucketed files already exist
         S.snapshot(path)
-    m = S.read_manifest(path)
+    # resolve=False: the merge needs files/txns/base/mixed_schema; bloom
+    # carry resolves shards lazily below only when bloom_cols is pinned
+    # (review r8 — eager resolution parsed every stats sidecar per batch)
+    m = S.read_manifest(path, resolve=False)
+    if m.get("renames") or m.get("dropped_cols"):
+        # the merge write path appends files carrying the frame's own
+        # (logical) column names; under an active column mapping that
+        # forks the physical schema and duplicates the logical column on
+        # read (review r8) — materialize the mapping first
+        raise NotImplementedError(
+            f"{path} carries a column mapping (renames/drops); merging "
+            "would fork the physical schema. Run compact_snapshot first "
+            "to materialize the mapping."
+        )
     txns = dict(m.get("txns") or {})
     if txn_id is not None and txn_id in txns:
         return int(txns[txn_id]), []
@@ -358,11 +392,21 @@ def _merge_versioned_core(
         # the clone completely on its first write (full CoW, source untouched)
         keep, rewrite = [], list(m["files"])
     else:
+        bmap = {f: bucket_of(f) for f in m["files"]}  # one relpath per file
         keep = [
-            f for f in m["files"] if bucket_of(f) not in touched_set and bucket_of(f) is not None
+            f for f in m["files"] if bmap[f] not in touched_set and bmap[f] is not None
         ]
         keep_set_ = set(keep)
         rewrite = [f for f in m["files"] if f not in keep_set_]
+    # merge-on-read deletes on rewritten files must be MATERIALIZED into
+    # the rewrite (review r8): a raw read would resurrect masked rows,
+    # and _publish's DV inheritance drops vectors for files leaving the
+    # list on exactly the assumption that the rewrite applied them.
+    # Keep-files' vectors carry (still listed).
+    dv_all = S.read_dv(m)
+    rewrite_set = set(rewrite)
+    dv_rw = {f: ids for f, ids in dv_all.items() if f in rewrite_set}
+    empty_drift = False
     if rewrite:
         # A bootstrap snapshot may mix partition-dir layouts (flat root
         # files vs `_p=` dirs vs other `col=` trees). One basePath read
@@ -385,7 +429,27 @@ def _merge_versioned_core(
             groups.setdefault(signature(f), []).append(f)
         parts = []
         for sig in sorted(groups):
-            gdf = spark.read.option("basePath", base).parquet(*groups[sig])
+            gdf = (
+                spark.read
+                # mixed-schema tables (post-evolution keep-files) must
+                # merge footers, or inference from an arbitrary file
+                # silently drops an evolved column from the rewrite
+                # (review r8; same rule as snapshots._read_physical)
+                .option("mergeSchema", "true" if m.get("mixed_schema") else "false")
+                .option("basePath", base)
+                .parquet(*groups[sig])
+            )
+            if dv_rw:
+                gdf = gdf.select(
+                    "*",
+                    F.url_decode(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:(//)?", ""
+                        )
+                    ).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_idx"),
+                )
+                gdf = S._apply_dv(spark, gdf, dv_rw)
             if BUCKET_COL not in gdf.columns:
                 gdf = gdf.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
             parts.append(gdf)
@@ -403,6 +467,27 @@ def _merge_versioned_core(
             )
         tgt = tgt.select(*ch.columns)
     else:
+        if keep:
+            # no files to rewrite, but the batch may still diverge from
+            # the TABLE schema (all-touched-buckets-empty case skipped
+            # the mismatch guard and published inconsistent schemas
+            # marked uniform — review r8); one footer decides
+            import pyarrow.parquet as pq
+
+            tbl_cols = {
+                f.name
+                for f in pq.ParquetFile(keep[0]).schema_arrow
+                if f.name != BUCKET_COL
+            }
+            batch_cols_ = {c for c in ch.columns if c != BUCKET_COL}
+            if tbl_cols != batch_cols_:
+                if not evolve:
+                    raise ValueError(
+                        f"{path}: change batch columns {sorted(batch_cols_)} != "
+                        f"table columns {sorted(tbl_cols)}; pass "
+                        "allow_schema_evolution=True"
+                    )
+                empty_drift = True
         tgt = spark.createDataFrame([], ch.schema)
     merged = combine(tgt, ch)
 
@@ -416,7 +501,7 @@ def _merge_versioned_core(
         shutil.rmtree(stage, ignore_errors=True)
     # once evolved, later versions keep mixing schemas (old keep-files
     # persist) until a full rewrite — propagate the flag forward
-    mixed = evolve or bool(m.get("mixed_schema"))
+    mixed = evolve or bool(m.get("mixed_schema")) or empty_drift
     if txn_id is not None:
         # single-writer protocol (as everywhere in this log): the next
         # version number is deterministic at this point
@@ -438,7 +523,10 @@ def _merge_versioned_core(
     blooms = None
     if bloom_cols:
         _keep = set(keep)
-        blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in _keep}
+        # the manifest was read resolve=False; shard sidecars resolve
+        # here, on the one write path that actually needs the full dicts
+        _, all_blooms = S.resolved_stats_blooms(m)
+        blooms = {f: b for f, b in all_blooms.items() if f in _keep}
         blooms.update(S.compute_blooms(spark, new_files, bloom_cols))
     version = S._publish(
         path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,
@@ -565,8 +653,24 @@ def apply_changes(
 def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     """MERGE ... WHEN NOT MATCHED THEN INSERT — dedup append for
     history/orderbook data (build_apply_gcs_changes_to_bq_task.py:152-181).
-    Returns only the rows to append (caller appends; no rewrite needed)."""
-    return new_rows.join(target.select(*keys), list(keys), "left_anti")
+    Returns only the rows to append (caller appends; no rewrite needed).
+
+    Dedups WITHIN the batch too (review r8): overlapping extract chunks
+    on a retried upload repeat keys inside one batch, and the anti-join
+    alone would append every copy. The kept row per key is deterministic
+    (min over the remaining columns' values) so replays stay idempotent."""
+    from pyspark.sql.window import Window
+
+    other = [c for c in new_rows.columns if c not in set(keys)]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc_nulls_last() for c in other] if other else [F.lit(1)]
+    )
+    deduped = (
+        new_rows.withColumn("_iu_rn", F.row_number().over(w))
+        .filter(F.col("_iu_rn") == 1)
+        .drop("_iu_rn")
+    )
+    return deduped.join(target.select(*keys), list(keys), "left_anti")
 
 
 #: backup-directory prefix. Dot-prefixed so Spark/Hadoop path filters skip
