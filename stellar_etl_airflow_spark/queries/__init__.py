@@ -38,85 +38,23 @@ QUERIES.update(connectors.SPECS)
 # within a staleness class so entries touched by this round's code
 # changes come first.
 #
-# Round 8 window (50 slots): t43 first (r7 row was err=no_oracle — its
-# oracle lands this round, making it the last entry ever to get its
-# first full value-hash row), q60 (new this round: the bucketed-table
-# surgery escape hatch), then t45 (pq_topk's final top-k is re-planned
-# this round per VERDICT ask #2 — its green r7 row describes the old
-# plan), then ALL twenty-four r5-stale entries (the r7 sacrifice list,
-# honoring "MUST lead _FRONT next round"), then 20 of the 50 r6-stale
-# entries — codec/ANN/stream entries whose backing code changed in r7
-# (FLAC, progressive JPEG, stream-writer plumbing) ahead of untouched
-# ones. The 30 r6-stale entries that miss the window are
-# t09_lang_id, t10_quality_score, t11_token_stats, t12_fingerprint
-# plus the early relational ports q01-q27 + q42/q46 (unchanged since
-# r2-r4, oracle-verified in-repo by test_oracle_parity.py every pytest
-# run); they sit at positions 51-80 and MUST lead _FRONT in round 9.
+# Round 9 window (50 slots), honoring the VERDICT r8 ask #1 invariant:
+# (a) ALL thirty r6-stale entries lead — t09-t12 plus the early
+# relational ports q01-q27 + q42/q46, the oldest staleness class and
+# the promised sacrifice list from round 8; then (b) the remaining 20
+# slots go to r7-stale entries whose BACKING CODE changed in round 8
+# (merge/snapshot/writer planes: the ADVICE fixes to merge.py and
+# snapshots.py, DV materialization, FSCK/unbucket surgery, the CDF
+# probe) — q51, q55-q59, s10-s13 as named by the verdict, then
+# q17_apply_changes (merge.py insert_unique + column-mapping-guard
+# edits land in r9 too) and the oldest remaining r7 relational
+# entries. The 38 r7/r8-fresh entries that miss the window (t01-t05
+# cluster, s01-s07, t38-t55, ...) are all oracle-verified in-repo by
+# test_oracle_parity.py every pytest run; the r7-stale remainder
+# (q19, q26, q28, q29, q45, q48-q50, s01-s07, t01-t03, t16, t17,
+# t19, t20, t38-t44, t46-t52) MUST lead _FRONT in round 10.
 _FRONT = [
-    # (a) never fully driver-verified: oracle added this round / new
-    "t43_bpe_vocab",
-    "q60_state_surgery",
-    "t53_shard_manifest",
-    "t54_leakage_free_split",
-    "t55_quality_classifier",
-    # re-planned this round (VERDICT r7 ask #2): bounded two-phase top-k
-    "t45_pq_adc_topk",
-    # (b) the 24 r5-stale entries — the r7 sacrifice list, oldest class
-    "t27_repetition_stats",
-    "t28_contamination_report",
-    "t29_per_lang_quality_filter",
-    "t30_source_vocab_overlap",
-    "t31_per_lang_threshold_gate",
-    "t32_unigram_logprob",
-    "t33_rebalance_sources",
-    "t34_boilerplate_coverage",
-    "t35_stratified_sample",
-    "q31_setops",
-    "q44_cube",
-    "q30_rolling_window",
-    "q33_unpivot",
-    "q32_pivot",
-    "q47_grouping_sets",
-    "q34_tumbling_window",
-    "q35_exists_subqueries",
-    "q36_window_ranks",
-    "q37_lateral_topk",
-    "q38_hopping_window",
-    "q39_full_outer",
-    "q40_sketch_aggregates",
-    "q41_salted_join",
-    "q43_range_frames",
-    # (c) 20 of the r6-stale entries; r7/r8-touched code first:
-    # stream sink plumbing (r8 bloom type gate in the writer ctor),
-    # snapshot publish paths (r8 ADVICE fixes), FLAC (r7), progressive
-    # JPEG / codecs (r7), then the ANN + text families
-    "s08_stream_crash_resume",
-    "s09_stream_additive_exactly_once",
-    "q54_schema_evolution",
-    "t23_audio_features",
-    "t36_image_pixel_stats",
-    "t13_multimodal_meta",
-    "t15_frame_sample",
-    "t37_semantic_dedup",
-    "t06_embedding_topk",
-    "t07_embedding_lsh_topk",
-    "t18_embedding_multiprobe_topk",
-    "t08_embedding_neardup",
-    "t04_simhash",
-    "t05_simhash_neardup",
-    "t14_jaccard_dfcapped",
-    "t22_tfidf_top_terms",
-    "t21_vocab_stats",
-    "t24_deterministic_sampling",
-    "t25_chunking",
-    "t26_sequence_packing",
-    "t09_lang_id",
-    "t10_quality_score",
-    "t11_token_stats",
-    "t12_fingerprint",
-    # --- window boundary (~50): t09-t12 above land just outside ---
-    # the thirty sacrificed-this-round r6-stale entries (t09-t12 + the
-    # relational ports below): front these FIRST next round (round 9)
+    # (a) the 30 r6-stale entries — oldest class, promised last round
     "q01_pricing_summary",
     "q02_latest_state_dedup",
     "q03_shipping_priority",
@@ -143,7 +81,38 @@ _FRONT = [
     "q27_asof_union",
     "q42_bucketed_range_join",
     "q46_higher_order",
-    # r7-fresh remainder rides in back (dict-merge below appends them)
+    "t09_lang_id",
+    "t10_quality_score",
+    "t11_token_stats",
+    "t12_fingerprint",
+    # (b) r7-stale entries whose backing code changed in round 8/9:
+    # snapshot/merge/writer planes (ADVICE fixes, DV materialization,
+    # FSCK + unbucket, pending-clone retention rework)
+    "q51_incremental_mart",
+    "q55_snapshot_pushdown",
+    "q56_scd2_from_cdf",
+    "q57_table_profile",
+    "q58_column_mapping",
+    "q59_deletion_vectors",
+    "s10_cdf_net_changes",
+    "s11_stream_snapshot_sink",
+    "s12_stream_cdf_to_scd2",
+    "s13_snapshot_stream_roundtrip",
+    # merge.py is edited again in r9 (insert_unique semantics + guard
+    # ordering per ADVICE) — q17 exercises the apply_changes default
+    "q17_apply_changes",
+    # oldest remaining r7 entries fill the last slots
+    "q19_sessionize",
+    "q26_correlated_subquery",
+    "q28_rollup",
+    "q29_percentiles",
+    "q50_funnel",
+    "q48_fuzzy_blocked_join",
+    "q49_gapfill_ffill",
+    "q45_explode_outer",
+    "s01_stream_tumbling",
+    # --- window boundary (~50) ---
+    # r7/r8-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()
 _FRONT = [n for n in _FRONT if not (n in _seen or _seen.add(n))]
