@@ -162,6 +162,26 @@ def merge_upsert_scoped(
     return touched
 
 
+def _txn_replay(path: str, txn_id: str | None) -> tuple[int, list[int]] | None:
+    """Recorded-txn probe the merge wrappers run BEFORE pinning or
+    validating layout props (review r9): a replayed batch must be a PURE
+    no-op. The wrappers used to pin/validate first, so a replay against
+    a since-unbucketed (and possibly renamed) table either re-pinned a
+    stale layout under old column names or raised on the pin mismatch —
+    both break the exactly-once contract. One manifest read; returns
+    ``(recorded_version, [])`` or None."""
+    if txn_id is None:
+        return None
+    from ..sinks import snapshots as S
+
+    if S.latest_version(path) is None:
+        return None
+    txns = S.read_manifest(path, resolve=False).get("txns") or {}
+    if txn_id in txns:
+        return int(txns[txn_id]), []
+    return None
+
+
 def merge_upsert_versioned(
     spark: SparkSession,
     changes: DataFrame,
@@ -207,6 +227,9 @@ def merge_upsert_versioned(
 
     Returns ``(published_version, touched_buckets)``.
     """
+    replay = _txn_replay(path, txn_id)
+    if replay is not None:
+        return replay
     props = load_table_props(path)
     if props is not None:
         pinned_keys = props.get("keys")
@@ -276,6 +299,9 @@ def merge_additive_versioned(
     types (long / decimal) for ``sum_cols`` — double addition is
     order-dependent and would make versions run-dependent.
     """
+    replay = _txn_replay(path, txn_id)
+    if replay is not None:
+        return replay
     expected = set(keys) | set(sum_cols)
     if set(batch.columns) != expected:
         raise ValueError(
@@ -357,6 +383,13 @@ def _merge_versioned_core(
     # carry resolves shards lazily below only when bloom_cols is pinned
     # (review r8 — eager resolution parsed every stats sidecar per batch)
     m = S.read_manifest(path, resolve=False)
+    # replay check FIRST (review r9): a redelivered batch whose txn_id is
+    # already in the ledger must stay an exactly-once no-op even on a
+    # since-mapped table — the recorded version predates the mapping, so
+    # returning it is correct and touches nothing.
+    txns = dict(m.get("txns") or {})
+    if txn_id is not None and txn_id in txns:
+        return int(txns[txn_id]), []
     if m.get("renames") or m.get("dropped_cols"):
         # the merge write path appends files carrying the frame's own
         # (logical) column names; under an active column mapping that
@@ -367,9 +400,6 @@ def _merge_versioned_core(
             "would fork the physical schema. Run compact_snapshot first "
             "to materialize the mapping."
         )
-    txns = dict(m.get("txns") or {})
-    if txn_id is not None and txn_id in txns:
-        return int(txns[txn_id]), []
     # persist the bucketed batch: the touched-bucket probe below and the
     # merged write both consume it, and without the cache each one re-runs
     # the caller's whole upstream plan — for an aggregate batch (the
@@ -614,6 +644,9 @@ def apply_changes(
 
     Returns ``(published_version, touched_buckets)``.
     """
+    replay = _txn_replay(path, txn_id)
+    if replay is not None:
+        return replay
     props = load_table_props(path)
     if props is None:
         save_table_props(
@@ -650,7 +683,26 @@ def apply_changes(
     )
 
 
-def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+def _orderable(dt) -> bool:
+    """Whether Spark can ORDER BY a column of this type: maps are not
+    orderable; arrays/structs are orderable iff every element/field is."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def insert_unique(
+    target: DataFrame,
+    new_rows: DataFrame,
+    keys: tuple[str, ...],
+    tiebreak: tuple[str, ...] | None = None,
+) -> DataFrame:
     """MERGE ... WHEN NOT MATCHED THEN INSERT — dedup append for
     history/orderbook data (build_apply_gcs_changes_to_bq_task.py:152-181).
     Returns only the rows to append (caller appends; no rewrite needed).
@@ -658,10 +710,22 @@ def insert_unique(target: DataFrame, new_rows: DataFrame, keys: tuple[str, ...])
     Dedups WITHIN the batch too (review r8): overlapping extract chunks
     on a retried upload repeat keys inside one batch, and the anti-join
     alone would append every copy. The kept row per key is deterministic
-    (min over the remaining columns' values) so replays stay idempotent."""
+    so replays stay idempotent: ordered by ``tiebreak`` if given, else by
+    every ORDERABLE non-key column ascending (map-typed columns and
+    nested types containing maps are skipped — Spark cannot sort them;
+    review r9). SEMANTIC DIVERGENCE from the reference's BigQuery MERGE,
+    which inserts every unmatched source row including same-key
+    duplicates — see PARITY.md "insert_unique in-batch dedup"."""
     from pyspark.sql.window import Window
 
-    other = [c for c in new_rows.columns if c not in set(keys)]
+    if tiebreak is not None:
+        other = list(tiebreak)
+    else:
+        schema = {f.name: f.dataType for f in new_rows.schema.fields}
+        other = [
+            c for c in new_rows.columns
+            if c not in set(keys) and _orderable(schema[c])
+        ]
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).asc_nulls_last() for c in other] if other else [F.lit(1)]
     )

@@ -2497,8 +2497,8 @@ def t55_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-native counterpart of the fasttext-style quality classifiers
     (CCNet, GPT-3 WebText filter). Sixteen gradient steps, each one
     map-side-combined aggregate; the t44 determinism discipline
-    (round-before/after sigmoid, decimal-exact gradient sums,
-    12-decimal weights) unrolls TRAINING to EXACT SQL — a full
+    (6-decimal sigmoid/addend rounding, DECIMAL(38,12)-exact gradient
+    sums, 9-decimal weights) unrolls TRAINING to EXACT SQL — a full
     value-hash gate over the learning loop, not just scoring."""
     from ..training.classifier import distill_logit_gate
 

@@ -1288,7 +1288,11 @@ def _register_clone(owner: str, clone_dir: str, pinned=None) -> None:
     key = uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(clone_dir)).hex
     payload = {"path": os.path.abspath(clone_dir)}
     if pinned:
-        payload["pinned"] = sorted(pinned)
+        # abspath at REGISTRATION time (review r9): the source manifest may
+        # record relative paths, and vacuum resolves the pin list against
+        # ITS OWN cwd — a vacuum run from a different directory would
+        # otherwise mis-resolve every pin and protect nothing.
+        payload["pinned"] = sorted(os.path.abspath(p) for p in pinned)
     _atomic_write(
         os.path.join(marker_dir, f"{key}.json"),
         json.dumps(payload),
@@ -1402,6 +1406,7 @@ def vacuum(
     keep_versions: int = 1,
     dry_run: bool = False,
     orphan_retention_s: float = 3600.0,
+    pending_clone_retention_s: float = 86400.0,
 ) -> list[str]:
     """Delete data files under ``path`` referenced only by expired versions
     (everything older than the newest ``keep_versions``), then drop those
@@ -1445,14 +1450,20 @@ def vacuum(
         # fresh marker whose clone has no manifests yet means the publish
         # may be in flight — protect the pinned files instead of breaking
         # the clone mid-creation. Aged markers (or markers without a pin
-        # list) are treated as dropped clones and retired.
+        # list) are treated as dropped clones and retired. The freshness
+        # window is its OWN (much longer) knob, not orphan_retention_s
+        # (review r9): a clone publish slower than the orphan window must
+        # not lose protection mid-flight, and retiring a pending marker
+        # is far riskier than keeping a young orphan file.
         try:
-            fresh = time.time() - os.path.getmtime(marker) < orphan_retention_s
+            fresh = (
+                time.time() - os.path.getmtime(marker) < pending_clone_retention_s
+            )
             with open(marker) as fh:
                 pinned = json.load(fh).get("pinned") or []
         except (OSError, ValueError):
             fresh, pinned = False, []
-        if fresh and pinned and orphan_retention_s > 0:
+        if fresh and pinned and pending_clone_retention_s > 0:
             keep_files.update(pinned)
         elif not dry_run:  # clone dropped: retire the stale back-reference
             try:

@@ -594,6 +594,20 @@ def pq_topk(
     100 TB). Returns (query_id, vec_id, adc_dot, rank)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
+
+    # BOTH id columns ride int64 paths (the corpus through the Arrow
+    # scorer's cast('long'), the query ids through int(x) + the hardcoded
+    # 'q_id long' output schema) — gate each with the same loud TypeError
+    # instead of an opaque ValueError / silent misbinding (review r9)
+    for side, frame in (("id", codes), ("query id", queries)):
+        dt = frame.schema[id_col].dataType
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"pq_topk: {side} column {id_col!r} has type {dt.simpleString()}; "
+                "integral ids required (string/UUID ids: add a zipWithIndex-style "
+                "surrogate before encoding)"
+            )
 
     dim = len(queries.select(vec_col).first()[0])
     q = _prep(queries, id_col, vec_col, "q")
@@ -649,17 +663,6 @@ def pq_topk(
                 }
             )
 
-    # ids ride the Arrow scorer as int64; a non-integral id column would
-    # cast('long') to silent NULLs — refuse loudly instead (review r8)
-    from pyspark.sql import types as T
-
-    id_type = codes.schema[id_col].dataType
-    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        raise TypeError(
-            f"pq_topk: id column {id_col!r} has type {id_type.simpleString()}; "
-            "integral ids required (string/UUID ids: add a zipWithIndex-style "
-            "surrogate before encoding)"
-        )
     cand = codes.select(
         F.col(id_col).cast("long").alias("_vid"), "codes"
     ).mapInPandas(score, "q_id long, v long, s double")
