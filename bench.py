@@ -31,6 +31,10 @@ like regressions):
 
 Set SPARK_GRAFT_BENCH_FAST=1 to skip the uncontended pass (per-query
 times then come from the pooled pass and carry its ``par`` stamp).
+
+Every sweep/rep/e2e measurement carries a ``_LoadProbe`` stamp
+(loadavg, our process-tree CPU, other busy cores) so the judge can
+attribute a slow wall to co-tenant load from the JSON alone.
 """
 
 from __future__ import annotations
@@ -46,6 +50,90 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stellar_etl_airflow_spark.queries import QUERIES  # noqa: E402
 from stellar_etl_airflow_spark.session import default_parallelism, get_spark  # noqa: E402
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _host_cpu_jiffies() -> tuple[float, float]:
+    """(busy, total) jiffies from /proc/stat line 1 — whole host."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [float(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
+        return sum(vals) - idle, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0.0, 0.0
+
+
+def _tree_cpu_sec() -> float:
+    """utime+stime (seconds) summed over THIS process and every live
+    descendant — the bench's own CPU including the Spark JVM and Python
+    workers. /proc walk; missing/raced entries are skipped."""
+    procs: dict[int, tuple[int, float]] = {}
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return 0.0
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                raw = fh.read()
+            # comm may contain spaces/parens: split after the LAST ')'
+            rest = raw[raw.rindex(")") + 2 :].split()
+            procs[pid] = (int(rest[1]), (float(rest[11]) + float(rest[12])) / _CLK_TCK)
+        except (OSError, ValueError, IndexError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0.0, [os.getpid()], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen or pid not in procs:
+            continue
+        seen.add(pid)
+        total += procs[pid][1]
+        stack.extend(kids.get(pid, []))
+    return total
+
+
+def _loadavg1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+class _LoadProbe:
+    """Per-rep host-contention attribution (VERDICT r8 ask #2): the r8
+    pooled wall was 3.4-8x r7 with FLAT uncontended per-query mins — an
+    unfalsifiable headline without load evidence in the JSON. Each rep
+    records 1-min loadavg at both ends, the bench process TREE's own CPU
+    seconds, and the host's OTHER busy cores (host busy CPU minus ours,
+    averaged over the rep): other_busy_cores near 0 means a slow wall is
+    OURS; tens of other busy cores means co-tenant contention."""
+
+    def __init__(self) -> None:
+        self.load0 = _loadavg1()
+        self.busy0, _ = _host_cpu_jiffies()
+        self.tree0 = _tree_cpu_sec()
+        self.t0 = time.perf_counter()
+
+    def stamp(self) -> dict:
+        wall = time.perf_counter() - self.t0
+        busy1, _ = _host_cpu_jiffies()
+        tree = _tree_cpu_sec() - self.tree0
+        host_busy_sec = (busy1 - self.busy0) / _CLK_TCK
+        other = max(0.0, host_busy_sec - tree)
+        return {
+            "wall": round(wall, 3),
+            "loadavg1_start": self.load0,
+            "loadavg1_end": _loadavg1(),
+            "tree_cpu_sec": round(tree, 1),
+            "cpu_wall_ratio": round(tree / wall, 2) if wall > 0 else None,
+            "other_busy_cores": round(other / wall, 2) if wall > 0 else None,
+        }
 
 
 def main() -> None:
@@ -94,12 +182,14 @@ def main() -> None:
     pq_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PQ_REPS", "2")))
     per_query_par = par if fast else 1
     timings: dict[str, float] | None = None
+    sweep_load: list[dict] = []
     if not fast:
         items = sorted(QUERIES.items())
-        sweeps = [
-            dict(map(run, items if i % 2 == 0 else list(reversed(items))))
-            for i in range(pq_reps)
-        ]
+        sweeps = []
+        for i in range(pq_reps):
+            probe = _LoadProbe()
+            sweeps.append(dict(map(run, items if i % 2 == 0 else list(reversed(items)))))
+            sweep_load.append(probe.stamp())
         timings = {n: min(s[n] for s in sweeps) for n in sweeps[0]}
 
     # pass 2: pooled corpus wall (the throughput headline)
@@ -144,11 +234,15 @@ def main() -> None:
         ordered += [(n, s) for n, s in sorted(QUERIES.items()) if n not in set(heavy)]
 
     # the host shows 2-6x wall-clock variance run to run (co-tenant load);
-    # min over a couple of repetitions estimates the machine's actual
-    # capability instead of whoever else was running — stamped as "reps"
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2" if not fast else "1")))
-    walls, pooled = [], {}
+    # min over the repetitions estimates the machine's actual capability
+    # instead of whoever else was running — stamped as "reps". Three by
+    # default since r9 (both r8 reps landed inside one contention window)
+    # and every rep carries a _LoadProbe stamp so a slow wall is
+    # attributable from the JSON alone (VERDICT r8 ask #2).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3" if not fast else "1")))
+    walls, pooled, rep_load = [], {}, []
     for _ in range(reps):
+        probe = _LoadProbe()
         total_t0 = time.perf_counter()
         if par == 1:
             pooled = dict(map(run, ordered))
@@ -156,6 +250,7 @@ def main() -> None:
             with ThreadPoolExecutor(max_workers=par) as pool:
                 pooled = dict(pool.map(run, ordered))
         walls.append(round(time.perf_counter() - total_t0, 3))
+        rep_load.append(probe.stamp())
     total = min(walls)
     if timings is None:
         timings = pooled
@@ -169,6 +264,7 @@ def main() -> None:
     # reference's 300 s export task, which writes the NDJSON we ingest).
     e2e_sec = None
     e2e_stages = None
+    e2e_load = None
     if not fast:
         import tempfile
 
@@ -176,12 +272,14 @@ def main() -> None:
 
         with tempfile.TemporaryDirectory() as d:
             led_src, acc_src = E2E.prepare(spark, sf_dir, d)
+            probe = _LoadProbe()
             t0 = time.perf_counter()
             res = E2E.run(spark, led_src, acc_src, d)
             e2e_sec = round(time.perf_counter() - t0, 3)
             # per-stage sub-timings (r8): a regression names its stage —
             # ingest_delins / state_merge (the MERGE leg) / view_export
             e2e_stages = res.get("stages")
+            e2e_load = probe.stamp()
 
     # Two lines, detail first: the driver captures a bounded tail of stdout
     # and keeps the LAST complete JSON line, so the compact headline metric
@@ -194,6 +292,7 @@ def main() -> None:
                 "queries": timings,
                 "par": per_query_par,
                 "reps": reps if fast else pq_reps,
+                "sweep_load": sweep_load or None,
                 "sf": sf,
             }
         )
@@ -207,8 +306,10 @@ def main() -> None:
                 "par": par,
                 "reps": reps,
                 "walls": walls,
+                "rep_load": rep_load,
                 "e2e_batch_sec": e2e_sec,
                 "e2e_stages_sec": e2e_stages,
+                "e2e_load": e2e_load,
                 "e2e_ref_budget_sec": 400,
                 "sf": sf,
             }
