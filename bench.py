@@ -265,21 +265,31 @@ def main() -> None:
     e2e_sec = None
     e2e_stages = None
     e2e_load = None
+    e2e_walls: list[float] = []
     if not fast:
         import tempfile
 
         from stellar_etl_airflow_spark import e2e as E2E
 
-        with tempfile.TemporaryDirectory() as d:
-            led_src, acc_src = E2E.prepare(spark, sf_dir, d)
-            probe = _LoadProbe()
-            t0 = time.perf_counter()
-            res = E2E.run(spark, led_src, acc_src, d)
-            e2e_sec = round(time.perf_counter() - t0, 3)
-            # per-stage sub-timings (r8): a regression names its stage —
-            # ingest_delins / state_merge (the MERGE leg) / view_export
-            e2e_stages = res.get("stages")
-            e2e_load = probe.stamp()
+        # min-of-2 like every other pass (r9): the r8 "regression"
+        # (6.59 -> 8.95 s) was a single rep, ~1.5x warm steady state
+        # UNIFORMLY across all three stages — the signature of host
+        # contention / cold code paths, not a stage-specific cost.
+        e2e_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_E2E_REPS", "2")))
+        e2e_load = []
+        for _ in range(e2e_reps):
+            with tempfile.TemporaryDirectory() as d:
+                led_src, acc_src = E2E.prepare(spark, sf_dir, d)
+                probe = _LoadProbe()
+                t0 = time.perf_counter()
+                res = E2E.run(spark, led_src, acc_src, d)
+                wall = round(time.perf_counter() - t0, 3)
+                e2e_load.append(probe.stamp())
+                e2e_walls.append(wall)
+                if e2e_sec is None or wall < e2e_sec:
+                    # per-stage sub-timings (r8): a regression names its
+                    # stage — ingest_delins / state_merge / view_export
+                    e2e_sec, e2e_stages = wall, res.get("stages")
 
     # Two lines, detail first: the driver captures a bounded tail of stdout
     # and keeps the LAST complete JSON line, so the compact headline metric
@@ -308,6 +318,7 @@ def main() -> None:
                 "walls": walls,
                 "rep_load": rep_load,
                 "e2e_batch_sec": e2e_sec,
+                "e2e_walls": e2e_walls or None,
                 "e2e_stages_sec": e2e_stages,
                 "e2e_load": e2e_load,
                 "e2e_ref_budget_sec": 400,
