@@ -495,9 +495,55 @@ def register_pixel_decoder(fn) -> None:
             except Exception:
                 return None
         register_pixel_decoder(pillow_decoder)
+
+    PROCESS-LOCAL: a function registered on the driver never reaches
+    Spark executor Pythons (workers import this module fresh). For a
+    cluster-wide swap use :func:`use_pixel_decoder_spec`, whose
+    ``module:callable`` string the DataFrame consumers embed in their
+    closures and resolve worker-side (r9).
     """
     global _EXTERNAL_PIXEL_DECODER
     _EXTERNAL_PIXEL_DECODER = fn
+
+
+# picklable decoder spec: "module:callable" naming a zero-arg factory
+# that returns the decode function. The string (not the function) rides
+# Spark closures, so every worker process resolves its own copy.
+_PIXEL_DECODER_SPEC: str | None = None
+_RESOLVED_SPECS: dict = {}
+
+
+def use_pixel_decoder_spec(spec: str | None) -> None:
+    """Cluster-wide seam swap: record a ``module:callable`` factory spec.
+    DataFrame consumers built AFTER this call capture the spec in their
+    Spark closures; each worker resolves it once via
+    :func:`ensure_pixel_decoder`. Also applies it to THIS process so
+    driver-side calls behave identically. ``None`` clears both."""
+    global _PIXEL_DECODER_SPEC
+    _PIXEL_DECODER_SPEC = spec
+    register_pixel_decoder(ensure_pixel_decoder(spec) if spec else None)
+
+
+def pixel_decoder_spec() -> str | None:
+    """The spec DataFrame consumers snapshot at plan-build time."""
+    return _PIXEL_DECODER_SPEC
+
+
+def ensure_pixel_decoder(spec: str | None):
+    """Worker-side resolution: import ``module``, call ``callable()``,
+    register the result process-locally (idempotent per spec). Returns
+    the decode function (or None for a None spec)."""
+    if spec is None:
+        return None
+    if spec not in _RESOLVED_SPECS:
+        import importlib
+
+        mod_name, _, fn_name = spec.partition(":")
+        factory = getattr(importlib.import_module(mod_name), fn_name)
+        _RESOLVED_SPECS[spec] = factory()
+    fn = _RESOLVED_SPECS[spec]
+    register_pixel_decoder(fn)
+    return fn
 
 
 def image_pixels(payload: bytes):

@@ -216,9 +216,18 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> DataFrame:
     """Batch resize: binary in, binary out, pinned dims — the standard
     image-normalization stage before feature extraction. Real pixels for
-    PNG/BMP, stub seam for codec-requiring formats (see resize_image)."""
+    PNG/BMP, stub seam for codec-requiring formats (see resize_image).
+
+    Captures the active pixel-decoder spec (codecs.use_pixel_decoder_spec)
+    at plan-build time so executor Pythons resolve the same native
+    decoder (r9) — a driver-side register_pixel_decoder alone never
+    reaches workers."""
+    from . import codecs
+
+    spec = codecs.pixel_decoder_spec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs.ensure_pixel_decoder(spec)
         for pdf in batches:
             resized = [resize_image(bytes(p), width, height) for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -232,6 +241,58 @@ def resize_images(media: DataFrame, width: int = 256, height: int = 256) -> Data
             )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decoded-pixel stats (dims + RMS intensity) for every decodable
+    payload — the t36-shaped feature-extract stage as a first-class
+    operator over (doc_id, payload) frames. Routes through the decode
+    seam exactly like :func:`resize_images` (native decoder picked up
+    worker-side via the captured spec); undecodable payloads are
+    dropped, not faked. One mapInPandas, no shuffle: at 100 TB this is
+    scan -> Arrow batches -> decode -> 5 small columns out."""
+    import numpy as np
+
+    from . import codecs
+
+    spec = codecs.pixel_decoder_spec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs.ensure_pixel_decoder(spec)
+        for pdf in batches:
+            ids, hs, ws, chs, rms = [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = codecs.image_pixels(bytes(payload))
+                if px is None:
+                    continue
+                x = px.astype(np.float64) / 255.0
+                ids.append(did)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                chs.append(px.shape[2])
+                rms.append(float(np.sqrt(np.mean(x * x))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
 AUDIO_SCHEMA = StructType(

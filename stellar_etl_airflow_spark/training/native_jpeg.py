@@ -1,0 +1,227 @@
+"""Native JPEG decode behind the production seam (r9, VERDICT r8 ask
+#5): a minimal C shim over the system libjpeg(-turbo), compiled once
+with the system compiler and loaded via ctypes. This is the real
+"register a native decoder" swap SCALE.md's codec-throughput section
+documents — ~2-3 orders of magnitude over the pure-Python bit-serial
+Huffman path — exercised end-to-end by ``tools/native_seam_probe.py``.
+
+Gating: everything degrades honestly. ``available()`` is False when the
+compiler, jpeglib.h, or libjpeg is missing, and ``decoder()`` raises a
+clear RuntimeError then; no other module imports this one
+unconditionally. The shim handles baseline AND progressive JPEG
+(libjpeg does both natively) and returns None for non-JPEG payloads so
+the seam's pure-Python fallbacks keep full coverage.
+
+Error safety: libjpeg's default error handler calls exit(); the shim
+installs a setjmp/longjmp error_exit so corrupt payloads return -1
+instead of killing the Python worker.
+
+On a real cluster, ship the compiled ``.so`` with ``spark-submit
+--files`` (or bake it into the image) instead of compiling per node;
+compilation here is a self-contained convenience for single-image
+deployments. Reference scope: the reference repo has no image path at
+all — this supports the beyond-reference multimodal operators
+(SURVEY.md training-data section).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
+
+_C_SOURCE = r"""
+#include <stddef.h>
+#include <setjmp.h>
+#include <stdio.h>
+#include <jpeglib.h>
+
+struct njpeg_err {
+    struct jpeg_error_mgr pub;
+    jmp_buf jb;
+};
+
+static void njpeg_error_exit(j_common_ptr cinfo) {
+    struct njpeg_err *e = (struct njpeg_err *)cinfo->err;
+    longjmp(e->jb, 1);
+}
+
+static void njpeg_emit_message(j_common_ptr cinfo, int msg_level) {
+    (void)cinfo; (void)msg_level; /* silence warnings entirely */
+}
+
+/* Header-only probe: 0 ok (h/w/ch filled), -1 not decodable. */
+int njpeg_dims(const unsigned char *buf, unsigned long len,
+               int *h, int *w, int *ch) {
+    struct jpeg_decompress_struct cinfo;
+    struct njpeg_err jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = njpeg_error_exit;
+    jerr.pub.emit_message = njpeg_emit_message;
+    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, (unsigned char *)buf, len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_calc_output_dimensions(&cinfo);
+    *h = (int)cinfo.output_height;
+    *w = (int)cinfo.output_width;
+    *ch = (int)cinfo.output_components;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+/* Full decode into caller-allocated out (cap bytes).
+   0 ok, -1 not decodable, -2 out too small. */
+int njpeg_decode(const unsigned char *buf, unsigned long len,
+                 unsigned char *out, unsigned long cap,
+                 int *h, int *w, int *ch) {
+    struct jpeg_decompress_struct cinfo;
+    struct njpeg_err jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = njpeg_error_exit;
+    jerr.pub.emit_message = njpeg_emit_message;
+    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, (unsigned char *)buf, len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_start_decompress(&cinfo);
+    {
+        unsigned long row_bytes =
+            (unsigned long)cinfo.output_width * cinfo.output_components;
+        unsigned long need = row_bytes * cinfo.output_height;
+        if (need > cap) { jpeg_destroy_decompress(&cinfo); return -2; }
+        while (cinfo.output_scanline < cinfo.output_height) {
+            unsigned char *row = out + (unsigned long)cinfo.output_scanline * row_bytes;
+            jpeg_read_scanlines(&cinfo, &row, 1);
+        }
+    }
+    *h = (int)cinfo.output_height;
+    *w = (int)cinfo.output_width;
+    *ch = (int)cinfo.output_components;
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+"""
+
+#: compiled artifacts live inside the repo tree (gitignored), keyed by a
+#: source hash so a source edit recompiles instead of loading stale code
+_BUILD_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".build",
+)
+
+_lib = None  # process-local cache (one dlopen per worker)
+
+
+def _so_path() -> str:
+    tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    return os.path.join(_BUILD_DIR, f"njpeg-{tag}.so")
+
+
+def available() -> bool:
+    """True when the shim can be (or already is) built and loaded."""
+    if os.path.exists(_so_path()):
+        return True
+    return (
+        shutil.which("gcc") is not None
+        and os.path.exists("/usr/include/jpeglib.h")
+    )
+
+
+def _build() -> str:
+    """Compile the shim if needed; atomic rename makes concurrent worker
+    builds race-safe (last writer wins with identical bytes)."""
+    so = _so_path()
+    if os.path.exists(so):
+        return so
+    if not available():
+        raise RuntimeError(
+            "native JPEG shim unavailable: needs gcc + jpeglib.h + libjpeg "
+            "(install libjpeg-turbo dev, or ship a prebuilt .so via "
+            "spark-submit --files)"
+        )
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    with tempfile.TemporaryDirectory(dir=_BUILD_DIR) as d:
+        src = os.path.join(d, "njpeg.c")
+        with open(src, "w") as fh:
+            fh.write(_C_SOURCE)
+        tmp_so = os.path.join(d, "njpeg.so")
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src, "-ljpeg"],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp_so, so)
+    return so
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build())
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.njpeg_decode.argtypes = [
+        u8p, ctypes.c_ulong, u8p, ctypes.c_ulong, ip, ip, ip
+    ]
+    lib.njpeg_decode.restype = ctypes.c_int
+    lib.njpeg_dims.argtypes = [u8p, ctypes.c_ulong, ip, ip, ip]
+    lib.njpeg_dims.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def decode(payload: bytes):
+    """(h, w, ch) uint8 ndarray for a JPEG payload, None otherwise —
+    exactly the ``register_pixel_decoder`` contract."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None  # decline non-JPEG: pure-Python codecs keep coverage
+    lib = _load()
+    buf = (ctypes.c_ubyte * len(payload)).from_buffer_copy(payload)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ch = ctypes.c_int()
+    if lib.njpeg_dims(buf, len(payload), h, w, ch) != 0:
+        return None
+    out = np.empty(h.value * w.value * ch.value, dtype=np.uint8)
+    rc = lib.njpeg_decode(
+        buf,
+        len(payload),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.nbytes,
+        h,
+        w,
+        ch,
+    )
+    if rc != 0:
+        return None
+    return out.reshape(h.value, w.value, ch.value)
+
+
+def decoder():
+    """Factory for the seam: builds/loads the shim eagerly (so failures
+    surface at registration, not mid-pipeline) and returns the decode
+    callable. Register per-process via ``codecs.register_pixel_decoder``
+    or cluster-wide via the picklable spec
+    ``codecs.use_pixel_decoder_spec(NATIVE_JPEG_SPEC)``."""
+    _load()
+    return decode
+
+
+#: module:callable string consumers embed in Spark closures so WORKER
+#: processes resolve the same decoder locally (a bare module global set
+#: on the driver never reaches executor Pythons)
+NATIVE_JPEG_SPEC = "stellar_etl_airflow_spark.training.native_jpeg:decoder"
