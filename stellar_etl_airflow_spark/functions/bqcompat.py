@@ -76,6 +76,9 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bAS\s+INT64\b", re.I), "AS BIGINT"),
     (re.compile(r"\bAS\s+FLOAT64\b", re.I), "AS DOUBLE"),
     (re.compile(r"\bAS\s+BOOL\b", re.I), "AS BOOLEAN"),
+    # BQ DATETIME (civil time) -> TIMESTAMP (sessions run UTC; the
+    # reference's update_table.sql casts its render param this way)
+    (re.compile(r"\bAS\s+DATETIME\b", re.I), "AS TIMESTAMP"),
     # EXTRACT field spelling: BQ DAYOFYEAR = Spark DOY (WEEK/QUARTER/
     # DAYOFWEEK/MINUTE/... agree natively; BQ WEEK is Sunday-based week-of-
     # year while Spark/DuckDB use ISO weeks — documented divergence)

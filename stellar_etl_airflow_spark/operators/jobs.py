@@ -19,6 +19,7 @@
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from datetime import datetime, timedelta
 
@@ -61,14 +62,37 @@ def sql_insert_job(
     spark: SparkSession,
     wh: Warehouse,
     template: str,
-    dest_table: str,
+    dest_table: str | None,
     write_disposition: str = "WRITE_APPEND",
     **params,
 ) -> DataFrame:
     """Run a rendered SQL statement and land the result with the mapped
     disposition. Source tables must be registered as temp views (the
-    engine's catalog layer does this at session setup)."""
-    df = spark.sql(render_sql_template(template, **params))
+    engine's catalog layer does this at session setup).
+
+    Templates may be bare SELECTs or full ``INSERT INTO x SELECT ...``
+    statements (the reference's dags/queries/update_table.sql shape, r9):
+    an INSERT header is parsed off and its table name becomes the
+    destination when ``dest_table`` is None — the warehouse addresses
+    tables by path, so the ``{target_project}.{target_dataset}`` prefix
+    the reference routes with is the caller's Warehouse choice here.
+    ``translate=True`` additionally runs the rendered text through
+    ``functions.bqcompat.translate_bq_sql`` so the reference's BQ-dialect
+    templates run verbatim."""
+    translate = params.pop("translate", False)
+    rendered = render_sql_template(template, **params)
+    if translate:
+        from ..functions.bqcompat import translate_bq_sql
+
+        rendered = translate_bq_sql(rendered)
+    m = re.match(r"(?is)\s*insert\s+into\s+`?([\w\-.]+)`?\s+(.*)", rendered)
+    if m:
+        parsed = m.group(1).split(".")[-1]
+        rendered = m.group(2)
+        dest_table = dest_table or parsed
+    if dest_table is None:
+        raise ValueError("dest_table required for a bare-SELECT template")
+    df = spark.sql(rendered)
     df.write.mode(_DISPOSITION[write_disposition]).parquet(wh.path(dest_table))
     return df
 
