@@ -39,9 +39,10 @@ QUERIES.update(connectors.SPECS)
 # changes come first.
 #
 # Round 9 window (50 slots), honoring the VERDICT r8 ask #1 invariant:
-# (a) ALL thirty r6-stale entries lead — t09-t12 plus the early
-# relational ports q01-q27 + q42/q46, the oldest staleness class and
-# the promised sacrifice list from round 8; then (b) the remaining 20
+# (a0) the three r9-NEW entries (t56-t58: never driver-verified) lead
+# everything; then (a) ALL thirty r6-stale entries — t09-t12 plus the
+# early relational ports q01-q27 + q42/q46, the oldest staleness class
+# and the promised sacrifice list from round 8; then (b) the remaining
 # slots go to r7-stale entries whose BACKING CODE changed in round 8
 # (merge/snapshot/writer planes: the ADVICE fixes to merge.py and
 # snapshots.py, DV materialization, FSCK/unbucket surgery, the CDF
@@ -54,6 +55,10 @@ QUERIES.update(connectors.SPECS)
 # (q19, q26, q28, q29, q45, q48-q50, s01-s07, t01-t03, t16, t17,
 # t19, t20, t38-t44, t46-t52) MUST lead _FRONT in round 10.
 _FRONT = [
+    # (a0) NEW in r9 — never driver-verified, so they lead everything
+    "t56_hashed_features",
+    "t57_pmi_cooccurrence",
+    "t58_bpe_tokenize",
     # (a) the 30 r6-stale entries — oldest class, promised last round
     "q01_pricing_summary",
     "q02_latest_state_dedup",

@@ -1741,8 +1741,9 @@ def t43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_merges_df(docs, 12)
 
 
-def _t43_sql(num_merges: int = 12, min_pair_count: int = 2) -> str:
-    """Unrolled-round DuckDB oracle for :func:`t43_bpe_vocab`.
+def _bpe_round_ctes(num_merges: int = 12, min_pair_count: int = 2) -> list[str]:
+    """Shared unrolled BPE-learning CTE chain (t43 vocab oracle + t58
+    tokenize oracle).
 
     Mirrors ``bpe.bpe_learn`` exactly: ASCII-\\s lowercase word split,
     char symbols + EOW sentinel, ALL-adjacent pair counting (overlaps
@@ -1751,7 +1752,8 @@ def _t43_sql(num_merges: int = 12, min_pair_count: int = 2) -> str:
     unchanged, so emptiness propagates and ranks stay dense), and the
     greedy left-fold merge application. CTEs are MATERIALIZED — without
     it DuckDB inlines each round's two references to the previous state
-    and the plan grows 2^rounds."""
+    and the plan grows 2^rounds. ``t0`` carries the word string so the
+    t58 tail can join corpus tokens back to final symbol states."""
     from ..training.bpe import EOW
 
     parts = [
@@ -1763,7 +1765,7 @@ w AS MATERIALIZED (
   GROUP BY w
 ),
 t0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY w) AS wid,
+  SELECT w, row_number() OVER (ORDER BY w) AS wid,
          list_transform(range(1, length(w)+1), i -> w[i]) || ['"""
         + EOW
         + """'] AS sym,
@@ -1799,6 +1801,13 @@ t{k} AS MATERIALIZED (
   WHERE NOT consumed
   GROUP BY wid, freq
 )""")
+    return parts
+
+
+def _t43_sql(num_merges: int = 12, min_pair_count: int = 2) -> str:
+    """Unrolled-round DuckDB oracle for :func:`t43_bpe_vocab` — the
+    learning chain's selected merges, rank-ordered."""
+    parts = _bpe_round_ctes(num_merges, min_pair_count)
     union = "\nUNION ALL ".join(
         f"SELECT {k} AS k, * FROM m{k}" for k in range(1, num_merges + 1)
     )
@@ -2573,6 +2582,135 @@ SPECS.update(
             t55_quality_classifier,
             T55_SQL,
             "trainable quality filter: 16-step logistic regression distilling the rule gate, exact SQL training replay",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# t56 — signed feature hashing (hashing trick): fixed-width sparse BoW
+# without a vocabulary pass. t57 — windowed co-occurrence PMI. t58 — BPE
+# tokenization of the corpus with the t43-learned merge table (r9).
+# ---------------------------------------------------------------------------
+
+
+def t56_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weinberger et al. (2009) signed feature hashing over documents:
+    portable-hash bucket + independent salted sign hash, integer weights
+    so the sparse vectors are exactly portable across engines. The whole
+    pass is explode -> in-codegen hash -> map-side-combined groupBy."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.hashed_features(docs, dim=64)
+
+
+T56_SQL = f"""
+WITH {WORDS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w)
+SELECT doc_id,
+       CAST({ph_duck('term')} % 64 AS INT) AS dim_idx,
+       sum(1 - 2 * ({ph_duck("'sgn|' || term")} % 2))::BIGINT AS weight
+FROM tok
+GROUP BY doc_id, dim_idx
+"""
+
+
+def t57_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed directional PMI (Church & Hanks 1990), window 3, pairs
+    kept at count >= 5. Pair expansion is a nested-transform expression
+    inside the row (no self-join); marginals broadcast back onto the
+    surviving pairs. Every log input is an exact integer count."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.pmi_cooccurrence(docs, window=3, min_count=5)
+
+
+T57_SQL = f"""
+WITH {WORDS_CTE},
+pairs AS MATERIALIZED (
+  SELECT ws[i] AS a, ws[i + d] AS b
+  FROM w
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) ti
+  CROSS JOIN LATERAL (SELECT unnest(range(1, 4)) AS d) td
+  WHERE i + d <= len(ws)
+),
+pc AS (SELECT a, b, count(*)::BIGINT AS pair_count FROM pairs GROUP BY a, b),
+la AS (SELECT a, count(*)::BIGINT AS ca FROM pairs GROUP BY a),
+rb AS (SELECT b, count(*)::BIGINT AS cb FROM pairs GROUP BY b),
+tot AS (SELECT count(*)::BIGINT AS np FROM pairs)
+SELECT pc.a, pc.b, pc.pair_count,
+       round(ln((pc.pair_count::DOUBLE * np::DOUBLE) / (ca::DOUBLE * cb::DOUBLE)), 6) AS pmi
+FROM pc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+WHERE pc.pair_count >= 5
+"""
+
+
+def t58_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of t43: learn the 12-merge table (bpe_learn,
+    batched Spark rounds), tokenize the whole corpus with it (bpe_encode
+    — zero-shuffle mapInPandas, rank table in the closure, per-word
+    memoization), and emit the token-frequency table. The oracle replays
+    LEARNING with t43's unrolled CTE chain, then tokenizes by joining
+    corpus words to the chain's FINAL symbol states — exact because
+    greedy lowest-rank-first inference on a training word reproduces the
+    learning fold's application order (pinned by
+    tests/test_bpe.py::test_encode_matches_learning_fold)."""
+    from ..training import bpe as B
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    merges = B.bpe_learn(docs, 12)
+    enc = B.bpe_encode(docs, merges)
+    return (
+        enc.select("doc_id", F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+def _t58_sql(num_merges: int = 12, min_pair_count: int = 2) -> str:
+    parts = _bpe_round_ctes(num_merges, min_pair_count)
+    parts.append(r"""
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT token, count(*)::BIGINT AS n_occurrences, count(DISTINCT doc_id)::BIGINT AS doc_freq
+FROM (
+  SELECT dw.doc_id, unnest(tN.sym) AS token
+  FROM dw
+  JOIN t0 ON dw.w = t0.w
+  JOIN t{num_merges} tN ON t0.wid = tN.wid
+)
+GROUP BY token
+"""
+    )
+
+
+T58_SQL = _t58_sql()
+
+
+SPECS.update(
+    {
+        "t56_hashed_features": QuerySpec(
+            t56_hashed_features,
+            T56_SQL,
+            "signed feature hashing (hashing trick): fixed-dim sparse BoW, no vocabulary pass",
+        ),
+        "t57_pmi_cooccurrence": QuerySpec(
+            t57_pmi_cooccurrence,
+            T57_SQL,
+            "windowed co-occurrence PMI: in-row pair expansion, broadcast marginals",
+        ),
+        "t58_bpe_tokenize": QuerySpec(
+            t58_bpe_tokenize,
+            T58_SQL,
+            "BPE corpus tokenization with the learned merge table; oracle replays learn + encode",
         ),
     }
 )

@@ -1068,3 +1068,105 @@ def temperature_mixture(
         total += w
     targets = {s: w / total for s, w in weights}
     return rebalance_sources(df, targets, id_col, source_col)
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signed feature hashing (the hashing trick, Weinberger et al. 2009):
+    each token hashes to one of ``dim`` buckets via the portable 60-bit
+    md5 hash and contributes ±1 (sign from the next hash bit), giving a
+    fixed-width sparse bag-of-words without any vocabulary pass — the
+    standard featurizer in front of linear quality/topic classifiers at
+    corpus scale (Vowpal Wabbit's input layer; the same role fastText's
+    hashed n-gram bins play).
+
+    Returns the sparse form ``(doc_id, dim_idx, weight)`` with zero
+    entries absent. One explode + one map-side-combined groupBy on
+    (doc, dim): shuffle volume ≤ |docs| × dim rows regardless of corpus
+    text size, and the hash is an in-codegen expression — no Python, no
+    vocabulary state, linear at 100 TB. Integer weights make the result
+    exactly portable across engines (no float addition order)."""
+    h = F.expr(PH.format(x="term"))
+    # independent salted hash for the sign bit (Weinberger's ξ): reusing
+    # bits of the bucket hash would correlate sign with bucket
+    hs = F.expr(PH.format(x="concat('sgn|', term)"))
+    tok = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+    return (
+        tok.select(
+            id_col,
+            F.pmod(h, F.lit(dim)).cast("int").alias("dim_idx"),
+            (F.lit(1) - F.lit(2) * F.pmod(hs, F.lit(2)).cast("int")).alias("_sign"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("_sign").cast("long").alias("weight"))
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional windowed co-occurrence PMI (church & Hanks 1990):
+    pairs (a, b) where b follows a within ``window`` tokens, kept when
+    the pair count reaches ``min_count``; PMI uses pair-table
+    probabilities (left/right marginals over the pair multiset) so every
+    input to the log is an exact integer count.
+
+    Pair generation is a pure nested-``transform`` expression over the
+    token array — the k·|tokens| expansion happens INSIDE the row, no
+    self-join, no shuffle until the count aggregates (all map-side
+    combined). Marginals and the total are broadcast back onto the
+    surviving pairs (vocabulary-sized tables vs a corpus-sized pair
+    stream). At 100 TB: three linear aggregates + two broadcast joins."""
+    ws = words_col(text_col)
+    pairs_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + F.lit(window), F.size(ws) - 1)),
+                lambda j: F.struct(
+                    F.element_at(ws, i + 1).alias("a"),
+                    F.element_at(ws, j + 1).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        df.where(F.size(ws) >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.a", "p.b")
+    )
+    # ONE corpus scan: the full pair-count table is the reduction every
+    # marginal derives from (pair-TYPE cardinality, vocab²-bounded — vs
+    # re-scanning the corpus per marginal, which the naive 4-aggregate
+    # formulation does)
+    pc_full = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    pc = pc_full.persist()
+    left = pc.groupBy("a").agg(F.sum("pair_count").alias("ca"))
+    right = pc.groupBy("b").agg(F.sum("pair_count").alias("cb"))
+    total = pc.agg(F.sum("pair_count").alias("np"))
+    return (
+        pc.where(F.col("pair_count") >= min_count)
+        .join(F.broadcast(left), "a")
+        .join(F.broadcast(right), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.col("np").cast("double"))
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

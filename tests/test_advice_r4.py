@@ -72,10 +72,11 @@ def test_vacuum_collects_after_clone_dropped(spark, tmp_path):
     # a fresh marker is protected (could be an in-flight clone publish)
     assert not set(S.vacuum(src, keep_versions=1)) & pinned
     # age the marker AND the now-unreferenced data files past both
-    # retention windows (marker-pending + orphan)
+    # retention windows — marker-pending is its OWN, much longer knob
+    # since r9 (default 24h), so age past that one
     aged = [m for m, _d in S._registered_clones(src)] + sorted(pinned)
     for f in aged:
-        t = os.path.getmtime(f) - 7200
+        t = os.path.getmtime(f) - 90_000
         os.utime(f, (t, t))
     deleted = set(S.vacuum(src, keep_versions=1))
     assert pinned <= deleted  # no live clone -> v1 files collected

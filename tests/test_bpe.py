@@ -181,3 +181,33 @@ def test_bpe_batch_throughput_wide_alphabet(spark):
     merges = B.bpe_learn(df, 18, stats=stats, exact=False, max_batch=32)
     assert stats["batches"][0] >= 16, stats
     assert len(merges) == 18
+
+
+def test_encode_matches_learning_fold(spark):
+    """The exactness contract t58's oracle rests on: greedy lowest-rank
+    inference (bpe_encode) on a TRAINING word reproduces the learning
+    fold's own merge application — so tokenizing the corpus equals
+    joining words to the learn chain's final symbol states. Replayed
+    here with the pure-Python reference fold on the fixture corpus."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    merges = B.bpe_learn(df, 8)
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in B.bpe_encode(df, merges).collect()}
+    # reference fold: apply merges rank by rank with the same greedy
+    # left-to-right overlap rule bpe_learn uses internally
+    def fold(word: str) -> list[str]:
+        sym = list(word) + [B.EOW]
+        for a, b, _n in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for doc_id, text in DOCS:
+        want = [t for w in text.lower().split() for t in fold(w)]
+        assert enc[doc_id] == want, f"doc {doc_id}"
