@@ -2714,3 +2714,71 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t59 — incremental dedup: a new batch probed against the existing
+# corpus's persisted MinHash-LSH band index (the ingest-time dedup
+# production shape; r9).
+# ---------------------------------------------------------------------------
+
+
+def t59_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fifth doc plays the NEW BATCH; the rest are the standing
+    corpus whose band table is the persistable index. Band collisions
+    nominate candidates, signature agreement (k/32 — exact binary
+    fractions) scores them, is_dup fires at 0.5."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return D.incremental_minhash_dedup(corpus, batch)
+
+
+T59_SQL = f"""
+WITH {GRAMS_CTE},
+postings AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+gh AS MATERIALIZED (SELECT doc_id, {_G1} AS g1, {_G2} AS g2 FROM postings),
+hashes AS MATERIALIZED (
+  SELECT doc_id, k, min(g1 + k * (g2 % {_MOD55})) AS mh
+  FROM gh CROSS JOIN (SELECT unnest(range(32)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS digest
+  FROM hashes GROUP BY doc_id, k // 4
+),
+sigs AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY k) AS sig FROM hashes GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS bdoc, cb.doc_id AS cdoc
+  FROM bands nb
+  JOIN bands cb ON nb.band = cb.band AND nb.digest = cb.digest
+  WHERE nb.doc_id % 5 = 0 AND cb.doc_id % 5 <> 0
+),
+agree AS (
+  SELECT cand.bdoc,
+         len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 32 AS agree
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.bdoc
+  JOIN sigs sb ON sb.doc_id = cand.cdoc
+),
+per AS (SELECT bdoc, count(*)::BIGINT AS n_candidates, max(agree) AS max_agree FROM agree GROUP BY bdoc)
+SELECT d.doc_id,
+       coalesce(per.n_candidates, 0)::BIGINT AS n_candidates,
+       round(coalesce(per.max_agree, 0.0), 6) AS max_agree,
+       coalesce(per.max_agree, 0.0) >= 0.5 AS is_dup
+FROM documents d
+LEFT JOIN per ON per.bdoc = d.doc_id
+WHERE d.doc_id % 5 = 0
+"""
+
+
+SPECS.update(
+    {
+        "t59_incremental_dedup": QuerySpec(
+            t59_incremental_dedup,
+            T59_SQL,
+            "ingest-time dedup: new batch probed against the corpus's persisted LSH band index",
+        ),
+    }
+)

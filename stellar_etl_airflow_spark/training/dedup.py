@@ -211,27 +211,15 @@ def minhash_lsh_pairs(
     that slice of their signatures is identical, so the expected candidate
     set approximates pairs with Jaccard above the (bands, rows) S-curve
     threshold. Only the B band rows per doc are shuffled."""
-    rows = num_hashes // bands
-    grams = with_word_ngrams(df, text_col, n)
-    sig = grams.filter(F.size("grams") > 0).select(
-        F.col(id_col).alias("doc"),
-        F.expr(minhash_signature_expr("grams", num_hashes)).alias("sig"),
-    )
-    # Materialization barrier: band digests reference `sig` once per band,
-    # and Catalyst's projection collapse would otherwise inline (and
-    # recompute) the full K-hash signature per band — 8x the md5 work;
-    # additionally both bucket-join sides read the banded table, and a
-    # broadcast side would rerun the signatures (ReuseExchange does not
-    # fire across broadcast/shuffle asymmetry). The checkpoint pins
-    # (doc, K longs) — tiny relative to the hash computation it saves.
-    sig = sig.localCheckpoint(eager=True)
-    band_digest = (
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> md5(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string)))))"
-    )
-    bands_df = sig.select(
-        "doc", F.posexplode(F.expr(band_digest)).alias("band", "digest")
-    )
+    # Materialization barrier inside _minhash_bands: band digests
+    # reference `sig` once per band, and Catalyst's projection collapse
+    # would otherwise inline (and recompute) the full K-hash signature
+    # per band — 8x the md5 work; additionally both bucket-join sides
+    # read the banded table, and a broadcast side would rerun the
+    # signatures (ReuseExchange does not fire across broadcast/shuffle
+    # asymmetry). The checkpoint pins (doc, K longs) — tiny relative to
+    # the hash computation it saves.
+    _, bands_df = _minhash_bands(df, text_col, id_col, n, num_hashes, bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -243,6 +231,91 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def _minhash_bands(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, band digests) for one side — the shared prep of
+    :func:`minhash_lsh_pairs` and :func:`incremental_minhash_dedup`.
+    Signatures are checkpoint-pinned (see minhash_lsh_pairs: projection
+    collapse would recompute the K-hash fold per band reference)."""
+    rows = num_hashes // bands
+    grams = with_word_ngrams(df, text_col, n)
+    sig = (
+        grams.filter(F.size("grams") > 0)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.expr(minhash_signature_expr("grams", num_hashes)).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    band_digest = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string)))))"
+    )
+    bands_df = sig.select("doc", F.posexplode(F.expr(band_digest)).alias("band", "digest"))
+    return sig, bands_df
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_agree: float = 0.5,
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against an EXISTING corpus — the
+    production shape of near-dup removal: the corpus's band table is the
+    persistable index (write it once as a snapshot table keyed on
+    (band, digest); each 10-minute batch probes it), and only batch-side
+    rows ever join against it. Per batch doc: LSH band collisions
+    nominate corpus candidates, signature agreement (the MinHash Jaccard
+    estimate, k/num_hashes — exact binary fractions, engine-portable)
+    scores them, and ``is_dup`` fires at ``min_agree``.
+
+    Returns (doc_id, n_candidates, max_agree, is_dup) for EVERY batch
+    doc — zero-candidate docs (including sub-n-gram shorties) report
+    (0, 0.0, false). At 100 TB the only corpus-sized work is building
+    the index once; per-batch cost is |batch|·bands probe rows joined
+    against the bucket table plus one candidate-pair agreement join."""
+    csig, cbands = _minhash_bands(corpus, text_col, id_col, n, num_hashes, bands)
+    bsig, bbands = _minhash_bands(batch, text_col, id_col, n, num_hashes, bands)
+    cand = (
+        bbands.alias("nb")
+        .join(
+            cbands.alias("cb"),
+            (F.col("nb.band") == F.col("cb.band"))
+            & (F.col("nb.digest") == F.col("cb.digest")),
+        )
+        .select(F.col("nb.doc").alias("bdoc"), F.col("cb.doc").alias("cdoc"))
+        .distinct()
+    )
+    agree_expr = (
+        f"aggregate(zip_with(bsig, csig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"0, (acc, v) -> acc + v) / cast({num_hashes} as double)"
+    )
+    agree = (
+        cand.join(bsig.select(F.col("doc").alias("bdoc"), F.col("sig").alias("bsig")), "bdoc")
+        .join(csig.select(F.col("doc").alias("cdoc"), F.col("sig").alias("csig")), "cdoc")
+        .select("bdoc", F.expr(agree_expr).alias("agree"))
+    )
+    per = agree.groupBy("bdoc").agg(
+        F.count(F.lit(1)).alias("n_candidates"), F.max("agree").alias("max_agree")
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(per.withColumnRenamed("bdoc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.round(F.coalesce("max_agree", F.lit(0.0)), 6).alias("max_agree"),
+            (F.coalesce("max_agree", F.lit(0.0)) >= min_agree).alias("is_dup"),
+        )
     )
 
 
