@@ -532,8 +532,14 @@ def pixel_decoder_spec() -> str | None:
 def ensure_pixel_decoder(spec: str | None):
     """Worker-side resolution: import ``module``, call ``callable()``,
     register the result process-locally (idempotent per spec). Returns
-    the decode function (or None for a None spec)."""
+    the decode function (or None for a None spec).
+
+    A None spec UNREGISTERS: Spark reuses worker daemons across jobs, so
+    without the explicit clear a seam-off plan built after a seam-on run
+    would silently keep the previous decoder in every reused worker
+    (review r9)."""
     if spec is None:
+        register_pixel_decoder(None)
         return None
     if spec not in _RESOLVED_SPECS:
         import importlib

@@ -67,3 +67,26 @@ def write_ndjson(path: str, rows: list[dict], corrupt_line: bool = False) -> str
         if corrupt_line:
             fh.write('{"account_id": "broken", unquoted garbage}\n')
     return path
+
+
+# --- observable pixel-decoder spec for seam worker-propagation tests ---
+
+SEAM_MARKER_DIR = "/tmp/seam-probe-markers"
+
+
+def marking_decoder_factory():
+    """Decoder factory (used via codecs.use_pixel_decoder_spec) that
+    leaves a marker file per invocation and declines every payload — an
+    OBSERVABLE probe for whether worker processes actually invoke the
+    registered seam."""
+    import os
+    import uuid
+
+    os.makedirs(SEAM_MARKER_DIR, exist_ok=True)
+
+    def probe(payload: bytes):
+        with open(os.path.join(SEAM_MARKER_DIR, uuid.uuid4().hex), "w"):
+            pass
+        return None  # decline: pure-Python path keeps producing results
+
+    return probe

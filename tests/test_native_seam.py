@@ -79,3 +79,28 @@ def test_pixel_stats_pure_python_path(spark):
     assert list(rows) == [1]
     assert (rows[1]["height"], rows[1]["width"]) == (4, 6)
     assert rows[1]["rms"] == pytest.approx(128 / 255.0, abs=1e-9)
+
+
+def test_spec_clear_reaches_reused_workers(spark):
+    """use_pixel_decoder_spec(None) must UNREGISTER in reused worker
+    daemons: a seam-off plan built after a seam-on run would otherwise
+    silently keep the previous decoder worker-side (review r9). Observed
+    via a marker-writing decoder spec."""
+    import glob
+    import shutil
+
+    from . import fixtures as FX
+
+    shutil.rmtree(FX.SEAM_MARKER_DIR, ignore_errors=True)
+    payloads = [(i, bytearray(codecs.png_encode(np.full((2, 2, 3), i, dtype=np.uint8)))) for i in range(4)]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    codecs.use_pixel_decoder_spec("tests.fixtures:marking_decoder_factory")
+    try:
+        assert multimodal.image_pixel_stats(media).count() == 4
+        n_on = len(glob.glob(FX.SEAM_MARKER_DIR + "/*"))
+        assert n_on >= 4  # every payload went through the registered seam
+    finally:
+        codecs.use_pixel_decoder_spec(None)
+    shutil.rmtree(FX.SEAM_MARKER_DIR, ignore_errors=True)
+    assert multimodal.image_pixel_stats(media).count() == 4
+    assert glob.glob(FX.SEAM_MARKER_DIR + "/*") == []  # seam truly off in workers
