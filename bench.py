@@ -218,6 +218,8 @@ def main() -> None:
             "t28_contamination_report",
             "t03_minhash_lsh_pairs",
             "t43_bpe_vocab",
+            "t59_incremental_dedup",
+            "t58_bpe_tokenize",
             "t44_pagerank",
             "t45_pq_adc_topk",
             "q01_pricing_summary",
