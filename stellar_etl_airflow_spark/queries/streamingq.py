@@ -895,3 +895,167 @@ SPECS: dict[str, QuerySpec] = {
         q42_bucketed_range_join, relational.Q07_SQL, "bucketed range join == broadcast range join"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# s14 — streaming incremental dedup (r9): microbatches of new documents
+# probed (foreachBatch) against a PERSISTED MinHash-LSH band index that
+# GROWS with each accepted batch — t59's production shape actually run
+# through Structured Streaming, index maintained incrementally instead
+# of recomputed.
+# ---------------------------------------------------------------------------
+
+
+def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fifth doc arrives as a stream in THREE deterministic
+    microbatches (doc_id % 15 == 0, 5, 10; file mtimes pin the pickup
+    order, maxFilesPerTrigger=1). The standing corpus (the other docs)
+    seeds a band-index table holding (doc, band, digest, sig); each
+    foreachBatch probes the CURRENT index, drops batch docs whose best
+    signature agreement reaches 0.5, appends survivors' doc_ids to the
+    accepted table AND their band rows to the index — so a doc accepted
+    in batch 1 dedups its near-copy arriving in batch 3. Within-batch
+    collisions are deliberately NOT checked (each batch sees the index
+    as of the previous commit — the documented semantics, unrolled
+    exactly by the oracle's three acceptance rounds). At 100 TB both
+    tables are snapshot tables and the probe is |batch|·bands rows
+    joined against the bucket-keyed index; nothing corpus-sized moves
+    per batch."""
+    from ..training.dedup import _minhash_bands
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    sub = _stream_session(spark)
+
+    def with_sig(frame):
+        """(doc, band, digest, sig) rows — one index row per band."""
+        sig, bands = _minhash_bands(frame, "text", "doc_id", 3, 32, 8)
+        return bands.join(sig, "doc")
+
+    with _stream_scratch("s14", sf_dir, {}, n_extra=2) as (stream_dir, ckpt, acc_dir, idx_dir):
+        # three single-file microbatches with pinned arrival order
+        for i, g in enumerate((0, 5, 10)):
+            tmp = os.path.join(stream_dir, f"_b{i}")
+            docs.where(F.col("doc_id") % 15 == g).coalesce(1).write.parquet(tmp)
+            (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(stream_dir, f"batch-{i}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        idx0 = with_sig(corpus)
+        idx0.write.parquet(idx_dir)  # the persisted index, seeded
+        os.makedirs(acc_dir, exist_ok=True)
+
+        agree_expr = (
+            "aggregate(zip_with(bsig, csig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+            "0, (acc, v) -> acc + v) / 32.0"
+        )
+
+        def handle(batch_df, _bid):
+            s = batch_df.sparkSession
+            from ..training.dedup import _minhash_bands as mb
+
+            bsig, bbands = mb(batch_df, "text", "doc_id", 3, 32, 8)
+            idx = s.read.parquet(idx_dir)
+            dups = (
+                bbands.alias("nb")
+                .join(
+                    idx.alias("ix"),
+                    (F.col("nb.band") == F.col("ix.band"))
+                    & (F.col("nb.digest") == F.col("ix.digest")),
+                )
+                .select(F.col("nb.doc").alias("bdoc"), F.col("ix.doc").alias("cdoc"))
+                .distinct()
+                .join(bsig.select(F.col("doc").alias("bdoc"), F.col("sig").alias("bsig")), "bdoc")
+                .join(
+                    idx.select(F.col("doc").alias("cdoc"), F.col("sig").alias("csig")).distinct(),
+                    "cdoc",
+                )
+                .where(F.expr(agree_expr) >= 0.5)
+                .select("bdoc")
+                .distinct()
+            )
+            accepted = batch_df.join(
+                dups.withColumnRenamed("bdoc", "doc_id"), "doc_id", "left_anti"
+            )
+            accepted.select("doc_id").write.mode("append").parquet(acc_dir)
+            new_rows = (
+                bbands.join(bsig, "doc")
+                .join(accepted.select(F.col("doc_id").alias("doc")), "doc", "left_semi")
+            )
+            new_rows.write.mode("append").parquet(idx_dir)
+
+        raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+        stream = (
+            sub.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(acc_dir)
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    return spark.createDataFrame(rows, schema)
+
+
+def _s14_sql() -> str:
+    from .training import GRAMS_CTE, _G1, _G2, _MOD55
+
+    rounds = []
+    prev_accept = "d.doc_id % 5 <> 0"  # the standing corpus
+    for k, g in enumerate((0, 5, 10)):
+        rounds.append(f"""
+d{k} AS (
+  SELECT DISTINCT bdoc FROM agr
+  WHERE bdoc % 15 = {g} AND agree >= 0.5
+    AND (odoc % 5 <> 0{"".join(f" OR odoc IN (SELECT doc_id FROM a{j})" for j in range(k))})
+),
+a{k} AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 15 = {g} AND doc_id NOT IN (SELECT bdoc FROM d{k})
+)""")
+        _ = prev_accept
+    union = " UNION ALL ".join(f"SELECT doc_id FROM a{k}" for k in range(3))
+    return f"""
+WITH {GRAMS_CTE},
+postings AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0),
+gh AS MATERIALIZED (SELECT doc_id, {_G1} AS g1, {_G2} AS g2 FROM postings),
+hashes AS MATERIALIZED (
+  SELECT doc_id, k, min(g1 + k * (g2 % {_MOD55})) AS mh
+  FROM gh CROSS JOIN (SELECT unnest(range(32)) AS k)
+  GROUP BY doc_id, k
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS digest
+  FROM hashes GROUP BY doc_id, k // 4
+),
+sigs AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY k) AS sig FROM hashes GROUP BY doc_id),
+agr AS MATERIALIZED (
+  SELECT c.bdoc, c.odoc,
+         len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 32 AS agree
+  FROM (
+    SELECT DISTINCT nb.doc_id AS bdoc, cb.doc_id AS odoc
+    FROM bands nb
+    JOIN bands cb ON nb.band = cb.band AND nb.digest = cb.digest AND nb.doc_id <> cb.doc_id
+    WHERE nb.doc_id % 5 = 0
+  ) c
+  JOIN sigs sa ON sa.doc_id = c.bdoc
+  JOIN sigs sb ON sb.doc_id = c.odoc
+),{",".join(rounds)}
+{union}
+"""
+
+
+S14_SQL = _s14_sql()
+
+SPECS["s14_stream_incremental_dedup"] = QuerySpec(
+    s14_stream_incremental_dedup,
+    S14_SQL,
+    "streaming ingest-time dedup: foreachBatch probe of a persisted, incrementally-grown LSH band index",
+)
