@@ -112,6 +112,20 @@ PROBES = [
     # paragraph hashes are cross-replica disjoint — counts table and
     # postings both grow Kx; linear.
     "t49_paragraph_dedup",      # window-hash counts + per-doc rollup
+    # round-9 additions. t56: output rows bounded by |docs|·dim — the
+    # hash fold is pure expression work; linear. t57: the salting
+    # invariant makes cross-replica PAIR TYPES disjoint (window 3 always
+    # crosses a salted word), so the pair-count table and its marginals
+    # grow Kx; linear. t58: word-type table grows Kx (t43's argument) and
+    # encode cost is ∝ distinct words per batch; linear. t59: the replica
+    # OFFSET is divisible by 5, so batch and corpus splits both grow Kx
+    # with cross-replica signatures disjoint — candidate pairs reproduce
+    # per replica; linear. s14 is deliberately not probed: like s13 its
+    # cost is streaming-drain overhead, not data.
+    "t56_hashed_features",      # in-codegen hash + one (doc,dim) agg
+    "t57_pmi_cooccurrence",     # in-row pair expansion + pair-type aggs
+    "t58_bpe_tokenize",         # learn on word types + memoized encode
+    "t59_incremental_dedup",    # band-index probe + agreement join
 ]
 
 # env override: measure a subset without re-timing the whole list
