@@ -489,3 +489,40 @@ def test_shard_manifest_prefix_sum_is_segmented(spark):
     if "Exchange SinglePartition" in plan:
         bcast = plan.index("BroadcastExchange") if "BroadcastExchange" in plan else plan.index("BroadcastHashJoin")
         assert plan.index("Exchange SinglePartition") > bcast, plan
+
+
+def test_hashed_features_single_exchange(spark):
+    """t56: explode -> in-codegen hash -> ONE map-side-combined groupBy.
+    A second exchange would mean the hash left codegen or the aggregate
+    lost its partial stage."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t56_hashed_features"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_marginals_broadcast_onto_pairs(spark):
+    """t57: the pair-TYPE table is the only shuffled reduction; every
+    marginal join must be broadcast (vocab-sized vs pair-stream-sized),
+    and pair expansion must stay an in-row expression (no self-join of
+    the corpus)."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t57_pmi_cooccurrence"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 2
+    # exactly one nested-loop occurrence, and it is the 1-row total clamp
+    assert len(re.findall(r"BroadcastNestedLoopJoin.*Cross", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_corpus_side_shape(spark):
+    """t59: candidate generation is an equi-join on (band, digest) and
+    the agreement scoring equi-joins on doc ids — never a nested loop;
+    the batch side's whole-corpus work is bounded to the index probe."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t59_incremental_dedup"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
