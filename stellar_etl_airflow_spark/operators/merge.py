@@ -359,6 +359,40 @@ def _merge_versioned_core(
     combine,
     evolve: bool = False,
     txn_id: str | None = None,
+    retries: int = 3,
+) -> tuple[int, list[int]]:
+    """Conflict-retrying wrapper over :func:`_merge_versioned_once`
+    (r9, Delta's automatic-conflict-retry behavior): the publish CAS
+    raises ``ConcurrentWriteError`` when another writer advanced the
+    table mid-merge; each retry re-reads the manifest and recomputes the
+    kept/rewritten bucket split against the NEW version, so interleaved
+    merges of different buckets all land. Safe to re-run wholesale: the
+    txn ledger makes a replayed batch exactly-once, and a lost-race
+    attempt leaves only orphan staged files (vacuum's orphan-retention
+    reclaims them). ``retries=0`` restores raise-on-first-conflict."""
+    from ..sinks import snapshots as S
+
+    for attempt in range(retries + 1):
+        try:
+            return _merge_versioned_once(
+                spark, changes, path, keys, n_buckets, combine,
+                evolve=evolve, txn_id=txn_id,
+            )
+        except S.ConcurrentWriteError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _merge_versioned_once(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    n_buckets: int,
+    combine,
+    evolve: bool = False,
+    txn_id: str | None = None,
 ) -> tuple[int, list[int]]:
     """Shared MVCC scoped-merge machinery: bucket the changes, read only
     touched buckets from the current manifest, apply ``combine(target,

@@ -129,3 +129,59 @@ def test_pq_topk_gates_query_id_type(spark):
     )
     with pytest.raises(TypeError, match="query id.*integral"):
         SIM.pq_topk(codes, bad_queries, cb, m=2, k=2)
+
+
+def test_racing_merges_both_land(spark, tmp_path):
+    """Two writer threads race apply_changes on the same table (disjoint
+    key ranges): the publish CAS detects the interleave and the r9
+    conflict-retry rebases against the new version — both batches land,
+    version chain dense, no lost update."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stellar_etl_airflow_spark.operators.merge import apply_changes
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    tbl = str(tmp_path / "t")
+    sch = "account_id long, balance long, deleted boolean, last_modified_ledger long, ledger_entry_change int"
+    seed = spark.createDataFrame([(i, 0, False, 1, 0) for i in range(20)], sch)
+    apply_changes(spark, seed, tbl, keys=("account_id",), n_buckets=8)
+
+    def write_range(lo: int) -> None:
+        batch = spark.createDataFrame(
+            [(lo + i, lo + i, False, 2, 0) for i in range(10)], sch
+        )
+        apply_changes(spark, batch, tbl, keys=("account_id",), n_buckets=8,
+                      txn_id=f"race-{lo}")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(write_range, [0, 10]))
+
+    got = {r["account_id"]: r["balance"] for r in S.read_snapshot(spark, tbl).collect()}
+    assert got == {i: i for i in range(20)}, got
+    m = S.read_manifest(tbl)
+    assert m["version"] >= 3  # seed publish(es) + both merges
+    assert set(m["txns"]) >= {"race-0", "race-10"}
+
+
+def test_racing_additive_merges_exact_counters(spark, tmp_path):
+    """The additive combine is NOT replay-idempotent, so the retry path
+    must never double-apply: racing counter batches with txn ids land
+    exactly once each."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stellar_etl_airflow_spark.operators.merge import merge_additive_versioned
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    tbl = str(tmp_path / "t")
+
+    def add(i: int) -> None:
+        batch = spark.createDataFrame([(k, 1) for k in range(8)], "k long, n long")
+        merge_additive_versioned(
+            spark, batch, tbl, keys=("k",), sum_cols=("n",), n_buckets=4,
+            txn_id=f"ctr-{i}",
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(add, range(4)))
+    got = {r["k"]: r["n"] for r in S.read_snapshot(spark, tbl).collect()}
+    assert got == {k: 4 for k in range(8)}, got
