@@ -61,6 +61,7 @@ _FRONT = [
     "t58_bpe_tokenize",
     "t59_incremental_dedup",
     "s14_stream_incremental_dedup",
+    "q61_zorder_optimize",
     # (a) the 30 r6-stale entries — oldest class, promised last round
     "q01_pricing_summary",
     "q02_latest_state_dedup",

@@ -738,3 +738,73 @@ SPECS: dict[str, QuerySpec] = {
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# q61 — OPTIMIZE ... ZORDER BY through the driver gate (r9): multi-column
+# clustering rewrite + stats-pruned two-column scan, content identical.
+# ---------------------------------------------------------------------------
+
+
+def q61_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem published as a versioned snapshot, OPTIMIZE'd with
+    ``compact_snapshot(zorder=(l_partkey, l_suppkey))``, then scanned
+    with a TWO-column predicate through the manifest [min,max] stats.
+    The entry asserts the clustering actually prunes (strictly fewer
+    files planned than the table holds — z-order is what makes BOTH
+    columns' per-file ranges tight simultaneously) and returns the exact
+    rows, which the oracle restates as a plain filter. Time travel keeps
+    the pre-OPTIMIZE version readable; content equality across the
+    rewrite is the row-hash gate itself.
+
+    Reference parity: BigQuery multi-column clustering
+    (`airflow_variables_prod.json` cluster_fields; SURVEY §1.3) — same
+    contract, explicit engine."""
+    from ..sinks import snapshots as S
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+    path = os.path.join(tempfile.gettempdir(), f"q61-li-{uuid.uuid4().hex[:8]}")
+    try:
+        S.overwrite_versioned(
+            spark, li.select(*cols), path,
+            stats_cols=("l_partkey", "l_suppkey"),
+        )
+        S.compact_snapshot(
+            spark, path, target_files=16, zorder=("l_partkey", "l_suppkey")
+        )
+        n_files = len(S.read_manifest(path)["files"])
+        # scale-relative selectivity (a 5% x 20% box) so the entry works
+        # at every sf; integer arithmetic keeps the oracle's thresholds
+        # (same expressions in SQL) exactly equal
+        mx = li.agg(
+            F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+        ).first()
+        where = [
+            ("l_partkey", "<", int(mx["p"]) * 5 // 100),
+            ("l_suppkey", "<", int(mx["s"]) * 20 // 100),
+        ]
+        sel = S.scan_snapshot(spark, path, where)
+        planned = sel.rdd.getNumPartitions()
+        if n_files >= 4 and planned >= n_files:
+            raise AssertionError(
+                f"zorder pruned nothing: {planned}/{n_files} files planned"
+            )
+        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q61_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_partkey < (SELECT max(l_partkey) * 5 // 100 FROM lineitem)
+  AND l_suppkey < (SELECT max(l_suppkey) * 20 // 100 FROM lineitem)
+"""
+
+SPECS["q61_zorder_optimize"] = QuerySpec(
+    q61_zorder_optimize,
+    Q61_SQL,
+    "OPTIMIZE ZORDER BY: multi-column clustering rewrite, stats-pruned 2-column scan, exact content",
+)
