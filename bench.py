@@ -200,6 +200,8 @@ def main() -> None:
         # tail; descending by measured r7 full-corpus time (min-of-2, sf0.1)
         heavy = [
             "q51_incremental_mart",
+            "s14_stream_incremental_dedup",
+            "q61_zorder_optimize",
             "s08_stream_crash_resume",
             "t14_jaccard_dfcapped",
             "q56_scd2_from_cdf",

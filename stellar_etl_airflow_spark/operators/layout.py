@@ -56,16 +56,47 @@ def _bucket_col(dcol: Column, boundaries: list[float]) -> Column:
     """0-based quantile bucket id: count of boundaries <= value, as LONG
     (bit positions up to 7 cols x 8 bits = 56 overflow a 32-bit int).
 
-    The boundary array is a literal riding the plan (2^bits doubles); the
-    membership count is a JVM higher-order filter, no join needed."""
+    Computed as a BINARY SEARCH over the literal boundary array —
+    log2(2^bits) `element_at` probes per row, all inside whole-stage
+    codegen. The previous `size(filter(array, ...))` formulation walked
+    all 2^bits boundaries through the INTERPRETED higher-order-function
+    path per row (measured r9: the q61 z-order rewrite of sf0.1 lineitem
+    spent ~40 s in that filter; ~3 s with the search)."""
+    n = len(boundaries)
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: b <= dcol)).cast("long")
+    top = 1
+    while top * 2 <= n:
+        top *= 2
+    steps = []
+    while top >= 1:
+        steps.append(top)
+        top //= 2
+    # the descent runs as a fold so `idx` is a LAMBDA VARIABLE: an
+    # unrolled when-chain would re-inline the accumulated idx subtree
+    # 3x per level (2^bits-fold tree growth — hung analysis at bits=8)
+    return F.aggregate(
+        F.array(*[F.lit(s).cast("long") for s in steps]),
+        F.lit(0).cast("long"),
+        lambda idx, step: F.when(
+            (idx + step <= F.lit(n))
+            & (F.element_at(arr, (idx + step).cast("int")) <= dcol),
+            idx + step,
+        ).otherwise(idx),
+    )
 
 
 def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     """Z-value column: per-column quantile-bucket ids (``bits`` bits each)
     with their bits interleaved, so sorting by it clusters on every column
-    at once. NULLs bucket to 0 (sort first, same as NULLS FIRST)."""
+    at once. NULLs bucket to 0 (sort first, same as NULLS FIRST).
+
+    The interleave is ONE higher-order fold over an array holding each
+    column's bucket id exactly once (r9): the previous per-bit-term
+    formulation inlined every bucket's 2^bits-boundary membership filter
+    into all ``bits`` of its terms — Catalyst's projection collapse, the
+    same trap `training/dedup.py` documents — allocating bits x cols
+    boundary arrays PER ROW (measured: 22 s -> ~2 s on sf0.1 lineitem
+    for the q61 compaction)."""
     if not cols or len(cols) > 7:
         raise ValueError(f"zvalue: need 1..7 columns, got {len(cols)}")
     if not 1 <= bits <= 8:
@@ -77,17 +108,26 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     dnames = [f"_zd{i}" for i in range(len(cols))]
     proj = df.select(*[_as_double(df, c).alias(n) for c, n in zip(cols, dnames)])
     all_bounds = proj.stat.approxQuantile(dnames, qs, 0.01)
-    buckets = [
-        F.coalesce(_bucket_col(_as_double(df, c), bounds), F.lit(0).cast("long"))
-        for c, bounds in zip(cols, all_bounds)
-    ]
-    terms = []
-    for i in range(bits):
-        for ci, b in enumerate(buckets):
-            terms.append(
-                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(cols) + ci)
-            )
-    return reduce(lambda a, t: a + t, terms[1:], terms[0]).cast("long")
+    nc = len(cols)
+    # bit spreading by LITERAL LOOKUP TABLE: spread_ci[v] interleaves the
+    # bits of bucket value v into positions (i*nc + ci) — 2^bits longs
+    # precomputed here, one codegen'd element_at per column per row (the
+    # fold variants re-derived the bits per row through the interpreted
+    # higher-order path)
+    def spread_table(ci: int) -> list[int]:
+        return [
+            sum(((v >> i) & 1) << (i * nc + ci) for i in range(bits))
+            for v in range(n_buckets)
+        ]
+
+    parts = []
+    for ci, (c, bounds) in enumerate(zip(cols, all_bounds)):
+        bucket = F.coalesce(
+            _bucket_col(_as_double(df, c), bounds), F.lit(0).cast("long")
+        )
+        table = F.array(*[F.lit(v).cast("long") for v in spread_table(ci)])
+        parts.append(F.element_at(table, (bucket + 1).cast("int")))
+    return reduce(lambda a, p: a + p, parts[1:], parts[0]).cast("long")
 
 
 def zorder_write(
@@ -103,7 +143,10 @@ def zorder_write(
     parquet. Each output file then covers a compact z-range — a small
     min/max window on EVERY clustered column — which is what lets footer
     stats skip files for multi-column predicates."""
-    z = df.withColumn("_z", zvalue(df, cols, bits))
+    # barrier before the range partitioner: its sampling pass would
+    # otherwise evaluate the z expression over the whole input a second
+    # time (house pattern, see training/dedup.py)
+    z = df.withColumn("_z", zvalue(df, cols, bits)).localCheckpoint(eager=True)
     part = (
         z.repartitionByRange(target_files, "_z")
         if target_files

@@ -1699,7 +1699,9 @@ def compact_snapshot(
             from ..operators.layout import zvalue
 
             n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-            z = df.withColumn("_z", zvalue(df, list(zorder)))
+            # barrier: the range partitioner's sampling pass would
+            # otherwise evaluate the z expression over the input twice
+            z = df.withColumn("_z", zvalue(df, list(zorder))).localCheckpoint(eager=True)
             (
                 z.repartitionByRange(max(1, n), "_z")
                 .sortWithinPartitions("_z")
