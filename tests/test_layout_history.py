@@ -135,3 +135,49 @@ def test_zvalue_wide_and_typed_columns(spark):
 
     with pytest.raises(ValueError, match="unsupported type"):
         zvalue(df, ["s"])
+
+
+def test_bucket_binary_search_equals_brute_count(spark):
+    """The r9 codegen binary-search bucket must equal the definitional
+    'count of boundaries <= value' for every value position: below,
+    equal-to, between, above, duplicates among boundaries, and NULL."""
+    from stellar_etl_airflow_spark.operators.layout import _bucket_col
+
+    bounds = [1.0, 1.0, 2.5, 2.5, 2.5, 7.0, 9.0]  # deliberately duplicated
+    vals = [0.0, 1.0, 1.5, 2.5, 3.0, 7.0, 8.0, 9.0, 100.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["b"] for r in df.select(_bucket_col(F.col("v"), bounds).alias("b")).collect()
+    ]
+    # NULL descends with every comparison NULL -> bucket 0, the same
+    # NULLS-FIRST placement the old size(filter(...)) form produced
+    want = [sum(1 for b in bounds if b <= v) if v is not None else 0 for v in vals]
+    assert got == want, (got, want)
+
+
+def test_bucket_search_random_boundaries(spark):
+    """Randomized sweep (fixed seed): 64 boundary arrays x 32 probe
+    values, binary search == brute count everywhere."""
+    import random
+
+    from stellar_etl_airflow_spark.operators.layout import _bucket_col
+
+    rng = random.Random(17)
+    rows, cols = [], []
+    for t in range(8):
+        n = rng.choice([1, 3, 7, 15, 31, 255])
+        bounds = sorted(round(rng.uniform(-5, 5), 2) for _ in range(n))
+        vals = [round(rng.uniform(-6, 6), 2) for _ in range(32)] + bounds[:4]
+        rows.append((t, bounds, vals))
+    df = spark.createDataFrame(
+        [(t, v) for t, _b, vs in rows for v in vs], "t int, v double"
+    )
+    for t, bounds, _vs in rows:
+        got = {
+            (r["v"], r["b"])
+            for r in df.where(F.col("t") == t)
+            .select("v", _bucket_col(F.col("v"), bounds).alias("b"))
+            .collect()
+        }
+        for v, b in got:
+            assert b == sum(1 for x in bounds if x <= v), (t, v, b)
