@@ -49,11 +49,11 @@ QUERIES.update(connectors.SPECS)
 # probe) — q51, q55-q59, s10-s13 as named by the verdict, then
 # q17_apply_changes (merge.py insert_unique + column-mapping-guard
 # edits land in r9 too) and the oldest remaining r7 relational
-# entries. The 38 r7/r8-fresh entries that miss the window (t01-t05
-# cluster, s01-s07, t38-t55, ...) are all oracle-verified in-repo by
-# test_oracle_parity.py every pytest run; the r7-stale remainder
-# (q19, q26, q28, q29, q45, q48-q50, s01-s07, t01-t03, t16, t17,
-# t19, t20, t38-t44, t46-t52) MUST lead _FRONT in round 10.
+# entries. With the six r9-new entries the 50-slot window ends at
+# ~q28; the r7-stale remainder that misses it (q29, q50, q48, q49,
+# q45, s01-s07, t01-t03, t16, t17, t19, t20, t38-t44, t46-t52) is
+# oracle-verified in-repo by test_oracle_parity.py every pytest run
+# and MUST lead _FRONT in round 10.
 _FRONT = [
     # (a0) NEW in r9 — never driver-verified, so they lead everything
     "t56_hashed_features",
