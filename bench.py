@@ -67,9 +67,14 @@ def _host_cpu_jiffies() -> tuple[float, float]:
 
 
 def _tree_cpu_sec() -> float:
-    """utime+stime (seconds) summed over THIS process and every live
-    descendant — the bench's own CPU including the Spark JVM and Python
-    workers. /proc walk; missing/raced entries are skipped."""
+    """utime+stime+cutime+cstime (seconds) summed over THIS process and
+    every live descendant — the bench's own CPU including the Spark JVM
+    and Python workers. cutime/cstime fold in children the JVM already
+    REAPED (worker churn mid-rep); without them that CPU lands in the
+    host busy delta but not ours, and the probe would misattribute our
+    own work to co-tenant load (review r9). A live child's CPU is only
+    in its own utime (cutime moves on reap), so nothing double-counts.
+    /proc walk; missing/raced entries are skipped."""
     procs: dict[int, tuple[int, float]] = {}
     try:
         pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
@@ -81,7 +86,11 @@ def _tree_cpu_sec() -> float:
                 raw = fh.read()
             # comm may contain spaces/parens: split after the LAST ')'
             rest = raw[raw.rindex(")") + 2 :].split()
-            procs[pid] = (int(rest[1]), (float(rest[11]) + float(rest[12])) / _CLK_TCK)
+            cpu = (
+                float(rest[11]) + float(rest[12])  # utime + stime
+                + float(rest[13]) + float(rest[14])  # + reaped children
+            ) / _CLK_TCK
+            procs[pid] = (int(rest[1]), cpu)
         except (OSError, ValueError, IndexError):
             continue
     kids: dict[int, list[int]] = {}

@@ -85,10 +85,22 @@ def sql_insert_job(
         from ..functions.bqcompat import translate_bq_sql
 
         rendered = translate_bq_sql(rendered)
-    m = re.match(r"(?is)\s*insert\s+into\s+`?([\w\-.]+)`?\s+(.*)", rendered)
+    # leading line comments must not hide an INSERT header from the
+    # parse (it would fall into the bare-SELECT path and fail with an
+    # opaque table-not-found; review r9)
+    body = re.sub(r"(?m)\A(\s*--[^\n]*\n)+", "", rendered)
+    m = re.match(r"(?is)\s*insert\s+into\s+`?([\w\-.]+)`?\s*(.*)", body)
     if m:
         parsed = m.group(1).split(".")[-1]
         rendered = m.group(2)
+        if rendered.lstrip().startswith("("):
+            # INSERT INTO t (a, b) SELECT ...: reordering the SELECT to a
+            # column list is not implemented — refuse loudly instead of
+            # handing spark.sql an unparseable fragment (review r9)
+            raise NotImplementedError(
+                "sql_insert_job: INSERT with an explicit column list is not "
+                "supported; emit the columns in table order in the SELECT"
+            )
         dest_table = dest_table or parsed
     if dest_table is None:
         raise ValueError("dest_table required for a bare-SELECT template")

@@ -143,10 +143,13 @@ def zorder_write(
     parquet. Each output file then covers a compact z-range — a small
     min/max window on EVERY clustered column — which is what lets footer
     stats skip files for multi-column predicates."""
-    # barrier before the range partitioner: its sampling pass would
-    # otherwise evaluate the z expression over the whole input a second
-    # time (house pattern, see training/dedup.py)
-    z = df.withColumn("_z", zvalue(df, cols, bits)).localCheckpoint(eager=True)
+    # NO barrier here: the range partitioner's sampling pass evaluates
+    # the z expression a second time, but post-r9 that is ~log2(2^bits)
+    # codegen probes + one element_at per column per row — one cheap
+    # extra scan. A localCheckpoint would materialize the ENTIRE table
+    # into executor storage (and is non-reliable under executor loss),
+    # which is the wrong trade at 100 TB (review r9).
+    z = df.withColumn("_z", zvalue(df, cols, bits))
     part = (
         z.repartitionByRange(target_files, "_z")
         if target_files

@@ -359,7 +359,7 @@ def _merge_versioned_core(
     combine,
     evolve: bool = False,
     txn_id: str | None = None,
-    retries: int = 3,
+    retries: int = 10,
 ) -> tuple[int, list[int]]:
     """Conflict-retrying wrapper over :func:`_merge_versioned_once`
     (r9, Delta's automatic-conflict-retry behavior): the publish CAS
@@ -369,7 +369,13 @@ def _merge_versioned_core(
     merges of different buckets all land. Safe to re-run wholesale: the
     txn ledger makes a replayed batch exactly-once, and a lost-race
     attempt leaves only orphan staged files (vacuum's orphan-retention
-    reclaims them). ``retries=0`` restores raise-on-first-conflict."""
+    reclaims them). Every CAS round some writer publishes (global
+    progress), so ``retries`` bounds the writer COUNT a table tolerates,
+    not time — 10 matches Delta's default attempt budget; a short
+    linear backoff breaks lockstep re-collisions. ``retries=0`` restores
+    raise-on-first-conflict."""
+    import time as _time
+
     from ..sinks import snapshots as S
 
     for attempt in range(retries + 1):
@@ -381,6 +387,7 @@ def _merge_versioned_core(
         except S.ConcurrentWriteError:
             if attempt == retries:
                 raise
+            _time.sleep(0.05 * (attempt + 1))
     raise AssertionError("unreachable")
 
 
@@ -440,6 +447,10 @@ def _merge_versioned_once(
     # incremental mart) that DOUBLES the merge's compute. Batch-sized,
     # unpersisted before return.
     ch = changes.withColumn(BUCKET_COL, key_bucket(keys, n_buckets)).persist()
+    # _align_schemas below may REBIND ch; unpersist must target the
+    # handle that was actually cached (review r9 — the evolve path left
+    # one cached batch per merge in the CacheManager forever)
+    _cached = ch
     touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
 
     def bucket_of(f: str):
@@ -525,6 +536,7 @@ def _merge_versioned_once(
         elif set(tgt.columns) != set(ch.columns):
             # without evolution a subset batch would silently DROP the
             # target-only columns from every rewritten bucket
+            _cached.unpersist()
             raise ValueError(
                 f"{path}: change batch columns {sorted(ch.columns)} != table "
                 f"columns {sorted(tgt.columns)}; pass allow_schema_evolution=True"
@@ -546,6 +558,7 @@ def _merge_versioned_once(
             batch_cols_ = {c for c in ch.columns if c != BUCKET_COL}
             if tbl_cols != batch_cols_:
                 if not evolve:
+                    _cached.unpersist()
                     raise ValueError(
                         f"{path}: change batch columns {sorted(batch_cols_)} != "
                         f"table columns {sorted(tbl_cols)}; pass "
@@ -561,7 +574,7 @@ def _merge_versioned_once(
         merged.write.partitionBy(BUCKET_COL).parquet(stage)
         new_files.extend(S.adopt_staged(stage, path))
     finally:
-        ch.unpersist()
+        _cached.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
     # once evolved, later versions keep mixing schemas (old keep-files
     # persist) until a full rewrite — propagate the flag forward
@@ -752,14 +765,21 @@ def insert_unique(
     duplicates — see PARITY.md "insert_unique in-batch dedup"."""
     from pyspark.sql.window import Window
 
+    non_key = [c for c in new_rows.columns if c not in set(keys)]
     if tiebreak is not None:
         other = list(tiebreak)
     else:
         schema = {f.name: f.dataType for f in new_rows.schema.fields}
-        other = [
-            c for c in new_rows.columns
-            if c not in set(keys) and _orderable(schema[c])
-        ]
+        other = [c for c in non_key if _orderable(schema[c])]
+        if non_key and not other:
+            # every non-key column is non-orderable (maps): picking "any"
+            # row would be partition-layout-dependent, breaking the
+            # deterministic-replay contract silently (review r9)
+            raise ValueError(
+                "insert_unique: no orderable non-key column to disambiguate "
+                f"same-key rows among {sorted(non_key)}; pass an explicit "
+                "tiebreak= (e.g. an ingest sequence column)"
+            )
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).asc_nulls_last() for c in other] if other else [F.lit(1)]
     )

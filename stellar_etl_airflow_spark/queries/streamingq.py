@@ -946,16 +946,17 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx0.write.parquet(idx_dir)  # the persisted index, seeded
         os.makedirs(acc_dir, exist_ok=True)
 
+        nh = 32  # num_hashes: must match every _minhash_bands call here
         agree_expr = (
             "aggregate(zip_with(bsig, csig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
-            "0, (acc, v) -> acc + v) / 32.0"
+            f"0, (acc, v) -> acc + v) / cast({nh} as double)"
         )
 
         def handle(batch_df, _bid):
             s = batch_df.sparkSession
             from ..training.dedup import _minhash_bands as mb
 
-            bsig, bbands = mb(batch_df, "text", "doc_id", 3, 32, 8)
+            bsig, bbands = mb(batch_df, "text", "doc_id", 3, nh, 8)
             idx = s.read.parquet(idx_dir)
             dups = (
                 bbands.alias("nb")
@@ -975,9 +976,12 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("bdoc")
                 .distinct()
             )
+            # barrier: 'accepted' feeds TWO write actions below; without
+            # it the second re-runs the whole probe (index scan + both
+            # joins) per microbatch (review r9). Batch-sized pin.
             accepted = batch_df.join(
                 dups.withColumnRenamed("bdoc", "doc_id"), "doc_id", "left_anti"
-            )
+            ).localCheckpoint(eager=True)
             accepted.select("doc_id").write.mode("append").parquet(acc_dir)
             new_rows = (
                 bbands.join(bsig, "doc")
@@ -1007,7 +1011,6 @@ def _s14_sql() -> str:
     from .training import GRAMS_CTE, _G1, _G2, _MOD55
 
     rounds = []
-    prev_accept = "d.doc_id % 5 <> 0"  # the standing corpus
     for k, g in enumerate((0, 5, 10)):
         rounds.append(f"""
 d{k} AS (
@@ -1019,7 +1022,6 @@ a{k} AS (
   SELECT doc_id FROM documents
   WHERE doc_id % 15 = {g} AND doc_id NOT IN (SELECT bdoc FROM d{k})
 )""")
-        _ = prev_accept
     union = " UNION ALL ".join(f"SELECT doc_id FROM a{k}" for k in range(3))
     return f"""
 WITH {GRAMS_CTE},

@@ -1699,9 +1699,10 @@ def compact_snapshot(
             from ..operators.layout import zvalue
 
             n = target_files or int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-            # barrier: the range partitioner's sampling pass would
-            # otherwise evaluate the z expression over the input twice
-            z = df.withColumn("_z", zvalue(df, list(zorder))).localCheckpoint(eager=True)
+            # no checkpoint barrier: the sampling pass re-evaluates the
+            # (now-cheap) z expression once more, which beats
+            # materializing the whole table (see operators/layout.py)
+            z = df.withColumn("_z", zvalue(df, list(zorder)))
             (
                 z.repartitionByRange(max(1, n), "_z")
                 .sortWithinPartitions("_z")

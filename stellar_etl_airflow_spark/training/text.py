@@ -1126,29 +1126,37 @@ def pmi_cooccurrence(
     surviving pairs (vocabulary-sized tables vs a corpus-sized pair
     stream). At 100 TB: three linear aggregates + two broadcast joins."""
     ws = words_col(text_col)
+    # project the token array into a NAMED COLUMN before the nested
+    # expansion: every element_at/size reference inside the lambdas
+    # otherwise re-inlines the full lower+split of the text (Catalyst
+    # projection collapse) — measured 21 s -> <1 s on sf0.1 (review r9;
+    # same trap as training/dedup.py's signature folds)
+    wdf = df.where(F.size(ws) >= 2).select(ws.alias("_ws"))
+    w = F.col("_ws")
     pairs_expr = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
+            F.sequence(F.lit(0), F.size(w) - 2),
             lambda i: F.transform(
-                F.sequence(i + 1, F.least(i + F.lit(window), F.size(ws) - 1)),
+                F.sequence(i + 1, F.least(i + F.lit(window), F.size(w) - 1)),
                 lambda j: F.struct(
-                    F.element_at(ws, i + 1).alias("a"),
-                    F.element_at(ws, j + 1).alias("b"),
+                    F.element_at(w, i + 1).alias("a"),
+                    F.element_at(w, j + 1).alias("b"),
                 ),
             ),
         )
     )
-    pairs = (
-        df.where(F.size(ws) >= 2)
-        .select(F.explode(pairs_expr).alias("p"))
-        .select("p.a", "p.b")
-    )
+    pairs = wdf.select(F.explode(pairs_expr).alias("p")).select("p.a", "p.b")
     # ONE corpus scan: the full pair-count table is the reduction every
     # marginal derives from (pair-TYPE cardinality, vocab²-bounded — vs
     # re-scanning the corpus per marginal, which the naive 4-aggregate
-    # formulation does)
-    pc_full = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
-    pc = pc_full.persist()
+    # formulation does). localCheckpoint, not persist: blocks release
+    # when the frame is unreachable, while a CacheManager entry would
+    # outlive the query for the whole session (review r9)
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
     left = pc.groupBy("a").agg(F.sum("pair_count").alias("ca"))
     right = pc.groupBy("b").agg(F.sum("pair_count").alias("cb"))
     total = pc.agg(F.sum("pair_count").alias("np"))
