@@ -39,8 +39,8 @@ QUERIES.update(connectors.SPECS)
 # changes come first.
 #
 # Round 9 window (50 slots), honoring the VERDICT r8 ask #1 invariant:
-# (a0) the three r9-NEW entries (t56-t58: never driver-verified) lead
-# everything; then (a) ALL thirty r6-stale entries — t09-t12 plus the
+# (a0) the seven r9-NEW entries (t56-t60, s14, q61: never
+# driver-verified) lead everything; then (a) ALL thirty r6-stale entries — t09-t12 plus the
 # early relational ports q01-q27 + q42/q46, the oldest staleness class
 # and the promised sacrifice list from round 8; then (b) the remaining
 # slots go to r7-stale entries whose BACKING CODE changed in round 8
@@ -62,6 +62,7 @@ _FRONT = [
     "t59_incremental_dedup",
     "s14_stream_incremental_dedup",
     "q61_zorder_optimize",
+    "t60_token_budget_selection",
     # (a) the 30 r6-stale entries — oldest class, promised last round
     "q01_pricing_summary",
     "q02_latest_state_dedup",

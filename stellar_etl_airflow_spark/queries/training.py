@@ -2782,3 +2782,61 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t60 — token-budget data selection (r9): quality-ranked greedy take
+# until half the corpus tokens are spent; distributed prefix sum.
+# ---------------------------------------------------------------------------
+
+
+def t60_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "assemble the training mix" step: rank by the t10 composite
+    quality score (ties by doc_id), take docs in rank order until HALF
+    the corpus tokens are spent. Selection is integer-exact
+    (``2*cum <= total``) and the engine's cumulative sum is the t53
+    distributed prefix sum (score-range segments + broadcast offsets);
+    the oracle states the same total order as ONE window."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return T.select_token_budget(docs, budget_num=1, budget_den=2)
+
+
+T60_SQL = rf"""
+WITH {WORDS_CTE},
+m AS (
+  SELECT d.doc_id,
+         length(d.text)::DOUBLE AS n_chars,
+         len(w.ws)::DOUBLE AS n_words,
+         length(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS n_punct,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS n_digits,
+         len(list_filter(w.ws, x -> x IN ({_EN_SET})))::DOUBLE AS n_stops
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+),
+sc AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+         round(least(n_words / 100.0, 1.0) * 0.4
+           + least(n_stops / greatest(n_words, 1.0) * 5.0, 1.0) * 0.3
+           + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.2
+           + (1.0 - least(n_digits / greatest(n_chars, 1.0) * 10.0, 1.0)) * 0.1, 6) AS s
+  FROM m
+),
+tot AS (SELECT sum(n_tokens) AS t FROM sc),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY s DESC, doc_id) AS cum_tokens
+  FROM sc
+)
+SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens * 2 <= tot.t AS selected
+FROM c CROSS JOIN tot
+"""
+
+
+SPECS.update(
+    {
+        "t60_token_budget_selection": QuerySpec(
+            t60_token_budget_selection,
+            T60_SQL,
+            "token-budget data selection: quality-ranked greedy take, distributed prefix sum, integer-exact boundary",
+        ),
+    }
+)

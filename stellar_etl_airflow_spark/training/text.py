@@ -1178,3 +1178,69 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked data selection under a token budget — the "build
+    the training mix" step: rank documents by the :func:`quality_score`
+    composite (ties broken by id), take them in order until the corpus
+    token budget (``budget_num/budget_den`` of total tokens) is spent.
+    Selection is integer-exact (``cum*den <= total*num`` — no float
+    boundary), so the kept set is bit-identical across engines.
+
+    The global running total is a DISTRIBUTED PREFIX SUM, not a
+    single-partition window (same shape as :func:`shard_manifest`):
+    the rounded score's value range defines ``n_buckets`` ordered
+    segments, within-segment cumsums are windows PARTITIONED by
+    segment, and the cross-segment offsets are an ``n_buckets``-row
+    broadcast — no corpus-sized single-partition operator at 100 TB.
+    Returns (doc_id, n_tokens, cum_tokens, selected) for EVERY doc."""
+    from pyspark.sql.window import Window
+
+    qs = quality_score(df, text_col, id_col).select(
+        id_col,
+        F.col("n_words").alias("n_tokens"),
+        F.round("quality_score", 6).alias("_s"),
+    )
+    # descending score -> ascending segment; score is bounded [0, 1]
+    seg = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((F.lit(1.0) - F.col("_s")) * n_buckets)),
+    ).cast("int")
+    toks = qs.withColumn("_seg", seg)
+    w_in = (
+        Window.partitionBy("_seg")
+        .orderBy(F.col("_s").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seg = Window.orderBy("_seg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        toks.groupBy("_seg")
+        .agg(F.sum("n_tokens").alias("_segtot"))
+        .withColumn("_off", F.sum("_segtot").over(w_seg) - F.col("_segtot"))
+        .select("_seg", "_off")
+    )
+    total = toks.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "_seg")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_cum_in") + F.col("_off")).alias("cum_tokens"),
+            (
+                (F.col("_cum_in") + F.col("_off")) * budget_den
+                <= F.col("_tot") * budget_num
+            ).alias("selected"),
+        )
+    )
