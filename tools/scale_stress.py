@@ -126,6 +126,10 @@ PROBES = [
     "t57_pmi_cooccurrence",     # in-row pair expansion + pair-type aggs
     "t58_bpe_tokenize",         # learn on word types + memoized encode
     "t59_incremental_dedup",    # band-index probe + agreement join
+    # t60: the distributed prefix sum's segment windows grow Kx rows
+    # each (segment count fixed), offsets stay a 256-row broadcast —
+    # the claim is linear cumsum without a global window; linear.
+    "t60_token_budget_selection",
 ]
 
 # env override: measure a subset without re-timing the whole list
