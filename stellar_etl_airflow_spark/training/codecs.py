@@ -18,10 +18,12 @@ with stdlib ``struct`` + ``zlib`` + numpy — so the decode seam in
   + id header — real duration/rate).
 
 Only codings that genuinely need an external library fall back to the
-deterministic stub: arithmetic-coded JPEG pixels, MP3/Vorbis PCM
-payloads (headers are real; MS-RLE8 inter-frame video is REAL since r7,
-see avi_rle8_frames). Progressive JPEG
-decodes for real since r7 (training/jpeg.py, T.81 Annex G).
+deterministic stub: MP3/Vorbis PCM payloads (headers are real; MS-RLE8
+inter-frame video is REAL since r7, see avi_rle8_frames). Progressive
+JPEG decodes for real since r7 (training/jpeg.py, T.81 Annex G);
+ARITHMETIC-coded JPEG decodes through the native seam since r9
+(training/native_jpeg.py — the shim also ENCODES arithmetic fixtures,
+so the gap is closed with a real tested payload, not a claim).
 
 Format references (all public specs):
 - PNG: ISO/IEC 15948 §11.2.2 — IHDR is the first chunk; width/height are
@@ -122,7 +124,8 @@ def image_dimensions(payload: bytes) -> tuple[int, int] | None:
 # Supported (r7): bit depths 1/2/4/8/16, color types 0/2/3/4/6,
 # non-interlaced AND Adam7. BMP: uncompressed 24/32-bit
 # BITMAPINFOHEADER rows, bottom-up or top-down, 4-byte row padding.
-# JPEG pixels decode in training/jpeg.py (baseline + progressive);
+# JPEG pixels decode in training/jpeg.py (baseline + progressive;
+# arithmetic via the native_jpeg seam since r9);
 # MS-RLE8 inter-frame video decodes with frame-state carry (r7);
 # H.264-class codecs and MP3/OGG payloads stay documented stubs.
 # ---------------------------------------------------------------------------

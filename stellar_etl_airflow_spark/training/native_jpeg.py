@@ -35,6 +35,8 @@ import tempfile
 
 _C_SOURCE = r"""
 #include <stddef.h>
+#include <stdlib.h>
+#include <string.h>
 #include <setjmp.h>
 #include <stdio.h>
 #include <jpeglib.h>
@@ -73,6 +75,49 @@ int njpeg_dims(const unsigned char *buf, unsigned long len,
     *w = (int)cinfo.output_width;
     *ch = (int)cinfo.output_components;
     jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+/* Encode interleaved RGB/grayscale pixels. arith != 0 selects
+   arithmetic entropy coding (T.81 Annex D) — the variant the
+   pure-Python decoder declines and the seam exists to close.
+   0 ok, -1 encode error, -2 out too small. */
+int njpeg_encode(const unsigned char *pix, int h, int w, int ch,
+                 int arith, int quality,
+                 unsigned char *out, unsigned long cap,
+                 unsigned long *out_len) {
+    struct jpeg_compress_struct cinfo;
+    struct njpeg_err jerr;
+    unsigned char *buf = out;
+    unsigned long len = cap;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = njpeg_error_exit;
+    jerr.pub.emit_message = njpeg_emit_message;
+    if (setjmp(jerr.jb)) { jpeg_destroy_compress(&cinfo); return -1; }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, &buf, &len);
+    cinfo.image_width = (JDIMENSION)w;
+    cinfo.image_height = (JDIMENSION)h;
+    cinfo.input_components = ch;
+    cinfo.in_color_space = (ch == 3) ? JCS_RGB : JCS_GRAYSCALE;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    if (arith) cinfo.arith_code = TRUE;
+    jpeg_start_compress(&cinfo, TRUE);
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = (JSAMPROW)(pix + (size_t)cinfo.next_scanline * w * ch);
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    /* jpeg_mem_dest reallocates when the caller buffer is too small */
+    if (buf != out) {
+        int fits = len <= cap;
+        if (fits) memcpy(out, buf, len);
+        free(buf);
+        if (!fits) return -2;
+    }
+    *out_len = len;
     return 0;
 }
 
@@ -178,6 +223,12 @@ def _load():
     lib.njpeg_decode.restype = ctypes.c_int
     lib.njpeg_dims.argtypes = [u8p, ctypes.c_ulong, ip, ip, ip]
     lib.njpeg_dims.restype = ctypes.c_int
+    lib.njpeg_encode.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_ulong, ctypes.POINTER(ctypes.c_ulong),
+    ]
+    lib.njpeg_encode.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -209,6 +260,31 @@ def decode(payload: bytes):
     if rc != 0:
         return None
     return out.reshape(h.value, w.value, ch.value)
+
+
+def encode(pixels, arith: bool = False, quality: int = 75) -> bytes:
+    """JPEG-encode an (h, w, ch) uint8 array through libjpeg.
+    ``arith=True`` writes ARITHMETIC entropy coding (T.81 Annex D) — the
+    payload class the pure-Python decoder honestly declines; used to
+    build real fixtures proving the seam closes that gap, and usable as
+    a native encoder in its own right."""
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    lib = _load()
+    cap = h * w * ch + 65536
+    out = (ctypes.c_ubyte * cap)()
+    out_len = ctypes.c_ulong()
+    rc = lib.njpeg_encode(
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, ch, 1 if arith else 0, quality, out, cap, ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"njpeg_encode failed (rc={rc})")
+    return bytes(bytearray(out)[: out_len.value])
 
 
 def decoder():

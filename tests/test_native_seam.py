@@ -104,3 +104,30 @@ def test_spec_clear_reaches_reused_workers(spark):
     shutil.rmtree(FX.SEAM_MARKER_DIR, ignore_errors=True)
     assert multimodal.image_pixel_stats(media).count() == 4
     assert glob.glob(FX.SEAM_MARKER_DIR + "/*") == []  # seam truly off in workers
+
+
+@needs_shim
+def test_arithmetic_jpeg_closes_stub_gap(spark):
+    """Arithmetic-coded JPEG (T.81 Annex D) — the payload class the
+    pure-Python decoder honestly declines — decodes through the seam:
+    the shim ENCODES a real arithmetic fixture, seam-off image_pixels
+    returns None (stub intact), seam-on the pipeline decodes it and the
+    pixels match the same image's Huffman encode exactly."""
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, (8, 8, 3)).astype(np.float64)
+    img = np.kron(base, np.ones((8, 8, 1)))[:64, :64].astype(np.uint8)
+    arith = native_jpeg.encode(img, arith=True)
+    huff = native_jpeg.encode(img, arith=False)
+    assert len(arith) < len(huff)  # it really is the arithmetic variant
+    assert codecs.image_pixels(arith) is None  # pure path: honest decline
+    media = spark.createDataFrame(
+        [(1, bytearray(arith)), (2, bytearray(huff))], "doc_id long, payload binary"
+    )
+    codecs.use_pixel_decoder_spec(native_jpeg.NATIVE_JPEG_SPEC)
+    try:
+        rows = {r["doc_id"]: r for r in multimodal.image_pixel_stats(media).collect()}
+    finally:
+        codecs.use_pixel_decoder_spec(None)
+    assert set(rows) == {1, 2}
+    assert rows[1]["rms"] == rows[2]["rms"]  # same DCT stream, same pixels
+    assert (rows[1]["height"], rows[1]["width"], rows[1]["channels"]) == (64, 64, 3)
