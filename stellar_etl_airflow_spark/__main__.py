@@ -171,6 +171,52 @@ def _cmd_zorder(args) -> None:
     print(f"z-ordered {args.src} -> {args.dst} on {cols}")
 
 
+def _cmd_fsck(args) -> None:
+    from .sinks.snapshots import fsck_repair
+
+    missing = fsck_repair(args.table, dry_run=True)
+    if not missing:
+        print("fsck: clean (every referenced file present)")
+        return
+    print(f"fsck: {len(missing)} referenced files MISSING")
+    for f in missing:
+        print(f"  {f}")
+    if args.repair:
+        fsck_repair(args.table)
+        print("repaired: new version published without the missing references")
+
+
+def _cmd_optimize(args) -> None:
+    from .session import get_spark
+    from .sinks.snapshots import compact_small_files, compact_snapshot
+
+    spark = get_spark("cli-optimize")
+    if args.zorder:
+        cols = tuple(c.strip() for c in args.zorder.split(",") if c.strip())
+        v = compact_snapshot(spark, args.table, target_files=args.target_files, zorder=cols)
+        print(f"OPTIMIZE ZORDER BY {cols}: published v{v}")
+    elif args.full:
+        v = compact_snapshot(spark, args.table, target_files=args.target_files)
+        print(f"OPTIMIZE (full rewrite): published v{v}")
+    else:
+        v, n = compact_small_files(spark, args.table)
+        print(f"OPTIMIZE (bin-packing): v{v}, {n} small files rewritten")
+
+
+def _cmd_restore(args) -> None:
+    from .sinks.snapshots import restore
+
+    v = restore(args.table, args.version)
+    print(f"restored {args.table} to the v{args.version} contents as v{v}")
+
+
+def _cmd_clone(args) -> None:
+    from .sinks.snapshots import clone
+
+    v = clone(args.src, args.dst, version=args.version)
+    print(f"cloned {args.src} -> {args.dst} (zero-copy) as v{v}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="stellar_etl_airflow_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -199,6 +245,29 @@ def main() -> None:
     z.add_argument("--cols", required=True)
     z.add_argument("--bits", type=int, default=8)
     z.set_defaults(fn=_cmd_zorder)
+
+    f = sub.add_parser("fsck", help="verify (and optionally repair) manifest file references")
+    f.add_argument("table")
+    f.add_argument("--repair", action="store_true")
+    f.set_defaults(fn=_cmd_fsck)
+
+    o = sub.add_parser("optimize", help="compact a snapshot table (bin-packing / full / zorder)")
+    o.add_argument("table")
+    o.add_argument("--full", action="store_true")
+    o.add_argument("--zorder", default=None, help="comma-separated cluster columns")
+    o.add_argument("--target-files", type=int, default=None)
+    o.set_defaults(fn=_cmd_optimize)
+
+    r = sub.add_parser("restore", help="RESTORE a snapshot table to an old version")
+    r.add_argument("table")
+    r.add_argument("version", type=int)
+    r.set_defaults(fn=_cmd_restore)
+
+    k = sub.add_parser("clone", help="zero-copy CLONE of a snapshot table")
+    k.add_argument("src")
+    k.add_argument("dst")
+    k.add_argument("--version", type=int, default=None)
+    k.set_defaults(fn=_cmd_clone)
 
     args = ap.parse_args()
     args.fn(args)
