@@ -1214,7 +1214,12 @@ def select_token_budget(
         F.lit(n_buckets - 1),
         F.greatest(F.lit(0), F.floor((F.lit(1.0) - F.col("_s")) * n_buckets)),
     ).cast("int")
-    toks = qs.withColumn("_seg", seg)
+    # pin the NARROW (id, tokens, score, segment) projection: the main
+    # window, the segment offsets, and the total are three consumers,
+    # and without the barrier each re-scans the corpus TEXT column and
+    # recomputes the score (review r9 — the t57 lesson; this table is
+    # ~25 bytes/doc vs the full text)
+    toks = qs.withColumn("_seg", seg).localCheckpoint(eager=True)
     w_in = (
         Window.partitionBy("_seg")
         .orderBy(F.col("_s").desc(), F.col(id_col))
