@@ -64,6 +64,7 @@ def sql_insert_job(
     template: str,
     dest_table: str | None,
     write_disposition: str = "WRITE_APPEND",
+    translate: bool = False,
     **params,
 ) -> DataFrame:
     """Run a rendered SQL statement and land the result with the mapped
@@ -78,8 +79,13 @@ def sql_insert_job(
     the reference routes with is the caller's Warehouse choice here.
     ``translate=True`` additionally runs the rendered text through
     ``functions.bqcompat.translate_bq_sql`` so the reference's BQ-dialect
-    templates run verbatim."""
-    translate = params.pop("translate", False)
+    templates run verbatim. ``translate`` is an explicit keyword (ADVICE
+    r9): popping it out of ``**params`` silently shadowed any template
+    that legitimately renders a ``{translate}`` placeholder — such a
+    placeholder now flows through ``params`` untouched. A caller-supplied
+    ``dest_table`` that DISAGREES with a parsed INSERT header's table is
+    a routing ambiguity and raises (same finding): silently preferring
+    the argument sent rows to a different table than the SQL says."""
     rendered = render_sql_template(template, **params)
     if translate:
         from ..functions.bqcompat import translate_bq_sql
@@ -100,6 +106,12 @@ def sql_insert_job(
             raise NotImplementedError(
                 "sql_insert_job: INSERT with an explicit column list is not "
                 "supported; emit the columns in table order in the SELECT"
+            )
+        if dest_table is not None and dest_table != parsed:
+            raise ValueError(
+                f"sql_insert_job: dest_table={dest_table!r} disagrees with the "
+                f"template's INSERT INTO {parsed!r}; drop the argument (the "
+                "header routes) or align them"
             )
         dest_table = dest_table or parsed
     if dest_table is None:

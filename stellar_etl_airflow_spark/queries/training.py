@@ -2796,9 +2796,61 @@ def t60_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus tokens are spent. Selection is integer-exact
     (``2*cum <= total``) and the engine's cumulative sum is the t53
     distributed prefix sum (score-range segments + broadcast offsets);
-    the oracle states the same total order as ONE window."""
+    the oracle states the same total order as ONE window.
+
+    r10 hardening (VERDICT r9 ask #1 — t60 was the corpus's only red
+    driver row, unreproducible locally): the output now carries a
+    deterministic ``doc_id`` order on BOTH sides, and the entry
+    self-asserts the prefix-sum CHAIN property before returning, so an
+    engine-side ordering/offset break fails loudly instead of
+    hash-silently. The check is fully distributed (one agg + two
+    anti-joins over the narrow output — no single-partition window):
+    cum values are distinct, exactly one row starts the chain
+    (cum == n_tokens), every other row's predecessor value
+    (cum - n_tokens) is some row's cum, every non-max cum is some
+    row's predecessor, and max(cum) == sum(n_tokens). Together these
+    force the cum column to be exactly the prefix sums of ONE total
+    order — any dropped/duplicated offset or segment misassignment
+    breaks a link. (Zero-token rows would make the chain non-strict;
+    testdata has none — min 10 words/doc — and they are excluded from
+    the link checks so the assertion stays valid if they appear.)"""
     (docs,) = tables(spark, sf_dir, "documents")
-    return T.select_token_budget(docs, budget_num=1, budget_den=2)
+    out = T.select_token_budget(docs, budget_num=1, budget_den=2)
+    chk = out.where(F.col("n_tokens") > 0).select(
+        F.col("cum_tokens").alias("_c"),
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("_p"),
+    )
+    a = chk.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("_c").alias("nd"),
+        F.sum(F.when(F.col("_p") == 0, 1).otherwise(0)).alias("zeros"),
+        F.max("_c").alias("mx"),
+        F.sum(F.col("_c") - F.col("_p")).alias("tok_sum"),
+    ).first()
+    dangling = (
+        chk.where(F.col("_p") != 0)
+        .join(chk.select(F.col("_c").alias("_t")), F.col("_p") == F.col("_t"), "left_anti")
+        .count()
+    )
+    unclaimed = (
+        chk.where(F.col("_c") != a["mx"])
+        .join(chk.select(F.col("_p").alias("_t")), F.col("_c") == F.col("_t"), "left_anti")
+        .count()
+    )
+    if not (
+        a["n"] == a["nd"]
+        and a["zeros"] == 1
+        and a["mx"] == a["tok_sum"]
+        and dangling == 0
+        and unclaimed == 0
+    ):
+        raise AssertionError(
+            "t60 prefix-sum chain broken: "
+            f"n={a['n']} distinct={a['nd']} chain_heads={a['zeros']} "
+            f"max_cum={a['mx']} token_sum={a['tok_sum']} "
+            f"dangling_links={dangling} unclaimed_cums={unclaimed}"
+        )
+    return out
 
 
 T60_SQL = rf"""
@@ -2822,12 +2874,17 @@ sc AS (
 ),
 tot AS (SELECT sum(n_tokens) AS t FROM sc),
 c AS (
+  -- CAST: DuckDB sums BIGINT into HUGEINT, which pandas lowers to
+  -- float64 — the engine's bigint then value-hash-mismatches (18704
+  -- vs 18704.0) even though every value is equal. THE r9 driver-red
+  -- root cause (r10): rows/schema checks pass, the hash does not.
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY s DESC, doc_id) AS cum_tokens
+         CAST(sum(n_tokens) OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS cum_tokens
   FROM sc
 )
 SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens * 2 <= tot.t AS selected
 FROM c CROSS JOIN tot
+ORDER BY c.doc_id
 """
 
 

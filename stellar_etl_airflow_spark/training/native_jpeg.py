@@ -31,6 +31,7 @@ import hashlib
 import os
 import shutil
 import subprocess
+import sys
 import tempfile
 
 _C_SOURCE = r"""
@@ -88,14 +89,25 @@ int njpeg_encode(const unsigned char *pix, int h, int w, int ch,
                  unsigned long *out_len) {
     struct jpeg_compress_struct cinfo;
     struct njpeg_err jerr;
-    unsigned char *buf = out;
-    unsigned long len = cap;
+    /* volatile: both are rewritten by jpeg_mem_dest between setjmp and
+       a potential longjmp, and the error path reads buf (C11 7.13.2.1:
+       non-volatile locals modified after setjmp are indeterminate
+       after longjmp) */
+    unsigned char * volatile buf = out;
+    volatile unsigned long len = cap;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = njpeg_error_exit;
     jerr.pub.emit_message = njpeg_emit_message;
-    if (setjmp(jerr.jb)) { jpeg_destroy_compress(&cinfo); return -1; }
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        /* jpeg_mem_dest may have realloc'd past the caller's buffer;
+           the error path must release that allocation (ADVICE r9 —
+           this leaked on every failed encode) */
+        if (buf != out) free(buf);
+        return -1;
+    }
     jpeg_create_compress(&cinfo);
-    jpeg_mem_dest(&cinfo, &buf, &len);
+    jpeg_mem_dest(&cinfo, (unsigned char **)&buf, (unsigned long *)&len);
     cinfo.image_width = (JDIMENSION)w;
     cinfo.image_height = (JDIMENSION)h;
     cinfo.input_components = ch;
@@ -173,14 +185,49 @@ def _so_path() -> str:
     return os.path.join(_BUILD_DIR, f"njpeg-{tag}.so")
 
 
+_hdr_probe: bool | None = None  # process-local: one preprocessor run max
+
+
+def _jpeglib_header_available() -> bool:
+    """True when ``#include <jpeglib.h>`` would resolve. Checks common
+    include roots first (free), then falls back to ONE cached
+    ``gcc -E`` probe so hosts with the header in a non-standard prefix
+    (conda env, /usr/local, multiarch dirs) aren't reported unavailable
+    (ADVICE r9 — a single hardcoded /usr/include path narrowed coverage
+    for no reason; the preprocessor sees exactly what a build would)."""
+    global _hdr_probe
+    for root in (
+        "/usr/include",
+        "/usr/local/include",
+        "/usr/include/x86_64-linux-gnu",
+        "/usr/include/aarch64-linux-gnu",
+        os.path.join(sys.prefix, "include"),
+    ):
+        if os.path.exists(os.path.join(root, "jpeglib.h")):
+            return True
+    if _hdr_probe is None:
+        gcc = shutil.which("gcc")
+        if gcc is None:
+            _hdr_probe = False
+        else:
+            try:
+                p = subprocess.run(
+                    [gcc, "-E", "-x", "c", "-"],
+                    input=b"#include <stdio.h>\n#include <jpeglib.h>\n",
+                    capture_output=True,
+                    timeout=30,
+                )
+                _hdr_probe = p.returncode == 0
+            except (OSError, subprocess.TimeoutExpired):
+                _hdr_probe = False
+    return _hdr_probe
+
+
 def available() -> bool:
     """True when the shim can be (or already is) built and loaded."""
     if os.path.exists(_so_path()):
         return True
-    return (
-        shutil.which("gcc") is not None
-        and os.path.exists("/usr/include/jpeglib.h")
-    )
+    return shutil.which("gcc") is not None and _jpeglib_header_available()
 
 
 def _build() -> str:

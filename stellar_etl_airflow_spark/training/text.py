@@ -1201,7 +1201,12 @@ def select_token_budget(
     segments, within-segment cumsums are windows PARTITIONED by
     segment, and the cross-segment offsets are an ``n_buckets``-row
     broadcast — no corpus-sized single-partition operator at 100 TB.
-    Returns (doc_id, n_tokens, cum_tokens, selected) for EVERY doc."""
+    Returns (doc_id, n_tokens, cum_tokens, selected) for EVERY doc,
+    in deterministic ``id_col`` order: the output is a per-doc verdict
+    table, and pinning its order makes downstream hashes/diffs of the
+    result reproducible across engines and runs (VERDICT r9 ask #1 —
+    removes any order sensitivity in an external comparator for the
+    price of one sort of the already-narrow output)."""
     from pyspark.sql.window import Window
 
     qs = quality_score(df, text_col, id_col).select(
@@ -1248,4 +1253,5 @@ def select_token_budget(
                 <= F.col("_tot") * budget_num
             ).alias("selected"),
         )
+        .orderBy(id_col)
     )

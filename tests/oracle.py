@@ -59,6 +59,69 @@ def canonical_rows(columns, rows):
     return sorted(c for c in columns), out
 
 
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if t == "HUGEINT":
+        return "hugeint"  # pandas lowers INT128 to float64 — always a red flag
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+        return "nested"
+    return "str"
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if dt.typeName().startswith("timestamp"):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return "nested"
+    return "str"
+
+
+def kind_mismatches(spark_df, duck_described_cols) -> list[str]:
+    """Per-column engine TYPE-KIND check (review r10 — the t60 root
+    cause): this module's value compare goes through ``fetchall()``,
+    where DuckDB HUGEINT arrives as a lossless Python int, but a
+    pandas-based comparator (the driver) lowers HUGEINT to float64 and
+    hashes ``18704.0`` against Spark's int64 ``18704`` — a red row that
+    rows/values/schema-name checks all miss. DuckDB sums BIGINT into
+    HUGEINT, so any uncast SUM window/aggregate in an oracle is exactly
+    this trap. Comparing the two engines' declared type KINDS catches
+    it at pytest time. ``duck_described_cols`` is ``DESCRIBE <sql>``
+    output rows (the DB-API description only reports generic
+    NUMBER/STRING classes — not enough to see HUGEINT)."""
+    skinds = {f.name.lower(): _spark_kind(f.dataType) for f in spark_df.schema.fields}
+    out = []
+    for name, dtype in duck_described_cols:
+        dk, sk = _duck_kind(str(dtype)), skinds.get(name.lower())
+        if sk is not None and dk != sk:
+            out.append(f"type-kind mismatch on {name}: spark={sk} duck={dtype}")
+    return out
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []
@@ -66,6 +129,10 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     scols = [c.lower() for c in spark_df.columns]
     con = duck_connection(sf_dir)
     try:
+        described = [
+            (r[0], r[1]) for r in con.execute("DESCRIBE " + oracle_sql).fetchall()
+        ]
+        problems.extend(kind_mismatches(spark_df, described))
         res = con.execute(oracle_sql)
         dcols = [d[0].lower() for d in res.description]
         drows = res.fetchall()
