@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -350,6 +351,56 @@ def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
     return a, b
 
 
+#: process-local conflict telemetry (thread-safe): how many lost publish
+#: CAS rounds were resolved by a manifest-level REBASE (no recompute)
+#: vs escalated to a full RECOMPUTE. The concurrency storm probe
+#: (tools/concurrency_storm.py) reads these after each run.
+MERGE_STATS = {"rebases": 0, "recomputes": 0}
+_MERGE_STATS_LOCK = threading.Lock()
+
+
+def _rebase_compatible(
+    path: str, from_version: int, new_m: dict, touched_set: set
+) -> bool:
+    """True when EVERY commit in (from_version, new_m.version] preserved
+    the content of ``touched_set``'s buckets, so a merge computed against
+    ``from_version`` may re-list its files onto ``new_m`` without
+    recomputing (Delta's ConflictChecker: logical conflict detection by
+    operation type + file-level disjointness):
+
+    - ``compact`` commits are content-preserving by contract;
+    - ``merge`` commits qualify when their recorded buckets are disjoint
+      from ours AND they absorbed no flat pre-bucketing files (flat rows
+      fan out across every bucket in the peer's rewrite);
+    - anything else — unknown ops, appends, DML, DDL, restores, commits
+      from before op-recording existed — is conservatively
+      content-changing.
+    """
+    from ..sinks import snapshots as S
+
+    if os.path.abspath(new_m.get("base", path)) != os.path.abspath(path):
+        return False
+    for v in range(from_version + 1, int(new_m["version"]) + 1):
+        try:
+            mv = (
+                new_m
+                if v == int(new_m["version"])
+                else S.read_manifest(path, v, resolve=False)
+            )
+        except Exception:
+            return False  # manifest gone (aggressive vacuum): recompute
+        op = mv.get("op")
+        if op == "compact":
+            continue
+        if op == "merge":
+            info = mv.get("op_info") or {}
+            peer = set(info.get("buckets") or [])
+            if peer and not info.get("flat") and not (peer & touched_set):
+                continue
+        return False
+    return True
+
+
 def _merge_versioned_core(
     spark: SparkSession,
     changes: DataFrame,
@@ -592,11 +643,7 @@ def _merge_versioned_once(
         shutil.rmtree(stage, ignore_errors=True)
     # once evolved, later versions keep mixing schemas (old keep-files
     # persist) until a full rewrite — propagate the flag forward
-    mixed = evolve or bool(m.get("mixed_schema")) or empty_drift
-    if txn_id is not None:
-        # single-writer protocol (as everywhere in this log): the next
-        # version number is deterministic at this point
-        txns[txn_id] = m["version"] + 1
+    mixed_base = evolve or empty_drift
     # advisory manifest stats: pinned per-table via props ("stats_cols");
     # untouched buckets' files keep their recorded stats (incremental in
     # _publish), only the newly written files read footers
@@ -611,25 +658,88 @@ def _merge_versioned_once(
     # their recorded filters; only the newly written files get one
     # distributed column-pruned pass per bloom column
     bloom_cols = props.get("bloom_cols") or m.get("bloom_cols") or None
-    blooms = None
-    if bloom_cols:
-        _keep = set(keep)
-        # the manifest was read resolve=False; shard sidecars resolve
-        # here, on the one write path that actually needs the full dicts
-        _, all_blooms = S.resolved_stats_blooms(m)
-        blooms = {f: b for f, b in all_blooms.items() if f in _keep}
-        blooms.update(S.compute_blooms(spark, new_files, bloom_cols))
-    version = S._publish(
-        path, sorted(keep) + new_files, base=path, mixed_schema=mixed, txns=txns,
-        stats_cols=stats_cols,
-        bloom_cols=bloom_cols, blooms=blooms,
-        # compare-and-swap (r7): the kept-bucket list was derived from
-        # ``m`` — a concurrent merge interleaving would otherwise drop
-        # its buckets from this union. On ConcurrentWriteError just
-        # re-run the merge: the txn ledger makes replays exactly-once.
-        expected_version=int(m["version"]),
-    )
-    return version, touched
+    new_blooms = S.compute_blooms(spark, new_files, bloom_cols) if bloom_cols else None
+
+    # Publish with conflict RESOLUTION (r10, Delta's ConflictChecker):
+    # the computed bucket files stay VALID across a lost CAS whenever
+    # every intervening commit preserved our touched buckets' content —
+    # a compaction (content-preserving by contract) or a merge on
+    # DISJOINT buckets. Then the rebase is a manifest-level re-list
+    # (carried files re-derived from the NEW manifest, our files
+    # re-attached), not a recompute — without this, a fast OPTIMIZE
+    # cadence STARVES mergers (the storm probe measured 6/6 writers
+    # exhausting a 30-attempt budget against a 0.2 s compaction loop,
+    # because a blind retry re-runs seconds of merge compute per loss
+    # while the compactor publishes in ~1 s). Rebase is refused — full
+    # recompute via the outer wrapper — when this merge localized a
+    # clone (it rewrote ALL files) or absorbed flat pre-bucketing files
+    # (their rows span buckets beyond ``touched``), or when any
+    # intervening op is unknown/content-changing.
+    localized = os.path.abspath(m.get("base", path)) != os.path.abspath(path)
+    had_flat = (not localized) and any(b is None for b in bmap.values())
+    pub, keep_now = m, keep
+    while True:
+        txns_pub = dict(pub.get("txns") or {})
+        if txn_id is not None:
+            if txn_id in txns_pub:
+                # a same-txn peer landed while we computed: our staged
+                # files are referenced by NO manifest — drop them and
+                # return the peer's version (exactly-once)
+                for f in new_files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                return int(txns_pub[txn_id]), []
+            txns_pub[txn_id] = int(pub["version"]) + 1
+        blooms = None
+        if bloom_cols:
+            _keep = set(keep_now)
+            # manifests are read resolve=False; shard sidecars resolve
+            # here, on the one write path that needs the full dicts
+            _, all_blooms = S.resolved_stats_blooms(pub)
+            blooms = {f: b for f, b in all_blooms.items() if f in _keep}
+            blooms.update(new_blooms or {})
+        try:
+            version = S._publish(
+                path, sorted(keep_now) + new_files, base=path,
+                mixed_schema=mixed_base or bool(pub.get("mixed_schema")),
+                txns=txns_pub, stats_cols=stats_cols,
+                bloom_cols=bloom_cols, blooms=blooms,
+                # compare-and-swap (r7): the kept-bucket list was derived
+                # from ``pub`` — a concurrent interleaving would otherwise
+                # drop its buckets from this union
+                expected_version=int(pub["version"]),
+                op="merge",
+                op_info={"buckets": sorted(touched_set), "flat": had_flat},
+            )
+            return version, touched
+        except S.ConcurrentWriteError:
+            nm = S.read_manifest(path, resolve=False)
+            if (
+                localized
+                or had_flat
+                or not _rebase_compatible(path, int(pub["version"]), nm, touched_set)
+            ):
+                # content under our touched buckets may have changed: the
+                # computed files are stale. Drop them (referenced by no
+                # manifest) and let the outer wrapper recompute fresh.
+                for f in new_files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                with _MERGE_STATS_LOCK:
+                    MERGE_STATS["recomputes"] += 1
+                raise
+            with _MERGE_STATS_LOCK:
+                MERGE_STATS["rebases"] += 1
+            pub = nm
+            keep_now = [
+                f
+                for f in nm["files"]
+                if (b := bucket_of(f)) is not None and b not in touched_set
+            ]
 
 
 def _swap_dir(src: str, dst: str) -> None:

@@ -437,6 +437,8 @@ def _publish(
     constraints: dict | None = None,
     dv: dict | None = None,
     expected_version: int | None = None,
+    op: str = "write",
+    op_info: dict | None = None,
 ) -> int:
     os.makedirs(_snap_dir(path), exist_ok=True)
     version = (latest_version(path) or 0) + 1
@@ -530,6 +532,15 @@ def _publish(
         # merge-on-read deletion vectors: sidecar ref + per-file counts
         # (the sidecar holds {file: [row_index, ...]}); {} = none
         "dv": {},
+        # commit operation + details (Delta's commitInfo): what KIND of
+        # write produced this version. Conflict RESOLUTION reads it — a
+        # merge that loses the publish CAS can rebase WITHOUT recompute
+        # when every intervening commit is content-preserving
+        # ("compact") or a "merge" on disjoint buckets (op_info carries
+        # {"buckets": [...]}). Unknown/absent ops are conservatively
+        # content-changing (full retry). See operators/merge.py.
+        "op": op,
+        "op_info": dict(op_info or {}),
     }
     dv = {f: sorted(set(int(i) for i in ids)) for f, ids in (dv or {}).items() if ids}
     if dv:
@@ -618,7 +629,7 @@ def snapshot(path: str) -> int:
             "bootstrap would republish superseded versions' files and "
             "duplicate rows. Write through the versioned APIs instead."
         )
-    return _publish(path, _list_data_files(path))
+    return _publish(path, _list_data_files(path), op="bootstrap")
 
 
 
@@ -706,6 +717,126 @@ def overwrite_versioned(
         # optional CAS (r8): content-derived rewrites (unbucket_snapshot)
         # must fail on a concurrent publish instead of clobbering it
         expected_version=expected_version,
+        op="overwrite",
+    )
+
+
+def append_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    txn_id: str | None = None,
+    stats_cols=None,
+    bloom_cols=None,
+    max_retries: int = 20,
+) -> int:
+    """Transactional APPEND (Delta append + txnAppId/txnVersion): stage
+    ``df``'s files ONCE, then publish a manifest listing previous files
+    plus the new ones. The streaming-sink primitive:
+
+    - ``txn_id`` makes at-least-once redelivery exactly-once — a
+      replayed append whose txn_id is already in the applied-txn ledger
+      returns the recorded version WITHOUT writing (checked both before
+      staging, the cheap path, and again at publish time, so two
+      instances of the SAME txn racing can't both land; the loser
+      deletes its unreferenced staged files).
+    - Appends commute, so a lost publish CAS REBASES: re-read the
+      manifest, re-list prev+new, re-publish — the staged files are
+      reused, never rewritten. That makes N concurrent appenders
+      lock-free-progressive: every retry burns one manifest read, not
+      one data write.
+    - A fresh directory bootstraps v1 with just the new files; a lost
+      bootstrap falls into the normal rebase loop (same TOCTOU posture
+      as the merge path, review r10).
+
+    Stats/bloom pins default to the table's existing pins; prior files
+    keep their recorded stats/blooms, only new files pay footer/bloom
+    cost. The stage write is deliberately UNPARTITIONED (no hive
+    ``col=val`` layer), so the manifest's partition-discovery ``base``
+    — which may point elsewhere for zero-copy clones — never applies to
+    the appended files. Column-mapped tables are refused like the merge
+    path (appended files carry logical names; the mapping would fork
+    the physical schema); schema drift vs the live table is refused
+    with one footer read per append — use the merge path with
+    ``evolve=True`` for additive evolution."""
+    os.makedirs(path, exist_ok=True)
+    prev = read_manifest(path, resolve=False) if latest_version(path) else None
+    if prev is not None:
+        if txn_id is not None and txn_id in (prev.get("txns") or {}):
+            return int(prev["txns"][txn_id])
+        if prev.get("renames") or prev.get("dropped_cols"):
+            raise NotImplementedError(
+                f"{path} carries a column mapping (renames/drops); appending "
+                "would fork the physical schema. Run compact_snapshot first."
+            )
+        from ..operators.merge import BUCKET_COL
+
+        if any(f"{BUCKET_COL}=" in f for f in prev["files"]):
+            raise NotImplementedError(
+                "append_versioned would break the bucketed merge layout "
+                "(new files carry no bucket assignment); write through "
+                "merge_upsert_versioned / merge_additive_versioned instead"
+            )
+        if prev.get("constraints"):
+            check_constraints(df, prev["constraints"])
+        live = [f for f in prev["files"] if os.path.exists(f)]
+        if live:
+            have = set(spark.read.parquet(live[0]).schema.fieldNames())
+            want = set(df.schema.fieldNames())
+            if have != want:
+                raise ValueError(
+                    f"append schema mismatch at {path}: table has "
+                    f"{sorted(have)}, frame has {sorted(want)}; use the "
+                    "merge path (evolve=True) or overwrite_versioned"
+                )
+    stage = os.path.abspath(os.path.join(path, f"_stage-append-{uuid.uuid4().hex[:8]}"))
+    df.write.mode("overwrite").parquet(stage)
+    try:
+        new_files = adopt_staged(stage, path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    new_blooms: dict | None = None
+    for _ in range(max_retries):
+        m = read_manifest(path, resolve=False) if latest_version(path) else None
+        if m is not None and txn_id is not None and txn_id in (m.get("txns") or {}):
+            # same-txn peer published while we staged: our files are
+            # unreferenced by ANY manifest — drop them, return the peer's
+            for f in new_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return int(m["txns"][txn_id])
+        expected = int(m["version"]) if m else 0
+        txns = dict((m.get("txns") if m else None) or {})
+        if txn_id is not None:
+            txns[txn_id] = expected + 1
+        sc = stats_cols or (m.get("stats_cols") if m else None) or None
+        bc = bloom_cols or (m.get("bloom_cols") if m else None) or None
+        blooms = None
+        if bc:
+            if new_blooms is None:
+                new_blooms = compute_blooms(spark, new_files, bc) or {}
+            blooms = dict(resolved_stats_blooms(m)[1]) if m else {}
+            blooms.update(new_blooms)
+        try:
+            return _publish(
+                path,
+                (m["files"] if m else []) + new_files,
+                base=m.get("base") if m else None,
+                mixed_schema=bool(m.get("mixed_schema")) if m else False,
+                txns=txns or None,
+                stats_cols=sc,
+                bloom_cols=bc,
+                blooms=blooms,
+                expected_version=expected,
+                op="append",
+            )
+        except ConcurrentWriteError:
+            continue  # rebase: appends commute; staged files are reused
+    raise ConcurrentWriteError(
+        f"append to {path} lost the publish race {max_retries} times; "
+        "the table is under heavy concurrent write load — retry later"
     )
 
 
@@ -1744,6 +1875,11 @@ def compact_snapshot(
         constraints=m.get("constraints") or None,
         dv={},  # the rewrite materialized every deletion vector
         expected_version=int(m["version"]),
+        # content-preserving: a concurrent merge that lost the CAS to
+        # this commit may rebase onto it without recompute — but only
+        # when no mapping was materialized here (the merge's files carry
+        # the OLD physical names); mapped compacts stay "write"
+        op="compact" if not (m.get("renames") or m.get("dropped_cols")) else "write",
     )
 
 
@@ -1828,6 +1964,8 @@ def compact_small_files(
         constraints=m.get("constraints") or None,
         dv={f: ids for f, ids in dv_all.items() if f in keep_set},
         expected_version=int(m["version"]),
+        op="compact",  # bin-packing is content-preserving (DVs on the
+        # rewritten small files are materialized, carried files keep theirs)
     )
     return version, len(small)
 
@@ -1894,6 +2032,7 @@ def fsck_repair(path: str, dry_run: bool = False) -> list[str]:
         renames=m.get("renames") or None, dropped_cols=m.get("dropped_cols") or None,
         constraints=m.get("constraints") or None, dv=dv or None,
         expected_version=int(m["version"]),
+        op="fsck",
     )
     return missing
 
