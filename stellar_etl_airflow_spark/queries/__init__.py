@@ -56,8 +56,10 @@ QUERIES.update(connectors.SPECS)
 # (b) tail past slot ~48 (s11-s13) was r9-green and loses nothing if
 # the window cuts it.
 _FRONT = [
-    # (a0) never-green first: t60's red row is the round's top ask
+    # (a0) never-green first: t60's red row is the round's top ask,
+    # then the r10-new entry (no driver row yet)
     "t60_token_budget_selection",
+    "q62_transactional_append",
     # (a) the 35 r7-stale entries — the list round 9 promised would
     # lead round 10. dedup/text families first (training/dedup.py is
     # touched again in r10 by the band-index compaction work):

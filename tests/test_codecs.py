@@ -1486,3 +1486,91 @@ def test_rle8_sample_frames_integration(spark):
     # non-RLE8 AVIs (e.g. MJPEG fixture) still take their own path
     jpg = open(_os.path.join(_DATA, "python16x16.jpg"), "rb").read()
     assert codecs.avi_rle8_frames(_avi_mjpeg([jpg])) is None
+
+
+def _mp4_avc1(samples, timescale=600, stts_runs=None, syncs=None, w=640, h=360):
+    """Minimal ISO-BMFF muxer for an H.264-shaped ('avc1') video track:
+    hdlr 'vide' + mdhd timescale + stts decode times + optional stss
+    sync table — the inter-frame shape mp4_keyframe_index exists for
+    (samples are opaque NAL-ish blobs; no decode claimed)."""
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    entry = _mp4_box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", w, h) + b"\x00" * 50,
+    )
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, len(samples))
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stsc = _mp4_box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">III", 1, len(samples), 1))
+    boxes = stsd + stsz + stsc
+    if stts_runs:
+        stts = _mp4_box(
+            b"stts",
+            b"\x00" * 4 + struct.pack(">I", len(stts_runs))
+            + b"".join(struct.pack(">II", *r) for r in stts_runs),
+        )
+        boxes += stts
+    if syncs is not None:
+        boxes += _mp4_box(
+            b"stss",
+            b"\x00" * 4 + struct.pack(">I", len(syncs))
+            + b"".join(struct.pack(">I", s) for s in syncs),
+        )
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdhd = _mp4_box(
+        b"mdhd", b"\x00" * 4 + struct.pack(">III", 0, 0, timescale) + b"\x00" * 8
+    )
+    mvhd = _mp4_box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1000, 2000) + b"\x00" * 80)
+
+    def moov_with(stco_body):
+        stco = _mp4_box(b"stco", stco_body)
+        stbl = _mp4_box(b"stbl", boxes + stco)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"moov", mvhd + _mp4_box(b"trak", mdia))
+
+    placeholder = b"\x00" * 4 + struct.pack(">I", 1) + b"\x00" * 4
+    base = len(ftyp) + len(moov_with(placeholder)) + 8
+    stco_body = b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">I", base)
+    return ftyp + moov_with(stco_body) + _mp4_box(b"mdat", b"".join(samples))
+
+
+def test_mp4_keyframe_index_sync_samples():
+    """Keyframe index for inter-frame video (r10, VERDICT r9 ask #7):
+    stss sync samples resolve to exact byte ranges and decode times —
+    the seek plan a frame-sampling pipeline runs WITHOUT a decoder."""
+    samples = [b"I" * 40, b"p" * 7, b"p" * 9, b"I" * 33, b"p" * 5]
+    blob = _mp4_avc1(
+        samples, timescale=600,
+        stts_runs=[(2, 100), (3, 200)], syncs=[1, 4, 99],  # 99: corrupt, skipped
+    )
+    idx = codecs.mp4_keyframe_index(blob)
+    assert idx is not None
+    assert (idx["codec"], idx["width"], idx["height"]) == ("avc1", 640, 360)
+    assert idx["timescale"] == 600 and idx["n_samples"] == 5
+    assert [k["sample"] for k in idx["keyframes"]] == [1, 4]
+    k1, k4 = idx["keyframes"]
+    # decode times: sample 1 at t=0; sample 4 after 100+100+200 ticks
+    assert k1["time_ms"] == 0 and k4["time_ms"] == round(400 * 1000 / 600)
+    # byte ranges point INTO mdat at the exact sample bytes
+    assert blob[k1["offset"] : k1["offset"] + k1["size"]] == samples[0]
+    assert blob[k4["offset"] : k4["offset"] + k4["size"]] == samples[3]
+
+
+def test_mp4_keyframe_index_absent_stss_means_all_sync():
+    """ISO/IEC 14496-12 §8.6.2: no stss box => every sample is a sync
+    sample (all-intra tracks); and non-video / non-BMFF payloads map to
+    None, never raise."""
+    samples = [b"A" * 10, b"B" * 11]
+    idx = codecs.mp4_keyframe_index(_mp4_avc1(samples, syncs=None, stts_runs=[(2, 50)]))
+    assert idx is not None and [k["sample"] for k in idx["keyframes"]] == [1, 2]
+    assert [k["size"] for k in idx["keyframes"]] == [10, 11]
+    # the MJPEG fixture has no hdlr 'vide' track: None, not garbage
+    assert codecs.mp4_keyframe_index(b"\x00\x00\x00\x08ftyp") is None
+    assert codecs.mp4_keyframe_index(b"RIFFxxxxAVI LIST") is None
+    # truncated container: caught, None
+    assert codecs.mp4_keyframe_index(_mp4_avc1(samples)[:60]) is None
