@@ -2897,3 +2897,112 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t61 — PII redaction (r10): the scrubbing pass behind the oracle. The
+# synthetic corpus carries no PII (PARITY noted the vacuous-oracle gap),
+# so the entry INJECTS deterministic doc_id-derived PII on BOTH sides
+# first — counts are non-trivial and the layered redaction order is
+# actually exercised.
+# ---------------------------------------------------------------------------
+
+
+def t61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII counts + the md5 of the fully redacted text, via the
+    existing :func:`training.text.redact_pii` (layered
+    email->ipv4->ssn->phone regexes, counts taken on the progressively
+    redacted text — the oracle mirrors the exact layering). Whole pass
+    is one codegen map stage: zero shuffles, zero Python, linear at
+    100 TB. Pattern strings are the Java/RE2 common subset so the SAME
+    literals run in Spark and DuckDB."""
+    from ..training.text import redact_pii
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" node 10.2."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(aug, out_col="redacted").select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+def _t61_sql() -> str:
+    from ..training.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    e, ip, ssn, ph = pats["email"], pats["ipv4"], pats["ssn"], pats["phone"]
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' node 10.2.' || (doc_id % 200) || '.7 up' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{e}'))::BIGINT AS n_email,
+         regexp_replace(text, '{e}', '[EMAIL]', 'g') AS text
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ipv4,
+         regexp_replace(text, '{ip}', '[IPV4]', 'g') AS text
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(text, '{ssn}'))::BIGINT AS n_ssn,
+         regexp_replace(text, '{ssn}', '[SSN]', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn,
+       len(regexp_extract_all(text, '{ph}'))::BIGINT AS n_phone,
+       md5(regexp_replace(text, '{ph}', '[PHONE]', 'g')) AS redacted_md5
+FROM s3
+"""
+
+
+SPECS.update(
+    {
+        "t61_pii_redaction": QuerySpec(
+            t61_pii_redaction,
+            _t61_sql(),
+            "PII scrub: layered email/ipv4/ssn/phone redaction + per-kind counts, injected-PII oracle",
+        ),
+    }
+)
