@@ -678,7 +678,10 @@ def _merge_versioned_once(
     localized = os.path.abspath(m.get("base", path)) != os.path.abspath(path)
     had_flat = (not localized) and any(b is None for b in bmap.values())
     pub, keep_now = m, keep
-    while True:
+    # bounded: each rebase costs ~a manifest read, but an adversarial
+    # publish stream must not spin this loop forever — past the cap the
+    # loss escalates to the outer recompute wrapper like any other
+    for _rebase_round in range(64):
         txns_pub = dict(pub.get("txns") or {})
         if txn_id is not None:
             if txn_id in txns_pub:
@@ -740,6 +743,19 @@ def _merge_versioned_once(
                 for f in nm["files"]
                 if (b := bucket_of(f)) is not None and b not in touched_set
             ]
+    # rebase cap exhausted: drop the staged files and escalate to the
+    # outer wrapper (counts as a recompute — the files are abandoned)
+    for f in new_files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    with _MERGE_STATS_LOCK:
+        MERGE_STATS["recomputes"] += 1
+    raise S.ConcurrentWriteError(
+        f"merge into {path} lost {64} consecutive publish races; retrying "
+        "from fresh state"
+    )
 
 
 def _swap_dir(src: str, dst: str) -> None:
