@@ -203,6 +203,21 @@ def _cmd_optimize(args) -> None:
         print(f"OPTIMIZE (bin-packing): v{v}, {n} small files rewritten")
 
 
+def _cmd_append(args) -> None:
+    """Transactional append of a parquet dir/file into a snapshot table;
+    ``--txn`` makes a re-run of the same load a no-op (exactly-once)."""
+    from .session import get_spark
+    from .sinks.snapshots import append_versioned, latest_version
+
+    spark = get_spark("cli-append")
+    before = latest_version(args.table)
+    v = append_versioned(spark, spark.read.parquet(args.src), args.table, txn_id=args.txn)
+    if before is not None and v <= before:
+        print(f"append replayed: txn {args.txn!r} already applied at v{v} (no write)")
+    else:
+        print(f"appended {args.src} -> {args.table} as v{v}")
+
+
 def _cmd_restore(args) -> None:
     from .sinks.snapshots import restore
 
@@ -257,6 +272,12 @@ def main() -> None:
     o.add_argument("--zorder", default=None, help="comma-separated cluster columns")
     o.add_argument("--target-files", type=int, default=None)
     o.set_defaults(fn=_cmd_optimize)
+
+    a = sub.add_parser("append", help="transactional append (txn ledger = exactly-once reloads)")
+    a.add_argument("src", help="parquet file/dir to append")
+    a.add_argument("table", help="snapshot table path")
+    a.add_argument("--txn", default=None, help="idempotency token (re-run = no-op)")
+    a.set_defaults(fn=_cmd_append)
 
     r = sub.add_parser("restore", help="RESTORE a snapshot table to an old version")
     r.add_argument("table")

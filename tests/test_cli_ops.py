@@ -71,3 +71,22 @@ def test_cli_optimize_restore_clone(spark, tmp_path, capsys):
     cli._cmd_clone(C())
     assert "zero-copy" in capsys.readouterr().out
     assert S.read_snapshot(spark, C.dst).count() == 40
+
+
+def test_cli_append_txn_replay(spark, tmp_path, capsys):
+    """`append` subcommand (r10): loads a parquet dir transactionally;
+    re-running the same --txn is a printed no-op, not a duplicate."""
+    tbl = _tbl(spark, tmp_path)
+    src = str(tmp_path / "batch")
+    spark.range(5).selectExpr("id + 100 as k", "id as v").coalesce(1).write.parquet(src)
+
+    class A:
+        pass
+
+    A.src, A.table, A.txn = src, tbl, "load-1"
+    cli._cmd_append(A())
+    assert "appended" in capsys.readouterr().out
+    n1 = S.read_snapshot(spark, tbl).count()
+    cli._cmd_append(A())
+    assert "replayed" in capsys.readouterr().out
+    assert S.read_snapshot(spark, tbl).count() == n1 == 25
