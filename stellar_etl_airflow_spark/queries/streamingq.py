@@ -955,7 +955,10 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
         from ..sinks import snapshots as S
 
-        idx0 = with_sig(corpus)
+        # coalesce(4): the seed otherwise lands as one file per shuffle
+        # partition (32 small files), taxing every per-batch manifest
+        # read and the final compaction (bench r10: s14 6.4 -> 10.1 s)
+        idx0 = with_sig(corpus).coalesce(4)
         S.append_versioned(spark, idx0, idx_dir, txn_id="seed")  # v1: the seeded index
 
         nh = 32  # num_hashes: must match every _minhash_bands call here
@@ -998,13 +1001,16 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # txn_id = epoch id: foreachBatch redelivers the SAME epoch
             # on retry, so each append is exactly-once per batch
             SS.append_versioned(
-                s, accepted.select("doc_id"), acc_dir, txn_id=f"s14-acc-{_bid}"
+                s, accepted.select("doc_id").coalesce(1), acc_dir,
+                txn_id=f"s14-acc-{_bid}",
             )
             new_rows = (
                 bbands.join(bsig, "doc")
                 .join(accepted.select(F.col("doc_id").alias("doc")), "doc", "left_semi")
             )
-            SS.append_versioned(s, new_rows, idx_dir, txn_id=f"s14-idx-{_bid}")
+            SS.append_versioned(
+                s, new_rows.coalesce(1), idx_dir, txn_id=f"s14-idx-{_bid}"
+            )
 
         raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
         stream = (

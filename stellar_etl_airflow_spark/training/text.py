@@ -1201,12 +1201,13 @@ def select_token_budget(
     segments, within-segment cumsums are windows PARTITIONED by
     segment, and the cross-segment offsets are an ``n_buckets``-row
     broadcast — no corpus-sized single-partition operator at 100 TB.
-    Returns (doc_id, n_tokens, cum_tokens, selected) for EVERY doc,
-    in deterministic ``id_col`` order: the output is a per-doc verdict
-    table, and pinning its order makes downstream hashes/diffs of the
-    result reproducible across engines and runs (VERDICT r9 ask #1 —
-    removes any order sensitivity in an external comparator for the
-    price of one sort of the already-narrow output)."""
+    Returns (doc_id, n_tokens, cum_tokens, selected) for EVERY doc.
+    The output is deliberately UNORDERED: a global ``orderBy`` here
+    makes the range-partitioner's sampling pass re-evaluate the whole
+    window pipeline (the repartitionByRange trap, SCALE.md r9 — bench
+    r10 measured it 0.6 s -> 2.3 s at sf0.1); consumers that need a
+    pinned order sort AFTER a barrier on this narrow verdict table
+    (the t60 entry does exactly that)."""
     from pyspark.sql.window import Window
 
     qs = quality_score(df, text_col, id_col).select(
@@ -1253,5 +1254,4 @@ def select_token_budget(
                 <= F.col("_tot") * budget_num
             ).alias("selected"),
         )
-        .orderBy(id_col)
     )
