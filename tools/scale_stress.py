@@ -61,6 +61,7 @@ TABLES = {
     "events": (("event_id", "user_id"), None),
     "embeddings": (("vec_id",), None),
     "lineitem": (("l_orderkey",), None),
+    "orders": (("o_orderkey",), None),
 }
 
 # one probe per scale-critical plan family (single-table entries only, so
@@ -130,6 +131,16 @@ PROBES = [
     # each (segment count fixed), offsets stay a 256-row broadcast —
     # the claim is linear cumsum without a global window; linear.
     "t60_token_budget_selection",
+    # round-10 additions. t61: pure codegen regex map, one scan, zero
+    # shuffles — linear by construction (offset doc_ids change the
+    # injected PII strings but not the per-doc match count). q62: the
+    # appended DATA grows Kx while the transaction protocol (3 staged
+    # publishes + 1 replayed no-op + 1 bin-packing pass) stays constant
+    # — the ratio reads as the data-write slope with fixed ledger
+    # overhead. s14 stays unprobed like s13 (drain-overhead-bound; its
+    # per-batch data term is t59's, which IS probed).
+    "t61_pii_redaction",
+    "q62_transactional_append",
 ]
 
 # env override: measure a subset without re-timing the whole list
