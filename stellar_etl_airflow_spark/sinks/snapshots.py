@@ -1627,7 +1627,14 @@ def vacuum(
             except OSError:
                 continue
         if not dry_run:
-            os.remove(f)
+            # a concurrent vacuum — or a merge's stale-attempt cleanup
+            # (r10 conflict resolution deletes its orphaned staged files)
+            # — may have removed this file first; a double delete is a
+            # satisfied intent, not an error
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                continue
         deleted.append(f)
     if dry_run:
         return deleted

@@ -366,3 +366,35 @@ def test_mini_storm_disjoint_mergers_with_compactor(spark, tmp_path):
         for k in owner[w]:
             want[k] = 2
     assert _counts(spark, tbl) == want
+
+
+def test_concurrent_vacuum_double_delete_is_benign(spark, tmp_path, monkeypatch):
+    """Two vacuums racing on the same expired files: the loser's
+    os.remove hits FileNotFoundError and must skip, not crash — the
+    same window the r10 merge cleanup (stale-attempt file deletion)
+    opens against a running vacuum."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    for i in range(3):
+        S.append_versioned(spark, _mk(spark, [(i, i)]), tbl, txn_id=f"b{i}")
+    S.compact_small_files(spark, tbl)  # v4: first three versions expire
+    real_remove = os.remove
+    raced = {"n": 0}
+
+    def racing_remove(p):
+        if p.endswith(".parquet") and raced["n"] == 0:
+            raced["n"] += 1
+            real_remove(p)  # the peer vacuum deletes it first ...
+        return real_remove(p)  # ... and ours must tolerate the miss
+
+    monkeypatch.setattr(os, "remove", racing_remove)
+    gone = S.vacuum(tbl, keep_versions=1)
+    monkeypatch.undo()
+    assert raced["n"] == 1
+    # the raced file is NOT claimed by this vacuum's report, the rest are
+    assert S.fsck_repair(tbl, dry_run=True) == []
+    assert sorted(tuple(r) for r in S.read_snapshot(spark, tbl).collect()) == [
+        (i, i) for i in range(3)
+    ]
+    assert all(not os.path.exists(f) for f in gone)
