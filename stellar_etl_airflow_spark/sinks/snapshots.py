@@ -834,6 +834,11 @@ def append_versioned(
             )
         except ConcurrentWriteError:
             continue  # rebase: appends commute; staged files are reused
+    for f in new_files:  # referenced by no manifest: don't leave orphans
+        try:
+            os.remove(f)
+        except OSError:
+            pass
     raise ConcurrentWriteError(
         f"append to {path} lost the publish race {max_retries} times; "
         "the table is under heavy concurrent write load — retry later"
