@@ -741,3 +741,83 @@ def test_schema_ddl_vacuum_interleavings_match_model(spark, tmp_path_factory, op
             else:
                 got = frozenset(r[pname] for r in df.collect())
                 assert got == frozenset(p for p, _ in content), (v, got)
+
+
+# ---------------------------------------------------------------------------
+# r10: the transactional-append ledger vs a Python model. Random
+# interleavings of appends (fresh and REPLAYED txns), bin-packing
+# compaction, and vacuum must keep the live table exactly equal to the
+# multiset union of the UNIQUE applied txns' batches — a duplicated
+# replay, a dropped batch, or a compaction/vacuum that reopens the
+# replay hole all break the model equality.
+# ---------------------------------------------------------------------------
+
+append_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 4)),   # txn id 0..4 (repeats = replays)
+    st.tuples(st.just("append_anon"), st.integers(0, 99)),  # no txn: always applies
+    st.tuples(st.just("compact"), st.just(0)),
+    st.tuples(st.just("vacuum"), st.integers(1, 2)),
+)
+
+
+@SLOW
+@given(ops=st.lists(append_op, min_size=2, max_size=9))
+def test_append_ledger_interleavings_match_model(spark, tmp_path_factory, ops):
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    tbl = str(tmp_path_factory.mktemp("appendprop") / "t")
+    applied_txns: set[int] = set()
+    model: list[tuple[int, int]] = []  # expected multiset of (k, v)
+    seq = 0
+
+    def batch_rows(tag):
+        return [(tag, tag * 10), (tag, tag * 10 + 1)]
+
+    for op, arg in ops:
+        if op == "append":
+            S.append_versioned(
+                spark,
+                spark.createDataFrame(batch_rows(arg), "k long, v long").coalesce(1),
+                tbl,
+                txn_id=f"t{arg}",
+            )
+            if arg not in applied_txns:  # replays must be no-ops
+                applied_txns.add(arg)
+                model.extend(batch_rows(arg))
+        elif op == "append_anon":
+            seq += 1
+            tag = 1000 + seq * 100 + arg
+            S.append_versioned(
+                spark,
+                spark.createDataFrame(batch_rows(tag), "k long, v long").coalesce(1),
+                tbl,
+            )
+            model.extend(batch_rows(tag))
+        elif op == "compact":
+            if S.latest_version(tbl):
+                S.compact_small_files(spark, tbl, min_bytes=1 << 30)
+        elif op == "vacuum":
+            if S.latest_version(tbl):
+                S.vacuum(tbl, keep_versions=arg, orphan_retention_s=3600)
+        if S.latest_version(tbl):
+            got = sorted(tuple(r) for r in S.read_snapshot(spark, tbl).collect())
+            assert got == sorted(model), f"after {op}({arg})"
+    # the ledger still guards every txn it RETAINS (vacuum legitimately
+    # prunes entries whose recorded version expired — replays of those
+    # are outside the documented exactly-once window, so they are not
+    # asserted either way)
+    if S.latest_version(tbl) and applied_txns:
+        ledger = S.read_manifest(tbl, resolve=False).get("txns") or {}
+        before = S.latest_version(tbl)
+        for t in sorted(applied_txns):
+            if f"t{t}" not in ledger:
+                continue
+            v = S.append_versioned(
+                spark,
+                spark.createDataFrame([(t, -1)], "k long, v long").coalesce(1),
+                tbl,
+                txn_id=f"t{t}",
+            )
+            assert v <= before, f"txn t{t} replay published a new version"
+        got = sorted(tuple(r) for r in S.read_snapshot(spark, tbl).collect())
+        assert got == sorted(model)
