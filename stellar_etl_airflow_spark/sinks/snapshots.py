@@ -798,6 +798,19 @@ def append_versioned(
     new_blooms: dict | None = None
     for _ in range(max_retries):
         m = read_manifest(path, resolve=False) if latest_version(path) else None
+        if m is not None and (m.get("renames") or m.get("dropped_cols")):
+            # a column mapping landed AFTER the pre-stage guard (rename
+            # racing this append): publishing logical-named files would
+            # fork the physical schema — drop the staged files and refuse
+            for f in new_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            raise NotImplementedError(
+                f"{path} gained a column mapping while this append staged; "
+                "run compact_snapshot first."
+            )
         if m is not None and txn_id is not None and txn_id in (m.get("txns") or {}):
             # same-txn peer published while we staged: our files are
             # unreferenced by ANY manifest — drop them, return the peer's

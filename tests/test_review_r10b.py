@@ -398,3 +398,29 @@ def test_concurrent_vacuum_double_delete_is_benign(spark, tmp_path, monkeypatch)
         (i, i) for i in range(3)
     ]
     assert all(not os.path.exists(f) for f in gone)
+
+
+def test_append_refuses_mapping_landed_mid_retry(spark, tmp_path, monkeypatch):
+    """A rename racing the append (lands after the pre-stage guard):
+    the publish loop must re-check the mapping, drop its staged files,
+    and refuse — not fork the physical schema."""
+    import os
+
+    tbl = str(tmp_path / "t")
+    S.append_versioned(spark, _mk(spark, [(1, 10)]), tbl)
+    real_adopt = S.adopt_staged
+
+    def adopt_then_rename(stage, path):
+        out = real_adopt(stage, path)
+        monkeypatch.undo()
+        S.rename_column(tbl, "v", "val")
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_then_rename)
+    with pytest.raises(NotImplementedError, match="gained a column mapping"):
+        S.append_versioned(spark, _mk(spark, [(2, 20)]), tbl, txn_id="b1")
+    # staged files dropped; the table reads cleanly under the mapping
+    m = S.read_manifest(tbl, resolve=False)
+    on_disk = {os.path.join(tbl, f) for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert on_disk == set(m["files"])
+    assert [r["val"] for r in S.read_snapshot(spark, tbl).collect()] == [10]
