@@ -1924,7 +1924,12 @@ def compact_small_files(
 
     Content-preserving and ledger-carrying like full compaction;
     deletion vectors on rewritten small files are materialized, vectors
-    on carried files ride along. Bucketed merge tables are refused
+    on carried files ride along. A lost publish CAS REBASES over
+    intervening APPEND commits (r10: the appended files are disjoint
+    from the small set being rewritten, so the bin-packed output stays
+    valid and only the carried list is re-derived) — maintenance never
+    blocks a streaming sink's appends; any other intervening op raises
+    for the caller to retry. Bucketed merge tables are refused
     (bin-packing across ``_p=`` dirs would break the bucket layout —
     use `compact_snapshot`, which keeps it). Returns (version,
     n_files_rewritten); (current, 0) when fewer than two small files.
@@ -1948,8 +1953,6 @@ def compact_small_files(
     if len(small) < 2:
         return int(m["version"]), 0
     small_set = set(small)
-    keep = [f for f in m["files"] if f not in small_set]
-    keep_set = set(keep)
     dv_all = read_dv(m)
     dv_small = {f: ids for f, ids in dv_all.items() if f in small_set}
     raw = _read_physical(spark, m, small, with_meta=bool(dv_small))
@@ -1963,36 +1966,85 @@ def compact_small_files(
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     stats_cols = m.get("stats_cols") or None
-    stats = None
+    new_stats = {}
     if stats_cols:
-        stats = {f: st for f, st in (m.get("stats") or {}).items() if f in keep_set}
         for f in new_files:
             st = _file_stats(f, stats_cols)
             if st:
-                stats[f] = st
+                new_stats[f] = st
     bloom_cols = m.get("bloom_cols") or None
-    blooms = {f: b for f, b in (m.get("blooms") or {}).items() if f in keep_set}
-    if bloom_cols:
-        blooms.update(compute_blooms(spark, new_files, bloom_cols) or {})
-    version = _publish(
-        path,
-        keep + new_files,
-        base=m.get("base"),
-        mixed_schema=bool(m.get("mixed_schema")),
-        txns=m.get("txns") or None,
-        stats_cols=stats_cols,
-        stats=stats,
-        bloom_cols=bloom_cols,
-        blooms=blooms,
-        renames=m.get("renames") or None,
-        dropped_cols=m.get("dropped_cols") or None,
-        constraints=m.get("constraints") or None,
-        dv={f: ids for f, ids in dv_all.items() if f in keep_set},
-        expected_version=int(m["version"]),
-        op="compact",  # bin-packing is content-preserving (DVs on the
-        # rewritten small files are materialized, carried files keep theirs)
+    new_blooms = compute_blooms(spark, new_files, bloom_cols) or {} if bloom_cols else {}
+    # publish with the append-aware rebase (r10): a streaming sink's
+    # maintenance pass races its own appends CONSTANTLY, and every
+    # intervening APPEND commit is file-disjoint from the small-file
+    # set being rewritten — so a lost CAS re-lists (new manifest's
+    # files minus the rewritten small set, plus the bin-packed output)
+    # instead of redoing the rewrite. Any other intervening op
+    # (merge/overwrite/DDL/another compact) raises as before.
+    pub = m
+    for _ in range(20):
+        keep_now = [f for f in pub["files"] if f not in small_set]
+        keep_now_set = set(keep_now)
+        stats = None
+        if stats_cols:
+            stats = {
+                f: st
+                for f, st in resolved_stats_blooms(pub)[0].items()
+                if f in keep_now_set
+            }
+            stats.update(new_stats)
+        blooms = {
+            f: b for f, b in resolved_stats_blooms(pub)[1].items() if f in keep_now_set
+        }
+        blooms.update(new_blooms)
+        try:
+            version = _publish(
+                path,
+                keep_now + new_files,
+                base=pub.get("base"),
+                mixed_schema=bool(pub.get("mixed_schema")),
+                txns=pub.get("txns") or None,
+                stats_cols=stats_cols,
+                stats=stats,
+                bloom_cols=bloom_cols,
+                blooms=blooms,
+                renames=pub.get("renames") or None,
+                dropped_cols=pub.get("dropped_cols") or None,
+                constraints=pub.get("constraints") or None,
+                dv={f: ids for f, ids in read_dv(pub).items() if f in keep_now_set},
+                expected_version=int(pub["version"]),
+                op="compact",  # bin-packing is content-preserving (DVs on the
+                # rewritten small files are materialized, carried files keep theirs)
+            )
+            return version, len(small)
+        except ConcurrentWriteError:
+            nm = read_manifest(path, resolve=False)
+            ok = True
+            for v in range(int(pub["version"]) + 1, int(nm["version"]) + 1):
+                try:
+                    mv = nm if v == int(nm["version"]) else read_manifest(path, v, resolve=False)
+                except Exception:
+                    ok = False
+                    break
+                if mv.get("op") != "append":
+                    ok = False
+                    break
+            if not ok:
+                for f in new_files:  # referenced by no manifest
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                raise
+            pub = nm
+    for f in new_files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    raise ConcurrentWriteError(
+        f"compact_small_files on {path} lost 20 consecutive publish races"
     )
-    return version, len(small)
 
 
 def restore(path: str, version: int) -> int:

@@ -424,3 +424,50 @@ def test_append_refuses_mapping_landed_mid_retry(spark, tmp_path, monkeypatch):
     on_disk = {os.path.join(tbl, f) for f in os.listdir(tbl) if f.endswith(".parquet")}
     assert on_disk == set(m["files"])
     assert [r["val"] for r in S.read_snapshot(spark, tbl).collect()] == [10]
+
+
+def test_compact_small_files_rebases_over_append(spark, tmp_path, monkeypatch):
+    """Maintenance never blocks the stream: a bin-packing pass that
+    loses its CAS to a concurrent APPEND re-lists (appended files are
+    disjoint from the rewritten small set) instead of redoing the
+    rewrite; content = everything, ledger keeps the append's txn."""
+    tbl = str(tmp_path / "t")
+    for i in range(4):
+        S.append_versioned(spark, _mk(spark, [(i, i)]), tbl, txn_id=f"b{i}")
+    real_adopt = S.adopt_staged
+
+    def adopt_then_append(stage, path):
+        out = real_adopt(stage, path)
+        monkeypatch.undo()
+        S.append_versioned(spark, _mk(spark, [(99, 99)]), tbl, txn_id="race")
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_then_append)
+    v, rewritten = S.compact_small_files(spark, tbl)
+    assert rewritten >= 4 and v == S.latest_version(tbl)
+    assert _rows(spark, tbl) == [(i, i) for i in range(4)] + [(99, 99)]
+    m = S.read_manifest(tbl, resolve=False)
+    assert "race" in (m.get("txns") or {})
+    # a replay of the racing append is still a no-op post-compaction
+    S.append_versioned(spark, _mk(spark, [(99, 99)]), tbl, txn_id="race")
+    assert S.latest_version(tbl) == v
+
+
+def test_compact_small_files_still_raises_on_non_append_race(spark, tmp_path, monkeypatch):
+    """A content-changing intervening commit (overwrite) must surface
+    as ConcurrentWriteError — the bin-packed output is stale."""
+    tbl = str(tmp_path / "t")
+    for i in range(3):
+        S.append_versioned(spark, _mk(spark, [(i, i)]), tbl)
+    real_adopt = S.adopt_staged
+
+    def adopt_then_overwrite(stage, path):
+        out = real_adopt(stage, path)
+        monkeypatch.undo()
+        S.overwrite_versioned(spark, _mk(spark, [(7, 7)]), tbl)
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_then_overwrite)
+    with pytest.raises(S.ConcurrentWriteError):
+        S.compact_small_files(spark, tbl)
+    assert _rows(spark, tbl) == [(7, 7)]
