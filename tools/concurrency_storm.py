@@ -230,6 +230,74 @@ def additive_storm(spark, root: str, rounds: int, disjoint: bool = False) -> dic
         M._merge_versioned_core = orig
 
 
+def append_storm(spark, root: str, rounds: int) -> dict:
+    """The streaming-sink production shape (s14): 6 transactional
+    appenders race a bin-packing compactor and a vacuumer on a PLAIN
+    snapshot table. Appends rebase over each other AND the compactor
+    rebases over appends (r10), so the expected steady state is zero
+    blocking: every batch lands exactly once, compaction keeps the file
+    count bounded, and nobody exhausts a retry budget."""
+    tbl = os.path.join(root, "appends")
+    counter = RetryCounter()
+    S.append_versioned(
+        spark,
+        spark.createDataFrame([(-1, -1)], "k long, v long").coalesce(1),
+        tbl,
+        txn_id="seed",
+    )
+    stop = threading.Event()
+
+    def appender(w):
+        def app():
+            for r in range(rounds):
+                rows = [(w * 1000 + r * 10 + i, w) for i in range(3)]
+                S.append_versioned(
+                    spark,
+                    spark.createDataFrame(rows, "k long, v long").coalesce(1),
+                    tbl,
+                    txn_id=f"w{w}-r{r}",
+                )
+
+        app.__name__ = f"app_w{w}"
+        return app
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                S.compact_small_files(spark, tbl)
+            except S.ConcurrentWriteError:
+                counter.bump("compact_retries")
+            time.sleep(0.15)
+
+    def vacuumer():
+        while not stop.is_set():
+            S.vacuum(tbl, keep_versions=16)
+            time.sleep(0.3)
+
+    workers = [appender(w) for w in range(N_MERGERS)]
+    t0 = time.monotonic()
+    maint = [threading.Thread(target=f) for f in (compactor, vacuumer)]
+    [t.start() for t in maint]
+    errs = _barrier_run(workers)
+    stop.set()
+    [t.join() for t in maint]
+    wall = time.monotonic() - t0
+
+    rows = sorted(tuple(r) for r in S.read_snapshot(spark, tbl).collect())
+    want = sorted(
+        [(-1, -1)]
+        + [(w * 1000 + r * 10 + i, w) for w in range(N_MERGERS) for r in range(rounds) for i in range(3)]
+    )
+    return {
+        "storm": "append", "rounds": rounds, "writers": N_MERGERS + 2,
+        "wall_s": round(wall, 2), "errors": errs,
+        "rows_exact": rows == want,
+        "n_live_files": len(S.read_manifest(tbl, resolve=False)["files"]),
+        "compact_cas_raises": counter.compact_retries,
+        **_liveness(tbl),
+    }
+
+
 def upsert_storm(spark, root: str, rounds: int) -> dict:
     tbl = os.path.join(root, "upsert")
     counter = RetryCounter()
@@ -308,16 +376,18 @@ def main():
             lambda: additive_storm(spark, root, rounds),
             lambda: additive_storm(spark, root, rounds, disjoint=True),
             lambda: upsert_storm(spark, root, rounds),
+            lambda: append_storm(spark, root, rounds),
         ):
             res = run()
             print(json.dumps(res))
             results.append(res)
-    add, disj, ups = results
+    add, disj, ups, app = results
     ok = (
         not add["errors"] and add["counters_exact"]
         and not disj["errors"] and disj["counters_exact"]
         and not ups["errors"] and ups["one_row_per_key"]
         and ups["single_winning_batch"]
+        and not app["errors"] and app["rows_exact"]
         and all(r["missing_live_files"] == 0 and r["fsck_findings"] == 0 for r in results)
     )
     print(json.dumps({"summary": "concurrency_storm", "rounds": rounds, "ok": ok}))
