@@ -61,6 +61,8 @@ _FRONT = [
     "t60_token_budget_selection",
     "q62_transactional_append",
     "t61_pii_redaction",
+    "t62_c4_filters",
+    "t63_html_extract",
     # (a) the 35 r7-stale entries — the list round 9 promised would
     # lead round 10. dedup/text families first (training/dedup.py is
     # touched again in r10 by the band-index compaction work):

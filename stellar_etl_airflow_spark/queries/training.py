@@ -3033,3 +3033,197 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t62 — C4 heuristic cleaning (r10): the Raffel et al. line/page rules
+# behind the oracle. Like t61, the synthetic corpus is single-line
+# prose, so the entry builds deterministic MULTI-LINE pages first
+# (good lines, short lines, javascript lines, lorem-ipsum and brace
+# contamination, all doc_id-gated) and the oracle states the same
+# construction — every rule fires on a non-trivial share of docs.
+# ---------------------------------------------------------------------------
+
+
+def t62_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc C4 signals + the md5 of the cleaned page, via
+    :func:`training.text.c4_rules`. One codegen map stage over a line
+    split — zero shuffles, zero Python (t61's plan shape)."""
+    from ..training.text import c4_rules
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" tail sentence ends here.")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("too short line.")).otherwise(
+                F.lit("this second line carries plenty of words to pass the gate.")
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("this line mentions javascript and still ends properly."),
+            ).otherwise(F.lit("a third well formed line closes the page nicely.")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("lorem ipsum dolor sit amet.")).otherwise(
+                F.lit("one more ordinary sentence for good measure.")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("code block { begins here.")).otherwise(
+                F.lit("and a final line without any braces at all.")
+            ),
+        ).alias("text"),
+    )
+    return c4_rules(aug).select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "keep_c4",
+        F.md5(F.col("clean")).alias("clean_md5"),
+    )
+
+
+T62_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           text || ' tail sentence ends here.',
+           CASE WHEN doc_id % 2 = 0 THEN 'too short line.'
+                ELSE 'this second line carries plenty of words to pass the gate.' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'this line mentions javascript and still ends properly.'
+                ELSE 'a third well formed line closes the page nicely.' END,
+           CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+                ELSE 'one more ordinary sentence for good measure.' END,
+           CASE WHEN doc_id % 13 = 0 THEN 'code block { begins here.'
+                ELSE 'and a final line without any braces at all.' END
+         ) AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM aug
+),
+kept AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]$')
+           AND (length(l) - length(replace(l, ' ', '')) + 1) >= 5
+           AND NOT contains(lower(l), 'javascript')
+         ) AS kl
+  FROM split
+),
+sig AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         len(kl)::BIGINT AS n_kept_lines,
+         array_to_string(kl, chr(10)) AS clean,
+         len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]'))::BIGINT AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM kept
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+       (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_c4,
+       md5(clean) AS clean_md5
+FROM sig
+"""
+
+
+SPECS.update(
+    {
+        "t62_c4_filters": QuerySpec(
+            t62_c4_filters,
+            T62_SQL,
+            "C4 heuristic cleaning: terminal-punct/5-word/javascript line gates + page-level rules",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# t63 — HTML -> text extraction (r10): the web-crawl ingestion step.
+# The entry wraps each document in a deterministic doc_id-varied HTML
+# scaffold (head with style+script blocks, headings, paragraphs, a
+# comment, entities), extracts with the layered-regex pipeline, and the
+# oracle replays the SAME pattern literals step by step.
+# ---------------------------------------------------------------------------
+
+
+def t63_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc extraction signals: tag count of the raw page, the
+    extracted text's md5/length/line count. One codegen projection —
+    zero shuffles, zero Python (t61's plan shape)."""
+    from ..training.text import html_to_text
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p {color: red}</style>"
+                  "<script type='text/javascript'>var x = 1 < 2;</script></head><body>"),
+            F.lit("<h1>Title "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><!-- hidden comment --><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("<ul><li>alpha &amp; beta</li><li>&quot;quoted&quot;</li></ul>"),
+            ).otherwise(F.lit("<div>plain &lt;tail&gt; block</div>")),
+            F.lit("<br/>footer&nbsp;line</body></html>"),
+        ).alias("html"),
+    )
+    return html_to_text(aug).select(
+        "doc_id",
+        F.regexp_count(F.col("html"), F.lit("<[^>]+>")).cast("long").alias("n_tags"),
+        F.length("text").cast("long").alias("text_len"),
+        (F.size(F.split(F.col("text"), "\n"))).cast("long").alias("n_blocks"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def _t63_sql() -> str:
+    from ..training.text import HTML_ENTITIES, HTML_STRIP_STEPS, HTML_WS_STEPS
+
+    expr = "html"
+    for pat, repl in HTML_STRIP_STEPS:
+        rep = "chr(10)" if repl == "\n" else f"'{repl}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        q = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{q}')"
+    for pat, repl in HTML_WS_STEPS:
+        rep = "chr(10)" if repl == "\n" else f"'{repl}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    expr = f"trim({expr}, ' ')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         '<html><head><style>p {{color: red}}</style>'
+         || '<script type=''text/javascript''>var x = 1 < 2;</script></head><body>'
+         || '<h1>Title ' || doc_id || '</h1><!-- hidden comment --><p>' || text || '</p>'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<ul><li>alpha &amp; beta</li><li>&quot;quoted&quot;</li></ul>'
+                 ELSE '<div>plain &lt;tail&gt; block</div>' END
+         || '<br/>footer&nbsp;line</body></html>' AS html
+  FROM documents
+),
+ext AS (SELECT doc_id, html, {expr} AS text FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+       length(text)::BIGINT AS text_len,
+       len(string_split(text, chr(10)))::BIGINT AS n_blocks,
+       md5(text) AS text_md5
+FROM ext
+"""
+
+
+SPECS.update(
+    {
+        "t63_html_extract": QuerySpec(
+            t63_html_extract,
+            _t63_sql(),
+            "HTML->text extraction: script/style/comment strip, block tags to newlines, entities, ws-normalize",
+        ),
+    }
+)

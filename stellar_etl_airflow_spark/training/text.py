@@ -1255,3 +1255,108 @@ def select_token_budget(
             ).alias("selected"),
         )
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2 — the T5 corpus
+    rules; also the "C4 stage" of RedPajama/Dolma/FineWeb pipelines):
+
+    - keep only LINES that end in terminal punctuation, carry at least
+      ``min_words_per_line`` words, and don't mention javascript;
+    - drop DOCS with fewer than ``min_sentences`` sentences after line
+      cleaning, or containing "lorem ipsum" or a curly brace.
+
+    Emits per-doc line/sentence counts, the page-level flags, the
+    overall ``keep_c4``, and the cleaned text (``clean`` column) for
+    downstream stages. Every term is a per-row scalar expression over
+    one line-split — zero shuffle, whole-stage codegen, linear at
+    100 TB (t61's shape). Word counts are space-counts + 1, a
+    formulation both Spark and an oracle engine state identically."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (
+            (F.length(l) - F.length(F.replace(l, F.lit(" "), F.lit(""))) + 1)
+            >= min_words_per_line
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("keep_c4"),
+        clean.alias("clean"),
+    )
+
+
+# HTML -> text extraction steps, applied in order. Java and RE2 agree on
+# this subset (character classes, non-greedy [\s\S]*?, alternation — no
+# lookaround, no backreferences, no inline flags), so the SAME pattern
+# literals run in Spark and in a DuckDB oracle. Block-level tags become
+# newlines BEFORE the generic tag strip so paragraph structure survives;
+# &amp; decodes LAST so entities never double-decode.
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"<script[^>]*>[\s\S]*?</script>", " "),
+    (r"<style[^>]*>[\s\S]*?</style>", " "),
+    (r"<!--[\s\S]*?-->", " "),
+    (r"</?(?:br|p|div|h[1-6]|li|tr|table|ul|ol)[^>]*>", "\n"),
+    (r"<[^>]+>", " "),
+)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+HTML_WS_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+)
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Boilerplate-stripping HTML -> text extraction — the web-crawl
+    ingestion step ahead of every filter in a C4/FineWeb-style pipeline:
+    script/style/comment blocks dropped, block-level tags mapped to
+    newlines (paragraph structure survives for line-level rules like
+    :func:`c4_rules`), remaining tags stripped, the six ubiquitous
+    entities decoded, whitespace normalized.
+
+    Deliberately a LAYERED REGEX pass, not a DOM parse: the whole
+    extraction is one whole-stage-codegen projection (zero shuffles,
+    zero Python — t61's plan shape, linear at 100 TB), the layering is
+    deterministic, and every pattern is in the Java/RE2 common subset
+    so an external engine can replay it byte-for-byte. A DOM parser
+    (trafilatura/jusText class) is the quality upgrade path and would
+    slot in as a mapInArrow stage like the codec decoders."""
+    c = F.col(html_col)
+    for pat, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, repl in HTML_WS_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, F.trim(c))
