@@ -141,6 +141,10 @@ PROBES = [
     # per-batch data term is t59's, which IS probed).
     "t61_pii_redaction",
     "q62_transactional_append",
+    # t62/t63: t61's plan family (one codegen projection over the doc
+    # scan — line split / layered regexp_replace); linear by construction
+    "t62_c4_filters",
+    "t63_html_extract",
 ]
 
 # env override: measure a subset without re-timing the whole list
