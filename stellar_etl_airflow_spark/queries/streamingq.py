@@ -1087,3 +1087,160 @@ SPECS["s14_stream_incremental_dedup"] = QuerySpec(
     S14_SQL,
     "streaming ingest-time dedup: foreachBatch probe of a persisted, incrementally-grown LSH band index",
 )
+
+
+# ---------------------------------------------------------------------------
+# s15 — streaming web-ingestion pipeline (r10): HTML pages arrive in
+# microbatches; each batch is extracted (html_to_text), C4-cleaned
+# (c4_rules), and its per-doc verdicts land in a snapshot table through
+# append_versioned with txn_id = epoch id — the full crawl-to-corpus
+# production shape for the r10 operators, with exactly-once proven
+# IN-ENTRY by a simulated redelivery of every batch.
+# ---------------------------------------------------------------------------
+
+
+def s15_stream_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fifth doc arrives as a stream in three pinned microbatches
+    (s14's arrival pattern); the transform chain on the STREAMING frame
+    wraps each doc in a deterministic doc_id-varied HTML page, extracts
+    text, and applies the C4 gates. The foreachBatch handler appends
+    each batch's verdict rows transactionally TWICE with the same epoch
+    txn — the second call is the at-least-once redelivery, asserted
+    in-entry to return the recorded version and write nothing. The
+    drain ends with the bin-packing maintenance pass (which rebases
+    over appends — never blocks the stream). Oracle: the identical
+    scaffold -> extract -> clean pipeline stated in one batch SQL."""
+    from ..sinks import snapshots as S
+    from ..training.text import c4_rules, html_to_text
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sub = _stream_session(spark)
+
+    with _stream_scratch("s15", sf_dir, {}, n_extra=1) as (stream_dir, ckpt, acc_dir):
+        for i, g in enumerate((0, 5, 10)):
+            tmp = os.path.join(stream_dir, f"_b{i}")
+            docs.where(F.col("doc_id") % 15 == g).coalesce(1).write.parquet(tmp)
+            (part,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(stream_dir, f"batch-{i}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+        def handle(batch_df, bid):
+            s = batch_df.sparkSession
+            b = batch_df.coalesce(1)
+            v1 = S.append_versioned(s, b, acc_dir, txn_id=f"s15-{bid}")
+            # simulated at-least-once redelivery of the SAME epoch
+            v2 = S.append_versioned(s, b, acc_dir, txn_id=f"s15-{bid}")
+            if v2 != v1:
+                raise AssertionError(f"epoch {bid} replay published v{v2} != v{v1}")
+
+        raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+        stream = (
+            sub.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        paged = stream.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "<html><head><style>p {color: red}</style>"
+                    "<script>var x = 1 < 2;</script></head><body><h1>Title "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit(" tail sentence ends here.</p>"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit("<ul><li>alpha &amp; beta gamma delta epsilon.</li></ul>"),
+                ).otherwise(F.lit("<div>a solid closing block with plenty of words.</div>")),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.lit("<p>lorem ipsum dolor sit amet.</p>"),
+                ).otherwise(F.lit("<p>an ordinary paragraph line for the gate.</p>")),
+                F.lit("<br/>footer line</body></html>"),
+            ).alias("html"),
+        )
+        verdict = c4_rules(html_to_text(paged, out_col="text"), text_col="text").select(
+            "doc_id",
+            "n_kept_lines",
+            "n_sentences",
+            "has_lorem",
+            "keep_c4",
+            F.md5(F.col("clean")).alias("clean_md5"),
+        )
+        q = (
+            verdict.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        S.compact_small_files(spark, acc_dir)
+        out = S.read_snapshot(spark, acc_dir)
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    return spark.createDataFrame(rows, schema)
+
+
+def _s15_sql() -> str:
+    from ..training.text import HTML_ENTITIES, HTML_STRIP_STEPS, HTML_WS_STEPS
+
+    expr = "html"
+    for pat, repl in HTML_STRIP_STEPS:
+        rep = "chr(10)" if repl == "\n" else f"'{repl}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        q = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{q}')"
+    for pat, repl in HTML_WS_STEPS:
+        rep = "chr(10)" if repl == "\n" else f"'{repl}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    expr = f"trim({expr}, ' ')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         '<html><head><style>p {{color: red}}</style>'
+         || '<script>var x = 1 < 2;</script></head><body><h1>Title ' || doc_id
+         || '</h1><p>' || text || ' tail sentence ends here.</p>'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<ul><li>alpha &amp; beta gamma delta epsilon.</li></ul>'
+                 ELSE '<div>a solid closing block with plenty of words.</div>' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN '<p>lorem ipsum dolor sit amet.</p>'
+                 ELSE '<p>an ordinary paragraph line for the gate.</p>' END
+         || '<br/>footer line</body></html>' AS html
+  FROM documents WHERE doc_id % 5 = 0
+),
+ext AS (SELECT doc_id, {expr} AS text FROM aug),
+kept AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l ->
+           regexp_matches(l, '[.!?"]$')
+           AND (length(l) - length(replace(l, ' ', '')) + 1) >= 5
+           AND NOT contains(lower(l), 'javascript')
+         ) AS kl
+  FROM ext
+)
+SELECT doc_id,
+       len(kl)::BIGINT AS n_kept_lines,
+       len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]'))::BIGINT AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       (len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS keep_c4,
+       md5(array_to_string(kl, chr(10))) AS clean_md5
+FROM kept
+"""
+
+
+SPECS.update(
+    {
+        "s15_stream_web_ingest": QuerySpec(
+            s15_stream_web_ingest,
+            _s15_sql(),
+            "streaming web ingestion: HTML microbatches -> extract -> C4 clean -> txn append, redelivery proven",
+        ),
+    }
+)
