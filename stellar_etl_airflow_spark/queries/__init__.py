@@ -28,7 +28,7 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 135 entries as of round 9 — t56-t60, s14, q61
+# round (the corpus is 140 entries as of round 10 — q62, t61-t63, s15
 # new — larger than the window; r9's driver pass checked 48).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
@@ -36,8 +36,8 @@ QUERIES.update(connectors.SPECS)
 # driver row, then (b) the STALEST entries first (latest green row
 # oldest round), ordered within a staleness class so entries touched by
 # this round's code changes come first. ATTAINABLE FRESHNESS BOUND:
-# with a ~48-50-entry window over a 135-entry corpus, full refresh
-# takes ceil(135/48) = 3 rounds — "no entry staler than 3 rounds" is
+# with a ~48-50-entry window over a 140-entry corpus, full refresh
+# takes ceil(140/48) = 3 rounds — "no entry staler than 3 rounds" is
 # the invariant the rotation can actually keep, and in-repo oracle
 # parity (test_oracle_parity.py, every pytest run) covers the stale
 # tail between driver rows.
