@@ -1,0 +1,174 @@
+"""Aggregate MERGE-ON-READ: contention-free additive state tables.
+
+The bucketed MVCC additive merge (``merge_additive_versioned``) is
+copy-on-write: every batch reads its touched buckets and rewrites them,
+so same-key writers serialize through the publish CAS and a lost race
+costs a full recompute (the r10 concurrency storm measured 61 forced
+recomputes for 24 same-key batches). But addition COMMUTES — the write
+path doesn't need to read current state at all. This module stores the
+table as a pile of per-key DELTA rows:
+
+- **write** = :func:`snapshots.append_versioned` of the raw batch
+  (exactly-once via the txn ledger, rebases over any concurrent commit,
+  never reads existing data) — N same-key writers never conflict and
+  never recompute;
+- **read** = fold on the fly: ``groupBy(keys).sum(sum_cols)`` over the
+  delta pile (Druid-rollup / Delta "aggregate MoR" shape);
+- **fold** = maintenance: rewrite the pile into one row per key,
+  carrying the txn ledger (a fold must not reopen the exactly-once
+  window) — read cost then resets to the key count.
+
+The trade vs copy-on-write: reads pay an aggregation over
+O(rows-since-fold) instead of a plain scan, writes are O(batch) always.
+At 100 TB ingest cadence with many concurrent counters (the reference's
+batch-stats / usage-metering shape) that is the right side of the
+trade, with ``fold_additive`` on the same maintenance cadence as
+``compact_small_files``. Reference parity: the dbt incremental
+aggregate marts (SURVEY §2.4) — same semantics, contention-free plan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks import snapshots as S
+
+_PROPS = "_additive_mor.json"
+
+
+def _props_path(path: str) -> str:
+    return os.path.join(S._snap_dir(path), _PROPS)
+
+
+def _load_props(path: str) -> dict | None:
+    import json
+
+    try:
+        with open(_props_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _check_or_pin(path: str, keys, sum_cols) -> None:
+    import json
+
+    props = _load_props(path)
+    if props is None:
+        os.makedirs(S._snap_dir(path), exist_ok=True)
+        S._atomic_write(
+            _props_path(path),
+            json.dumps({"keys": list(keys), "sum_cols": list(sum_cols)}),
+        )
+        return
+    for name, got in (("keys", list(keys)), ("sum_cols", list(sum_cols))):
+        if props.get(name) != got:
+            raise ValueError(
+                f"{path} is an additive-MoR table with {name}={props.get(name)!r}; "
+                f"got {got!r}"
+            )
+
+
+def write_delta(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    txn_id: str | None = None,
+) -> int:
+    """Append one additive delta batch. Never reads existing data;
+    exactly-once under redelivery via ``txn_id``; concurrent writers —
+    same keys or not — all land through the append rebase (zero
+    recomputes by construction). ``batch`` must carry exactly
+    keys+sum_cols with exact-summable types (long/decimal — double
+    addition is order-dependent and would make folds run-dependent)."""
+    expected = set(keys) | set(sum_cols)
+    if set(batch.columns) != expected:
+        raise ValueError(
+            f"write_delta: batch columns {sorted(batch.columns)} must be "
+            f"exactly keys+sum_cols {sorted(expected)}"
+        )
+    for f in batch.schema.fields:
+        if f.name in sum_cols and f.dataType.typeName() in ("double", "float"):
+            raise ValueError(
+                f"write_delta: sum column {f.name!r} is {f.dataType.typeName()} — "
+                "use long/decimal (float addition is order-dependent)"
+            )
+    _check_or_pin(path, keys, sum_cols)
+    return S.append_versioned(spark, batch, path, txn_id=txn_id)
+
+
+def read_additive(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The folded view: one row per key, counters summed across every
+    delta (and any previously folded base rows — a fold's output is
+    itself just rows that sum). Time travel works: ``version`` folds
+    exactly that version's pile."""
+    props = _load_props(path)
+    if props is None:
+        raise ValueError(f"{path} is not an additive-MoR table (no {_PROPS})")
+    keys, sum_cols = props["keys"], props["sum_cols"]
+    return (
+        S.read_snapshot(spark, path, version=version)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+
+
+def fold_additive(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Maintenance: rewrite the delta pile into ONE row per key (the
+    aggregate materialized), carrying the applied-txn ledger so replays
+    of folded-in batches stay no-ops — the additive-MoR twin of
+    ``compact_small_files``. CAS-guarded: a concurrent delta landing
+    mid-fold raises ``ConcurrentWriteError`` (the fold's output would
+    silently swallow it — rerun the fold on fresh state; writers are
+    never blocked, THEY rebase over us). Returns (version, rows_after).
+    Cost: one aggregation + write of the key count — run on cadence,
+    not per batch."""
+    props = _load_props(path)
+    if props is None:
+        raise ValueError(f"{path} is not an additive-MoR table (no {_PROPS})")
+    m = S.read_manifest(path, resolve=False)
+    folded = read_additive(spark, path)
+    stage = os.path.abspath(os.path.join(path, f"_stage-fold-{uuid.uuid4().hex[:8]}"))
+    folded.write.mode("overwrite").parquet(stage)
+    try:
+        new_files = S.adopt_staged(stage, path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    sc = m.get("stats_cols") or None
+    bc = m.get("bloom_cols") or None
+    try:
+        v = S._publish(
+            path,
+            new_files,
+            txns=m.get("txns") or None,  # folds must not reopen replay holes
+            stats_cols=sc,
+            bloom_cols=bc,
+            blooms=S.compute_blooms(spark, new_files, bc) if bc else None,
+            constraints=m.get("constraints") or None,
+            # the folded frame was read through any active mapping, so
+            # its files carry the LOGICAL names — the mapping is
+            # materialized here, like compact_snapshot
+            reset_mapping=True,
+            expected_version=int(m["version"]),
+            op="fold",  # content-changing for merges, but append-safe:
+            # appends never read, so an appender rebasing over a fold
+            # stays correct (its delta file is disjoint and still sums)
+        )
+    except S.ConcurrentWriteError:
+        for f in new_files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
+    # row count from the just-written files (footer metadata), not a
+    # second run of the aggregation
+    n = spark.read.parquet(*new_files).count() if new_files else 0
+    return v, n

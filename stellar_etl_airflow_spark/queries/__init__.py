@@ -64,6 +64,7 @@ _FRONT = [
     "t62_c4_filters",
     "t63_html_extract",
     "s15_stream_web_ingest",
+    "q63_additive_mor",
     # (a) the 35 r7-stale entries — the list round 9 promised would
     # lead round 10. dedup/text families first (training/dedup.py is
     # touched again in r10 by the band-index compaction work):

@@ -878,3 +878,70 @@ SPECS["q62_transactional_append"] = QuerySpec(
     Q62_SQL,
     "transactional append: 3 batches + a redelivered txn + interleaved compaction == plain orders",
 )
+
+
+def q63_additive_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate MERGE-ON-READ end to end (r10): per-customer order
+    counters maintained as pure delta appends — three batches (one
+    REDELIVERED), a fold that materializes one row per key mid-stream,
+    then two more deltas on top of the folded base. The final folded
+    view must equal a one-shot GROUP BY over orders (the oracle); the
+    redelivered txn must no-op ACROSS the fold (the ledger is carried).
+
+    100 TB story: this is the contention-free additive state shape —
+    same-key writers never read, never conflict, never recompute
+    (measured in tools/concurrency_storm.py; the bucketed CoW additive
+    merge paid 61 recomputes for the same workload). Reads pay a fold
+    over O(rows-since-fold); ``fold_additive`` on maintenance cadence
+    bounds it. Amounts ride DECIMAL(38,6) — exact-summable, so folds
+    are order-independent."""
+    from ..operators import additive_mor as AM
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_custkey"),
+        F.lit(1).cast("long").alias("n_orders"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("total_price"),
+    ]
+    path = os.path.join(tempfile.gettempdir(), f"q63-mor-{uuid.uuid4().hex[:8]}")
+    try:
+        batches = [
+            orders.where(F.col("o_orderkey") % 5 == i).select(*cols) for i in range(5)
+        ]
+        keys, sums = ("o_custkey",), ("n_orders", "total_price")
+        AM.write_delta(spark, batches[0], path, keys, sums, txn_id="b0")
+        AM.write_delta(spark, batches[1], path, keys, sums, txn_id="b1")
+        AM.write_delta(spark, batches[2], path, keys, sums, txn_id="b2")
+        AM.fold_additive(spark, path)
+        v = S_latest(path)
+        AM.write_delta(spark, batches[1], path, keys, sums, txn_id="b1")  # redelivery
+        if S_latest(path) != v:
+            raise AssertionError("replayed delta published across the fold")
+        AM.write_delta(spark, batches[3], path, keys, sums, txn_id="b3")
+        AM.write_delta(spark, batches[4], path, keys, sums, txn_id="b4")
+        out = AM.read_additive(spark, path)
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def S_latest(path):
+    from ..sinks.snapshots import latest_version
+
+    return latest_version(path)
+
+
+Q63_SQL = """
+SELECT o_custkey,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+SPECS["q63_additive_mor"] = QuerySpec(
+    q63_additive_mor,
+    Q63_SQL,
+    "aggregate merge-on-read: delta appends + mid-stream fold + cross-fold replay == GROUP BY oracle",
+)

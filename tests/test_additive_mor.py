@@ -1,0 +1,142 @@
+"""Aggregate merge-on-read (operators/additive_mor.py): contention-free
+additive state — writes are pure delta appends (commutative, txn-ledger
+exactly-once), reads fold on the fly, maintenance folds to one row per
+key without reopening replay holes."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from stellar_etl_airflow_spark.operators import additive_mor as AM
+from stellar_etl_airflow_spark.sinks import snapshots as S
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, n long").coalesce(1)
+
+
+def _view(spark, tbl, version=None):
+    return {
+        r["k"]: r["n"] for r in AM.read_additive(spark, tbl, version=version).collect()
+    }
+
+
+def test_write_read_fold_lifecycle(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    AM.write_delta(spark, _mk(spark, [(1, 5), (2, 1)]), tbl, ("k",), ("n",), txn_id="b0")
+    AM.write_delta(spark, _mk(spark, [(1, 3), (3, 7)]), tbl, ("k",), ("n",), txn_id="b1")
+    assert _view(spark, tbl) == {1: 8, 2: 1, 3: 7}
+    pre_fold = S.latest_version(tbl)
+    v, n = AM.fold_additive(spark, tbl)
+    assert n == 3 and v == pre_fold + 1
+    assert _view(spark, tbl) == {1: 8, 2: 1, 3: 7}
+    # deltas keep summing on top of the folded base
+    AM.write_delta(spark, _mk(spark, [(3, -2), (4, 4)]), tbl, ("k",), ("n",), txn_id="b2")
+    assert _view(spark, tbl) == {1: 8, 2: 1, 3: 5, 4: 4}
+    # time travel folds the OLD pile
+    assert _view(spark, tbl, version=pre_fold) == {1: 8, 2: 1, 3: 7}
+
+
+def test_replay_is_exactly_once_across_fold(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    AM.write_delta(spark, _mk(spark, [(1, 5)]), tbl, ("k",), ("n",), txn_id="b0")
+    AM.write_delta(spark, _mk(spark, [(1, 5)]), tbl, ("k",), ("n",), txn_id="b0")
+    assert _view(spark, tbl) == {1: 5}
+    AM.fold_additive(spark, tbl)
+    v = S.latest_version(tbl)
+    AM.write_delta(spark, _mk(spark, [(1, 5)]), tbl, ("k",), ("n",), txn_id="b0")
+    assert S.latest_version(tbl) == v  # the fold carried the ledger
+    assert _view(spark, tbl) == {1: 5}
+
+
+def test_same_key_writers_never_conflict(spark, tmp_path):
+    """The contention story: 8 writers adding +1 to the SAME key land
+    exactly once each with zero merge recomputes (there are no merges)
+    and no retry-budget exhaustion."""
+    from stellar_etl_airflow_spark.operators import merge as M
+
+    tbl = str(tmp_path / "t")
+    stats0 = dict(M.MERGE_STATS)
+    errs = []
+
+    def w(i):
+        try:
+            AM.write_delta(
+                spark, _mk(spark, [(7, 1)]), tbl, ("k",), ("n",), txn_id=f"w{i}"
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append((i, e))
+
+    ts = [threading.Thread(target=w, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert _view(spark, tbl) == {7: 8}
+    assert dict(M.MERGE_STATS) == stats0
+
+
+def test_fold_races_delta_correctly(spark, tmp_path, monkeypatch):
+    """A delta landing mid-fold fails the fold's CAS (its output would
+    swallow the delta); an append landing WHILE a fold publishes
+    rebases over the fold and still sums."""
+    tbl = str(tmp_path / "t")
+    AM.write_delta(spark, _mk(spark, [(1, 1)]), tbl, ("k",), ("n",), txn_id="b0")
+    real_adopt = S.adopt_staged
+
+    def adopt_then_delta(stage, path):
+        out = real_adopt(stage, path)
+        monkeypatch.undo()
+        AM.write_delta(spark, _mk(spark, [(1, 10)]), tbl, ("k",), ("n",), txn_id="mid")
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_then_delta)
+    with pytest.raises(S.ConcurrentWriteError):
+        AM.fold_additive(spark, tbl)
+    assert _view(spark, tbl) == {1: 11}
+    AM.fold_additive(spark, tbl)  # clean rerun folds everything
+    assert _view(spark, tbl) == {1: 11}
+
+    # other direction: append staged, fold lands first, append rebases
+    def adopt_then_fold(stage, path):
+        out = real_adopt(stage, path)
+        monkeypatch.undo()
+        AM.fold_additive(spark, tbl)
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_then_fold)
+    AM.write_delta(spark, _mk(spark, [(1, 100)]), tbl, ("k",), ("n",), txn_id="b2")
+    assert _view(spark, tbl) == {1: 111}
+
+
+def test_write_delta_guards(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="exactly keys"):
+        AM.write_delta(
+            spark,
+            spark.createDataFrame([(1, 1, 1)], "k long, n long, x long"),
+            tbl,
+            ("k",),
+            ("n",),
+        )
+    with pytest.raises(ValueError, match="order-dependent"):
+        AM.write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "k long, n double"),
+            tbl,
+            ("k",),
+            ("n",),
+        )
+    AM.write_delta(spark, _mk(spark, [(1, 1)]), tbl, ("k",), ("n",))
+    with pytest.raises(ValueError, match="additive-MoR table with keys"):
+        AM.write_delta(
+            spark,
+            spark.createDataFrame([(1, 1)], "j long, n long"),
+            tbl,
+            ("j",),
+            ("n",),
+        )
+    with pytest.raises(ValueError, match="not an additive-MoR table"):
+        AM.read_additive(spark, str(tmp_path / "nope"))

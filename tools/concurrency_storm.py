@@ -298,6 +298,73 @@ def append_storm(spark, root: str, rounds: int) -> dict:
     }
 
 
+def additive_mor_storm(spark, root: str, rounds: int) -> dict:
+    """The r10 aggregate-merge-on-read answer to the same-key additive
+    worst case: 6 writers add +1 to the SAME 64 keys via pure delta
+    appends (operators/additive_mor.py) while a folder loop
+    materializes the aggregate and a vacuumer prunes — writers never
+    read, never conflict, never recompute. Expected: exact counters,
+    zero errors, zero merge recomputes; fold CAS losses are counted
+    (they are the DESIGNED loser — writers always win)."""
+    from stellar_etl_airflow_spark.operators import additive_mor as AM
+
+    tbl = os.path.join(root, "additive_mor")
+    counter = RetryCounter()
+    stats0 = dict(M.MERGE_STATS)
+    seed = spark.range(N_KEYS).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("n")
+    )
+    AM.write_delta(spark, seed, tbl, ("k",), ("n",), txn_id="seed")
+    stop = threading.Event()
+
+    def writer(w):
+        def add():
+            for r in range(rounds):
+                batch = spark.range(N_KEYS).select(
+                    F.col("id").alias("k"), F.lit(1).cast("long").alias("n")
+                )
+                AM.write_delta(spark, batch, tbl, ("k",), ("n",), txn_id=f"w{w}-r{r}")
+
+        add.__name__ = f"mor_w{w}"
+        return add
+
+    def folder():
+        while not stop.is_set():
+            try:
+                AM.fold_additive(spark, tbl)
+            except S.ConcurrentWriteError:
+                counter.bump("compact_retries")
+            time.sleep(0.2)
+
+    def vacuumer():
+        while not stop.is_set():
+            S.vacuum(tbl, keep_versions=16)
+            time.sleep(0.3)
+
+    workers = [writer(w) for w in range(N_MERGERS)]
+    t0 = time.monotonic()
+    maint = [threading.Thread(target=f) for f in (folder, vacuumer)]
+    [t.start() for t in maint]
+    errs = _barrier_run(workers)
+    stop.set()
+    [t.join() for t in maint]
+    # one clean fold so the invariant check reads the materialized view
+    AM.fold_additive(spark, tbl)
+    wall = time.monotonic() - t0
+
+    got = {r["k"]: r["n"] for r in AM.read_additive(spark, tbl).collect()}
+    want = {k: N_MERGERS * rounds for k in range(N_KEYS)}
+    ds = dict(M.MERGE_STATS)
+    return {
+        "storm": "additive_mor", "rounds": rounds, "writers": N_MERGERS + 2,
+        "wall_s": round(wall, 2), "errors": errs,
+        "counters_exact": got == want,
+        "merge_recomputes": ds["recomputes"] - stats0["recomputes"],
+        "fold_cas_losses": counter.compact_retries,
+        **_liveness(tbl),
+    }
+
+
 def upsert_storm(spark, root: str, rounds: int) -> dict:
     tbl = os.path.join(root, "upsert")
     counter = RetryCounter()
@@ -377,17 +444,20 @@ def main():
             lambda: additive_storm(spark, root, rounds, disjoint=True),
             lambda: upsert_storm(spark, root, rounds),
             lambda: append_storm(spark, root, rounds),
+            lambda: additive_mor_storm(spark, root, rounds),
         ):
             res = run()
             print(json.dumps(res))
             results.append(res)
-    add, disj, ups, app = results
+    add, disj, ups, app, mor = results
     ok = (
         not add["errors"] and add["counters_exact"]
         and not disj["errors"] and disj["counters_exact"]
         and not ups["errors"] and ups["one_row_per_key"]
         and ups["single_winning_batch"]
         and not app["errors"] and app["rows_exact"]
+        and not mor["errors"] and mor["counters_exact"]
+        and mor["merge_recomputes"] == 0
         and all(r["missing_live_files"] == 0 and r["fsck_findings"] == 0 for r in results)
     )
     print(json.dumps({"summary": "concurrency_storm", "rounds": rounds, "ok": ok}))
