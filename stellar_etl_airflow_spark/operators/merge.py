@@ -737,6 +737,28 @@ def _merge_versioned_once(
                 raise
             with _MERGE_STATS_LOCK:
                 MERGE_STATS["rebases"] += 1
+            # Row-loss guard (ADVICE r10): the keep list below EXCLUDES
+            # bucket-less files, which is only safe because
+            # _rebase_compatible admits no op that can introduce flat
+            # files (this branch already knows had_flat is False, so the
+            # version WE read had none either). Make that invariant loud:
+            # if a future _rebase_compatible extension admits an op that
+            # lands flat files, silently dropping them here would lose
+            # rows — recompute instead.
+            if any(bucket_of(f) is None for f in nm["files"]):
+                for f in new_files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                with _MERGE_STATS_LOCK:
+                    MERGE_STATS["recomputes"] += 1
+                raise S.ConcurrentWriteError(
+                    f"rebase of {path} found flat (bucket-less) files in the "
+                    "intervening manifest — an op _rebase_compatible admitted "
+                    "introduced them; recomputing from fresh state instead of "
+                    "dropping them (row-loss guard)"
+                )
             pub = nm
             keep_now = [
                 f

@@ -28,103 +28,96 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 140 entries as of round 10 — q62, t61-t63, s15
-# new — larger than the window; r9's driver pass checked 48).
+# round (the corpus is 141 entries as of round 10 — larger than the
+# window; r10's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
 # ask #3): each round fronts (a) any entry that has NEVER had a green
 # driver row, then (b) the STALEST entries first (latest green row
 # oldest round), ordered within a staleness class so entries touched by
 # this round's code changes come first. ATTAINABLE FRESHNESS BOUND:
-# with a ~48-50-entry window over a 140-entry corpus, full refresh
-# takes ceil(140/48) = 3 rounds — "no entry staler than 3 rounds" is
+# with a ~48-50-entry window over a 141-entry corpus, full refresh
+# takes ceil(141/48) = 3 rounds — "no entry staler than 3 rounds" is
 # the invariant the rotation can actually keep, and in-repo oracle
 # parity (test_oracle_parity.py, every pytest run) covers the stale
 # tail between driver rows.
 #
-# Round 10 window, honoring the VERDICT r9 asks #1 and #3:
-# (a0) t60 leads everything — the corpus's only never-green driver row
-# (r9 root cause found in r10: the oracle's uncast window SUM returned
-# HUGEINT, which pandas lowers to float64 and hash-mismatches Spark's
-# bigint; fixed with an explicit CAST + deterministic output order +
-# an in-entry prefix-sum chain self-assert) — followed by any r10-new
-# entries; then (a) ALL 35 r7-stale entries, exactly the list promised
-# in round 9; then (b) the remaining slots go to entries whose BACKING
-# CODE changes in round 10: s14 (exactly-once foreachBatch + band-index
-# compaction), q17/q51 (merge.py bootstrap-race fix), and the
-# snapshot-plane q55-q59/s10-s13 (concurrency-storm probe target). The
-# (b) tail past slot ~48 (s11-s13) was r9-green and loses nothing if
-# the window cuts it.
+# Round 11 window, honoring the VERDICT r10 asks #1 and #2:
+# (a0) q62/q63 lead — the corpus's only never-green driver rows (r10
+# red root-caused by the judge: raw DECIMAL(38,6) final projection vs
+# the driver hasher's pandas normalization; both entries now follow the
+# house dsum discipline — accumulate DECIMAL, project DOUBLE — on both
+# the Spark and oracle sides, and test_oracle_parity.py now rejects any
+# DECIMAL/HUGEINT output column corpus-wide); then (a) ALL 49 r8-stale
+# entries — exactly the list VERDICT r10 "What's missing #1" names —
+# ordered so entries whose backing code changes in r11 come first
+# (snapshot plane: append_versioned rebase guards, additive_mor CAS
+# pin + fold retry, merge rebase flat-file assert, D6 batch-stats on
+# MoR). The 42 r9-stale entries become r12's obligation.
 _FRONT = [
-    # (a0) never-green first: t60's red row is the round's top ask,
-    # then the r10-new entry (no driver row yet)
-    "t60_token_budget_selection",
+    # (a0) never-green first: the two r10 red rows, dsum-fixed this round
     "q62_transactional_append",
-    "t61_pii_redaction",
-    "t62_c4_filters",
-    "t63_html_extract",
-    "s15_stream_web_ingest",
     "q63_additive_mor",
-    # (a) the 35 r7-stale entries — the list round 9 promised would
-    # lead round 10. dedup/text families first (training/dedup.py is
-    # touched again in r10 by the band-index compaction work):
-    "t01_exact_dedup",
-    "t02_ngram_jaccard_pairs",
-    "t03_minhash_lsh_pairs",
-    "t17_neardup_components",
-    "t39_duplicate_spans",
-    "t46_url_dedup",
-    "t47_bloom_decontaminate",
-    "t48_ccnet_buckets",
-    "t49_paragraph_dedup",
-    "t50_source_overlap_matrix",
-    "t51_keep_best_dedup",
-    "t52_temperature_mixture",
-    # similarity / loader / graph r7-stale remainder
-    "t16_embedding_ivf_topk",
-    "t19_kmeans_ivf",
-    "t20_training_pipeline",
-    "t38_importance_weights",
-    "t40_gopher_rules",
-    "t41_source_lang_mix",
-    "t42_bigram_backoff",
-    "t43_bpe_vocab",
-    "t44_pagerank",
-    # streaming r7-stale block (s14's module is edited in r10)
-    "s01_stream_tumbling",
-    "s02_stream_dedup",
-    "s03_stream_sessionize",
-    "s04_stateful_running_counts",
-    "s05_stream_stream_join",
-    "s06_stream_upsert_sink",
-    "s07_stream_static_enrich",
-    # relational r7-stale block
-    "q28_rollup",
-    "q29_percentiles",
-    "q45_explode_outer",
-    "q48_fuzzy_blocked_join",
-    "q49_gapfill_ffill",
-    "q50_funnel",
-    "q52_asof_tolerance",
-    "q53_asof_forward",
-    # (b) backing code changes in r10: streaming incremental-dedup gets
-    # exactly-once appends + index compaction; merge.py's bootstrap
-    # TOCTOU fix backs q17/q51; the snapshot plane is the concurrency
-    # storm probe's target
-    "s14_stream_incremental_dedup",
-    "q17_apply_changes",
-    "q51_incremental_mart",
-    "q55_snapshot_pushdown",
-    "q56_scd2_from_cdf",
-    "q57_table_profile",
-    "q58_column_mapping",
-    "q59_deletion_vectors",
-    "s10_cdf_net_changes",
-    "s11_stream_snapshot_sink",
-    "s12_stream_cdf_to_scd2",
-    "s13_snapshot_stream_roundtrip",
+    # (a) the 49 r8-stale entries. First the ones backed by r11-touched
+    # code — the snapshot/additive plane (snapshots.py, additive_mor.py,
+    # merge.py, ingest.py D6):
+    "s09_stream_additive_exactly_once",
+    "s08_stream_crash_resume",
+    "q54_schema_evolution",
+    "q60_state_surgery",
+    # relational r8-stale block
+    "q30_rolling_window",
+    "q31_setops",
+    "q32_pivot",
+    "q33_unpivot",
+    "q34_tumbling_window",
+    "q35_exists_subqueries",
+    "q36_window_ranks",
+    "q37_lateral_topk",
+    "q38_hopping_window",
+    "q39_full_outer",
+    "q40_sketch_aggregates",
+    "q41_salted_join",
+    "q43_range_frames",
+    "q44_cube",
+    "q47_grouping_sets",
+    # dedup / similarity r8-stale block
+    "t04_simhash",
+    "t05_simhash_neardup",
+    "t06_embedding_topk",
+    "t07_embedding_lsh_topk",
+    "t08_embedding_neardup",
+    "t14_jaccard_dfcapped",
+    "t18_embedding_multiprobe_topk",
+    "t37_semantic_dedup",
+    "t45_pq_adc_topk",
+    # text / loader r8-stale block
+    "t21_vocab_stats",
+    "t22_tfidf_top_terms",
+    "t24_deterministic_sampling",
+    "t25_chunking",
+    "t26_sequence_packing",
+    "t27_repetition_stats",
+    "t28_contamination_report",
+    "t29_per_lang_quality_filter",
+    "t30_source_vocab_overlap",
+    "t31_per_lang_threshold_gate",
+    "t32_unigram_logprob",
+    "t33_rebalance_sources",
+    "t34_boilerplate_coverage",
+    "t35_stratified_sample",
+    "t53_shard_manifest",
+    "t54_leakage_free_split",
+    "t55_quality_classifier",
+    # multimodal r8-stale tail (untouched this round; heaviest pytest
+    # coverage of the class via test_codecs.py, so they lose least if
+    # the window cuts at ~50)
+    "t13_multimodal_meta",
+    "t15_frame_sample",
+    "t23_audio_features",
+    "t36_image_pixel_stats",
     # --- window boundary (~48-50) ---
-    # r8/r9-fresh remainder rides in back (dict-merge below appends)
+    # r9/r10-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()
 _FRONT = [n for n in _FRONT if not (n in _seen or _seen.add(n))]

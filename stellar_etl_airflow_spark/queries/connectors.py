@@ -856,7 +856,13 @@ def q62_transactional_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("total_price"),
+                # dsum discipline (queries/base.py): accumulate in DECIMAL(38,6)
+                # for exactness, project the FINAL column as DOUBLE — the driver
+                # hash contract normalizes doubles identically on both sides,
+                # raw Decimal objects it does not (r10 red-row root cause).
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_price"),
             )
         )
         rows, schema = out.collect(), out.schema  # detach before cleanup
@@ -868,7 +874,7 @@ def q62_transactional_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q62_SQL = """
 SELECT o_orderstatus,
        count(*)::BIGINT AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -919,7 +925,12 @@ def q63_additive_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("replayed delta published across the fold")
         AM.write_delta(spark, batches[3], path, keys, sums, txn_id="b3")
         AM.write_delta(spark, batches[4], path, keys, sums, txn_id="b4")
-        out = AM.read_additive(spark, path)
+        # dsum discipline: the OPERATOR keeps exact DECIMAL state (folds must
+        # be order-independent); the ENTRY projects the final column as DOUBLE
+        # so the driver hash normalizes identically vs DuckDB (r10 red row).
+        out = AM.read_additive(spark, path).withColumn(
+            "total_price", F.col("total_price").cast("double")
+        )
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -935,7 +946,7 @@ def S_latest(path):
 Q63_SQL = """
 SELECT o_custkey,
        count(*)::BIGINT AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY o_custkey
 """

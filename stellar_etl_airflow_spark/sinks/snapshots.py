@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -633,6 +634,13 @@ def snapshot(path: str) -> int:
 
 
 
+# naming contract for files adopt_staged moves under a table root —
+# lets bootstrap guards tell LIBRARY-written files (possibly in-flight,
+# adopted-but-unpublished by a concurrent writer) apart from legacy
+# plain-writer output (part-00000-<uuid>-c000.snappy.parquet etc.)
+_ADOPTED_RE = re.compile(r"^part-[0-9a-f]{32}\.parquet$")
+
+
 def adopt_staged(stage: str, path: str) -> list[str]:
     """Move a Spark-written stage directory's parquet output under
     ``path`` with collision-free final names, preserving any ``col=val``
@@ -747,7 +755,17 @@ def append_versioned(
       one data write.
     - A fresh directory bootstraps v1 with just the new files; a lost
       bootstrap falls into the normal rebase loop (same TOCTOU posture
-      as the merge path, review r10).
+      as the merge path, review r10). A directory holding UNTRACKED
+      plain-writer parquet refuses to bootstrap (ADVICE r10: a
+      files-only v1 would orphan the legacy data) — adopt it with
+      :func:`snapshot` or replace it with :func:`overwrite_versioned`
+      first; a concurrent appender's adopted-but-unpublished files are
+      recognized by naming and don't trip the guard.
+    - The rebase loop RE-VALIDATES the pre-stage guards whenever the
+      manifest version moved (ADVICE r10, medium): a concurrently
+      landed bucketed layout, CHECK constraint, or schema-changing
+      overwrite refuses/re-checks instead of publishing through stale
+      guarantees. The uncontended path pays nothing extra.
 
     Stats/bloom pins default to the table's existing pins; prior files
     keep their recorded stats/blooms, only new files pay footer/bloom
@@ -760,6 +778,29 @@ def append_versioned(
     with one footer read per append — use the merge path with
     ``evolve=True`` for additive evolution."""
     os.makedirs(path, exist_ok=True)
+    if latest_version(path) is None:
+        # ADVICE r10 (low): bootstrapping onto a directory that already
+        # holds PLAIN-WRITER parquet would publish v1 listing only the
+        # new files — the legacy data vanishes from the table view and a
+        # later vacuum deletes it as orphans. Refuse, forcing an explicit
+        # snapshot() (adopt) or overwrite_versioned first. Files matching
+        # the library's adopt_staged naming are excluded from the check:
+        # under the documented lock-free concurrent bootstrap, a racing
+        # appender's files sit adopted-but-unpublished in the dir and
+        # must not trip this guard.
+        legacy = [
+            f
+            for f in _list_data_files(path)
+            if not _ADOPTED_RE.match(os.path.basename(f))
+        ]
+        if legacy:
+            raise ValueError(
+                f"append_versioned bootstrap at {path}: directory already "
+                f"holds {len(legacy)} untracked plain-writer parquet "
+                f"file(s) (e.g. {os.path.basename(legacy[0])!r}) that a "
+                "files-only v1 would orphan. Adopt them first with "
+                "snapshot(path), or replace them with overwrite_versioned."
+            )
     prev = read_manifest(path, resolve=False) if latest_version(path) else None
     if prev is not None:
         if txn_id is not None and txn_id in (prev.get("txns") or {}):
@@ -795,6 +836,23 @@ def append_versioned(
         new_files = adopt_staged(stage, path)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+    def _drop_staged():
+        for f in new_files:  # referenced by no manifest: don't leave orphans
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    from ..operators.merge import BUCKET_COL
+
+    new_set = set(new_files)
+    staged_fields = set(df.schema.fieldNames())
+    # what the PRE-stage pass already validated — the mid-loop guards
+    # below only re-run when the live manifest diverges from this
+    checked_constraints = (prev.get("constraints") if prev else None) or None
+    checked_version = int(prev["version"]) if prev else 0
+    probed_schema: dict[str, frozenset] = {}
     new_blooms: dict | None = None
     for _ in range(max_retries):
         m = read_manifest(path, resolve=False) if latest_version(path) else None
@@ -802,11 +860,7 @@ def append_versioned(
             # a column mapping landed AFTER the pre-stage guard (rename
             # racing this append): publishing logical-named files would
             # fork the physical schema — drop the staged files and refuse
-            for f in new_files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+            _drop_staged()
             raise NotImplementedError(
                 f"{path} gained a column mapping while this append staged; "
                 "run compact_snapshot first."
@@ -814,12 +868,48 @@ def append_versioned(
         if m is not None and txn_id is not None and txn_id in (m.get("txns") or {}):
             # same-txn peer published while we staged: our files are
             # unreferenced by ANY manifest — drop them, return the peer's
-            for f in new_files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+            _drop_staged()
             return int(m["txns"][txn_id])
+        if m is not None and int(m["version"]) != checked_version:
+            # Mid-loop re-validation (ADVICE r10, medium): an intervening
+            # publish — overwrite_versioned with a different schema, a
+            # merge that bucketizes the table, an added CHECK constraint —
+            # invalidates the PRE-stage guards, and the column-mapping
+            # re-check above was the only one that ran inside the loop.
+            # Guarded on version drift so the uncontended path pays
+            # nothing extra.
+            if any(f"{BUCKET_COL}=" in f for f in m["files"]):
+                _drop_staged()
+                raise NotImplementedError(
+                    "the table gained a bucketed merge layout while this "
+                    "append staged; write through merge_upsert_versioned / "
+                    "merge_additive_versioned instead"
+                )
+            mcons = m.get("constraints") or None
+            if mcons and mcons != checked_constraints:
+                try:
+                    check_constraints(df, mcons)
+                except Exception:
+                    _drop_staged()
+                    raise
+                checked_constraints = mcons
+            live = [f for f in m["files"] if f not in new_set and os.path.exists(f)]
+            if live:
+                probe = live[0]
+                if probe not in probed_schema:
+                    probed_schema[probe] = frozenset(
+                        spark.read.parquet(probe).schema.fieldNames()
+                    )
+                if probed_schema[probe] != staged_fields:
+                    _drop_staged()
+                    raise ValueError(
+                        f"append schema mismatch at {path}: an intervening "
+                        f"publish changed the table to "
+                        f"{sorted(probed_schema[probe])}, staged frame has "
+                        f"{sorted(staged_fields)}; re-run the append against "
+                        "the new schema"
+                    )
+            checked_version = int(m["version"])
         expected = int(m["version"]) if m else 0
         txns = dict((m.get("txns") if m else None) or {})
         if txn_id is not None:
@@ -847,11 +937,7 @@ def append_versioned(
             )
         except ConcurrentWriteError:
             continue  # rebase: appends commute; staged files are reused
-    for f in new_files:  # referenced by no manifest: don't leave orphans
-        try:
-            os.remove(f)
-        except OSError:
-            pass
+    _drop_staged()
     raise ConcurrentWriteError(
         f"append to {path} lost the publish race {max_retries} times; "
         "the table is under heavy concurrent write load — retry later"

@@ -79,9 +79,12 @@ def test_same_key_writers_never_conflict(spark, tmp_path):
 
 
 def test_fold_races_delta_correctly(spark, tmp_path, monkeypatch):
-    """A delta landing mid-fold fails the fold's CAS (its output would
-    swallow the delta); an append landing WHILE a fold publishes
-    rebases over the fold and still sums."""
+    """A delta landing mid-fold fails that attempt's CAS (its output
+    would swallow the delta); the fold RETRIES on fresh state and the
+    retry's output includes the delta (r11: fold_additive owns the
+    retry instead of delegating to callers). With the budget exhausted
+    it raises and the pile stays correct. An append landing WHILE a
+    fold publishes rebases over the fold and still sums."""
     tbl = str(tmp_path / "t")
     AM.write_delta(spark, _mk(spark, [(1, 1)]), tbl, ("k",), ("n",), txn_id="b0")
     real_adopt = S.adopt_staged
@@ -93,9 +96,43 @@ def test_fold_races_delta_correctly(spark, tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(S, "adopt_staged", adopt_then_delta)
-    with pytest.raises(S.ConcurrentWriteError):
-        AM.fold_additive(spark, tbl)
+    v, n = AM.fold_additive(spark, tbl)  # attempt 1 loses CAS; retry folds all
+    assert n == 1 and v == S.latest_version(tbl)
     assert _view(spark, tbl) == {1: 11}
+
+    # budget exhaustion: EVERY attempt races a fresh delta -> bounded raise,
+    # no orphaned staged files, pile still sums correctly
+    seq = iter(range(1000))
+
+    def adopt_always_racing(stage, path):
+        out = real_adopt(stage, path)
+        if "_stage-fold-" in stage:
+            i = next(seq)
+            AM.write_delta(
+                spark, _mk(spark, [(1, 0)]), tbl, ("k",), ("n",), txn_id=f"r{i}"
+            )
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_always_racing)
+    with pytest.raises(S.ConcurrentWriteError, match="lost the publish race"):
+        AM.fold_additive(spark, tbl, max_retries=2)
+    monkeypatch.undo()
+    assert _view(spark, tbl) == {1: 11}
+    live = set(S.read_manifest(tbl, resolve=False)["files"])
+    import os as _os
+
+    on_disk = {
+        f
+        for f in S._list_data_files(tbl)
+        if _os.path.basename(f).startswith("part-")
+    }
+    # lost fold attempts removed their staged output (no orphans beyond
+    # files still referenced by RETAINED versions for time travel)
+    all_versions = set()
+    for ver in range(1, S.latest_version(tbl) + 1):
+        all_versions |= set(S.read_manifest(tbl, version=ver, resolve=False)["files"])
+    assert on_disk <= all_versions
+    assert live <= on_disk
     AM.fold_additive(spark, tbl)  # clean rerun folds everything
     assert _view(spark, tbl) == {1: 11}
 
