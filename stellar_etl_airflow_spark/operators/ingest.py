@@ -20,7 +20,8 @@ import os
 from dataclasses import dataclass
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sinks import writer
@@ -51,6 +52,9 @@ class Warehouse:
     def meta_path(self) -> str:
         return os.path.join(self.root, "_meta", "batch_runs")
 
+    def counters_path(self) -> str:
+        return os.path.join(self.root, "_meta", "ingest_counters")
+
     def recover(self) -> list[str]:
         """Restore directories left mid-swap by an interrupted
         :func:`..operators.merge.safe_overwrite` (a ``.bak-<name>`` dir with
@@ -78,6 +82,57 @@ def record_batch_stats(
     spark.createDataFrame(row, BATCH_RUNS_SCHEMA).write.mode("append").parquet(wh.meta_path())
 
 
+def record_ingest_counters(
+    spark: SparkSession, wh: Warehouse, window: BatchWindow, table: str, n_rows: int
+) -> int:
+    """Per-table ingest counters on the contention-free additive-MoR
+    shape (VERDICT r10 ask #5): one delta row per batch run into
+    ``_meta/ingest_counters``, keys=(table_name,), summing
+    (n_batches, n_rows). Unlike the lineage append of
+    :func:`record_batch_stats` (which deliberately records EVERY run,
+    reruns included — build_batch_stats.py:9-43 parity), counters must
+    not double-count a replayed batch: the del/ins write REPLACES its
+    own partitions on rerun, so the counter delta rides the txn ledger
+    (txn_id = batch:table) and a redelivery is a no-op. Writers never
+    read and never conflict — N concurrent table ingests land without
+    retries; :func:`fold_ingest_counters` bounds read cost on the
+    maintenance cadence."""
+    from .additive_mor import write_delta
+
+    # repartition(1), NOT coalesce(1): a local-list frame parallelizes
+    # over defaultParallelism slices, and coalescing them makes ONE task
+    # walk all 32 pickled partitions sequentially — ~3.7 s for one row
+    # vs ~0.7 s via the 1-row shuffle (measured r11).
+    batch = spark.createDataFrame(
+        [(table, 1, int(n_rows))],
+        "table_name string, n_batches long, n_rows long",
+    ).repartition(1)
+    return write_delta(
+        spark,
+        batch,
+        wh.counters_path(),
+        ("table_name",),
+        ("n_batches", "n_rows"),
+        txn_id=f"{window.batch_id}:{table}",
+    )
+
+
+def read_ingest_counters(spark: SparkSession, wh: Warehouse) -> DataFrame:
+    """Folded view of the ingest counters: one row per table."""
+    from .additive_mor import read_additive
+
+    return read_additive(spark, wh.counters_path())
+
+
+def fold_ingest_counters(spark: SparkSession, wh: Warehouse) -> tuple[int, int]:
+    """Maintenance fold (run on the same cadence as compaction/vacuum):
+    rewrites the counter delta pile to one row per table so reads stop
+    paying O(batches-since-fold)."""
+    from .additive_mor import fold_additive
+
+    return fold_additive(spark, wh.counters_path())
+
+
 def ingest_batch(
     spark: SparkSession,
     wh: Warehouse,
@@ -96,9 +151,14 @@ def ingest_batch(
     batch_start = datetime.utcnow()
     df = read_ndjson(spark, src_path, schema, failed_transforms=failed_transforms)
     df = stamp_batch_columns(df, window.batch_id, window.batch_run_date)
+    # observe the row count DURING the write action (no second pass over
+    # the NDJSON) — it feeds the additive-MoR ingest counters below
+    obs = Observation(f"ingest-{table}-{window.batch_id}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     dest = wh.path(f"{table}_staging" if staging else table)
     writer.replace_batch(df, dest, partition_field, granularity, cluster_fields)
     record_batch_stats(spark, wh, window, table, batch_start)
+    record_ingest_counters(spark, wh, window, table, int(obs.get["n_rows"]))
     return df
 
 

@@ -42,6 +42,30 @@ def test_full_batch_lifecycle(spark, tmp_path):
     ledgers = read_table(spark, wh, "history_ledgers")
     assert accounts.count() == 6 and ledgers.count() == 12
 
+    # 3b. additive-MoR ingest counters (r11, VERDICT r10 ask #5): the
+    # replayed accounts batch must NOT double-count (txn ledger), while
+    # the lineage table records every run including the replay
+    from stellar_etl_airflow_spark.operators.ingest import (
+        fold_ingest_counters,
+        read_ingest_counters,
+    )
+
+    counters = {
+        r["table_name"]: (r["n_batches"], r["n_rows"])
+        for r in read_ingest_counters(spark, wh).collect()
+    }
+    assert counters == {"history_ledgers": (1, 12), "accounts": (1, 6)}
+    lineage = spark.read.parquet(wh.meta_path())
+    assert lineage.where(F.col("table_name") == "accounts").count() == 2
+    # maintenance fold: one row per table, same totals after
+    _, n = fold_ingest_counters(spark, wh)
+    assert n == 2
+    counters_folded = {
+        r["table_name"]: (r["n_batches"], r["n_rows"])
+        for r in read_ingest_counters(spark, wh).collect()
+    }
+    assert counters_folded == counters
+
     # 4. current-state view over the change log
     cur = CS.v_accounts_current(accounts.drop("batch_id", "batch_run_date", "batch_insert_ts"), ledgers)
     assert {r["account_id"]: r["balance"] for r in cur.collect()} == {"A": 25.0, "B": 0.0, "C": 7.5}
