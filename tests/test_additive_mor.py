@@ -15,7 +15,7 @@ from stellar_etl_airflow_spark.sinks import snapshots as S
 
 
 def _mk(spark, rows):
-    return spark.createDataFrame(rows, "k long, n long").coalesce(1)
+    return spark.createDataFrame(rows, "k long, n long").repartition(1)
 
 
 def _view(spark, tbl, version=None):

@@ -64,7 +64,7 @@ def audit_tables(spark, tmp_path_factory):
         ("cloudaudit_googleapis_com_activity", activity),
     ]:
         p = str(root / name)
-        spark.createDataFrame(rows, AUDIT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(p)
+        spark.createDataFrame(rows, AUDIT_SCHEMA).repartition(1).write.mode("overwrite").parquet(p)
         paths[name] = p
     return paths
 

@@ -777,7 +777,7 @@ def test_append_ledger_interleavings_match_model(spark, tmp_path_factory, ops):
         if op == "append":
             S.append_versioned(
                 spark,
-                spark.createDataFrame(batch_rows(arg), "k long, v long").coalesce(1),
+                spark.createDataFrame(batch_rows(arg), "k long, v long").repartition(1),
                 tbl,
                 txn_id=f"t{arg}",
             )
@@ -789,7 +789,7 @@ def test_append_ledger_interleavings_match_model(spark, tmp_path_factory, ops):
             tag = 1000 + seq * 100 + arg
             S.append_versioned(
                 spark,
-                spark.createDataFrame(batch_rows(tag), "k long, v long").coalesce(1),
+                spark.createDataFrame(batch_rows(tag), "k long, v long").repartition(1),
                 tbl,
             )
             model.extend(batch_rows(tag))
@@ -814,7 +814,7 @@ def test_append_ledger_interleavings_match_model(spark, tmp_path_factory, ops):
                 continue
             v = S.append_versioned(
                 spark,
-                spark.createDataFrame([(t, -1)], "k long, v long").coalesce(1),
+                spark.createDataFrame([(t, -1)], "k long, v long").repartition(1),
                 tbl,
                 txn_id=f"t{t}",
             )

@@ -31,7 +31,7 @@ def _rows(spark, tbl):
 
 def _mk(spark, pairs):
     # one part file per append: keeps file-count/stats assertions exact
-    return spark.createDataFrame(pairs, "k long, v long").coalesce(1)
+    return spark.createDataFrame(pairs, "k long, v long").repartition(1)
 
 
 def test_append_bootstrap_then_append(spark, tmp_path):
@@ -218,7 +218,7 @@ def _stats():
 
 
 def _add(spark, tbl, keys_vals, txn, n_buckets=4):
-    df = spark.createDataFrame(keys_vals, "k long, n long").coalesce(1)
+    df = spark.createDataFrame(keys_vals, "k long, n long").repartition(1)
     return M.merge_additive_versioned(
         spark, df, tbl, keys=("k",), sum_cols=("n",), n_buckets=n_buckets, txn_id=txn
     )

@@ -27,7 +27,7 @@ from stellar_etl_airflow_spark.sinks import snapshots as S
 
 
 def _mk(spark, pairs, schema="k long, v long"):
-    return spark.createDataFrame(pairs, schema).coalesce(1)
+    return spark.createDataFrame(pairs, schema).repartition(1)
 
 
 def _no_orphans(tbl):

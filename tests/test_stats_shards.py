@@ -183,7 +183,7 @@ def test_datasource_append_rebases_on_conflict(spark, tmp_path, monkeypatch):
 
     tbl = str(tmp_path / "t")
     S.overwrite_versioned(
-        spark, spark.createDataFrame([(1,)], "id long").coalesce(1), tbl
+        spark, spark.createDataFrame([(1,)], "id long").repartition(1), tbl
     )
     base_file = max(S.read_manifest(tbl)["files"], key=os.path.getsize)
 
@@ -258,7 +258,7 @@ def test_threaded_appends_all_land(spark, tmp_path):
 
     tbl = str(tmp_path / "t")
     S.overwrite_versioned(
-        spark, spark.createDataFrame([(0,)], "id long").coalesce(1), tbl
+        spark, spark.createDataFrame([(0,)], "id long").repartition(1), tbl
     )
     base_file = max(S.read_manifest(tbl)["files"], key=os.path.getsize)
 
