@@ -142,32 +142,43 @@ def read_additive(spark: SparkSession, path: str, version: int | None = None) ->
 
 
 def fold_additive(
-    spark: SparkSession, path: str, max_retries: int = 3
+    spark: SparkSession, path: str, max_refolds: int = 3, max_retries: int | None = None
 ) -> tuple[int, int]:
     """Maintenance: rewrite the delta pile into ONE row per key (the
     aggregate materialized), carrying the applied-txn ledger so replays
     of folded-in batches stay no-ops — the additive-MoR twin of
-    ``compact_small_files``. CAS-guarded: a concurrent delta landing
-    mid-fold would be silently swallowed by the fold's output, so a
-    lost publish re-reads fresh state and RE-FOLDS (a fold reads
-    content — unlike appends it cannot rebase, each retry is a full
-    recompute), up to ``max_retries`` attempts before raising
-    ``ConcurrentWriteError``. Staged files of a lost attempt are
-    removed (referenced by no manifest — never orphaned, ADVICE r10
-    adjudication). Writers are never blocked and never retry because
-    of us: THEY rebase over a published fold. Under sustained append
-    pressure the fold can keep losing (measured + bounded in
-    ``tools/fold_liveness_probe.py``); callers on a maintenance
-    cadence just try again next tick. Returns (version, rows_after).
-    Cost: one aggregation + write of the key count per attempt — run
-    on cadence, not per batch."""
+    ``compact_small_files``.
+
+    LIVENESS (r11, VERDICT r10 asks #4/#6): the fold pins the version
+    it read, and a publish CAS lost to PURE APPENDS rebases instead of
+    re-folding — intervening delta files are disjoint and additive, so
+    ``folded(files@v) + deltas landed since v`` is exactly correct and
+    the retry costs one manifest read, never a recompute. Under
+    saturating append pressure the fold therefore still lands (measured
+    in ``tools/fold_liveness_probe.py``); only an intervening
+    NON-append commit (another fold, compact, overwrite, column
+    surgery) forces a re-fold, bounded by ``max_refolds`` before
+    raising ``ConcurrentWriteError``. Staged files of a lost attempt
+    are removed (referenced by no manifest — never orphaned). Writers
+    are never blocked by us: they rebase over a published fold.
+    Returns (version, rows_after) where rows_after counts folded rows
+    plus any rebased-in delta rows. Cost: one aggregation + write of
+    the key count per attempt — run on cadence, not per batch.
+    ``max_retries`` is the deprecated r11-early alias for
+    ``max_refolds``."""
+    if max_retries is not None:
+        max_refolds = max_retries
     props = _load_props(path)
     if props is None:
         raise ValueError(f"{path} is not an additive-MoR table (no {_PROPS})")
     last: Exception | None = None
-    for _ in range(max(1, max_retries)):
+    for _ in range(max(1, max_refolds)):
         m = S.read_manifest(path, resolve=False)
-        folded = read_additive(spark, path)
+        base_v = int(m["version"])
+        # pin the fold's read to the manifest version the rebase below
+        # reasons about — folding "latest" would double-count any delta
+        # that lands between this read and the publish
+        folded = read_additive(spark, path, version=base_v)
         stage = os.path.abspath(
             os.path.join(path, f"_stage-fold-{uuid.uuid4().hex[:8]}")
         )
@@ -178,38 +189,67 @@ def fold_additive(
             shutil.rmtree(stage, ignore_errors=True)
         sc = m.get("stats_cols") or None
         bc = m.get("bloom_cols") or None
-        try:
-            v = S._publish(
-                path,
-                new_files,
-                txns=m.get("txns") or None,  # folds must not reopen replay holes
-                stats_cols=sc,
-                bloom_cols=bc,
-                blooms=S.compute_blooms(spark, new_files, bc) if bc else None,
-                constraints=m.get("constraints") or None,
-                # the folded frame was read through any active mapping, so
-                # its files carry the LOGICAL names — the mapping is
-                # materialized here, like compact_snapshot
-                reset_mapping=True,
-                expected_version=int(m["version"]),
-                op="fold",  # content-changing for merges, but append-safe:
-                # appends never read, so an appender rebasing over a fold
-                # stays correct (its delta file is disjoint and still sums)
+        new_blooms = S.compute_blooms(spark, new_files, bc) if bc else None
+        base_files = set(m["files"])
+        refold = False
+        for _try in range(50):  # publish/rebase loop: manifest reads only
+            nm = S.read_manifest(path, resolve=False)
+            extra: list[str] = []
+            if int(nm["version"]) != base_v:
+                ops = [
+                    S.read_manifest(path, version=v, resolve=False).get("op")
+                    for v in range(base_v + 1, int(nm["version"]) + 1)
+                ]
+                if any(op != "append" for op in ops):
+                    refold = True  # content under the fold changed shape
+                    break
+                extra = [f for f in nm["files"] if f not in base_files]
+            blooms = None
+            if bc:
+                _, all_blooms = S.resolved_stats_blooms(nm)
+                blooms = {f: b for f, b in all_blooms.items() if f in set(extra)}
+                blooms.update(new_blooms or {})
+            try:
+                v = S._publish(
+                    path,
+                    new_files + extra,
+                    # nm's ledger is a superset of m's: rebased-in deltas
+                    # keep their txn ids — folds must not reopen replay holes
+                    txns=nm.get("txns") or None,
+                    stats_cols=sc,
+                    bloom_cols=bc,
+                    blooms=blooms,
+                    constraints=nm.get("constraints") or None,
+                    # the folded frame was read through any active mapping, so
+                    # its files carry the LOGICAL names — the mapping is
+                    # materialized here, like compact_snapshot
+                    reset_mapping=True,
+                    expected_version=int(nm["version"]),
+                    op="fold",  # content-changing for merges, but append-safe:
+                    # appends never read, so an appender rebasing over a fold
+                    # stays correct (its delta file is disjoint and still sums)
+                )
+            except S.ConcurrentWriteError as e:
+                last = e
+                continue  # re-read nm: pure-append losses rebase for free
+            # row count from the just-written files (footer metadata), not
+            # a second run of the aggregation
+            n = spark.read.parquet(*(new_files + extra)).count()
+            return v, n
+        # refold (non-append commit intervened) or rebase budget spent:
+        # this attempt's staged files are referenced by no manifest
+        for f in new_files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        if not refold:
+            raise S.ConcurrentWriteError(
+                f"fold of {path} lost 50 consecutive append-rebase publishes "
+                "— the table is under extreme write load; retry later"
             )
-        except S.ConcurrentWriteError as e:
-            for f in new_files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
-            last = e
-            continue  # re-read fresh state, re-fold
-        # row count from the just-written files (footer metadata), not a
-        # second run of the aggregation
-        n = spark.read.parquet(*new_files).count() if new_files else 0
-        return v, n
     raise S.ConcurrentWriteError(
-        f"fold of {path} lost the publish race {max_retries} times under "
-        "concurrent append pressure; the pile is still correct — retry on "
-        f"the next maintenance tick ({last})"
+        f"fold of {path} was invalidated by non-append commits {max_refolds} "
+        "times; the pile is still correct — retry on the next maintenance "
+        f"tick ({last})"
     )

@@ -79,12 +79,14 @@ def test_same_key_writers_never_conflict(spark, tmp_path):
 
 
 def test_fold_races_delta_correctly(spark, tmp_path, monkeypatch):
-    """A delta landing mid-fold fails that attempt's CAS (its output
-    would swallow the delta); the fold RETRIES on fresh state and the
-    retry's output includes the delta (r11: fold_additive owns the
-    retry instead of delegating to callers). With the budget exhausted
-    it raises and the pile stays correct. An append landing WHILE a
-    fold publishes rebases over the fold and still sums."""
+    """A delta landing mid-fold loses the fold's first CAS, and the
+    fold REBASES over it (r11 liveness: intervening pure appends are
+    disjoint additive files, so folded(files@v) + new deltas is exact —
+    no re-fold, no recompute). Non-append commits (compaction) DO
+    invalidate the fold; that path re-folds, bounded by max_refolds,
+    and raises with the pile intact once the budget is spent. An append
+    landing WHILE a fold publishes rebases over the fold and still
+    sums."""
     tbl = str(tmp_path / "t")
     AM.write_delta(spark, _mk(spark, [(1, 1)]), tbl, ("k",), ("n",), txn_id="b0")
     real_adopt = S.adopt_staged
@@ -96,26 +98,27 @@ def test_fold_races_delta_correctly(spark, tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(S, "adopt_staged", adopt_then_delta)
-    v, n = AM.fold_additive(spark, tbl)  # attempt 1 loses CAS; retry folds all
-    assert n == 1 and v == S.latest_version(tbl)
+    v, n = AM.fold_additive(spark, tbl)  # loses CAS to "mid", rebases it in
+    assert n == 2 and v == S.latest_version(tbl)  # 1 folded row + 1 delta row
     assert _view(spark, tbl) == {1: 11}
+    # the rebased-in delta's txn id survived: replay is still a no-op
+    AM.write_delta(spark, _mk(spark, [(1, 10)]), tbl, ("k",), ("n",), txn_id="mid")
+    assert S.latest_version(tbl) == v and _view(spark, tbl) == {1: 11}
 
-    # budget exhaustion: EVERY attempt races a fresh delta -> bounded raise,
-    # no orphaned staged files, pile still sums correctly
+    # refold budget exhaustion: EVERY attempt races a NON-append commit
+    # (metadata DDL here) -> bounded raise, no orphaned staged files,
+    # pile intact
     seq = iter(range(1000))
 
-    def adopt_always_racing(stage, path):
+    def adopt_always_ddl(stage, path):
         out = real_adopt(stage, path)
         if "_stage-fold-" in stage:
-            i = next(seq)
-            AM.write_delta(
-                spark, _mk(spark, [(1, 0)]), tbl, ("k",), ("n",), txn_id=f"r{i}"
-            )
+            S.add_constraint(spark, tbl, f"c{next(seq)}", "n > -999")
         return out
 
-    monkeypatch.setattr(S, "adopt_staged", adopt_always_racing)
-    with pytest.raises(S.ConcurrentWriteError, match="lost the publish race"):
-        AM.fold_additive(spark, tbl, max_retries=2)
+    monkeypatch.setattr(S, "adopt_staged", adopt_always_ddl)
+    with pytest.raises(S.ConcurrentWriteError, match="non-append"):
+        AM.fold_additive(spark, tbl, max_refolds=2)
     monkeypatch.undo()
     assert _view(spark, tbl) == {1: 11}
     live = set(S.read_manifest(tbl, resolve=False)["files"])
