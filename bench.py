@@ -35,6 +35,18 @@ times then come from the pooled pass and carry its ``par`` stamp).
 Every sweep/rep/e2e measurement carries a ``_LoadProbe`` stamp
 (loadavg, our process-tree CPU, other busy cores) so the judge can
 attribute a slow wall to co-tenant load from the JSON alone.
+
+Same-session A/B stamp (r11, VERDICT r10 ask #3): after all passes,
+any per-query sweep result >1.5x its prior-round stamp is re-timed on
+BOTH the current tree and the prior round's checkout (temp git
+worktree at the commit that recorded the prior BENCH json), one
+subprocess protocol per tree (own session, warmup rep, min-of-2) —
+``ab_walls`` in the headline JSON turns "host drift vs regression"
+from a manual chase into data. Priors come from the committed
+``bench_history.jsonl`` (full per-query map, appended each non-fast
+run; the driver's BENCH_r*.json tail is head-truncated and only
+recovers the alphabetic tail of the corpus). Disable with
+SPARK_GRAFT_BENCH_AB=0.
 """
 
 from __future__ import annotations
@@ -143,6 +155,192 @@ class _LoadProbe:
             "cpu_wall_ratio": round(tree / wall, 2) if wall > 0 else None,
             "other_busy_cores": round(other / wall, 2) if wall > 0 else None,
         }
+
+
+_HISTORY = "bench_history.jsonl"
+
+
+def _record_history(timings: dict, sf: float | None) -> None:
+    """Append this run's full per-query map to bench_history.jsonl —
+    the driver's BENCH_r*.json keeps only a HEAD-TRUNCATED stdout tail
+    (the per-query line loses its front half), so the A/B stamp needs a
+    committed full-map history to compare against."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _HISTORY), "a") as fh:
+            fh.write(json.dumps({"ts": time.time(), "sf": sf, "queries": timings}) + "\n")
+    except OSError:
+        pass
+
+
+def _prior_bench(sf: float | None) -> tuple[str, dict, float | None] | None:
+    """Newest prior per-query map AT THE SAME SF: (source, map, sf).
+    Prefers the committed bench_history.jsonl (full map; scanned newest
+    first for a matching-sf record — local sf0.001 verify runs must not
+    shadow the recorded sf0.1 prior); falls back to recovering pairs
+    from the newest BENCH_r*.json's head-truncated tail with a regex
+    (only the alphabetic tail of the corpus survives there)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    override = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if not override:
+        try:
+            with open(os.path.join(here, _HISTORY)) as fh:
+                lines = [l for l in fh.read().splitlines() if l.strip()]
+            for line in reversed(lines):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("queries") and rec.get("sf") == sf:
+                    return _HISTORY, rec["queries"], rec.get("sf")
+        except (OSError, ValueError):
+            pass
+    candidates = (
+        [override] if override else sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    )
+    pair_re = re.compile(r'"([a-z]\d{2}_[a-z0-9_]+)": ([0-9.]+)')
+    for path in reversed(candidates):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        tail = rec.get("tail") or ""
+        for line in tail.splitlines():
+            line = line.strip()
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                obj = None
+            if obj and obj.get("metric") == "per_query_sec" and obj.get("queries"):
+                return path, obj["queries"], obj.get("sf")
+        # truncated-tail recovery: the per-query line is cut at the FRONT,
+        # so parse name/value pairs out of whatever survived
+        pairs = dict(
+            (n, float(v)) for n, v in pair_re.findall(tail.splitlines()[0])
+        ) if tail.splitlines() else {}
+        if len(pairs) >= 10:
+            msf = re.search(r'"sf": ([0-9.]+)', tail)
+            return path, pairs, float(msf.group(1)) if msf else rec.get("sf")
+    return None
+
+
+def _ab_stamp(timings: dict[str, float], sf_dir: str, sf: float | None) -> dict:
+    """Same-session A/B for suspicious per-query deltas (VERDICT r10 ask
+    #3): any entry >1.5x its prior-round stamp is re-timed in THIS bench
+    session on BOTH the current tree and the prior round's checkout (a
+    temp git worktree at the commit that recorded the prior BENCH json),
+    under one subprocess protocol per tree (own Spark session, warmup,
+    min-of-2). Equal A/B walls = host drift; a gap that follows the
+    tree = a real regression — adjudicated from the JSON alone instead
+    of a manual post-hoc chase (the t60 r10 / e2e r8 pattern).
+    Never breaks the bench: any failure is recorded as ab_error."""
+    import subprocess
+    import tempfile
+
+    out: dict = {"ab_walls": None}
+    prior = _prior_bench(sf)
+    if prior is None:
+        out["ab_skipped"] = "no prior BENCH_r*.json with a per-query line"
+        return out
+    prev_file, prev_q, prev_sf = prior
+    if prev_sf != sf:
+        out["ab_skipped"] = f"prior bench at sf={prev_sf}, current sf={sf}"
+        return out
+    suspects = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if n in prev_q and prev_q[n] > 0 and t > 1.5 * prev_q[n]
+            # sub-second pairs are scheduling noise, not regressions
+            and max(t, prev_q[n]) >= 0.5
+        ),
+        key=lambda n: -(timings[n] / prev_q[n]),
+    )[:12]
+    out["ab_prev_bench"] = os.path.basename(prev_file)
+    out["ab_suspects"] = {n: {"cur_sweep": timings[n], "prev_round": prev_q[n]} for n in suspects}
+    if not suspects:
+        out["ab_walls"] = {}
+        return out
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", os.path.basename(prev_file)],
+            cwd=here, capture_output=True, text=True, timeout=60, check=True,
+        ).stdout.strip()
+        if not sha:
+            raise RuntimeError(f"no commit records {prev_file}")
+        out["ab_prev_commit"] = sha
+        runner = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from stellar_etl_airflow_spark.queries import QUERIES
+from stellar_etl_airflow_spark.session import get_spark
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+names = json.loads(os.environ["AB_NAMES"])
+spark = get_spark("bench-ab")
+spark.sparkContext.setLogLevel("ERROR")
+res = {}
+for n in names:
+    spec = QUERIES.get(n)
+    if spec is None:
+        res[n] = None
+        continue
+    walls = []
+    for rep in range(3):  # rep 0 = warmup, discarded
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 3))
+    res[n] = min(walls[1:])
+print("AB_RESULT " + json.dumps(res))
+"""
+
+        def run_tree(cwd: str) -> dict:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
+            env["AB_NAMES"] = json.dumps(suspects)
+            env["PYTHONPATH"] = cwd
+            p = subprocess.run(
+                [sys.executable, "-c", runner], cwd=cwd, env=env,
+                capture_output=True, text=True, timeout=1800,
+            )
+            for line in reversed(p.stdout.splitlines()):
+                if line.startswith("AB_RESULT "):
+                    return json.loads(line[len("AB_RESULT "):])
+            raise RuntimeError(
+                f"ab subprocess in {cwd} rc={p.returncode}: {p.stderr[-400:]}"
+            )
+
+        with tempfile.TemporaryDirectory() as wtroot:
+            wt = os.path.join(wtroot, "prev")
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, sha],
+                cwd=here, capture_output=True, text=True, timeout=120, check=True,
+            )
+            try:
+                probe = _LoadProbe()
+                cur = run_tree(here)
+                prev = run_tree(wt)
+                out["ab_load"] = probe.stamp()
+            finally:
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", wt],
+                    cwd=here, capture_output=True, text=True, timeout=120,
+                )
+        out["ab_walls"] = {
+            n: {
+                "cur": cur.get(n),
+                "prev": prev.get(n),
+                "cur_sweep": timings[n],
+                "prev_round": prev_q[n],
+            }
+            for n in suspects
+        }
+    except Exception as e:  # noqa: BLE001 - A/B must never break the bench
+        out["ab_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+    return out
 
 
 def main() -> None:
@@ -304,6 +502,16 @@ def main() -> None:
                     # stage — ingest_delins / state_merge / view_export
                     e2e_sec, e2e_stages = wall, res.get("stages")
 
+    # A/B stamp for suspicious per-query deltas (VERDICT r10 ask #3):
+    # runs LAST so its subprocess sessions never contend with the
+    # measurement passes above.
+    ab: dict = {}
+    if timings is not None and os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        # compare against the PRIOR run's map, then append this run's —
+        # order matters or the history's newest entry would be ourselves
+        ab = _ab_stamp(timings, sf_dir, sf)
+        _record_history(timings, sf)
+
     # Two lines, detail first: the driver captures a bounded tail of stdout
     # and keeps the LAST complete JSON line, so the compact headline metric
     # must come last (a single giant line gets head-truncated and parses as
@@ -335,6 +543,7 @@ def main() -> None:
                 "e2e_stages_sec": e2e_stages,
                 "e2e_load": e2e_load,
                 "e2e_ref_budget_sec": 400,
+                **ab,
                 "sf": sf,
             }
         )
