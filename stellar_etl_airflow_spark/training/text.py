@@ -1349,9 +1349,11 @@ def html_to_text(
     extraction is one whole-stage-codegen projection (zero shuffles,
     zero Python — t61's plan shape, linear at 100 TB), the layering is
     deterministic, and every pattern is in the Java/RE2 common subset
-    so an external engine can replay it byte-for-byte. A DOM parser
-    (trafilatura/jusText class) is the quality upgrade path and would
-    slot in as a mapInArrow stage like the codec decoders."""
+    so an external engine can replay it byte-for-byte. For HTML in the
+    wild, :func:`html_to_text_dom` (r11) is the quality upgrade: a real
+    tokenizer behind the same contract, byte-identical on well-formed
+    input and robust where the regexes provably leak (attribute values
+    containing ``>``, exotic entities)."""
     c = F.col(html_col)
     for pat, repl in HTML_STRIP_STEPS:
         c = F.regexp_replace(c, pat, repl)
@@ -1360,3 +1362,99 @@ def html_to_text(
     for pat, repl in HTML_WS_STEPS:
         c = F.regexp_replace(c, pat, repl)
     return df.withColumn(out_col, F.trim(c))
+
+
+#: tag sets mirroring HTML_STRIP_STEPS so the DOM path below reproduces
+#: the regex path byte-for-byte on well-formed input
+_HTML_BLOCK_TAGS = frozenset(
+    {"br", "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr", "table", "ul", "ol"}
+)
+_HTML_SKIP_TAGS = frozenset({"script", "style"})
+
+
+def html_to_text_dom(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """DOM-parse upgrade path for :func:`html_to_text` (VERDICT r10 ask
+    #7): a stdlib ``html.parser`` walk instead of layered regexes,
+    running as an Arrow-batched ``mapInPandas`` stage exactly like the
+    codec decoders (one Python stage, no shuffle — still linear at
+    100 TB, at Python-worker cost instead of codegen). The regex form
+    stays the oracle-replayable gate (t63); this path exists for HTML
+    in the wild, where a tokenizer beats pattern layering:
+
+    - a ``>`` inside an attribute value (``<a title="a>b">``) truncates
+      the regex's generic tag strip mid-tag and leaks ``b">`` into the
+      text; the parser tokenizes the attribute correctly;
+    - EVERY character/entity reference decodes (the regex path decodes
+      the six ubiquitous ones);
+    - malformed nesting degrades locally instead of globally.
+
+    Same contract as the regex path: script/style/comment content
+    dropped, block tags -> newline, other tags -> space, whitespace
+    normalized, space-trimmed. On well-formed input whose entities are
+    the common six, output is byte-identical to :func:`html_to_text`
+    (cross-checked in tests/test_text_ops.py)."""
+    from pyspark.sql import types as T
+
+    out_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = T.StructType(out_fields + [T.StructField(out_col, T.StringType())])
+    cols = [f.name for f in out_fields]
+
+    def gen(batches):
+        import re
+        from html.parser import HTMLParser
+
+        class _Extract(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.parts: list[str] = []
+                self.skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in _HTML_SKIP_TAGS:
+                    self.skip += 1
+                    self.parts.append(" ")
+                else:
+                    self.parts.append("\n" if tag in _HTML_BLOCK_TAGS else " ")
+
+            def handle_endtag(self, tag):
+                if tag in _HTML_SKIP_TAGS:
+                    self.skip = max(0, self.skip - 1)
+                    # the regex replaces the WHOLE block with one space,
+                    # already emitted at the start tag
+                else:
+                    self.parts.append("\n" if tag in _HTML_BLOCK_TAGS else " ")
+
+            def handle_data(self, data):
+                if not self.skip:
+                    self.parts.append(data)
+
+            def handle_comment(self, data):
+                self.parts.append(" ")
+
+            def handle_decl(self, decl):
+                self.parts.append(" ")
+
+            def handle_pi(self, data):
+                self.parts.append(" ")
+
+        ws = [(re.compile(p), r) for p, r in HTML_WS_STEPS]
+
+        def extract(h):
+            if h is None:
+                return None
+            p = _Extract()
+            p.feed(h)
+            p.close()
+            s = "".join(p.parts).replace("\xa0", " ")  # &nbsp; -> plain space
+            for pat, repl in ws:
+                s = pat.sub(repl, s)
+            return s.strip(" ")
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [extract(h) for h in pdf[html_col]]
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(gen, schema)
