@@ -28,16 +28,16 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 141 entries as of round 10 — larger than the
-# window; r10's driver pass checked 50).
+# round (the corpus is 143 entries as of round 11 — t64/q64 new —
+# larger than the window; r10's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
 # ask #3): each round fronts (a) any entry that has NEVER had a green
 # driver row, then (b) the STALEST entries first (latest green row
 # oldest round), ordered within a staleness class so entries touched by
 # this round's code changes come first. ATTAINABLE FRESHNESS BOUND:
-# with a ~48-50-entry window over a 141-entry corpus, full refresh
-# takes ceil(141/48) = 3 rounds — "no entry staler than 3 rounds" is
+# with a ~48-50-entry window over a 143-entry corpus, full refresh
+# takes ceil(143/48) = 3 rounds — "no entry staler than 3 rounds" is
 # the invariant the rotation can actually keep, and in-repo oracle
 # parity (test_oracle_parity.py, every pytest run) covers the stale
 # tail between driver rows.
@@ -117,6 +117,13 @@ _FRONT = [
     "t23_audio_features",
     "t36_image_pixel_stats",
     # --- window boundary (~48-50) ---
+    # r11-NEW entries ride just past the boundary: ask #2's 49 r8-stale
+    # rotation is exactly one window and takes precedence (a stale entry
+    # pushed out would breach the 3-round bound); if the window cuts
+    # before these two they lead r12's front as its never-green class,
+    # covered meanwhile by in-repo parity each pytest run.
+    "t64_html_extract_dom",
+    "q64_ingest_counters",
     # r9/r10-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()

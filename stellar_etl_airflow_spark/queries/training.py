@@ -3227,3 +3227,60 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# t64 — DOM-path HTML extraction (r11, VERDICT r10 ask #7): the SAME
+# scaffold and the SAME oracle as t63, extracted with html_to_text_dom
+# (stdlib html.parser via mapInPandas) instead of the layered regexes.
+# A green driver row is hash-level proof the DOM upgrade path preserves
+# the oracle-replayable semantics on well-formed input — the seam's
+# contract, checked at driver grade rather than only in pytest.
+# ---------------------------------------------------------------------------
+
+
+def t64_html_extract_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t63's extraction signals computed through the DOM parser path.
+    Plan shape: one Arrow-batched Python stage (mapInPandas), zero
+    shuffles — the codec-decoder shape; linear at 100 TB at
+    Python-worker cost, which is the price of wild-HTML robustness
+    (see training/text.py::html_to_text_dom for what the regex path
+    provably mishandles)."""
+    from ..training.text import html_to_text_dom
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p {color: red}</style>"
+                  "<script type='text/javascript'>var x = 1 < 2;</script></head><body>"),
+            F.lit("<h1>Title "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><!-- hidden comment --><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("<ul><li>alpha &amp; beta</li><li>&quot;quoted&quot;</li></ul>"),
+            ).otherwise(F.lit("<div>plain &lt;tail&gt; block</div>")),
+            F.lit("<br/>footer&nbsp;line</body></html>"),
+        ).alias("html"),
+    )
+    return html_to_text_dom(aug).select(
+        "doc_id",
+        F.regexp_count(F.col("html"), F.lit("<[^>]+>")).cast("long").alias("n_tags"),
+        F.length("text").cast("long").alias("text_len"),
+        (F.size(F.split(F.col("text"), "\n"))).cast("long").alias("n_blocks"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+SPECS.update(
+    {
+        "t64_html_extract_dom": QuerySpec(
+            t64_html_extract_dom,
+            _t63_sql(),  # the DOM path must match the regex replay exactly
+            "HTML->text via stdlib DOM parser: hash-identical to the t63 regex oracle on well-formed input",
+        ),
+    }
+)
