@@ -410,6 +410,12 @@ def main() -> None:
             "s14_stream_incremental_dedup",
             "q61_zorder_optimize",
             "s08_stream_crash_resume",
+            # fixed-cost ledger-op entries added r10/r11 (manifest
+            # publishes dominate; ~3-5 s each warm)
+            "q64_ingest_counters",
+            "q62_transactional_append",
+            "q63_additive_mor",
+            "s15_stream_web_ingest",
             "t14_jaccard_dfcapped",
             "q56_scd2_from_cdf",
             "s12_stream_cdf_to_scd2",

@@ -526,3 +526,36 @@ def test_incremental_dedup_corpus_side_shape(spark):
     plan = _physical(QUERIES["t59_incremental_dedup"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r11_entries_plan_shapes(spark):
+    """t64: the DOM extraction is ONE Python stage over the scan — no
+    exchange (the codec-decoder shape; a refactor that makes the
+    tokenizer shuffle-dependent breaks linearity at 100 TB). The MoR
+    counter read (q64's read path) is one hash-aggregate exchange over
+    the delta pile — no join, no second shuffle."""
+    import shutil
+    import tempfile
+
+    from stellar_etl_airflow_spark.operators import additive_mor as AM
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["t64_html_extract_dom"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"MapInPandas", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    tbl = os.path.join(tempfile.mkdtemp(), "mor")
+    try:
+        AM.write_delta(
+            spark,
+            spark.createDataFrame([(1, 2)], "k long, n long").repartition(1),
+            tbl,
+            ("k",),
+            ("n",),
+        )
+        rplan = _physical(AM.read_additive(spark, tbl))
+        assert len(re.findall(r"Exchange hashpartitioning", rplan)) == 1
+        assert "Join" not in rplan
+    finally:
+        shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
