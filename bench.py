@@ -302,6 +302,9 @@ print("AB_RESULT " + json.dumps(res))
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             env["AB_NAMES"] = json.dumps(suspects)
             env["PYTHONPATH"] = cwd
+            # the main bench session (64g heap) is still alive; cap the
+            # A/B session so two JVMs never overcommit the 128 GiB host
+            env.setdefault("SPARK_DRIVER_MEMORY", "24g")
             p = subprocess.run(
                 [sys.executable, "-c", runner], cwd=cwd, env=env,
                 capture_output=True, text=True, timeout=1800,
