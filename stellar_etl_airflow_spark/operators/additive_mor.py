@@ -116,6 +116,39 @@ def write_delta(
     return S.append_versioned(spark, batch, path, txn_id=txn_id)
 
 
+def write_delta_rows(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema: str,
+    path: str,
+    keys: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    txn_id: str | None = None,
+) -> int:
+    """:func:`write_delta` for METADATA-RATE deltas: rows staged as one
+    parquet file on the driver via :func:`snapshots.append_versioned_rows`
+    (~10 ms — no Spark job), same pin/ledger/CAS semantics. The shape
+    for per-batch counters and usage metering, where each delta is a
+    handful of rows and a cluster round-trip per write is pure
+    overhead. ``schema`` is a Spark DDL string over scalar types."""
+    pairs = S._split_ddl(schema)
+    names, types = [n for n, _ in pairs], [t for _, t in pairs]
+    expected = set(keys) | set(sum_cols)
+    if set(names) != expected:
+        raise ValueError(
+            f"write_delta_rows: schema columns {sorted(names)} must be "
+            f"exactly keys+sum_cols {sorted(expected)}"
+        )
+    for n, t in zip(names, types):
+        if n in sum_cols and t in ("double", "float"):
+            raise ValueError(
+                f"write_delta_rows: sum column {n!r} is {t} — use "
+                "long/decimal (float addition is order-dependent)"
+            )
+    _check_or_pin(path, keys, sum_cols)
+    return S.append_versioned_rows(spark, rows, schema, path, txn_id=txn_id)
+
+
 def read_additive(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """The folded view: one row per key, counters summed across every
     delta (and any previously folded base rows — a fold's output is

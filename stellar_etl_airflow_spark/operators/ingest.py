@@ -97,19 +97,17 @@ def record_ingest_counters(
     read and never conflict — N concurrent table ingests land without
     retries; :func:`fold_ingest_counters` bounds read cost on the
     maintenance cadence."""
-    from .additive_mor import write_delta
+    from .additive_mor import write_delta_rows
 
-    # repartition(1), NOT coalesce(1): a local-list frame parallelizes
-    # over defaultParallelism slices, and coalescing them makes ONE task
-    # walk all 32 pickled partitions sequentially — ~3.7 s for one row
-    # vs ~0.7 s via the 1-row shuffle (measured r11).
-    batch = spark.createDataFrame(
+    # driver-staged delta (append_versioned_rows): one pyarrow file +
+    # manifest publish, ~10 ms — a Spark job for one counter row costs
+    # ~0.5 s of pure scheduling (measured r11; the first cut used
+    # createDataFrame().coalesce(1), which was worse still at ~3.7 s —
+    # one task walking 32 empty pickled slices through a Python worker)
+    return write_delta_rows(
+        spark,
         [(table, 1, int(n_rows))],
         "table_name string, n_batches long, n_rows long",
-    ).repartition(1)
-    return write_delta(
-        spark,
-        batch,
         wh.counters_path(),
         ("table_name",),
         ("n_batches", "n_rows"),

@@ -777,6 +777,154 @@ def append_versioned(
     the physical schema); schema drift vs the live table is refused
     with one footer read per append — use the merge path with
     ``evolve=True`` for additive evolution."""
+    staged_fields = set(df.schema.fieldNames())
+    prev = _append_prestage(path, txn_id, staged_fields, lambda: df)
+    if isinstance(prev, int):
+        return prev  # txn replay: the recorded version, nothing written
+    stage = os.path.abspath(os.path.join(path, f"_stage-append-{uuid.uuid4().hex[:8]}"))
+    df.write.mode("overwrite").parquet(stage)
+    try:
+        new_files = adopt_staged(stage, path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return _append_publish(
+        spark, lambda: df, new_files, path, txn_id,
+        stats_cols, bloom_cols, max_retries, staged_fields, prev,
+    )
+
+
+def _split_ddl(schema: str) -> list[tuple[str, str]]:
+    """Split a Spark DDL schema string into (name, type) pairs,
+    respecting parens — a plain ``split(",")`` breaks decimal(38,6)."""
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        depth += ch in "(<"
+        depth -= ch in ")>"
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = []
+    for part in parts:
+        name, typ = part.strip().split(None, 1)
+        out.append((name, typ.strip().lower()))
+    return out
+
+
+_ARROW_TYPES = {
+    "string": "string",
+    "long": "int64",
+    "bigint": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "double": "float64",
+    "boolean": "bool_",
+    "date": "date32",
+}
+
+
+def append_versioned_rows(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema: str,
+    path: str,
+    txn_id: str | None = None,
+    stats_cols=None,
+    bloom_cols=None,
+    max_retries: int = 20,
+) -> int:
+    """Driver-side transactional append for METADATA-RATE writes (r11):
+    the same guards, txn ledger, and CAS/rebase publish protocol as
+    :func:`append_versioned`, but the rows are staged as ONE parquet
+    file via pyarrow on the driver — no Spark job, so a 1-row counter
+    delta costs ~10 ms instead of a cluster round-trip (~0.5 s
+    measured; at 100 TB ingest cadence the counter/ledger tables see
+    one tiny write per batch per table, and scheduling those through
+    the cluster is pure overhead). ``schema`` is a Spark DDL string
+    over scalar types (string/long/int/double/boolean/date/
+    decimal(p,s)); a Spark frame is only constructed if the table
+    carries CHECK constraints (their expressions need an evaluator).
+    Content lands byte-compatible with the Spark-staged path: Spark
+    reads pyarrow-written parquet natively."""
+    import decimal as _decimal
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for name, typ in _split_ddl(schema):
+        dm = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", typ)
+        if dm:
+            fields.append((name, pa.decimal128(int(dm.group(1)), int(dm.group(2)))))
+        elif typ in _ARROW_TYPES:
+            fields.append((name, getattr(pa, _ARROW_TYPES[typ])()))
+        else:
+            raise ValueError(
+                f"append_versioned_rows supports scalar types only; column "
+                f"{name!r} has {typ!r} — use append_versioned with a DataFrame"
+            )
+    arrow_schema = pa.schema(fields)
+    staged_fields = set(arrow_schema.names)
+
+    def frame():
+        return spark.createDataFrame(
+            [
+                tuple(
+                    _decimal.Decimal(v) if isinstance(t, pa.Decimal128Type) and v is not None
+                    and not isinstance(v, _decimal.Decimal) else v
+                    for v, (_, t) in zip(r, fields)
+                )
+                for r in rows
+            ],
+            schema,
+        )
+
+    prev = _append_prestage(path, txn_id, staged_fields, frame)
+    if isinstance(prev, int):
+        return prev  # txn replay: the recorded version, nothing written
+    cols = [list(c) for c in zip(*rows)] if rows else [[] for _ in fields]
+    for i, (name, t) in enumerate(fields):
+        if isinstance(t, pa.Decimal128Type):
+            # accept str/int for decimal cells (exactness preserved);
+            # floats are refused upstream by the Spark-DDL contract
+            cols[i] = [
+                v if v is None or isinstance(v, _decimal.Decimal)
+                else _decimal.Decimal(str(v))
+                for v in cols[i]
+            ]
+    table = pa.table(
+        {name: pa.array(col, type=t) for col, (name, t) in zip(cols, fields)},
+        schema=arrow_schema,
+    )
+    dst = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")  # adopt-named
+    tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, dst)  # appear atomically under the adopt naming contract
+    return _append_publish(
+        spark, frame, [dst], path, txn_id,
+        stats_cols, bloom_cols, max_retries, staged_fields, prev,
+    )
+
+
+def _parquet_fields(f: str) -> frozenset:
+    """Top-level field names of one parquet file — footer-only read via
+    pyarrow, no Spark job (the schema probes here used to pay a JVM
+    round-trip per call)."""
+    import pyarrow.parquet as pq
+
+    return frozenset(pq.read_schema(f).names)
+
+
+def _append_prestage(path, txn_id, staged_fields, frame):
+    """Shared pre-stage guards for the append paths. Returns the
+    recorded version (int) on a txn replay, else the previous manifest
+    dict (or None for a fresh bootstrap). ``frame`` is a zero-arg
+    callable returning the staged DataFrame — only invoked when the
+    table carries CHECK constraints."""
     os.makedirs(path, exist_ok=True)
     if latest_version(path) is None:
         # ADVICE r10 (low): bootstrapping onto a directory that already
@@ -801,41 +949,45 @@ def append_versioned(
                 "files-only v1 would orphan. Adopt them first with "
                 "snapshot(path), or replace them with overwrite_versioned."
             )
-    prev = read_manifest(path, resolve=False) if latest_version(path) else None
-    if prev is not None:
-        if txn_id is not None and txn_id in (prev.get("txns") or {}):
-            return int(prev["txns"][txn_id])
-        if prev.get("renames") or prev.get("dropped_cols"):
-            raise NotImplementedError(
-                f"{path} carries a column mapping (renames/drops); appending "
-                "would fork the physical schema. Run compact_snapshot first."
-            )
-        from ..operators.merge import BUCKET_COL
+        return None
+    prev = read_manifest(path, resolve=False)
+    if txn_id is not None and txn_id in (prev.get("txns") or {}):
+        return int(prev["txns"][txn_id])
+    if prev.get("renames") or prev.get("dropped_cols"):
+        raise NotImplementedError(
+            f"{path} carries a column mapping (renames/drops); appending "
+            "would fork the physical schema. Run compact_snapshot first."
+        )
+    from ..operators.merge import BUCKET_COL
 
-        if any(f"{BUCKET_COL}=" in f for f in prev["files"]):
-            raise NotImplementedError(
-                "append_versioned would break the bucketed merge layout "
-                "(new files carry no bucket assignment); write through "
-                "merge_upsert_versioned / merge_additive_versioned instead"
+    if any(f"{BUCKET_COL}=" in f for f in prev["files"]):
+        raise NotImplementedError(
+            "append_versioned would break the bucketed merge layout "
+            "(new files carry no bucket assignment); write through "
+            "merge_upsert_versioned / merge_additive_versioned instead"
+        )
+    if prev.get("constraints"):
+        check_constraints(frame(), prev["constraints"])
+    live = [f for f in prev["files"] if os.path.exists(f)]
+    if live:
+        have = _parquet_fields(live[0])
+        if have != staged_fields:
+            raise ValueError(
+                f"append schema mismatch at {path}: table has "
+                f"{sorted(have)}, frame has {sorted(staged_fields)}; use "
+                "the merge path (evolve=True) or overwrite_versioned"
             )
-        if prev.get("constraints"):
-            check_constraints(df, prev["constraints"])
-        live = [f for f in prev["files"] if os.path.exists(f)]
-        if live:
-            have = set(spark.read.parquet(live[0]).schema.fieldNames())
-            want = set(df.schema.fieldNames())
-            if have != want:
-                raise ValueError(
-                    f"append schema mismatch at {path}: table has "
-                    f"{sorted(have)}, frame has {sorted(want)}; use the "
-                    "merge path (evolve=True) or overwrite_versioned"
-                )
-    stage = os.path.abspath(os.path.join(path, f"_stage-append-{uuid.uuid4().hex[:8]}"))
-    df.write.mode("overwrite").parquet(stage)
-    try:
-        new_files = adopt_staged(stage, path)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    return prev
+
+
+def _append_publish(
+    spark, frame, new_files, path, txn_id,
+    stats_cols, bloom_cols, max_retries, staged_fields, prev,
+) -> int:
+    """The append CAS/rebase publish loop, shared by the Spark-staged
+    (:func:`append_versioned`) and driver-staged
+    (:func:`append_versioned_rows`) paths. ``frame`` as in
+    :func:`_append_prestage`."""
 
     def _drop_staged():
         for f in new_files:  # referenced by no manifest: don't leave orphans
@@ -847,7 +999,6 @@ def append_versioned(
     from ..operators.merge import BUCKET_COL
 
     new_set = set(new_files)
-    staged_fields = set(df.schema.fieldNames())
     # what the PRE-stage pass already validated — the mid-loop guards
     # below only re-run when the live manifest diverges from this
     checked_constraints = (prev.get("constraints") if prev else None) or None
@@ -888,7 +1039,7 @@ def append_versioned(
             mcons = m.get("constraints") or None
             if mcons and mcons != checked_constraints:
                 try:
-                    check_constraints(df, mcons)
+                    check_constraints(frame(), mcons)
                 except Exception:
                     _drop_staged()
                     raise
@@ -897,9 +1048,7 @@ def append_versioned(
             if live:
                 probe = live[0]
                 if probe not in probed_schema:
-                    probed_schema[probe] = frozenset(
-                        spark.read.parquet(probe).schema.fieldNames()
-                    )
+                    probed_schema[probe] = _parquet_fields(probe)
                 if probed_schema[probe] != staged_fields:
                     _drop_staged()
                     raise ValueError(

@@ -266,3 +266,48 @@ def test_merge_rebase_raises_on_flat_files(spark, tmp_path, monkeypatch):
         for r in S.read_snapshot(spark, tbl).select("k", "v").collect()
     }
     assert rows[1] == 11 and rows.get(9) == 9
+
+
+def test_append_versioned_rows_driver_staged(spark, tmp_path):
+    """Metadata-rate appends: driver-staged pyarrow file, same ledger/
+    CAS protocol — replay no-ops, Spark-staged and driver-staged files
+    mix in one table, constraints and schema guards still enforced."""
+    tbl = str(tmp_path / "t")
+    sch = "k long, v long"
+    v1 = S.append_versioned_rows(spark, [(1, 10)], sch, tbl, txn_id="b0")
+    assert S.append_versioned_rows(spark, [(9, 9)], sch, tbl, txn_id="b0") == v1
+    S.append_versioned(spark, _mk(spark, [(2, 20)]), tbl, txn_id="b1")
+    S.append_versioned_rows(spark, [(3, 30)], sch, tbl, txn_id="b2")
+    assert sorted(tuple(r) for r in S.read_snapshot(spark, tbl).collect()) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+    ]
+    assert S.read_snapshot(spark, tbl).schema.simpleString() == "struct<k:bigint,v:bigint>"
+    # schema guard: mismatched columns refuse
+    with pytest.raises(ValueError, match="schema mismatch"):
+        S.append_versioned_rows(spark, [(1,)], "other long", tbl)
+    # constraint enforced on the driver-staged path too
+    S.add_constraint(spark, tbl, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        S.append_versioned_rows(spark, [(4, -1)], sch, tbl, txn_id="b3")
+    # unsupported nested type names the escape hatch
+    with pytest.raises(ValueError, match="scalar types only"):
+        S.append_versioned_rows(spark, [], "k array<long>, v long", str(tmp_path / "u"))
+
+
+def test_write_delta_rows_counters(spark, tmp_path):
+    """The D6 counter shape end to end on the driver-staged path:
+    exactly-once under replay, folds carry, decimal sums exact."""
+    tbl = str(tmp_path / "t")
+    sch = "table_name string, n long, amt decimal(38,6)"
+    keys, sums = ("table_name",), ("n", "amt")
+    AM.write_delta_rows(spark, [("a", 1, "1.50")], sch, tbl, keys, sums, txn_id="b0")
+    AM.write_delta_rows(spark, [("a", 1, "2.25")], sch, tbl, keys, sums, txn_id="b1")
+    AM.write_delta_rows(spark, [("a", 7, "9.99")], sch, tbl, keys, sums, txn_id="b0")  # replay
+    AM.fold_additive(spark, tbl)
+    AM.write_delta_rows(spark, [("a", 1, "0.25")], sch, tbl, keys, sums, txn_id="b2")
+    row = AM.read_additive(spark, tbl).collect()[0]
+    assert (row["table_name"], row["n"], str(row["amt"])) == ("a", 3, "4.000000")
+    with pytest.raises(ValueError, match="order-dependent"):
+        AM.write_delta_rows(spark, [("a", 1.0)], "table_name string, x double", tbl, ("table_name",), ("x",))
