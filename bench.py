@@ -416,6 +416,7 @@ def main() -> None:
             # fixed-cost ledger-op entries added r10/r11 (manifest
             # publishes dominate; ~3-5 s each warm)
             "q64_ingest_counters",
+            "s16_stream_mor_counters",
             "q62_transactional_append",
             "q63_additive_mor",
             "s15_stream_web_ingest",

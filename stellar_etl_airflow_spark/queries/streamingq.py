@@ -1244,3 +1244,111 @@ SPECS.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# s16 — streaming counters on aggregate MERGE-ON-READ (r11): the
+# production shape for high-contention streaming counters. s09 proves
+# the exactly-once ledger on the bucketed CoW merge; here the sink is a
+# pure delta APPEND (additive_mor.write_delta — no read, no bucket
+# rewrite, no recompute under concurrent sinks), a maintenance fold
+# runs MID-STREAM between the crash and the resume, and the replayed
+# epoch must no-op ACROSS that fold (the fold carries the ledger; the
+# fold itself rebases over any append that lands while it publishes).
+# ---------------------------------------------------------------------------
+
+
+def s16_stream_mor_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming counters via merge-on-read deltas under a
+    mid-stream crash AND a mid-stream fold: foreachBatch appends the
+    per-user (count, exact-decimal sum) delta with ``txn_id = epoch
+    id``, crashes after epoch 1's append committed but before its
+    offset commit, folds the pile while the stream is down (the
+    operational compaction window), then resumes — the replayed epoch 1
+    re-submits its txn_id against the FOLDED table and must publish
+    nothing. Three deliveries of the same events file -> the oracle is
+    3x the per-user aggregate; a double-counted replay or a
+    fold-swallowed delta breaks the hash."""
+    from ..operators import additive_mor as AM
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sub = _stream_session(spark)
+    links = {f"events-delivery{i}.parquet": "events.parquet" for i in range(3)}
+    with _stream_scratch("s16", sf_dir, links, n_extra=1) as (stream_dir, ckpt, mart_dir):
+
+        def mk_stream() -> DataFrame:
+            return normalize_nanos(
+                sub.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+
+        applied: list[int] = []
+
+        def sink(crash_after: int | None):
+            def fn(batch_df: DataFrame, epoch_id: int) -> None:
+                batch = batch_df.groupBy(F.col("user_id").alias("k")).agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias("total"),
+                )
+                AM.write_delta(
+                    sub, batch, mart_dir, ("k",), ("n_events", "total"),
+                    txn_id=f"epoch-{epoch_id}",
+                )
+                applied.append(epoch_id)
+                if crash_after is not None and len(applied) == crash_after:
+                    raise RuntimeError("injected crash after append")
+
+            return fn
+
+        q1 = (
+            mk_stream().writeStream.foreachBatch(sink(2))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q1.awaitTermination()
+            raise AssertionError("s16: injected crash did not fire")
+        except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
+            if "injected crash" not in str(e):
+                raise
+        # the operational maintenance window: fold while the stream is
+        # down — the replayed epoch below must no-op across this fold
+        AM.fold_additive(sub, mart_dir)
+        q2 = (
+            mk_stream().writeStream.foreachBatch(sink(None))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        if sorted(applied) != [0, 1, 1, 2]:  # epoch 1 appended twice; once counted
+            raise AssertionError(f"s16: unexpected epoch trace {sorted(applied)}")
+        out = AM.read_additive(sub, mart_dir).select(
+            F.col("k").alias("user_id"),
+            "n_events",
+            F.col("total").cast("double").alias("total"),  # dsum discipline
+        )
+        # detach from scratch before cleanup (mart size = distinct users)
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+S16_SQL = """
+SELECT user_id, CAST(count(*) * 3 AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) * 3 AS DOUBLE) AS total
+FROM events
+GROUP BY user_id
+"""
+
+
+SPECS.update(
+    {
+        "s16_stream_mor_counters": QuerySpec(
+            s16_stream_mor_counters,
+            S16_SQL,
+            "streaming MoR counters: crash + replay no-op ACROSS a mid-stream fold == 3x aggregate oracle",
+        ),
+    }
+)
