@@ -326,6 +326,26 @@ print("AB_RESULT " + json.dumps(res))
                 probe = _LoadProbe()
                 cur = run_tree(here)
                 prev = run_tree(wt)
+                # ordering-bias control (seen live in r11: the first
+                # session runs while the pooled reps' load is still
+                # draining and reads slower). If any suspect shows a
+                # tree-following gap, confirm in REVERSE order and keep
+                # the per-tree min — a real regression survives both
+                # orders, a drain artifact doesn't.
+                gap = any(
+                    cur.get(n) and prev.get(n)
+                    and not 0.8 <= cur[n] / prev[n] <= 1.25
+                    for n in suspects
+                )
+                if gap:
+                    prev2 = run_tree(wt)
+                    cur2 = run_tree(here)
+                    for n in suspects:
+                        if cur2.get(n) is not None:
+                            cur[n] = min(x for x in (cur.get(n), cur2[n]) if x is not None)
+                        if prev2.get(n) is not None:
+                            prev[n] = min(x for x in (prev.get(n), prev2[n]) if x is not None)
+                    out["ab_reversed_pass"] = True
                 out["ab_load"] = probe.stamp()
             finally:
                 subprocess.run(
