@@ -821,3 +821,104 @@ def test_append_ledger_interleavings_match_model(spark, tmp_path_factory, ops):
             assert v <= before, f"txn t{t} replay published a new version"
         got = sorted(tuple(r) for r in S.read_snapshot(spark, tbl).collect())
         assert got == sorted(model)
+
+
+# ---------------------------------------------------------------------------
+# r11: the additive-MoR fold REBASE vs a Python model. Random
+# interleavings of deltas (fresh and REPLAYED txns, Spark-staged and
+# driver-staged), folds, folds that RACE an injected mid-fold delta
+# (the rebase path: the fold must absorb the delta, not swallow or
+# double it), and vacuum must keep the folded view exactly equal to the
+# per-key sum of the UNIQUE applied deltas.
+# ---------------------------------------------------------------------------
+
+mor_op = st.one_of(
+    st.tuples(st.just("delta"), st.integers(0, 4)),      # txn 0..4 (repeats = replays)
+    st.tuples(st.just("delta_rows"), st.integers(0, 99)),  # driver-staged, always applies
+    st.tuples(st.just("fold"), st.just(0)),
+    st.tuples(st.just("fold_racing"), st.integers(0, 99)),  # delta lands mid-fold
+    st.tuples(st.just("vacuum"), st.integers(1, 2)),
+)
+
+
+@SLOW
+@given(ops=st.lists(mor_op, min_size=2, max_size=8))
+def test_additive_mor_fold_rebase_matches_model(spark, tmp_path_factory, ops):
+    from collections import Counter
+
+    from stellar_etl_airflow_spark.operators import additive_mor as AM
+    from stellar_etl_airflow_spark.sinks import snapshots as S
+
+    tbl = str(tmp_path_factory.mktemp("morprop") / "t")
+    keys, sums, sch = ("k",), ("n",), "k long, n long"
+    applied: set[int] = set()
+    model: Counter = Counter()
+    seq = 0
+
+    def check(ctx):
+        if S.latest_version(tbl):
+            got = {r["k"]: r["n"] for r in AM.read_additive(spark, tbl).collect()}
+            assert got == dict(model), f"after {ctx}"
+
+    real_adopt = S.adopt_staged
+    try:
+        for op, arg in ops:
+            if op == "delta":
+                rows = [(0, arg + 1), (1, (arg + 1) * 10)]
+                AM.write_delta(
+                    spark,
+                    spark.createDataFrame(rows, sch).repartition(1),
+                    tbl, keys, sums, txn_id=f"t{arg}",
+                )
+                if arg not in applied:  # replays must be no-ops
+                    applied.add(arg)
+                    for k, n in rows:
+                        model[k] += n
+            elif op == "delta_rows":
+                seq += 1
+                rows = [(2, 1000 + seq * 100 + arg)]
+                AM.write_delta_rows(spark, rows, sch, tbl, keys, sums)
+                for k, n in rows:
+                    model[k] += n
+            elif op == "fold" and S.latest_version(tbl):
+                AM.fold_additive(spark, tbl)
+            elif op == "fold_racing" and S.latest_version(tbl):
+                fired = {"n": 0}
+                rows = [(1, arg + 7)]
+
+                def adopt_inject(stage, path, _rows=rows):
+                    out = real_adopt(stage, path)
+                    if fired["n"] == 0 and "_stage-fold-" in stage:
+                        fired["n"] += 1
+                        S.adopt_staged = real_adopt
+                        AM.write_delta_rows(spark, _rows, sch, tbl, keys, sums)
+                        S.adopt_staged = adopt_inject
+                    return out
+
+                S.adopt_staged = adopt_inject
+                try:
+                    AM.fold_additive(spark, tbl)
+                finally:
+                    S.adopt_staged = real_adopt
+                if fired["n"]:  # the fold must have REBASED the delta in
+                    for k, n in rows:
+                        model[k] += n
+            elif op == "vacuum" and S.latest_version(tbl):
+                S.vacuum(tbl, keep_versions=arg, orphan_retention_s=3600)
+            check(f"{op}({arg})")
+    finally:
+        S.adopt_staged = real_adopt
+    # replays of retained txns stay no-ops even after folds/vacuum
+    if S.latest_version(tbl) and applied:
+        ledger = S.read_manifest(tbl, resolve=False).get("txns") or {}
+        before = S.latest_version(tbl)
+        for t in sorted(applied):
+            if f"t{t}" not in ledger:
+                continue
+            v = AM.write_delta(
+                spark,
+                spark.createDataFrame([(0, -999)], sch).repartition(1),
+                tbl, keys, sums, txn_id=f"t{t}",
+            )
+            assert v <= before, f"txn t{t} replay published a new version"
+        check("final replays")
