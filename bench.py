@@ -437,6 +437,7 @@ def main() -> None:
             # publishes dominate; ~3-5 s each warm)
             "q64_ingest_counters",
             "s16_stream_mor_counters",
+            "q65_recursive_hierarchy",
             "q62_transactional_append",
             "q63_additive_mor",
             "s15_stream_web_ingest",

@@ -28,7 +28,7 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 144 entries as of round 11 — t64/q64/s16 new —
+# round (the corpus is 145 entries as of round 11 — t64/q64/s16/q65 new —
 # larger than the window; r10's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
@@ -36,8 +36,8 @@ QUERIES.update(connectors.SPECS)
 # driver row, then (b) the STALEST entries first (latest green row
 # oldest round), ordered within a staleness class so entries touched by
 # this round's code changes come first. ATTAINABLE FRESHNESS BOUND:
-# with a ~48-50-entry window over a 144-entry corpus, full refresh
-# takes ceil(144/48) = 3 rounds — "no entry staler than 3 rounds" is
+# with a ~48-50-entry window over a 145-entry corpus, full refresh
+# takes ceil(145/48) = 3 rounds — "no entry staler than 3 rounds" is
 # the invariant the rotation can actually keep, and in-repo oracle
 # parity (test_oracle_parity.py, every pytest run) covers the stale
 # tail between driver rows.
@@ -125,6 +125,7 @@ _FRONT = [
     "t64_html_extract_dom",
     "q64_ingest_counters",
     "s16_stream_mor_counters",
+    "q65_recursive_hierarchy",
     # r9/r10-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()

@@ -731,3 +731,71 @@ SPECS: dict[str, QuerySpec] = {
         "HLL++ / t-digest sketches vs exact companions + accuracy booleans",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# q65 — RECURSIVE CTE (r11): Spark 4 landed WITH RECURSIVE, the
+# missing iterative-SQL shape (hierarchy walks, transitive closure,
+# sequence generation without explode). A synthetic forest over
+# customer (parent = custkey DIV 10, roots = custkey < 10, so depth ==
+# digits-1) is walked to the root and aggregated per (depth, root
+# bucket). The oracle replays the identical recursion in DuckDB.
+# Recursion depth is log10(|customer|): ~6 joins at sf0.1 — the plan
+# is depth-many hash joins, each reusing the prior iteration's frame,
+# never a cartesian; at 100 TB this shape only works because every
+# iteration joins on the parent KEY (hash-partitionable). Spark SQL and
+# DuckDB differ only in the integer-division spelling (DIV vs //).
+# ---------------------------------------------------------------------------
+
+
+def q65_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    (cust,) = tables(spark, sf_dir, "customer")
+    view = f"customer_q65_{_uuid.uuid4().hex[:8]}"  # unique: bench pools threads
+    cust.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+        WITH RECURSIVE walk(custkey, root, depth, acctbal) AS (
+          SELECT c_custkey, c_custkey, 0, c_acctbal
+          FROM {view} WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, w.root, w.depth + 1, c.c_acctbal
+          FROM {view} c JOIN walk w ON c.c_custkey DIV 10 = w.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               root % 4 AS root_bucket,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+        FROM walk
+        GROUP BY depth, root % 4
+        """)
+    finally:
+        # the RESULT plan is resolved; the view can go so pooled bench
+        # reps never accumulate per-run temp views
+        spark.catalog.dropTempView(view)
+
+
+Q65_SQL = """
+WITH RECURSIVE walk(custkey, root, depth, acctbal) AS (
+  SELECT c_custkey, c_custkey, 0, c_acctbal
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.root, w.depth + 1, c.c_acctbal
+  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       root % 4 AS root_bucket,
+       count(*)::BIGINT AS n_customers,
+       CAST(sum(CAST(acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+FROM walk
+GROUP BY depth, root % 4
+"""
+
+SPECS["q65_recursive_hierarchy"] = QuerySpec(
+    q65_recursive_hierarchy,
+    Q65_SQL,
+    "WITH RECURSIVE hierarchy walk: depth/root aggregation over a synthetic customer forest",
+)
