@@ -161,6 +161,17 @@ def cleanup_meta(spark: SparkSession, wh: Warehouse, older_than_days: int, now: 
     kept = df.filter(F.col("batch_start") >= F.lit(cutoff))
     n = kept.count()
     safe_overwrite(spark, kept, path)
+    # same maintenance cadence (r11): fold the additive ingest counters
+    # so reads stop paying O(batches-since-fold). A table that doesn't
+    # exist yet or a fold lost to extreme write pressure just waits for
+    # the next tick — the pile stays correct either way.
+    from ..sinks.snapshots import ConcurrentWriteError
+    from .ingest import fold_ingest_counters
+
+    try:
+        fold_ingest_counters(spark, wh)
+    except (ValueError, FileNotFoundError, ConcurrentWriteError):
+        pass
     return n
 
 

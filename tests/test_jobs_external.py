@@ -101,8 +101,26 @@ def test_expire_partitions(spark, tmp_path):
 def test_cleanup_meta_and_catalog(spark, tmp_path):
     wh = _seed(spark, tmp_path)
     assert J.list_tables(wh) == ["accounts"]  # _meta hidden
+    # the maintenance pass also folds the ingest counters (r11): seed
+    # two deltas so cleanup_meta has a pile to fold
+    from stellar_etl_airflow_spark.operators.batch import BatchWindow
+    from stellar_etl_airflow_spark.operators.ingest import (
+        read_ingest_counters,
+        record_ingest_counters,
+    )
+    from stellar_etl_airflow_spark.sinks.snapshots import latest_version, read_manifest
+
+    t0 = datetime(2024, 1, 1)
+    w = BatchWindow("cln-b0", t0, t0, t0, 0, 0)
+    record_ingest_counters(spark, wh, w, "accounts", 6)
+    record_ingest_counters(spark, wh, BatchWindow("cln-b1", t0, t0, t0, 1, 1), "accounts", 4)
     n = J.cleanup_meta(spark, wh, older_than_days=0, now=datetime.utcnow() + timedelta(days=1))
     assert n == 0
+    m = read_manifest(wh.counters_path(), resolve=False)
+    assert m.get("op") == "fold"  # cleanup_meta folded the counter pile
+    got = {r["table_name"]: (r["n_batches"], r["n_rows"]) for r in read_ingest_counters(spark, wh).collect()}
+    # _seed's ingest_batch recorded its own counter (6 rows) + the two above
+    assert got == {"accounts": (3, 16)}
     dest = Warehouse(str(tmp_path / "wh2"))
     results = J.clone_dataset(spark, wh, dest)
     assert results == {"accounts": "ok"}
