@@ -559,3 +559,14 @@ def test_r11_entries_plan_shapes(spark):
         assert "Join" not in rplan
     finally:
         shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
+
+
+def test_q65_recursion_never_cartesian(spark):
+    """The recursive CTE's per-iteration join must be a hash/broadcast
+    join on the parent key — a planner change that degrades it to a
+    nested loop would turn log10(N) cheap iterations into N^2 work."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["q65_recursive_hierarchy"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
