@@ -422,7 +422,23 @@ def main() -> None:
             sweep_load.append(probe.stamp())
         timings = {n: min(s[n] for s in sweeps) for n in sweeps[0]}
 
-    # pass 2: pooled corpus wall (the throughput headline)
+    # pass 2: pooled corpus wall (the throughput headline). Drop the
+    # state the sweep passes left behind first — the r11 runs measured
+    # the SAME tree's pooled wall at 52.6 s on a fresh JVM vs 216 s
+    # after two full sweeps, with the delta in our own CPU, not
+    # co-tenants. Two sweeps x 145 entries leave localCheckpoint blocks
+    # pinned by unreferenced Python DataFrames; a driver gc lets the
+    # ContextCleaner release them (storage memory squeezing execution
+    # memory is exactly the spill-then-burn signature observed).
+    import gc as _gc
+
+    spark.catalog.clearCache()
+    _gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - best-effort hygiene
+        pass
+    time.sleep(2)  # let the async ContextCleaner drain
     ordered = sorted(QUERIES.items())
     if par > 1:
         # longest-first keeps the big iterative jobs (merge protocols,
