@@ -229,11 +229,31 @@ def fold_additive(
             nm = S.read_manifest(path, resolve=False)
             extra: list[str] = []
             if int(nm["version"]) != base_v:
-                ops = [
-                    S.read_manifest(path, version=v, resolve=False).get("op")
-                    for v in range(base_v + 1, int(nm["version"]) + 1)
-                ]
-                if any(op != "append" for op in ops):
+                # Appends-only proof WITHOUT walking intervening
+                # manifests (r11 probe finding: under saturating appends
+                # the fold falls behind the vacuum retention window and
+                # an ops walk hits already-pruned manifests — walking
+                # also costs O(versions-behind) reads). Structural
+                # argument instead: appends never REMOVE files and never
+                # change table metadata, while every content/metadata-
+                # changing op (fold, compact, overwrite, DDL, DV delete)
+                # either drops a base file from the list or edits
+                # metadata. So base-files-still-listed + metadata
+                # unchanged  =>  everything since base_v was an append,
+                # and (nm.files - base_files) are pure delta files.
+                same_meta = (
+                    (nm.get("renames") or {}) == (m.get("renames") or {})
+                    and (nm.get("dropped_cols") or []) == (m.get("dropped_cols") or [])
+                    and (nm.get("constraints") or {}) == (m.get("constraints") or {})
+                    # dv sidecar paths churn per publish; counts are the
+                    # content signature
+                    and ((nm.get("dv") or {}).get("counts") or {})
+                    == ((m.get("dv") or {}).get("counts") or {})
+                    and bool(nm.get("mixed_schema")) == bool(m.get("mixed_schema"))
+                    and os.path.abspath(nm.get("base", path))
+                    == os.path.abspath(m.get("base", path))
+                )
+                if not (same_meta and base_files <= set(nm["files"])):
                     refold = True  # content under the fold changed shape
                     break
                 extra = [f for f in nm["files"] if f not in base_files]

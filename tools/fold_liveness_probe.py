@@ -118,6 +118,17 @@ def main():
                             {"ok": False, "err": str(e)[:80],
                              "wall": round(time.monotonic() - t0, 3)}
                         )
+                    except Exception as e:  # noqa: BLE001 — a dead folder
+                        # thread must read as a failure, not as zero
+                        # attempts (the r11 ops-walk/vacuum bug hid this
+                        # way: the first fold raised FileNotFoundError
+                        # and the probe reported folds_attempted=0)
+                        errs.append(f"folder: {type(e).__name__}: {e}")
+                        fold_log.append(
+                            {"ok": False, "err": f"{type(e).__name__}: {e}"[:80],
+                             "wall": round(time.monotonic() - t0, 3)}
+                        )
+                        return
                     time.sleep(0.2)
 
             def vacuumer():
