@@ -1,9 +1,13 @@
 """Benchmark harness: runs the oracle-checked query corpus against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints TWO JSON lines — a per-query timing map first, then the compact
-headline metric LAST (the driver keeps the last complete line):
+and prints THREE JSON lines — a per-query timing map, the A/B record (its
+own sacrificial line — r12, after splicing it into the headline bloated
+BENCH_r11 past the driver's bounded tail), then the compact headline
+metric LAST (the driver keeps the last complete line; _print_final
+asserts it stays under 4 KB):
 
   {"metric": "per_query_sec", "queries": {"q01_...": sec, ...}, "par": 1, "sf": 0.1}
+  {"metric": "bench_ab", "ab_walls": {...}, "sf": 0.1}
   {"metric": "corpus_wall_sec", "value": N, "unit": "sec", "par": 8, "sf": 0.1}
 
 Each query is executed to completion via ``df.write.format("noop")`` so
@@ -78,45 +82,57 @@ def _host_cpu_jiffies() -> tuple[float, float]:
         return 0.0, 0.0
 
 
-def _tree_cpu_sec() -> float:
-    """utime+stime+cutime+cstime (seconds) summed over THIS process and
+def _pid_cpu(pid: int) -> tuple[float, float] | None:
+    """(own utime+stime, reaped-children cutime+cstime) seconds for one
+    pid, or None if it no longer exists."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            raw = fh.read()
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw[raw.rindex(")") + 2 :].split()
+        own = (float(rest[11]) + float(rest[12])) / _CLK_TCK
+        cu = (float(rest[13]) + float(rest[14])) / _CLK_TCK
+        return own, cu
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_map() -> dict[int, tuple[float, float]]:
+    """{pid: (own, reaped-children) CPU seconds} for THIS process and
     every live descendant — the bench's own CPU including the Spark JVM
-    and Python workers. cutime/cstime fold in children the JVM already
-    REAPED (worker churn mid-rep); without them that CPU lands in the
-    host busy delta but not ours, and the probe would misattribute our
-    own work to co-tenant load (review r9). A live child's CPU is only
-    in its own utime (cutime moves on reap), so nothing double-counts.
+    and Python workers. cutime/cstime fold in children a tree member
+    already REAPED (worker churn mid-rep); without them that CPU lands
+    in the host busy delta but not ours, and the probe would
+    misattribute our own work to co-tenant load (review r9).
     /proc walk; missing/raced entries are skipped."""
-    procs: dict[int, tuple[int, float]] = {}
+    procs: dict[int, tuple[int, tuple[float, float]]] = {}
     try:
         pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
     except OSError:
-        return 0.0
+        return {}
     for pid in pids:
+        cpu = _pid_cpu(pid)
+        if cpu is None:
+            continue
         try:
             with open(f"/proc/{pid}/stat") as fh:
                 raw = fh.read()
-            # comm may contain spaces/parens: split after the LAST ')'
-            rest = raw[raw.rindex(")") + 2 :].split()
-            cpu = (
-                float(rest[11]) + float(rest[12])  # utime + stime
-                + float(rest[13]) + float(rest[14])  # + reaped children
-            ) / _CLK_TCK
-            procs[pid] = (int(rest[1]), cpu)
+            ppid = int(raw[raw.rindex(")") + 2 :].split()[1])
         except (OSError, ValueError, IndexError):
             continue
+        procs[pid] = (ppid, cpu)
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         kids.setdefault(ppid, []).append(pid)
-    total, stack, seen = 0.0, [os.getpid()], set()
+    out: dict[int, tuple[float, float]] = {}
+    stack = [os.getpid()]
     while stack:
         pid = stack.pop()
-        if pid in seen or pid not in procs:
+        if pid in out or pid not in procs:
             continue
-        seen.add(pid)
-        total += procs[pid][1]
+        out[pid] = procs[pid][1]
         stack.extend(kids.get(pid, []))
-    return total
+    return out
 
 
 def _loadavg1() -> float:
@@ -138,13 +154,45 @@ class _LoadProbe:
     def __init__(self) -> None:
         self.load0 = _loadavg1()
         self.busy0, _ = _host_cpu_jiffies()
-        self.tree0 = _tree_cpu_sec()
+        self.tree0 = _tree_cpu_map()
         self.t0 = time.perf_counter()
+
+    def _tree_delta(self) -> float:
+        """Our CPU seconds since __init__, per-pid (VERDICT r11 #2: a
+        tree-TOTAL delta went negative, -1948 s, when an A/B subprocess
+        parent exited before its JVM children were reaped — the orphans
+        re-parent to init, leave the tree walk, and their already-counted
+        CPU vanishes). Accounting here:
+
+        - pids still in (or newly in) the tree: clamped own-CPU delta;
+          a pid spawned mid-probe contributes its full own CPU.
+        - pids that were OURS at start but re-parented away: adopted —
+          still walked by pid, so an orphaned JVM keeps counting.
+        - reaped-children CPU as one pooled delta, minus the start-time
+          own-CPU of pids that exited during the probe (a reap moves the
+          child's whole lifetime CPU into the parent's cutime; the
+          pre-probe share was already excluded via its own0). Pool is
+          clamped at 0 so an orphan that exits unreaped-by-us can only
+          undercount, never go negative."""
+        map1 = _tree_cpu_map()
+        for pid in self.tree0:
+            if pid not in map1:
+                cpu = _pid_cpu(pid)  # alive but re-parented: adopt
+                if cpu is not None:
+                    map1[pid] = cpu
+        own = sum(
+            max(0.0, c[0] - self.tree0.get(pid, (0.0, 0.0))[0])
+            for pid, c in map1.items()
+        )
+        cu1 = sum(c[1] for c in map1.values())
+        cu0 = sum(c[1] for c in self.tree0.values())
+        gone_own0 = sum(c[0] for pid, c in self.tree0.items() if pid not in map1)
+        return own + max(0.0, cu1 - cu0 - gone_own0)
 
     def stamp(self) -> dict:
         wall = time.perf_counter() - self.t0
         busy1, _ = _host_cpu_jiffies()
-        tree = _tree_cpu_sec() - self.tree0
+        tree = self._tree_delta()
         host_busy_sec = (busy1 - self.busy0) / _CLK_TCK
         other = max(0.0, host_busy_sec - tree)
         return {
@@ -366,6 +414,26 @@ print("AB_RESULT " + json.dumps(res))
     return out
 
 
+_FINAL_LINE_BYTES = 4096  # conservative vs the driver's tail window
+
+
+def _print_final(headline: dict) -> None:
+    """Emit the LAST stdout line — the one the driver parses. Self-check
+    the byte bound (VERDICT r11 #1): if optional diagnostic payloads ever
+    bloat it, shed them (stamps first, then walls) rather than ship a
+    line the driver head-truncates into nothing."""
+    for shed in ([], ["rep_load", "e2e_load"], ["e2e_walls", "e2e_stages_sec", "walls"]):
+        doc = {k: v for k, v in headline.items() if k not in shed}
+        line = json.dumps(doc)
+        if len(line.encode()) < _FINAL_LINE_BYTES:
+            if shed:
+                doc["shed_for_size"] = shed
+                line = json.dumps(doc)
+            print(line)
+            return
+    print(json.dumps({k: headline.get(k) for k in ("metric", "value", "unit", "par", "sf")}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     par = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "8")))
@@ -554,15 +622,23 @@ def main() -> None:
     # measurement passes above.
     ab: dict = {}
     if timings is not None and os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
-        # compare against the PRIOR run's map, then append this run's —
-        # order matters or the history's newest entry would be ourselves
+        # compare against the PRIOR run's map FIRST — the history's
+        # newest entry must not be ourselves
         ab = _ab_stamp(timings, sf_dir, sf)
+    if not fast:
+        # record history whenever a real sweep ran, NOT gated on the AB
+        # flag (ADVICE r11): an AB-disabled run that skips recording
+        # leaves the next AB pass comparing against a stale round and
+        # flagging host drift as regressions. Fast-mode timings carry
+        # the pooled par stamp and would poison sweep-vs-sweep priors.
         _record_history(timings, sf)
 
-    # Two lines, detail first: the driver captures a bounded tail of stdout
-    # and keeps the LAST complete JSON line, so the compact headline metric
-    # must come last (a single giant line gets head-truncated and parses as
-    # nothing).
+    # THREE lines, detail first (VERDICT r11 #1: splicing the ab payload
+    # into the final line bloated it past the driver's bounded stdout
+    # tail and BENCH_r11.json parsed as nothing). The driver keeps the
+    # LAST complete JSON line, so the headline must be last AND compact:
+    # per-query map first, the A/B record on its own sacrificial line,
+    # then the headline — enforced small by _print_final below.
     print(
         json.dumps(
             {
@@ -575,26 +651,25 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "par": par,
-                "reps": reps,
-                "walls": walls,
-                "rep_load": rep_load,
-                "e2e_batch_sec": e2e_sec,
-                "e2e_walls": e2e_walls or None,
-                "e2e_stages_sec": e2e_stages,
-                "e2e_load": e2e_load,
-                "e2e_ref_budget_sec": 400,
-                **ab,
-                "sf": sf,
-            }
-        )
-    )
+    if ab:
+        print(json.dumps({"metric": "bench_ab", **ab, "sf": sf}))
+    headline = {
+        "metric": "corpus_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "par": par,
+        "reps": reps,
+        "walls": walls,
+        "rep_load": rep_load,
+        "e2e_batch_sec": e2e_sec,
+        "e2e_walls": e2e_walls or None,
+        "e2e_stages_sec": e2e_stages,
+        "e2e_load": e2e_load,
+        "e2e_ref_budget_sec": 400,
+        "ab_suspect_count": len(ab.get("ab_suspects") or {}) if ab else None,
+        "sf": sf,
+    }
+    _print_final(headline)
     spark.stop()
 
 

@@ -220,82 +220,108 @@ def fold_additive(
             new_files = S.adopt_staged(stage, path)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        sc = m.get("stats_cols") or None
-        bc = m.get("bloom_cols") or None
-        new_blooms = S.compute_blooms(spark, new_files, bc) if bc else None
         base_files = set(m["files"])
         refold = False
-        for _try in range(50):  # publish/rebase loop: manifest reads only
-            nm = S.read_manifest(path, resolve=False)
-            extra: list[str] = []
-            if int(nm["version"]) != base_v:
-                # Appends-only proof WITHOUT walking intervening
-                # manifests (r11 probe finding: under saturating appends
-                # the fold falls behind the vacuum retention window and
-                # an ops walk hits already-pruned manifests — walking
-                # also costs O(versions-behind) reads). Structural
-                # argument instead: appends never REMOVE files and never
-                # change table metadata, while every content/metadata-
-                # changing op (fold, compact, overwrite, DDL, DV delete)
-                # either drops a base file from the list or edits
-                # metadata. So base-files-still-listed + metadata
-                # unchanged  =>  everything since base_v was an append,
-                # and (nm.files - base_files) are pure delta files.
-                same_meta = (
-                    (nm.get("renames") or {}) == (m.get("renames") or {})
-                    and (nm.get("dropped_cols") or []) == (m.get("dropped_cols") or [])
-                    and (nm.get("constraints") or {}) == (m.get("constraints") or {})
-                    # dv sidecar paths churn per publish; counts are the
-                    # content signature
-                    and ((nm.get("dv") or {}).get("counts") or {})
-                    == ((m.get("dv") or {}).get("counts") or {})
-                    and bool(nm.get("mixed_schema")) == bool(m.get("mixed_schema"))
-                    and os.path.abspath(nm.get("base", path))
-                    == os.path.abspath(m.get("base", path))
+        published = False
+        # everything from here to a successful publish runs under a
+        # staged-file guard (r12, VERDICT r11 ask #6): an UNEXPECTED
+        # exception (a corrupted stats shard, an interrupted bloom
+        # compute) must not leak this attempt's adopt-named files —
+        # they are referenced by no manifest, and without cleanup they
+        # sit as orphans until a vacuum ages them out
+        try:
+            sc = m.get("stats_cols") or None
+            bc = m.get("bloom_cols") or None
+            new_blooms = S.compute_blooms(spark, new_files, bc) if bc else None
+            for _try in range(50):  # publish/rebase loop: manifest reads only
+                nm = S.read_manifest(path, resolve=False)
+                extra: list[str] = []
+                if int(nm["version"]) != base_v:
+                    # Appends-only proof WITHOUT walking intervening
+                    # manifests (r11 probe finding: under saturating appends
+                    # the fold falls behind the vacuum retention window and
+                    # an ops walk hits already-pruned manifests — walking
+                    # also costs O(versions-behind) reads). Structural
+                    # argument instead: appends never REMOVE files and never
+                    # change table metadata, while every content/metadata-
+                    # changing op (fold, compact, overwrite, DDL, DV delete)
+                    # either drops a base file from the list or edits
+                    # metadata. So base-files-still-listed + metadata
+                    # unchanged  =>  everything since base_v was an append,
+                    # and (nm.files - base_files) are pure delta files.
+                    same_meta = (
+                        (nm.get("renames") or {}) == (m.get("renames") or {})
+                        and (nm.get("dropped_cols") or []) == (m.get("dropped_cols") or [])
+                        and (nm.get("constraints") or {}) == (m.get("constraints") or {})
+                        # dv sidecar paths churn per publish; counts are the
+                        # content signature
+                        and ((nm.get("dv") or {}).get("counts") or {})
+                        == ((m.get("dv") or {}).get("counts") or {})
+                        and bool(nm.get("mixed_schema")) == bool(m.get("mixed_schema"))
+                        and os.path.abspath(nm.get("base", path))
+                        == os.path.abspath(m.get("base", path))
+                        # stats/bloom re-pins are metadata too (ADVICE r11):
+                        # publishing with the base pins would silently revert
+                        # a concurrent re-pin (pruning metadata, not rows) —
+                        # and new_files' blooms were computed for the OLD
+                        # bloom_cols, so a rebase can't just adopt nm's pins.
+                        # Force a refold instead; re-pins are rare DDL.
+                        and (nm.get("stats_cols") or None) == (m.get("stats_cols") or None)
+                        and (nm.get("bloom_cols") or None) == (m.get("bloom_cols") or None)
+                    )
+                    if not (same_meta and base_files <= set(nm["files"])):
+                        refold = True  # content under the fold changed shape
+                        break
+                    extra = [f for f in nm["files"] if f not in base_files]
+                blooms = None
+                if bc:
+                    _, all_blooms = S.resolved_stats_blooms(nm)
+                    blooms = {f: b for f, b in all_blooms.items() if f in set(extra)}
+                    blooms.update(new_blooms or {})
+                try:
+                    v = S._publish(
+                        path,
+                        new_files + extra,
+                        # nm's ledger is a superset of m's: rebased-in deltas
+                        # keep their txn ids — folds must not reopen replay holes
+                        txns=nm.get("txns") or None,
+                        stats_cols=sc,
+                        bloom_cols=bc,
+                        blooms=blooms,
+                        constraints=nm.get("constraints") or None,
+                        # the folded frame was read through any active mapping, so
+                        # its files carry the LOGICAL names — the mapping is
+                        # materialized here, like compact_snapshot
+                        reset_mapping=True,
+                        expected_version=int(nm["version"]),
+                        op="fold",  # content-changing for merges, but append-safe:
+                        # appends never read, so an appender rebasing over a fold
+                        # stays correct (its delta file is disjoint and still sums)
+                    )
+                except S.ConcurrentWriteError as e:
+                    last = e
+                    continue  # re-read nm: pure-append losses rebase for free
+                published = True
+                # row count from the just-written files (footer metadata), not
+                # a second run of the aggregation. A zero-row table stages no
+                # part files — guard the empty list (ADVICE r11) or a
+                # successful fold raises AFTER publishing its manifest.
+                n = (
+                    spark.read.parquet(*(new_files + extra)).count()
+                    if (new_files or extra)
+                    else 0
                 )
-                if not (same_meta and base_files <= set(nm["files"])):
-                    refold = True  # content under the fold changed shape
-                    break
-                extra = [f for f in nm["files"] if f not in base_files]
-            blooms = None
-            if bc:
-                _, all_blooms = S.resolved_stats_blooms(nm)
-                blooms = {f: b for f, b in all_blooms.items() if f in set(extra)}
-                blooms.update(new_blooms or {})
-            try:
-                v = S._publish(
-                    path,
-                    new_files + extra,
-                    # nm's ledger is a superset of m's: rebased-in deltas
-                    # keep their txn ids — folds must not reopen replay holes
-                    txns=nm.get("txns") or None,
-                    stats_cols=sc,
-                    bloom_cols=bc,
-                    blooms=blooms,
-                    constraints=nm.get("constraints") or None,
-                    # the folded frame was read through any active mapping, so
-                    # its files carry the LOGICAL names — the mapping is
-                    # materialized here, like compact_snapshot
-                    reset_mapping=True,
-                    expected_version=int(nm["version"]),
-                    op="fold",  # content-changing for merges, but append-safe:
-                    # appends never read, so an appender rebasing over a fold
-                    # stays correct (its delta file is disjoint and still sums)
-                )
-            except S.ConcurrentWriteError as e:
-                last = e
-                continue  # re-read nm: pure-append losses rebase for free
-            # row count from the just-written files (footer metadata), not
-            # a second run of the aggregation
-            n = spark.read.parquet(*(new_files + extra)).count()
-            return v, n
-        # refold (non-append commit intervened) or rebase budget spent:
-        # this attempt's staged files are referenced by no manifest
-        for f in new_files:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+                return v, n
+        finally:
+            if not published:
+                # refold, rebase budget spent, or an unexpected raise:
+                # this attempt's staged files are referenced by no
+                # manifest — remove them instead of leaving orphans
+                for f in new_files:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
         if not refold:
             raise S.ConcurrentWriteError(
                 f"fold of {path} lost 50 consecutive append-rebase publishes "

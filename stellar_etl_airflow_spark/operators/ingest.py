@@ -153,10 +153,15 @@ def ingest_batch(
     # the NDJSON) — it feeds the additive-MoR ingest counters below
     obs = Observation(f"ingest-{table}-{window.batch_id}")
     df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-    dest = wh.path(f"{table}_staging" if staging else table)
+    dest_table = f"{table}_staging" if staging else table
+    dest = wh.path(dest_table)
     writer.replace_batch(df, dest, partition_field, granularity, cluster_fields)
     record_batch_stats(spark, wh, window, table, batch_start)
-    record_ingest_counters(spark, wh, window, table, int(obs.get["n_rows"]))
+    # counters key on the DESTINATION (ADVICE r11): a stage-then-promote
+    # flow runs ingest_batch twice for one batch_id, and with a shared
+    # txn_id the real ingest's delta would ledger-no-op against the
+    # staging run's — replay idempotence is per destination table
+    record_ingest_counters(spark, wh, window, dest_table, int(obs.get["n_rows"]))
     return df
 
 

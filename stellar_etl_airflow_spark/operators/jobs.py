@@ -170,8 +170,15 @@ def cleanup_meta(spark: SparkSession, wh: Warehouse, older_than_days: int, now: 
 
     try:
         fold_ingest_counters(spark, wh)
-    except (ValueError, FileNotFoundError, ConcurrentWriteError):
-        pass
+    except (FileNotFoundError, ConcurrentWriteError):
+        pass  # not created yet / fold lost to write pressure: next tick
+    except ValueError as e:
+        # only the "counter table doesn't exist yet" contract error is
+        # benign; any other ValueError (e.g. read_additive's broken-pin
+        # diagnosis) is real corruption and must surface, not silently
+        # skip folding forever (ADVICE r11)
+        if "is not an additive-MoR table" not in str(e):
+            raise
     return n
 
 

@@ -639,6 +639,11 @@ def snapshot(path: str) -> int:
 # adopted-but-unpublished by a concurrent writer) apart from legacy
 # plain-writer output (part-00000-<uuid>-c000.snappy.parquet etc.)
 _ADOPTED_RE = re.compile(r"^part-[0-9a-f]{32}\.parquet$")
+# bootstrap treats adopted-named files older than this as NOT a racing
+# appender's in-flight staging (see _append_prestage); matches vacuum's
+# orphan_retention_s default — the same "young enough to be in flight"
+# judgement
+_BOOTSTRAP_ADOPTED_AGE_S = 3600.0
 
 
 def adopt_staged(stage: str, path: str) -> list[str]:
@@ -951,6 +956,36 @@ def _append_prestage(path, txn_id, staged_fields, frame):
                 f"file(s) (e.g. {os.path.basename(legacy[0])!r}) that a "
                 "files-only v1 would orphan. Adopt them first with "
                 "snapshot(path), or replace them with overwrite_versioned."
+            )
+        # Adopted-NAMED files are excluded above because a racing
+        # appender's output sits adopted-but-unpublished for a moment
+        # during the lock-free concurrent bootstrap — but that window is
+        # seconds. An adopted-named file OLDER than the vacuum orphan
+        # window (VERDICT r11 ask #6: "could a plain writer's file match
+        # the adopted naming and slip the refusal?") is either a copied
+        # snapshot table's data (cp of the data dir without _snapshots —
+        # a v1 here would orphan it for the next vacuum) or a crashed
+        # appender's aborted staging (never committed; safe to delete,
+        # but say so rather than silently bury it under v1).
+        now = time.time()
+        stale_adopted = []
+        for f in _list_data_files(path):
+            if _ADOPTED_RE.match(os.path.basename(f)):
+                try:
+                    if now - os.path.getmtime(f) > _BOOTSTRAP_ADOPTED_AGE_S:
+                        stale_adopted.append(f)
+                except OSError:
+                    continue  # raced: the concurrent writer cleaned it up
+        if stale_adopted:
+            raise ValueError(
+                f"append_versioned bootstrap at {path}: directory holds "
+                f"{len(stale_adopted)} adopted-named parquet file(s) older "
+                f"than {int(_BOOTSTRAP_ADOPTED_AGE_S)}s (e.g. "
+                f"{os.path.basename(stale_adopted[0])!r}) with no manifest. "
+                "If this is a copied table, adopt the data with "
+                "snapshot(path); if it is a crashed writer's aborted "
+                "staging, delete the files — a files-only v1 would orphan "
+                "them either way."
             )
         return None
     prev = read_manifest(path, resolve=False)

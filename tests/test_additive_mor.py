@@ -180,3 +180,59 @@ def test_write_delta_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="not an additive-MoR table"):
         AM.read_additive(spark, str(tmp_path / "nope"))
+
+
+def test_fold_zero_row_table(spark, tmp_path):
+    """ADVICE r11: a fold of a zero-row table can stage NO part files;
+    the post-publish row count must guard the empty file list instead
+    of raising after the manifest already landed (a successful fold
+    that looks failed)."""
+    tbl = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "k long, n long").repartition(1)
+    AM.write_delta(spark, empty, tbl, ("k",), ("n",), txn_id="b0")
+    v, n = AM.fold_additive(spark, tbl)
+    assert n == 0 and v == S.latest_version(tbl)
+    assert _view(spark, tbl) == {}
+    # the folded empty table keeps working
+    AM.write_delta(spark, _mk(spark, [(1, 2)]), tbl, ("k",), ("n",), txn_id="b1")
+    assert _view(spark, tbl) == {1: 2}
+
+
+def test_fold_refolds_on_concurrent_stats_repin(spark, tmp_path, monkeypatch):
+    """ADVICE r11: a stats/bloom re-pin between the fold's base read and
+    its publish is a METADATA change — the appends-only rebase proof
+    must not treat it as rebaseable, or the publish silently reverts
+    the new pins (and new_files' blooms were computed for the OLD
+    columns). The fold must refold and the re-pinned columns survive."""
+    tbl = str(tmp_path / "t")
+    AM.write_delta(spark, _mk(spark, [(1, 1), (2, 3)]), tbl, ("k",), ("n",), txn_id="b0")
+    real_adopt = S.adopt_staged
+    fired = {"n": 0}
+
+    def adopt_then_repin(stage, path):
+        out = real_adopt(stage, path)
+        if "_stage-fold-" in stage and fired["n"] == 0:
+            fired["n"] = 1
+            # a metadata-only DDL re-pin: same file list, new pins
+            m0 = S.read_manifest(tbl, resolve=False)
+            S._publish(
+                tbl,
+                m0["files"],
+                stats_cols=["n"],
+                bloom_cols=["k"],
+                blooms=S.compute_blooms(spark, m0["files"], ["k"]),
+                txns=m0.get("txns") or None,
+                op="repin",
+            )
+        return out
+
+    monkeypatch.setattr(S, "adopt_staged", adopt_then_repin)
+    v, n = AM.fold_additive(spark, tbl)
+    monkeypatch.undo()
+    assert n == 2 and fired["n"] == 1
+    m = S.read_manifest(tbl, resolve=False)
+    assert m.get("stats_cols") == ["n"] and m.get("bloom_cols") == ["k"]
+    # the refolded files carry blooms for the RE-PINNED column set
+    _, blooms = S.resolved_stats_blooms(m)
+    assert set(blooms) == set(m["files"]) and all("k" in b for b in blooms.values())
+    assert _view(spark, tbl) == {1: 1, 2: 3}

@@ -1,0 +1,129 @@
+"""bench.py artifact-contract tests (VERDICT r11 #1/#2): the final
+stdout line must stay under the driver's tail window, and _LoadProbe
+stamps must stay non-negative even when a descendant re-parents to init
+mid-probe (the A/B worktree subprocess pattern that produced the r11
+``tree_cpu_sec: -1948.6`` artifact)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import textwrap
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_print_final_stays_under_byte_bound(capsys):
+    big = [{"x": "y" * 3000}] * 3
+    bench._print_final(
+        {
+            "metric": "corpus_wall_sec",
+            "value": 1.23,
+            "unit": "sec",
+            "par": 8,
+            "walls": [1.0, 2.0],
+            "rep_load": big,
+            "e2e_load": big,
+            "sf": 0.1,
+        }
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line.encode()) < bench._FINAL_LINE_BYTES
+    doc = json.loads(line)  # still one complete JSON object
+    assert doc["metric"] == "corpus_wall_sec"
+    assert doc["value"] == 1.23  # headline survived the shedding
+    assert "rep_load" not in doc and doc["shed_for_size"]
+
+
+def test_print_final_small_headline_untouched(capsys):
+    hl = {"metric": "corpus_wall_sec", "value": 2.0, "unit": "sec", "par": 8, "sf": 0.1}
+    bench._print_final(hl)
+    assert json.loads(capsys.readouterr().out.strip()) == hl
+
+
+def test_load_probe_nonnegative_when_descendant_orphans():
+    """Reproduce the r11 A/B shape: a child process whose OWN child has
+    accumulated CPU inside the probe window exits, orphaning the
+    grandchild to init. The old tree-total delta went negative (the
+    grandchild's already-counted CPU left the tree walk); the per-pid
+    probe adopts re-parented pids and clamps, so the stamp must stay
+    >= 0 and keep attributing the orphan's post-probe-start burn to us."""
+    with tempfile.TemporaryDirectory() as d:
+        ready = os.path.join(d, "ready")
+        release = os.path.join(d, "release")
+        gc_pid_file = os.path.join(d, "gc_pid")
+        gc_src = textwrap.dedent(
+            f"""
+            import os, time
+            deadline = time.time() + 0.8
+            x = 0
+            while time.time() < deadline:
+                x += sum(i*i for i in range(10000))
+            open({ready!r}, "w").write(str(os.getpid()))
+            while not os.path.exists({release!r}):
+                time.sleep(0.02)
+            deadline = time.time() + 0.6
+            while time.time() < deadline:
+                x += sum(i*i for i in range(10000))
+            time.sleep(5)
+            """
+        )
+        orphan_go = os.path.join(d, "orphan_go")
+        child_src = textwrap.dedent(
+            f"""
+            import os, subprocess, sys, time
+            gc = subprocess.Popen([sys.executable, "-c", {gc_src!r}])
+            open({gc_pid_file!r}, "w").write(str(gc.pid))
+            # the TEST creates orphan_go only after its probe has the
+            # grandchild (and its burned CPU) inside tree0
+            while not os.path.exists({orphan_go!r}):
+                time.sleep(0.02)
+            # exit WITHOUT reaping: gc re-parents to init
+            os._exit(0)
+            """
+        )
+        child = subprocess.Popen([sys.executable, "-c", child_src])
+        try:
+            # wait until the grandchild has burned CPU, then start the
+            # probe with that CPU inside tree0
+            deadline = time.time() + 15
+            while not os.path.exists(ready) and time.time() < deadline:
+                time.sleep(0.05)
+            assert os.path.exists(ready), "grandchild never signalled"
+            probe = bench._LoadProbe()
+            gc_pid = int(open(gc_pid_file).read())
+            assert gc_pid in probe.tree0, "grandchild not in the probe tree"
+            open(orphan_go, "w").write("go")
+            child.wait(timeout=10)  # child gone -> grandchild orphaned
+            open(release, "w").write("go")  # grandchild burns 0.6 s more
+            time.sleep(0.8)  # let the orphan burn post-probe CPU
+            stamp = probe.stamp()
+            assert stamp["tree_cpu_sec"] >= 0.0, stamp
+            # the orphan burned ~0.6 s AFTER probe start; adoption must
+            # keep most of it ours (generous margin for a loaded host)
+            assert stamp["tree_cpu_sec"] >= 0.2, stamp
+        finally:
+            try:
+                gc_pid = int(open(gc_pid_file).read())
+                os.kill(gc_pid, 9)
+            except (OSError, ValueError):
+                pass
+            if child.poll() is None:
+                child.kill()
+
+
+def test_record_history_not_gated_on_ab_env(tmp_path, monkeypatch):
+    """ADVICE r11: history must append on every non-fast run so the next
+    A/B pass compares against the true prior, even if AB was disabled."""
+    # _HISTORY is joined against bench.py's dir; an absolute path wins
+    # the join, so both write and read land in tmp_path
+    monkeypatch.setattr(bench, "_HISTORY", str(tmp_path / "hist.jsonl"))
+    bench._record_history({"q01": 1.0}, 0.1)
+    src, qmap, sf = bench._prior_bench(0.1)
+    assert qmap and sf == 0.1

@@ -144,3 +144,57 @@ def test_external_source_ingest(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(dest).count() == 2
     monkeypatch.setenv("API_KEY", "k")
     assert EXT.get_secret("API_KEY") == "k"
+
+
+def test_cleanup_meta_surfaces_broken_counter_pins(spark, tmp_path):
+    """ADVICE r11: cleanup_meta's fold guard must swallow only the
+    'counter table not created yet' case. A counter table whose pinned
+    column was renamed away is real corruption — the diagnosis must
+    propagate, not be eaten into a silent never-folds state."""
+    import pytest
+
+    from stellar_etl_airflow_spark.sinks.snapshots import rename_column
+
+    wh = _seed(spark, tmp_path)
+    # no counters table at all -> benign, still prunes
+    import shutil
+
+    shutil.rmtree(wh.counters_path(), ignore_errors=True)
+    assert J.cleanup_meta(spark, wh, older_than_days=3650) >= 0
+    # seed a counter pile, then break a pinned column via rename
+    from stellar_etl_airflow_spark.operators.batch import BatchWindow
+    from stellar_etl_airflow_spark.operators.ingest import record_ingest_counters
+
+    t0 = datetime(2024, 1, 1)
+    record_ingest_counters(spark, wh, BatchWindow("bp-b0", t0, t0, t0, 0, 0), "accounts", 5)
+    rename_column(wh.counters_path(), "n_rows", "row_count")
+    with pytest.raises(ValueError, match="pinned additive-MoR column"):
+        J.cleanup_meta(spark, wh, older_than_days=3650)
+
+
+def test_staging_ingest_counters_key_on_destination(spark, tmp_path):
+    """ADVICE r11: a stage-then-promote flow runs ingest_batch twice for
+    ONE batch_id (staging=True, then False). The counter delta must key
+    on the destination table or the second (real) ingest ledger-no-ops
+    against the staging run and the rows are attributed to the wrong
+    table."""
+    from stellar_etl_airflow_spark.operators.ingest import read_ingest_counters
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    src = FX.write_ndjson(str(tmp_path / "in" / "accounts.txt"), FX.account_change_rows())
+    w = plan_batch("run_1", datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 10))
+    ingest_batch(spark, wh, "accounts", src, FX.ACCOUNTS_SCHEMA, w, staging=True)
+    ingest_batch(spark, wh, "accounts", src, FX.ACCOUNTS_SCHEMA, w, staging=False)
+    got = {
+        r["table_name"]: (r["n_batches"], r["n_rows"])
+        for r in read_ingest_counters(spark, wh).collect()
+    }
+    n = spark.read.parquet(wh.path("accounts")).count()
+    assert got == {"accounts": (1, n), "accounts_staging": (1, n)}
+    # replay of the REAL ingest is still a per-destination no-op
+    ingest_batch(spark, wh, "accounts", src, FX.ACCOUNTS_SCHEMA, w, staging=False)
+    got2 = {
+        r["table_name"]: (r["n_batches"], r["n_rows"])
+        for r in read_ingest_counters(spark, wh).collect()
+    }
+    assert got2 == got
