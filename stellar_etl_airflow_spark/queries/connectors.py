@@ -1027,3 +1027,79 @@ SPECS["q64_ingest_counters"] = QuerySpec(
     Q64_SQL,
     "D6 additive-MoR ingest counters: 2 batches/feed + redelivered batch + mid-stream fold == GROUP BY oracle",
 )
+
+
+# ---------------------------------------------------------------------------
+# q67 — MERGE WITH SCHEMA EVOLUTION through apply_changes (r12, VERDICT
+# r11 ask #7): the reference evolves its state tables with BigQuery's
+# ALLOW_FIELD_ADDITION on the UPSERT path (the MERGE in
+# build_apply_gcs_changes_to_bq_task.py — q54 covers only the APPEND
+# path). Batch 1 seeds latest-per-user state; batch 2 arrives carrying
+# a NEW column (`segment`) plus deletes, applied with
+# allow_schema_evolution=True. The final read must show: untouched
+# users with segment NULL (old files are schema-narrower — the
+# mixed-schema read fills the gap), upserted users with batch 2's
+# values AND segment, deleted users gone. The oracle restates the whole
+# lifecycle declaratively from events.
+# ---------------------------------------------------------------------------
+
+
+def q67_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import apply_changes
+    from ..sinks import snapshots as S
+
+    (ev,) = tables(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value", F.lit(False).alias("deleted")
+    )
+    b2 = ev.filter((F.col("event_id") % 3 == 1) & (F.col("user_id") % 2 == 0)).select(
+        "user_id", "ts", "event_id", "value",
+        (F.col("user_id") % 5 == 0).alias("deleted"),
+        F.concat(F.lit("seg-"), (F.col("user_id") % 4).cast("string")).alias("segment"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"q67-state-{uuid.uuid4().hex[:8]}")
+    try:
+        apply_changes(
+            spark, b1, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id")
+        )
+        apply_changes(
+            spark, b2, path, ("user_id",), n_buckets=8, order_cols=("ts", "event_id"),
+            allow_schema_evolution=True,
+        )
+        out = S.read_snapshot(spark, path).select(
+            "user_id", "ts", "event_id", "value", "segment"
+        )
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+Q67_SQL = """
+WITH b1 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 0
+),
+s1 AS (SELECT user_id, ts, event_id, value FROM b1 WHERE rn = 1),
+b2 AS (
+  SELECT user_id, ts, event_id, value, (user_id % 5 = 0) AS deleted,
+         'seg-' || CAST(user_id % 4 AS VARCHAR) AS segment,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 = 1 AND user_id % 2 = 0
+),
+c2 AS (SELECT user_id, ts, event_id, value, deleted, segment FROM b2 WHERE rn = 1)
+SELECT COALESCE(c2.user_id, s1.user_id) AS user_id,
+       COALESCE(c2.ts, s1.ts) AS ts,
+       COALESCE(c2.event_id, s1.event_id) AS event_id,
+       COALESCE(c2.value, s1.value) AS value,
+       c2.segment AS segment
+FROM s1 FULL OUTER JOIN c2 ON s1.user_id = c2.user_id
+WHERE NOT COALESCE(c2.deleted, FALSE)
+"""
+
+SPECS["q67_merge_schema_evolution"] = QuerySpec(
+    q67_merge_schema_evolution,
+    Q67_SQL,
+    "MERGE upsert with ALLOW_FIELD_ADDITION: batch adds a column, old rows read NULL, deletes apply",
+)

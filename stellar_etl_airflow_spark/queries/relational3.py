@@ -752,6 +752,13 @@ def q65_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     (cust,) = tables(spark, sf_dir, "customer")
+    # 100 TB guard (r12, found by tools/recursive_scale_probe.py): Spark 4
+    # caps recursive CTEs at spark.sql.cteRecursionRowLimit = 1e6 TOTAL
+    # rows across levels — the walk visits every customer exactly once,
+    # so any production-size run must raise it or die with
+    # RECURSION_ROW_LIMIT_EXCEEDED. Depth (cteRecursionLevelLimit = 100)
+    # never binds for the DIV-10 forest: log10(N) levels.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     view = f"customer_q65_{_uuid.uuid4().hex[:8]}"  # unique: bench pools threads
     cust.createOrReplaceTempView(view)
     try:
@@ -798,4 +805,73 @@ SPECS["q65_recursive_hierarchy"] = QuerySpec(
     q65_recursive_hierarchy,
     Q65_SQL,
     "WITH RECURSIVE hierarchy walk: depth/root aggregation over a synthetic customer forest",
+)
+
+
+# ---------------------------------------------------------------------------
+# q66 — VARIANT-typed semi-structured ingestion (r12, VERDICT r11 ask
+# #7): Spark 4's VARIANT type is the engine-native answer to the
+# reference's JSON-string convention (the `details` payloads SURVEY
+# §2.1 ingests as strings and re-parses per query — q10's
+# get_json_object shape). Here the payload is parsed ONCE into a
+# VARIANT column and every downstream access is a typed variant_get:
+# nested-object paths, array indexing, a missing-path NULL via
+# try_variant_get, and a string extraction used as a FILTER — then
+# aggregated. The binary VARIANT encoding makes repeated path access
+# O(shredded field), not O(re-parse), which is the 100 TB reason to
+# prefer it over per-query JSON string parsing. The JSON document is
+# constructed in-plan from events columns (props is the only stored
+# JSON and is a flat {"k": N}), so the oracle can restate the whole
+# pipeline declaratively from the base columns — integer/string paths
+# only, because a double does not survive a JSON round-trip
+# identically across engines.
+# ---------------------------------------------------------------------------
+
+
+def q66_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("type"),
+            F.struct(F.col("user_id").alias("uid")).alias("who"),
+            F.from_json(F.col("props"), "k long").alias("props"),
+            F.array(F.col("user_id") % 3, F.col("user_id") % 5).alias("tags"),
+        )
+    )
+    v = ev.select(F.parse_json(doc).alias("v"))
+    flat = v.select(
+        F.variant_get(F.col("v"), "$.who.uid", "long").alias("uid"),
+        F.variant_get(F.col("v"), "$.props.k", "long").alias("k"),
+        F.variant_get(F.col("v"), "$.tags[1]", "long").alias("tag1"),
+        F.try_variant_get(F.col("v"), "$.missing.path", "long").alias("missing"),
+        F.variant_get(F.col("v"), "$.type", "string").alias("etype"),
+    )
+    return (
+        flat.where(F.col("etype") == "purchase")
+        .groupBy((F.col("k") % 10).alias("k_mod10"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("uid").alias("sum_uid"),
+            F.sum("tag1").alias("sum_tag1"),
+            F.count("missing").alias("n_missing_nonnull"),  # always 0
+        )
+    )
+
+
+Q66_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CAST(sum(user_id % 5) AS BIGINT) AS sum_tag1,
+       CAST(0 AS BIGINT) AS n_missing_nonnull
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+SPECS["q66_variant_json"] = QuerySpec(
+    q66_variant_json,
+    Q66_SQL,
+    "VARIANT ingestion: parse once, typed variant_get paths (nested/array/missing) + filter + agg",
 )

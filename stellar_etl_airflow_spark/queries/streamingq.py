@@ -510,7 +510,11 @@ def s08_stream_crash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q1.awaitTermination()
-            raise AssertionError("s08: injected crash did not fire")
+            # message must NOT contain "injected crash" (r12: the except
+            # below filters on that substring and would swallow THIS
+            # assertion too — a zero-epoch stream then slid past the
+            # crash check; found by the scale-probe harness)
+            raise AssertionError("s08: stream drained without crashing")
         except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
             if "injected crash" not in str(e):
                 raise
@@ -583,7 +587,11 @@ def s09_stream_additive_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
         )
         try:
             q1.awaitTermination()
-            raise AssertionError("s09: injected crash did not fire")
+            # message must NOT contain "injected crash" (r12: the except
+            # below filters on that substring and would swallow THIS
+            # assertion too — a zero-epoch stream then slid past the
+            # crash check; found by the scale-probe harness)
+            raise AssertionError("s09: stream drained without crashing")
         except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
             if "injected crash" not in str(e):
                 raise
@@ -1309,7 +1317,11 @@ def s16_stream_mor_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q1.awaitTermination()
-            raise AssertionError("s16: injected crash did not fire")
+            # message must NOT contain "injected crash" (r12: the except
+            # below filters on that substring and would swallow THIS
+            # assertion too — a zero-epoch stream then slid past the
+            # crash check; found by the scale-probe harness)
+            raise AssertionError("s16: stream drained without crashing")
         except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
             if "injected crash" not in str(e):
                 raise

@@ -145,6 +145,19 @@ PROBES = [
     # scan — line split / layered regexp_replace); linear by construction
     "t62_c4_filters",
     "t63_html_extract",
+    # round-12 additions (VERDICT r11 ask #4). t64: the DOM-parser twin
+    # of t63 — one Arrow-batched mapInPandas stage instead of codegen
+    # regex; the t64/t63 wall ratio at the same K IS the Python-stage
+    # cost a 100 TB operator choice weighs (salting appends to words,
+    # never touches tag structure, so parse work stays linear).
+    # s16 and q65 are probed by dedicated tools: the streaming entries'
+    # _stream_scratch links SINGLE-FILE testdata tables and this
+    # harness writes multi-file dirs (tools/mor_counter_scale_probe.py
+    # drives the same append+fold protocol directly), and q65's DIV-10
+    # forest can't ride the id-offset replication — offset keys'
+    # parents land outside the replica, breaking the walk
+    # (tools/recursive_scale_probe.py builds the forest shape itself).
+    "t64_html_extract_dom",
 ]
 
 # env override: measure a subset without re-timing the whole list
