@@ -342,6 +342,27 @@ for n in names:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls.append(round(time.perf_counter() - t0, 3))
     res[n] = min(walls[1:])
+# terminate AND reap the JVM before exiting (r12, VERDICT r11 #2): the
+# spark-submit JVM lingers past spark.stop()/gateway shutdown and only
+# dies via the atexit kill hook when this process exits — by then it
+# has re-parented to init and its CPU vanished from the parent bench's
+# process tree (the negative/zeroed ab_load stamps). Reaped here, the
+# JVM's CPU folds into our cutime, which folds into the bench's cutime
+# on OUR reap: conservation holds end to end.
+gw = spark.sparkContext._gateway
+spark.stop()
+try:
+    gw.shutdown()
+    p = getattr(gw, "proc", None)
+    if p is not None:
+        p.terminate()
+        try:
+            p.wait(timeout=30)
+        except Exception:
+            p.kill()
+            p.wait(timeout=10)
+except Exception:
+    pass
 print("AB_RESULT " + json.dumps(res))
 """
 
@@ -518,23 +539,29 @@ def main() -> None:
             sweep_load.append(probe.stamp())
         timings = {n: min(s[n] for s in sweeps) for n in sweeps[0]}
 
-    # pass 2: pooled corpus wall (the throughput headline). Drop the
-    # state the sweep passes left behind first — the r11 runs measured
-    # the SAME tree's pooled wall at 52.6 s on a fresh JVM vs 216 s
-    # after two full sweeps, with the delta in our own CPU, not
-    # co-tenants. Two sweeps x 145 entries leave localCheckpoint blocks
-    # pinned by unreferenced Python DataFrames; a driver gc lets the
-    # ContextCleaner release them (storage memory squeezing execution
-    # memory is exactly the spill-then-burn signature observed).
-    import gc as _gc
+    def pass_hygiene() -> None:
+        """Drop the JVM state a measurement pass leaves behind — run
+        between passes, never within one. The r11 runs measured the
+        SAME tree's pooled wall at 52.6 s on a fresh JVM vs 216 s after
+        two full sweeps, with the delta in our own CPU, not co-tenants:
+        N passes x 145+ entries leave localCheckpoint blocks pinned by
+        unreferenced Python DataFrames; a driver gc lets the
+        ContextCleaner release them (storage memory squeezing execution
+        memory is exactly the spill-then-burn signature observed). r12
+        extends the same hygiene to the e2e pass — measured 11.0 s
+        post-pooled vs 7.9 s isolated, uniform across stages."""
+        import gc as _gc
 
-    spark.catalog.clearCache()
-    _gc.collect()
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:  # noqa: BLE001 - best-effort hygiene
-        pass
-    time.sleep(2)  # let the async ContextCleaner drain
+        spark.catalog.clearCache()
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - best-effort hygiene
+            pass
+        time.sleep(2)  # let the async ContextCleaner drain
+
+    # pass 2: pooled corpus wall (the throughput headline)
+    pass_hygiene()
     ordered = sorted(QUERIES.items())
     if par > 1:
         # longest-first keeps the big iterative jobs (merge protocols,
@@ -552,6 +579,10 @@ def main() -> None:
             "q65_recursive_hierarchy",
             "q62_transactional_append",
             "q63_additive_mor",
+            # r12 protocol entries: two merge rounds / a full scratch
+            # ingest write — fixed-cost like the ledger entries above
+            "q67_merge_schema_evolution",
+            "q68_variant_storage",
             "s15_stream_web_ingest",
             "t14_jaccard_dfcapped",
             "q56_scd2_from_cdf",
@@ -624,6 +655,8 @@ def main() -> None:
         import tempfile
 
         from stellar_etl_airflow_spark import e2e as E2E
+
+        pass_hygiene()  # e2e measures the batch pipeline, not pooled-pass residue
 
         # min-of-2 like every other pass (r9): the r8 "regression"
         # (6.59 -> 8.95 s) was a single rep, ~1.5x warm steady state

@@ -28,7 +28,7 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 147 entries as of round 12 — q66/q67 new —
+# round (the corpus is 148 entries as of round 12 — q66/q67/q68 new —
 # larger than the window; r11's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
@@ -115,6 +115,7 @@ _FRONT = [
     # parity each pytest run meanwhile):
     "q66_variant_json",
     "q67_merge_schema_evolution",
+    "q68_variant_storage",
     # r9/r10/r11-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()

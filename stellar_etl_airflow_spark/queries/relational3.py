@@ -875,3 +875,68 @@ SPECS["q66_variant_json"] = QuerySpec(
     Q66_SQL,
     "VARIANT ingestion: parse once, typed variant_get paths (nested/array/missing) + filter + agg",
 )
+
+
+# ---------------------------------------------------------------------------
+# q68 — STORED VARIANT (r12, the production twin of q66): the 100 TB
+# shape is parse-at-ingest — the VARIANT column is WRITTEN to parquet
+# (Spark 4 stores the binary variant encoding natively) and every
+# downstream query pays only typed variant_get access, never a JSON
+# re-parse. q66 measures parse+access in one plan; this entry
+# round-trips the variant through storage and runs the same typed
+# pipeline over the STORED column, proving the encoding survives the
+# parquet write/read and the access path needs no string re-parse. The
+# oracle is q66's declarative restatement (identical semantics — the
+# storage round-trip must be invisible to results).
+# ---------------------------------------------------------------------------
+
+
+def q68_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    (ev,) = tables(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("type"),
+            F.struct(F.col("user_id").alias("uid")).alias("who"),
+            F.from_json(F.col("props"), "k long").alias("props"),
+            F.array(F.col("user_id") % 3, F.col("user_id") % 5).alias("tags"),
+        )
+    )
+    path = _os.path.join(_tempfile.gettempdir(), f"q68-variant-{_uuid.uuid4().hex[:8]}")
+    try:
+        # ingest: parse ONCE, store the binary variant
+        ev.select(F.parse_json(doc).alias("v")).write.mode("overwrite").parquet(path)
+        stored = spark.read.parquet(path)
+        flat = stored.select(
+            F.variant_get(F.col("v"), "$.who.uid", "long").alias("uid"),
+            F.variant_get(F.col("v"), "$.props.k", "long").alias("k"),
+            F.variant_get(F.col("v"), "$.tags[1]", "long").alias("tag1"),
+            F.try_variant_get(F.col("v"), "$.missing.path", "long").alias("missing"),
+            F.variant_get(F.col("v"), "$.type", "string").alias("etype"),
+        )
+        out = (
+            flat.where(F.col("etype") == "purchase")
+            .groupBy((F.col("k") % 10).alias("k_mod10"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("uid").alias("sum_uid"),
+                F.sum("tag1").alias("sum_tag1"),
+                F.count("missing").alias("n_missing_nonnull"),
+            )
+        )
+        rows, schema = out.collect(), out.schema  # detach before cleanup
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SPECS["q68_variant_storage"] = QuerySpec(
+    q68_variant_storage,
+    Q66_SQL,  # identical semantics: the storage round-trip is invisible
+    "stored VARIANT: parse at ingest, parquet round-trip, typed access with no re-parse",
+)

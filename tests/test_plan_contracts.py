@@ -570,3 +570,21 @@ def test_q65_recursion_never_cartesian(spark):
     plan = _physical(QUERIES["q65_recursive_hierarchy"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_variant_pipeline_stays_jvm_side(spark):
+    """q66/q68 (r12): the VARIANT pipeline must be one scan -> codegen
+    filter/project -> partial agg -> ONE exchange — no Python stage, no
+    join, no JSON string surviving to a second shuffle. q66
+    additionally must push the type filter below the variant
+    projections (rows failing it never pay the other variant_gets)."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["q66_variant_json"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for bad in ("Python", "CartesianProduct", "Join"):
+        assert bad not in plan, bad
+    assert "variant_get" in plan
+    # the filter runs against the scan output, before the flat projection
+    scan_filter = re.search(r"Filter .*purchase", plan)
+    assert scan_filter is not None
