@@ -445,11 +445,10 @@ def _print_final(headline: dict) -> None:
     line the driver head-truncates into nothing."""
     for shed in ([], ["rep_load", "e2e_load"], ["e2e_walls", "e2e_stages_sec", "walls"]):
         doc = {k: v for k, v in headline.items() if k not in shed}
+        if shed:
+            doc["shed_for_size"] = shed  # added BEFORE the size check
         line = json.dumps(doc)
         if len(line.encode()) < _FINAL_LINE_BYTES:
-            if shed:
-                doc["shed_for_size"] = shed
-                line = json.dumps(doc)
             print(line)
             return
     print(json.dumps({k: headline.get(k) for k in ("metric", "value", "unit", "par", "sf")}))

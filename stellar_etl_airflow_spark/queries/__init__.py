@@ -28,7 +28,7 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 148 entries as of round 12 — q66/q67/q68 new —
+# round (the corpus is 150 entries as of round 12 — q66-q70 new —
 # larger than the window; r11's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
@@ -116,6 +116,8 @@ _FRONT = [
     "q66_variant_json",
     "q67_merge_schema_evolution",
     "q68_variant_storage",
+    "q69_sql_udf",
+    "q70_sql_script",
     # r9/r10/r11-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()

@@ -940,3 +940,118 @@ SPECS["q68_variant_storage"] = QuerySpec(
     Q66_SQL,  # identical semantics: the storage round-trip is invisible
     "stored VARIANT: parse at ingest, parquet round-trip, typed access with no re-parse",
 )
+
+
+# ---------------------------------------------------------------------------
+# q69 — SQL UDFs (r12, Spark 4): CREATE FUNCTION ... RETURN <expr> —
+# the engine-native answer to the reference's repeated inline pricing
+# arithmetic (every BigQuery view re-spells `price * (1 - disc)`
+# by hand; SURVEY §2.4 scalar families). Spark 4 SQL UDFs are
+# MACRO-INLINED by Catalyst: the plan below contains no UDF node, no
+# Python, and stays inside whole-stage codegen (pinned by
+# tests/test_plan_contracts.py) — abstraction at zero runtime cost,
+# which is the 100 TB reason to prefer them over Python UDFs for
+# scalar logic. Composition (taxed over disc_price) inlines
+# transitively. The oracle restates the expressions inline.
+# ---------------------------------------------------------------------------
+
+
+def q69_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "lineitem")
+    # temp functions are session-scoped; CREATE OR REPLACE makes the
+    # entry idempotent under pooled bench reps
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q69_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q69_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN q69_disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {dsum_sql('q69_disc_price(l_extendedprice, l_discount)')} AS sum_disc_price,
+           {dsum_sql('q69_charge(l_extendedprice, l_discount, l_tax)')} AS sum_charge
+    FROM lineitem
+    WHERE l_quantity < 24
+    GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+Q69_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge
+FROM lineitem
+WHERE l_quantity < 24
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SPECS["q69_sql_udf"] = QuerySpec(
+    q69_sql_udf,
+    Q69_SQL,
+    "SQL UDFs (CREATE FUNCTION ... RETURN expr): composed scalar macros, Catalyst-inlined to zero-cost",
+)
+
+
+# ---------------------------------------------------------------------------
+# q70 — SQL scripting (r12, Spark 4): BEGIN/DECLARE/IF/WHILE — the
+# procedural-SQL surface the reference scatters across Airflow
+# PythonOperators and BigQuery scripting (FOR ... IN loops in
+# dag_stellar_dbt_staging_refresh). The script derives its parameters
+# with control flow (a WHILE doubling loop and a data-dependent IF),
+# then returns one declarative SELECT parameterized by the variables.
+# The oracle restates the whole script as a single expression — a
+# correct script IS sugar over its final query, so the comparison
+# proves the control flow computed what it claims. Local variables are
+# script-scoped (no session state leaks into pooled bench neighbors).
+# ---------------------------------------------------------------------------
+
+
+def q70_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+    BEGIN
+      DECLARE n_buckets INT DEFAULT 1;
+      DECLARE cutoff DOUBLE DEFAULT 100000.0;
+      -- smallest power of two >= 100
+      WHILE n_buckets < 100 DO
+        SET n_buckets = n_buckets * 2;
+      END WHILE;
+      IF (SELECT max(o_totalprice) FROM orders) > 100000.0 THEN
+        SET cutoff = 300000.0;
+      END IF;
+      SELECT o_orderstatus,
+             CAST(o_orderkey % n_buckets AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_totalprice > cutoff
+      GROUP BY o_orderstatus, o_orderkey % n_buckets;
+    END
+    """)
+
+
+Q70_SQL = """
+WITH params AS (
+  SELECT 128 AS n_buckets,
+         CASE WHEN (SELECT max(o_totalprice) FROM orders) > 100000.0
+              THEN 300000.0 ELSE 100000.0 END AS cutoff
+)
+SELECT o_orderstatus,
+       (o_orderkey % (SELECT n_buckets FROM params))::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > (SELECT cutoff FROM params)
+GROUP BY 1, 2
+"""
+
+SPECS["q70_sql_script"] = QuerySpec(
+    q70_sql_script,
+    Q70_SQL,
+    "SQL scripting (BEGIN/DECLARE/WHILE/IF): control-flow-derived params feeding a declarative SELECT",
+)

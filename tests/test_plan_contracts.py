@@ -588,3 +588,15 @@ def test_variant_pipeline_stays_jvm_side(spark):
     # the filter runs against the scan output, before the flat projection
     scan_filter = re.search(r"Filter .*purchase", plan)
     assert scan_filter is not None
+
+
+def test_sql_udf_inlines_to_codegen(spark):
+    """q69 (r12): SQL UDFs must be macro-expanded by Catalyst — the
+    plan may contain no UDF/Python node and exactly one exchange, i.e.
+    the same plan as writing the arithmetic inline."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["q69_sql_udf"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for bad in ("Python", "BatchEval", "SQLFunction", "Invoke"):
+        assert bad not in plan, bad
