@@ -189,10 +189,15 @@ class _LoadProbe:
         gone_own0 = sum(c[0] for pid, c in self.tree0.items() if pid not in map1)
         return own + max(0.0, cu1 - cu0 - gone_own0)
 
-    def stamp(self) -> dict:
+    def stamp(self, floor_cpu_sec: float = 0.0) -> dict:
+        """``floor_cpu_sec``: directly-measured CPU known to be OURS
+        (e.g. A/B subprocess rusage reported by the runner itself) — a
+        lower bound for the tree delta when /proc-walk attribution
+        loses re-parented-then-exited descendants (streaming suspects'
+        JVMs can outrun the runner's terminate+reap window)."""
         wall = time.perf_counter() - self.t0
         busy1, _ = _host_cpu_jiffies()
-        tree = self._tree_delta()
+        tree = max(self._tree_delta(), floor_cpu_sec)
         host_busy_sec = (busy1 - self.busy0) / _CLK_TCK
         other = max(0.0, host_busy_sec - tree)
         return {
@@ -363,8 +368,15 @@ try:
             p.wait(timeout=10)
 except Exception:
     pass
+# self-reported rusage (utime+stime+reaped children): the parent bench
+# uses it as a FLOOR for its load-probe tree delta — a direct
+# measurement that survives any orphaning the reap above misses
+t = os.times()
+print("AB_CPU " + str(t.user + t.system + t.children_user + t.children_system))
 print("AB_RESULT " + json.dumps(res))
 """
+
+        subproc_cpu: list[float] = []
 
         def run_tree(cwd: str) -> dict:
             env = dict(os.environ)
@@ -378,9 +390,17 @@ print("AB_RESULT " + json.dumps(res))
                 [sys.executable, "-c", runner], cwd=cwd, env=env,
                 capture_output=True, text=True, timeout=1800,
             )
-            for line in reversed(p.stdout.splitlines()):
+            result = None
+            for line in p.stdout.splitlines():
                 if line.startswith("AB_RESULT "):
-                    return json.loads(line[len("AB_RESULT "):])
+                    result = json.loads(line[len("AB_RESULT "):])
+                elif line.startswith("AB_CPU "):
+                    try:
+                        subproc_cpu.append(float(line[len("AB_CPU "):]))
+                    except ValueError:
+                        pass
+            if result is not None:
+                return result
             raise RuntimeError(
                 f"ab subprocess in {cwd} rc={p.returncode}: {p.stderr[-400:]}"
             )
@@ -415,7 +435,8 @@ print("AB_RESULT " + json.dumps(res))
                         if prev2.get(n) is not None:
                             prev[n] = min(x for x in (prev.get(n), prev2[n]) if x is not None)
                     out["ab_reversed_pass"] = True
-                out["ab_load"] = probe.stamp()
+                out["ab_subproc_cpu_sec"] = round(sum(subproc_cpu), 1)
+                out["ab_load"] = probe.stamp(floor_cpu_sec=sum(subproc_cpu))
             finally:
                 subprocess.run(
                     ["git", "worktree", "remove", "--force", wt],
@@ -452,6 +473,20 @@ def _print_final(headline: dict) -> None:
             print(line)
             return
     print(json.dumps({k: headline.get(k) for k in ("metric", "value", "unit", "par", "sf")}))
+
+
+def _emit_output(per_query: dict, ab: dict, headline: dict, sf) -> None:
+    """THE artifact contract (VERDICT r11 #1: splicing the ab payload
+    into the final line bloated it past the driver's bounded stdout
+    tail and BENCH_r11.json parsed as nothing). The driver keeps the
+    LAST complete JSON line, so exactly this order, nothing after:
+    per-query map first, the A/B record on its own sacrificial line,
+    then the headline — kept under the byte bound by _print_final.
+    Unit-tested without Spark in tests/test_bench_contract.py."""
+    print(json.dumps(per_query))
+    if ab:
+        print(json.dumps({"metric": "bench_ab", **ab, "sf": sf}))
+    _print_final(headline)
 
 
 def main() -> None:
@@ -693,43 +728,34 @@ def main() -> None:
         # the pooled par stamp and would poison sweep-vs-sweep priors.
         _record_history(timings, sf)
 
-    # THREE lines, detail first (VERDICT r11 #1: splicing the ab payload
-    # into the final line bloated it past the driver's bounded stdout
-    # tail and BENCH_r11.json parsed as nothing). The driver keeps the
-    # LAST complete JSON line, so the headline must be last AND compact:
-    # per-query map first, the A/B record on its own sacrificial line,
-    # then the headline — enforced small by _print_final below.
-    print(
-        json.dumps(
-            {
-                "metric": "per_query_sec",
-                "queries": timings,
-                "par": per_query_par,
-                "reps": reps if fast else pq_reps,
-                "sweep_load": sweep_load or None,
-                "sf": sf,
-            }
-        )
+    _emit_output(
+        per_query={
+            "metric": "per_query_sec",
+            "queries": timings,
+            "par": per_query_par,
+            "reps": reps if fast else pq_reps,
+            "sweep_load": sweep_load or None,
+            "sf": sf,
+        },
+        ab=ab,
+        headline={
+            "metric": "corpus_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "par": par,
+            "reps": reps,
+            "walls": walls,
+            "rep_load": rep_load,
+            "e2e_batch_sec": e2e_sec,
+            "e2e_walls": e2e_walls or None,
+            "e2e_stages_sec": e2e_stages,
+            "e2e_load": e2e_load,
+            "e2e_ref_budget_sec": 400,
+            "ab_suspect_count": len(ab.get("ab_suspects") or {}) if ab else None,
+            "sf": sf,
+        },
+        sf=sf,
     )
-    if ab:
-        print(json.dumps({"metric": "bench_ab", **ab, "sf": sf}))
-    headline = {
-        "metric": "corpus_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "par": par,
-        "reps": reps,
-        "walls": walls,
-        "rep_load": rep_load,
-        "e2e_batch_sec": e2e_sec,
-        "e2e_walls": e2e_walls or None,
-        "e2e_stages_sec": e2e_stages,
-        "e2e_load": e2e_load,
-        "e2e_ref_budget_sec": 400,
-        "ab_suspect_count": len(ab.get("ab_suspects") or {}) if ab else None,
-        "sf": sf,
-    }
-    _print_final(headline)
     spark.stop()
 
 

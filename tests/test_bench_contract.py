@@ -127,3 +127,38 @@ def test_record_history_not_gated_on_ab_env(tmp_path, monkeypatch):
     bench._record_history({"q01": 1.0}, 0.1)
     src, qmap, sf = bench._prior_bench(0.1)
     assert qmap and sf == 0.1
+
+
+def test_emit_output_order_and_final_line(capsys):
+    """The full stdout contract, driver's-eye view: simulate the bounded
+    tail capture (keep the last N bytes, parse the last complete JSON
+    line) against an oversized A/B payload — the exact r11 failure. The
+    recovered line must be the compact corpus_wall_sec headline."""
+    big_ab = {
+        "ab_walls": {f"q{i:02d}_x": {"cur": 1.0, "prev": 1.0} for i in range(40)},
+        "ab_suspects": {f"q{i:02d}_x": {"cur_sweep": 9.9} for i in range(40)},
+        "ab_load": {"x": "y" * 2000},
+    }
+    bench._emit_output(
+        per_query={"metric": "per_query_sec", "queries": {f"q{i}": 0.5 for i in range(150)}},
+        ab=big_ab,
+        headline={"metric": "corpus_wall_sec", "value": 3.14, "unit": "sec", "par": 8, "sf": 0.1},
+        sf=0.1,
+    )
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert [json.loads(l)["metric"] for l in lines] == [
+        "per_query_sec",
+        "bench_ab",
+        "corpus_wall_sec",
+    ]
+    # driver-style bounded tail: last 4 KB of stdout
+    tail = out.encode()[-4096:].decode(errors="ignore")
+    last_complete = None
+    for line in tail.splitlines():
+        try:
+            last_complete = json.loads(line)
+        except ValueError:
+            continue
+    assert last_complete and last_complete["metric"] == "corpus_wall_sec"
+    assert last_complete["value"] == 3.14
