@@ -464,7 +464,12 @@ def _print_final(headline: dict) -> None:
     the byte bound (VERDICT r11 #1): if optional diagnostic payloads ever
     bloat it, shed them (stamps first, then walls) rather than ship a
     line the driver head-truncates into nothing."""
-    for shed in ([], ["rep_load", "e2e_load"], ["e2e_walls", "e2e_stages_sec", "walls"]):
+    # CUMULATIVE shed ladder (ADVICE r12: the third rung previously
+    # re-included the stamps the second dropped, so stamps+walls both
+    # oversized could never fit and fell through to the minimal fallback)
+    _STAMPS = ["rep_load", "e2e_load"]
+    _WALLS = ["e2e_walls", "e2e_stages_sec", "walls"]
+    for shed in ([], _STAMPS, _STAMPS + _WALLS):
         doc = {k: v for k, v in headline.items() if k not in shed}
         if shed:
             doc["shed_for_size"] = shed  # added BEFORE the size check

@@ -41,6 +41,15 @@ from ..sinks import snapshots as S
 _PROPS = "_additive_mor.json"
 
 
+class NotAdditiveMorTable(ValueError):
+    """The path has no additive-MoR props pin (``_additive_mor.json``) —
+    i.e. the table was never created by :func:`write_delta_rows`. A
+    dedicated type (still a ValueError for old callers) so maintenance
+    code can treat "not created yet" as benign WITHOUT string-matching
+    the message (ADVICE r12: jobs.cleanup_meta matched the literal text,
+    so any rewording silently flipped its behavior)."""
+
+
 def _props_path(path: str) -> str:
     return os.path.join(S._snap_dir(path), _PROPS)
 
@@ -156,7 +165,7 @@ def read_additive(spark: SparkSession, path: str, version: int | None = None) ->
     exactly that version's pile."""
     props = _load_props(path)
     if props is None:
-        raise ValueError(f"{path} is not an additive-MoR table (no {_PROPS})")
+        raise NotAdditiveMorTable(f"{path} is not an additive-MoR table (no {_PROPS})")
     keys, sum_cols = props["keys"], props["sum_cols"]
     df = S.read_snapshot(spark, path, version=version)
     # column surgery (rename_column/drop_column) on a folded table can
@@ -203,7 +212,7 @@ def fold_additive(
         max_refolds = max_retries
     props = _load_props(path)
     if props is None:
-        raise ValueError(f"{path} is not an additive-MoR table (no {_PROPS})")
+        raise NotAdditiveMorTable(f"{path} is not an additive-MoR table (no {_PROPS})")
     last: Exception | None = None
     for _ in range(max(1, max_refolds)):
         m = S.read_manifest(path, resolve=False)

@@ -166,19 +166,17 @@ def cleanup_meta(spark: SparkSession, wh: Warehouse, older_than_days: int, now: 
     # exist yet or a fold lost to extreme write pressure just waits for
     # the next tick — the pile stays correct either way.
     from ..sinks.snapshots import ConcurrentWriteError
+    from .additive_mor import NotAdditiveMorTable
     from .ingest import fold_ingest_counters
 
     try:
         fold_ingest_counters(spark, wh)
-    except (FileNotFoundError, ConcurrentWriteError):
-        pass  # not created yet / fold lost to write pressure: next tick
-    except ValueError as e:
-        # only the "counter table doesn't exist yet" contract error is
-        # benign; any other ValueError (e.g. read_additive's broken-pin
-        # diagnosis) is real corruption and must surface, not silently
-        # skip folding forever (ADVICE r11)
-        if "is not an additive-MoR table" not in str(e):
-            raise
+    except (FileNotFoundError, ConcurrentWriteError, NotAdditiveMorTable):
+        # not created yet (typed, ADVICE r12 — no message string-matching)
+        # or fold lost to write pressure: next tick. Any OTHER ValueError
+        # (e.g. read_additive's broken-pin diagnosis) is real corruption
+        # and must surface, not silently skip folding forever (ADVICE r11).
+        pass
     return n
 
 

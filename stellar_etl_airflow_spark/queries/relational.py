@@ -223,7 +223,12 @@ def q07_asof_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clicks = ev.filter(F.col("event_type") == "click")
-    fee_multiplier = F.lit(1) + F.lit(30) / F.lit(10000)
+    # shared fee arithmetic (functions/sharedsql.py, VERDICT r12 ask #5):
+    # Catalyst inlines the SQL UDFs, so the plan is the same arithmetic
+    from ..functions import sharedsql as SX
+
+    SX.register_shared_functions(spark)
+    fee_multiplier = SX.fee_multiplier(F.lit(30))
     amount = F.col("value") * F.coalesce(F.col("price"), F.lit(0.0))
     return (
         clicks.join(
@@ -238,8 +243,8 @@ def q07_asof_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "price",
-            (amount / fee_multiplier).alias("trade_amount"),
-            (amount - amount / fee_multiplier).alias("fee_earned"),
+            SX.trade_amount(amount, fee_multiplier).alias("trade_amount"),
+            SX.fee_earned(amount, fee_multiplier).alias("fee_earned"),
         )
     )
 

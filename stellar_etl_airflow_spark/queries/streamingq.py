@@ -174,15 +174,19 @@ def q42_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, prices, key="user_id", fact_ts="ts",
         valid_from="valid_from_ts", valid_to="valid_to_ts", bucket="1 day", how="left",
     )
-    fee_multiplier = F.lit(1) + F.lit(30) / F.lit(10000)
+    # shared fee arithmetic (functions/sharedsql.py, VERDICT r12 ask #5)
+    from ..functions import sharedsql as SX
+
+    SX.register_shared_functions(spark)
+    fee_multiplier = SX.fee_multiplier(F.lit(30))
     amount = F.col("value") * F.coalesce(F.col("price"), F.lit(0.0))
     return joined.select(
         "event_id",
         "user_id",
         "ts",
         "price",
-        (amount / fee_multiplier).alias("trade_amount"),
-        (amount - amount / fee_multiplier).alias("fee_earned"),
+        SX.trade_amount(amount, fee_multiplier).alias("trade_amount"),
+        SX.fee_earned(amount, fee_multiplier).alias("fee_earned"),
     )
 
 

@@ -180,6 +180,16 @@ def register_python_source(spark, source_cls, attr: str) -> None:
     if _DS_REG_LOCK is None:
         _DS_REG_LOCK = threading.Lock()
     spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(spark._jsparkSession)
+    # Spark 4 refuses to PLAN a Python Data Source whose reader implements
+    # pushFilters() unless this (runtime-settable) conf is on — and it
+    # defaults to false in a bare session. Registering a connector without
+    # it leaves a landmine that fires only when the entry runs without a
+    # conf-setting predecessor (VERDICT r12 "What's wrong #1": s11/s13 red
+    # in the driver's session because only q55 set it). Set it HERE, on
+    # every call, so each register() makes the calling session
+    # self-sufficient — per-session SQLConf, so newSession() children that
+    # re-register get it too.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     with _DS_REG_LOCK:
         if getattr(spark, attr, False):
             return

@@ -553,11 +553,20 @@ def _publish(
         manifest["dv"] = {"path": sidecar, "counts": {f: len(v) for f, v in dv.items()}}
     _shard_stats(path, version, manifest)
     _atomic_write_exclusive(_manifest_path(path, version), json.dumps(manifest))
-    # advance the cache pointer monotonically: a slower concurrent
-    # publisher of an OLDER version must not roll it back
-    cur = latest_version(path)
-    if cur is None or version > cur:
-        _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
+    # ---- COMMIT POINT: the exclusive manifest link above IS the commit.
+    # Everything after is best-effort cache maintenance: advance the
+    # pointer monotonically (a slower concurrent publisher of an OLDER
+    # version must not roll it back), but NEVER let a pointer I/O error
+    # propagate — callers treat a _publish raise as "not committed" and
+    # may clean up staged data files the just-linked manifest references
+    # (ADVICE r12: fold_additive's finally would corrupt the table).
+    # latest_version() heals a stale/missing pointer from the manifests.
+    try:
+        cur = latest_version(path)
+        if cur is None or version > cur:
+            _atomic_write(os.path.join(_snap_dir(path), "_latest"), str(version))
+    except OSError:
+        pass
     return version
 
 

@@ -55,7 +55,13 @@ def liquidity_pool_trade_volume(
     asset_prices_usd: DataFrame,
 ) -> DataFrame:
     """Port of v_liquidity_pool_trade_volume.sql — AMM trade volume with
-    base/quote prices and fee attribution."""
+    base/quote prices and fee attribution. The scalar price/fee
+    arithmetic (:69-86) lives ONCE in ``functions/sharedsql.py`` as
+    Catalyst-inlined SQL UDFs (VERDICT r12 ask #5) — the plan carries
+    plain expressions, no UDF node (tests/test_shared_functions.py)."""
+    from ..functions import sharedsql as SX
+
+    SX.register_shared_functions(trades.sparkSession)
     tv = (
         trades.join(
             pools_current.select(
@@ -68,7 +74,7 @@ def liquidity_pool_trade_volume(
             ),
             trades["selling_liquidity_pool_id"] == F.col("liquidity_pool_id"),
         )
-        .withColumn("fee_multiplier", F.lit(1) + F.col("liquidity_pool_fee") / F.lit(10000))
+        .withColumn("fee_multiplier", SX.fee_multiplier(F.col("liquidity_pool_fee")))
     )
     asset_price = validity_windows(asset_prices_xlm, ("asset_code", "asset_issuer")).withColumnsRenamed(
         {"asset_code": "p_code", "asset_issuer": "p_issuer"}
@@ -90,10 +96,12 @@ def liquidity_pool_trade_volume(
         (tv["ledger_closed_at"] >= F.col("x_from")) & (tv["ledger_closed_at"] < F.col("x_to")),
         "left",
     )
-    native = F.col("buying_asset_type") == "native"
-    gross_native = F.col("buying_amount") * F.coalesce(F.col("xlm_price"), F.lit(0))
-    gross_other = F.col("buying_amount") * F.coalesce(F.col("price"), F.lit(0)) * F.coalesce(F.col("xlm_price"), F.lit(0))
-    gross = F.when(native, gross_native).otherwise(gross_other)
+    gross = SX.gross_usd(
+        F.col("buying_asset_type") == "native",
+        F.col("buying_amount"),
+        F.col("price"),
+        F.col("xlm_price"),
+    )
     sell_is_b = F.col("selling_asset_code") == F.col("asset_b_code")
     return t.select(
         "ledger_closed_at",
@@ -109,12 +117,14 @@ def liquidity_pool_trade_volume(
         "buying_amount",
         F.col("price").alias("asset_price_in_xlm"),
         "xlm_price",
-        (gross - gross / F.col("fee_multiplier")).alias("fee_earned"),
-        (gross / F.col("fee_multiplier")).alias("trade_amount"),
+        SX.fee_earned(gross, F.col("fee_multiplier")).alias("fee_earned"),
+        SX.trade_amount(gross, F.col("fee_multiplier")).alias("trade_amount"),
         "price_n",
         "price_d",
-        F.when(sell_is_b, F.col("price_d") / F.col("price_n")).otherwise(F.col("price_n") / F.col("price_d")).alias("quote_price"),
-        F.when(sell_is_b, F.col("price_n") / F.col("price_d")).otherwise(F.col("price_d") / F.col("price_n")).alias("base_price"),
+        SX.directed_price("price_n", "price_d", sell_is_b).alias("quote_price"),
+        # base is quote with the legs swapped — same flag, so a NULL
+        # selling code takes the ELSE branch in BOTH, like the reference
+        SX.directed_price("price_d", "price_n", sell_is_b).alias("base_price"),
     )
 
 
@@ -148,7 +158,10 @@ def liquidity_providers(operations: DataFrame, transactions: DataFrame) -> DataF
 
 def ohlc(trades: DataFrame, ts_col: str = "ledger_closed_at") -> DataFrame:
     """Daily OHLC per asset pair (the ohlc dbt mart; task_sla.ohlc)."""
-    price = F.col("price_n") / F.col("price_d")
+    from ..functions import sharedsql as SX
+
+    SX.register_shared_functions(trades.sparkSession)
+    price = SX.price_ratio("price_n", "price_d")
     return (
         trades.withColumn("_price", price)
         .groupBy(F.col("selling_asset_id"), F.col("buying_asset_id"), F.date_trunc("day", F.col(ts_col)).alias("day"))

@@ -1,0 +1,198 @@
+"""Round-13 review fixes.
+
+VERDICT r12 "What's wrong #1": s11/s13 went red in the driver's bare
+session because Spark 4 refuses to plan a Python Data Source that
+implements ``pushFilters()`` while ``spark.sql.python.filterPushdown
+.enabled`` is false (its bare-session default) — and only q55 set the
+conf, so the entries depended on window composition. The fix lives in
+``session.register_python_source`` (every connector registration makes
+its session self-sufficient); the driver-session-simulation fixture
+below pins the property mechanically so no future connector entry can
+re-acquire the dependence.
+
+Plus the three ADVICE r12 items: _publish's post-commit pointer update
+must be best-effort (a raise after the commit point made fold_additive's
+cleanup delete LIVE files), bench's shed ladder must be cumulative, and
+cleanup_meta must catch a typed NotAdditiveMorTable instead of
+string-matching the message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from stellar_etl_airflow_spark.operators import additive_mor as AM
+from stellar_etl_airflow_spark.sinks import snapshots as S
+
+SF = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+
+_PD_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+@pytest.fixture()
+def bare_spark(spark):
+    """Driver-session simulation: a session that did NOT come from
+    get_spark. ``newSession()`` gives a fresh SQLConf, and we force the
+    pushdown conf to its bare-session default (false) in case the shared
+    context's builder conf leaked in — an entry must flip it itself.
+    (Shuffle partitions are pinned small purely for test speed; that
+    knob is orthogonal to the self-sufficiency property under test.)"""
+    s = spark.newSession()
+    s.conf.set(_PD_CONF, "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    return s
+
+
+def test_connector_entry_self_sufficient_s11(bare_spark):
+    """The exact r12 red: s11 on a session where nothing ever set the
+    pushdown conf. register() inside the entry must make the session
+    self-sufficient; before the fix this raised
+    [DATA_SOURCE_PUSHDOWN_DISABLED]."""
+    from stellar_etl_airflow_spark.queries.connectors import s11_stream_snapshot_sink
+
+    assert bare_spark.conf.get(_PD_CONF) == "false"
+    out = s11_stream_snapshot_sink(bare_spark, SF)
+    assert out.count() > 0
+    # and the entry left the session able to plan the DS again
+    assert bare_spark.conf.get(_PD_CONF) == "true"
+
+
+def test_connector_entry_self_sufficient_s13(bare_spark):
+    """Same property for the roundtrip entry (the second r12 red)."""
+    from stellar_etl_airflow_spark.queries.connectors import s13_snapshot_stream_roundtrip
+
+    out = s13_snapshot_stream_roundtrip(bare_spark, SF)
+    assert out.count() > 0
+
+
+def test_register_sets_pushdown_conf(bare_spark):
+    """register() itself flips the conf — entries need no preamble."""
+    from stellar_etl_airflow_spark.sources import snapshot_source
+
+    assert bare_spark.conf.get(_PD_CONF) == "false"
+    snapshot_source.register(bare_spark)
+    assert bare_spark.conf.get(_PD_CONF) == "true"
+
+
+# ---- ADVICE r12 #1 (medium): publish must not report failure after its
+# commit point — fold's cleanup would delete manifest-referenced files.
+
+
+def test_publish_pointer_failure_after_commit_is_swallowed(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).selectExpr("id AS k", "id * 2 AS v").repartition(1)
+    v0 = S.overwrite_versioned(spark, df, path)
+
+    real = S._atomic_write
+
+    def flaky(p, payload):
+        if os.path.basename(p) == "_latest":
+            raise OSError(28, "No space left on device", p)
+        return real(p, payload)
+
+    monkeypatch.setattr(S, "_atomic_write", flaky)
+    # the append COMMITS (exclusive manifest link) even though the
+    # pointer update dies — the caller must see success, not a raise
+    # it would answer by deleting the just-committed files
+    v1 = S.append_versioned(spark, df, path, txn_id="r13-ptr")
+    assert v1 == v0 + 1
+    monkeypatch.setattr(S, "_atomic_write", real)
+    # the stale pointer heals: manifests are the truth
+    assert S.latest_version(path) == v1
+    assert spark.read.parquet(*S.read_manifest(path)["files"]).count() == 20
+
+
+def test_fold_cleanup_never_deletes_committed_files(spark, tmp_path, monkeypatch):
+    """The exact ADVICE scenario end-to-end: fold_additive's publish
+    commits, the post-commit pointer write raises — the fold must
+    SUCCEED (not clean up the manifest's live files)."""
+    path = str(tmp_path / "counters")
+    AM.write_delta_rows(
+        spark, [("a", 1), ("a", 2), ("b", 5)], "k string, n long", path, ("k",), ("n",)
+    )
+    real = S._atomic_write
+
+    def flaky(p, payload):
+        if os.path.basename(p) == "_latest":
+            raise OSError(5, "Input/output error", p)
+        return real(p, payload)
+
+    monkeypatch.setattr(S, "_atomic_write", flaky)
+    v, nrows = AM.fold_additive(spark, path)
+    monkeypatch.setattr(S, "_atomic_write", real)
+    got = {r["k"]: r["n"] for r in AM.read_additive(spark, path).collect()}
+    assert got == {"a": 3, "b": 5} and nrows == 2
+
+
+# ---- ADVICE r12 #2 (low): cumulative shed ladder.
+
+
+def test_print_final_shed_ladder_is_cumulative(capsys):
+    """Stamps AND walls both oversized: the old third rung re-included
+    the stamps, so nothing fit and the minimal fallback dropped
+    e2e_batch_sec + the shed marker. Cumulative shedding must keep
+    them."""
+    big = [{"x": "y" * 3000}] * 3
+    bench._print_final(
+        {
+            "metric": "corpus_wall_sec",
+            "value": 1.23,
+            "unit": "sec",
+            "par": 8,
+            "e2e_batch_sec": 9.17,
+            "ab_suspect_count": 0,
+            "walls": big,
+            "e2e_walls": big,
+            "e2e_stages_sec": big,
+            "rep_load": big,
+            "e2e_load": big,
+            "sf": 0.1,
+        }
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line.encode()) < bench._FINAL_LINE_BYTES
+    doc = json.loads(line)
+    assert doc["e2e_batch_sec"] == 9.17  # survived (old code lost it)
+    assert doc["ab_suspect_count"] == 0
+    assert set(doc["shed_for_size"]) >= {"rep_load", "walls", "e2e_walls"}
+    assert "rep_load" not in doc and "walls" not in doc
+
+
+# ---- ADVICE r12 #3 (low): typed missing-table exception.
+
+
+def test_not_additive_mor_table_typed(spark, tmp_path):
+    with pytest.raises(AM.NotAdditiveMorTable):
+        AM.read_additive(spark, str(tmp_path / "nope"))
+    # still a ValueError for any old-style caller
+    assert issubclass(AM.NotAdditiveMorTable, ValueError)
+
+
+def test_cleanup_meta_benign_on_fresh_warehouse_without_string_match(spark, tmp_path):
+    """cleanup_meta must treat a missing counter table as benign via the
+    TYPE, surviving any rewording of the message."""
+    from datetime import datetime
+
+    from stellar_etl_airflow_spark.operators.batch import BatchWindow
+    from stellar_etl_airflow_spark.operators.ingest import Warehouse, record_batch_stats
+    from stellar_etl_airflow_spark.operators.jobs import cleanup_meta
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    w = BatchWindow(
+        batch_id="b1",
+        batch_run_date=datetime(2026, 1, 1),
+        interval_start=datetime(2026, 1, 1),
+        interval_end=datetime(2026, 1, 2),
+        start_ledger=1,
+        end_ledger=10,
+    )
+    record_batch_stats(spark, wh, w, "orders", datetime(2026, 1, 1))
+    # no additive counter table exists yet — must not raise
+    assert cleanup_meta(spark, wh, older_than_days=3650) >= 0
