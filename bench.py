@@ -526,33 +526,13 @@ def main() -> None:
         .save()
     )
     # ... and the Python Data Source path (r12, VERDICT r11 ask #5 —
-    # the q55 "in-sweep 3x" adjudicated): the connector's FIRST use in
-    # a session pays ~8 s of driver-side plan/write-worker spawn +
-    # registration on top of the ~2.2 s warm wall, so an unwarmed sweep
-    # measures worker spawn, not the operator (cold 10.8 / warm 1.7 /
-    # 4.5 after 3 min idle — tools/q55_sweep_probe.py). One 32-row
-    # write+pushdown-read through the connector absorbs it here.
-    import shutil as _sh
-    import tempfile as _tf
+    # the q55 "in-sweep 3x" adjudicated): an unwarmed sweep measures the
+    # connector's first-use worker spawn (~8 s), not the operator. The
+    # warmup now lives in session.warm_python_data_source (VERDICT r12
+    # ask #6) so production-shaped sessions can pay it up front too.
+    from stellar_etl_airflow_spark.session import warm_python_data_source
 
-    from stellar_etl_airflow_spark.sources import snapshot_source as _snap
-
-    _snap.register(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    _warm_path = os.path.join(_tf.gettempdir(), "bench-ds-warmup")
-    try:
-        (
-            spark.range(32).selectExpr("id AS k", "id * 2 AS v")
-            .write.format(_snap.FORMAT_NAME)
-            .option("path", _warm_path).option("stats_cols", "k")
-            .mode("overwrite").save()
-        )
-        (
-            spark.read.format(_snap.FORMAT_NAME).option("path", _warm_path)
-            .load().where("k >= 8").write.format("noop").mode("overwrite").save()
-        )
-    finally:
-        _sh.rmtree(_warm_path, ignore_errors=True)
+    warm_python_data_source(spark)
 
     def run(item: tuple) -> tuple[str, float]:
         name, spec = item

@@ -29,7 +29,15 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "stellar-etl-spark",
+    extra_conf: dict | None = None,
+    warm_ds: bool = False,
+) -> SparkSession:
+    """Build the session. ``warm_ds=True`` additionally absorbs the
+    Python Data Source's first-use cost up front (see
+    :func:`warm_python_data_source`) — recommended for long-lived /
+    production-shaped sessions that will use the snapshot connector."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     par = default_parallelism()
@@ -60,7 +68,54 @@ def get_spark(app_name: str = "stellar-etl-spark", extra_conf: dict | None = Non
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if warm_ds:
+        warm_python_data_source(spark)
+    return spark
+
+
+def warm_python_data_source(spark: SparkSession) -> None:
+    """Absorb the Python Data Source's first-use session cost NOW instead
+    of inside whichever query touches the connector first.
+
+    The connector's first use in a session pays ~8 s of driver-side
+    plan/write-worker spawn + registration on top of its ~2 s warm wall
+    (measured r12, ``tools/q55_sweep_probe.py``: cold 10.8 s / warm
+    1.7 s / ~4.5 s after 3 min idle — pyspark worker pools also shrink
+    when idle). bench.py warms before its sweeps; any production-shaped
+    long session should too — either ``get_spark(warm_ds=True)`` or this
+    one call (VERDICT r12 ask #6). The scratch table path is
+    uuid-suffixed and removed in a finally, so concurrent or crashed
+    callers never collide on a shared warmup directory."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources import snapshot_source as snap
+
+    snap.register(spark)  # also sets the pushFilters conf
+    path = os.path.join(tempfile.gettempdir(), f"ds-warmup-{uuid.uuid4().hex[:8]}")
+    try:
+        (
+            spark.range(32)
+            .selectExpr("id AS k", "id * 2 AS v")
+            .write.format(snap.FORMAT_NAME)
+            .option("path", path)
+            .option("stats_cols", "k")
+            .mode("overwrite")
+            .save()
+        )
+        (
+            spark.read.format(snap.FORMAT_NAME)
+            .option("path", path)
+            .load()
+            .where("k >= 8")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def ensure_read_confs(spark: SparkSession) -> None:
