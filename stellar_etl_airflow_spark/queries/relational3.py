@@ -1055,3 +1055,259 @@ SPECS["q70_sql_script"] = QuerySpec(
     Q70_SQL,
     "SQL scripting (BEGIN/DECLARE/WHILE/IF): control-flow-derived params feeding a declarative SELECT",
 )
+
+
+# ---------------------------------------------------------------------------
+# q71 — the full v_liquidity_pool_trade_volume mart driven through the
+# REAL view code (views/marts.py::liquidity_pool_trade_volume) and the
+# shared inlined SQL UDFs it now uses (functions/sharedsql.py — VERDICT
+# r12 ask #5): LEAD validity windows, two broadcast as-of range joins,
+# the buying-leg gross CASE, fee attribution through the pool fee
+# multiplier, and the quote/base direction CASEs — all per-row, so the
+# oracle compares exact IEEE doubles, not order-dependent sums.
+# Inputs are reference-shaped frames derived DETERMINISTICALLY from the
+# events table (purchases -> trades; sparse views -> asset/XLM price
+# updates; 8 static pools), so DuckDB can restate the whole pipeline.
+# Reference: v_liquidity_pool_trade_volume.sql:31-95.
+# ---------------------------------------------------------------------------
+
+
+def _q71_inputs(spark: SparkSession, sf_dir: str):
+    (ev,) = tables(spark, sf_dir, "events")
+    native = F.col("event_id") % 2 == 0
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("ledger_closed_at"),
+        F.concat(F.lit("LP"), (F.col("user_id") % 8).cast("string")).alias(
+            "selling_liquidity_pool_id"
+        ),
+        F.when(F.col("user_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("AST"), (F.col("user_id") % 5).cast("string")))
+        .alias("selling_asset_code"),
+        (F.col("value") * 2).alias("selling_amount"),
+        F.when(native, F.lit("native")).otherwise(F.lit("credit_alphanum4")).alias(
+            "buying_asset_type"
+        ),
+        F.when(native, F.lit("XLM"))
+        .otherwise(F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")))
+        .alias("buying_asset_code"),
+        F.when(native, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")))
+        .alias("buying_asset_issuer"),
+        F.col("value").alias("buying_amount"),
+        (F.lit(1) + F.col("event_id") % 7).alias("price_n"),
+        (F.lit(1) + F.col("event_id") % 5).alias("price_d"),
+        F.lit(30).cast("long").alias("liquidity_pool_fee"),
+    )
+    pools = spark.range(8).select(
+        F.concat(F.lit("LP"), F.col("id").cast("string")).alias("liquidity_pool_id"),
+        F.concat(F.lit("AST"), (F.col("id") % 3).cast("string")).alias("asset_a_code"),
+        F.concat(F.lit("I"), (F.col("id") % 3).cast("string")).alias("asset_a_issuer"),
+        F.concat(F.lit("AST"), (F.col("id") % 5).cast("string")).alias("asset_b_code"),
+        F.concat(F.lit("I"), (F.col("id") % 5).cast("string")).alias("asset_b_issuer"),
+        F.concat(
+            F.lit("AST"), (F.col("id") % 3).cast("string"),
+            F.lit(":"), F.lit("AST"), (F.col("id") % 5).cast("string"),
+        ).alias("asset_pair"),
+    )
+    # sparse price updates; groupBy de-dups any (key, ts) collision so
+    # the LEAD window order is total in BOTH engines
+    prices_xlm = (
+        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 10 == 0))
+        .groupBy(
+            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
+            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
+            F.col("ts").alias("last_updated_ts"),
+        )
+        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
+    )
+    prices_usd = (
+        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
+        .groupBy(F.col("ts").alias("last_updated_ts"))
+        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
+        .withColumn("asset_id", F.lit("XLM"))
+    )
+    return trades, pools, prices_xlm, prices_usd
+
+
+def q71_trade_volume_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..views.marts import liquidity_pool_trade_volume
+
+    trades, pools, prices_xlm, prices_usd = _q71_inputs(spark, sf_dir)
+    return liquidity_pool_trade_volume(trades, pools, prices_xlm, prices_usd)
+
+
+Q71_SQL = """
+WITH trades AS (
+  SELECT ts AS ledger_closed_at,
+         'LP' || CAST(user_id % 8 AS VARCHAR) AS selling_liquidity_pool_id,
+         CASE WHEN user_id % 3 = 0 THEN NULL
+              ELSE 'AST' || CAST(user_id % 5 AS VARCHAR) END AS selling_asset_code,
+         value * 2 AS selling_amount,
+         CASE WHEN event_id % 2 = 0 THEN 'native' ELSE 'credit_alphanum4' END AS buying_asset_type,
+         CASE WHEN event_id % 2 = 0 THEN 'XLM'
+              ELSE 'AST' || CAST(event_id % 4 AS VARCHAR) END AS buying_asset_code,
+         CASE WHEN event_id % 2 = 0 THEN NULL
+              ELSE 'I' || CAST(event_id % 4 AS VARCHAR) END AS buying_asset_issuer,
+         value AS buying_amount,
+         1 + event_id % 7 AS price_n,
+         1 + event_id % 5 AS price_d,
+         CAST(30 AS BIGINT) AS liquidity_pool_fee
+  FROM events WHERE event_type = 'purchase'
+),
+pools AS (
+  SELECT 'LP' || CAST(i AS VARCHAR) AS liquidity_pool_id,
+         'AST' || CAST(i % 3 AS VARCHAR) AS asset_a_code,
+         'I' || CAST(i % 3 AS VARCHAR) AS asset_a_issuer,
+         'AST' || CAST(i % 5 AS VARCHAR) AS asset_b_code,
+         'I' || CAST(i % 5 AS VARCHAR) AS asset_b_issuer,
+         'AST' || CAST(i % 3 AS VARCHAR) || ':' || 'AST' || CAST(i % 5 AS VARCHAR) AS asset_pair
+  FROM range(8) t(i)
+),
+-- the Spark side builds LEAD(ts) validity windows and joins half-open
+-- ranges (the mart's asof_join); windows TILE time within each key, so
+-- DuckDB's native ASOF JOIN (latest update <= fact ts) is the exact
+-- same relation. The direct LEAD+IE-join restatement is avoided ON
+-- PURPOSE: DuckDB 1.0.0 wedges (>10 min, plan looks fine, count(*) is
+-- instant) when projecting payload columns through this particular
+-- CTE + double-inequality LEFT JOIN shape — see SCALE.md r13.
+px AS (
+  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
+         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
+         ts AS p_ts,
+         min(1.0 + (event_id % 97) / 10.0) AS price
+  FROM events WHERE event_type = 'view' AND event_id % 10 = 0
+  GROUP BY 1, 2, 3
+),
+pu AS (
+  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS xlm_price
+  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
+  GROUP BY 1
+),
+tv AS (
+  SELECT t.*, pl.asset_a_code, pl.asset_a_issuer, pl.asset_b_code, pl.asset_b_issuer,
+         pl.asset_pair, 1 + liquidity_pool_fee / 10000 AS fee_multiplier
+  FROM trades t JOIN pools pl ON t.selling_liquidity_pool_id = pl.liquidity_pool_id
+),
+j1 AS (
+  SELECT tv.*, p.price
+  FROM tv ASOF LEFT JOIN px p
+    ON tv.buying_asset_code = p.p_code AND tv.buying_asset_issuer = p.p_issuer
+   AND tv.ledger_closed_at >= p.p_ts
+),
+j AS (
+  SELECT j1.*, x.xlm_price
+  FROM j1 ASOF LEFT JOIN pu x ON j1.ledger_closed_at >= x.x_ts
+)
+SELECT ledger_closed_at, selling_liquidity_pool_id,
+       asset_a_code, asset_a_issuer, asset_b_code, asset_b_issuer, asset_pair,
+       selling_asset_code, selling_amount, buying_asset_code, buying_amount,
+       price AS asset_price_in_xlm, xlm_price,
+       g - g / fee_multiplier AS fee_earned,
+       g / fee_multiplier AS trade_amount,
+       price_n, price_d,
+       CASE WHEN selling_asset_code = asset_b_code
+            THEN CAST(price_d AS DOUBLE) / price_n
+            ELSE CAST(price_n AS DOUBLE) / price_d END AS quote_price,
+       CASE WHEN selling_asset_code = asset_b_code
+            THEN CAST(price_n AS DOUBLE) / price_d
+            ELSE CAST(price_d AS DOUBLE) / price_n END AS base_price
+FROM (
+  SELECT j.*,
+         CASE WHEN buying_asset_type = 'native'
+              THEN buying_amount * coalesce(xlm_price, 0)
+              ELSE buying_amount * coalesce(price, 0) * coalesce(xlm_price, 0)
+         END AS g
+  FROM j
+)
+"""
+
+SPECS["q71_trade_volume_mart"] = QuerySpec(
+    q71_trade_volume_mart,
+    Q71_SQL,
+    "v_liquidity_pool_trade_volume end to end: LEAD windows, 2 broadcast as-of joins, shared-UDF fee/price math",
+)
+
+
+# ---------------------------------------------------------------------------
+# q72 — the v_liquidity_providers mart driven through the REAL view code
+# (views/marts.py::liquidity_providers): per-(account, pool) share
+# accounting from LP deposit (type 22) / withdraw (type 23) operations,
+# with the reference's NULL-successful-counts-as-success transaction
+# gate (:17-19) exercised on purpose (event_id % 7 rows are NULL).
+# Inputs derive deterministically from events; share amounts go through
+# floor() so the double SUMs are integer-valued and order-independent
+# (the dsum discipline without DECIMAL — sums of integers < 2^53 are
+# exact in IEEE double regardless of reduction order).
+# ---------------------------------------------------------------------------
+
+
+def q72_liquidity_providers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..views.marts import liquidity_providers
+
+    (ev,) = tables(spark, sf_dir, "events")
+    transactions = ev.select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("boolean"))
+        .when(F.col("event_id") % 3 == 0, F.lit(False))
+        .otherwise(F.lit(True))
+        .alias("successful"),
+    )
+    operations = ev.select(
+        F.col("event_id").alias("transaction_id"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(22)).otherwise(F.lit(23)).alias("type"),
+        F.concat(F.lit("A"), (F.col("user_id") % 40).cast("string")).alias("source_account"),
+        F.struct(
+            F.concat(F.lit("LP"), (F.col("user_id") % 8).cast("string")).alias(
+                "liquidity_pool_id"
+            ),
+            F.floor(F.col("value")).cast("double").alias("shares_received"),
+            F.floor(F.col("value") / 2).cast("double").alias("shares"),
+        ).alias("details"),
+        F.col("ts").alias("closed_at"),
+    )
+    return liquidity_providers(operations, transactions)
+
+
+Q72_SQL = """
+WITH tx AS (
+  SELECT event_id AS tx_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              WHEN event_id % 3 = 0 THEN FALSE ELSE TRUE END AS successful
+  FROM events
+),
+ops AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN 22 ELSE 23 END AS type,
+         'A' || CAST(user_id % 40 AS VARCHAR) AS account,
+         'LP' || CAST(user_id % 8 AS VARCHAR) AS pool,
+         floor(value) AS shares_received,
+         floor(value / 2) AS shares,
+         ts AS closed_at
+  FROM events
+),
+ok AS (
+  SELECT o.* FROM ops o
+  WHERE EXISTS (SELECT 1 FROM tx t WHERE t.tx_id = o.event_id
+                AND (t.successful OR t.successful IS NULL))
+),
+dep AS (
+  SELECT account, pool,
+         sum(coalesce(shares_received, 0)) AS shares_in,
+         min(closed_at) AS first_deposit,
+         count(*) AS n_deposits
+  FROM ok WHERE type = 22 GROUP BY 1, 2
+),
+wd AS (
+  SELECT account, pool, sum(coalesce(shares, 0)) AS shares_out
+  FROM ok WHERE type = 23 GROUP BY 1, 2
+)
+SELECT d.account, d.pool, d.shares_in, d.first_deposit, d.n_deposits,
+       w.shares_out, d.shares_in - coalesce(w.shares_out, 0) AS current_shares
+FROM dep d LEFT JOIN wd w ON d.account = w.account AND d.pool = w.pool
+"""
+
+SPECS["q72_liquidity_providers"] = QuerySpec(
+    q72_liquidity_providers,
+    Q72_SQL,
+    "v_liquidity_providers end to end: NULL-successful gate, semi-join, deposit/withdraw share accounting",
+)
