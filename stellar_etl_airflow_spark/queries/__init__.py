@@ -125,6 +125,8 @@ _FRONT = [
     # r14; in-repo oracle parity covers them every pytest run meanwhile)
     "q71_trade_volume_mart",
     "q72_liquidity_providers",
+    "q73_liquidity_pool_value",
+    "q74_relevant_asset_trades",
     # r11/r12-fresh remainder rides in back (dict-merge below appends)
 ]
 _seen = set()

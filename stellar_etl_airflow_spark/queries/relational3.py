@@ -1311,3 +1311,290 @@ SPECS["q72_liquidity_providers"] = QuerySpec(
     Q72_SQL,
     "v_liquidity_providers end to end: NULL-successful gate, semi-join, deposit/withdraw share accounting",
 )
+
+
+# ---------------------------------------------------------------------------
+# q73 — the v_liquidity_pool_value TVL mart through the REAL view code
+# (views/marts.py::liquidity_pool_value): per-pool legs valued at the
+# LATEST asset price (rank()=1 per asset), native legs at face value,
+# the latest XLM/USD price cross-joined onto every pool (:74-80).
+# Static 24-pool dimension (some deleted, some native legs, some codes
+# with no price -> COALESCE 0) x the q71-derived price series.
+# ---------------------------------------------------------------------------
+
+
+def q73_liquidity_pool_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..views.marts import liquidity_pool_value
+
+    (ev,) = tables(spark, sf_dir, "events")
+    i = F.col("id")
+    pools = spark.range(24).select(
+        F.concat(F.lit("LP"), i.cast("string")).alias("liquidity_pool_id"),
+        F.when(i % 4 == 0, F.lit("native")).otherwise(F.lit("credit_alphanum4")).alias(
+            "asset_a_type"
+        ),
+        F.when(i % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("AST"), (i % 6).cast("string")))
+        .alias("asset_a_code"),
+        F.when(i % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("I"), (i % 6).cast("string")))
+        .alias("asset_a_issuer"),
+        F.lit("credit_alphanum4").alias("asset_b_type"),
+        F.concat(F.lit("AST"), (i % 5).cast("string")).alias("asset_b_code"),
+        F.concat(F.lit("I"), (i % 5).cast("string")).alias("asset_b_issuer"),
+        (F.lit(100.0) + i * 7).alias("asset_a_amount"),
+        (F.lit(50.0) + i * 3).alias("asset_b_amount"),
+        (i % 6 == 0).alias("deleted"),
+        F.concat(
+            F.lit("AST"), (i % 6).cast("string"), F.lit(":"), F.lit("AST"), (i % 5).cast("string")
+        ).alias("asset_pair"),
+    )
+    prices_xlm = (
+        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 10 == 0))
+        .groupBy(
+            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
+            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
+            F.col("ts").alias("last_updated_ts"),
+        )
+        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
+    )
+    prices_usd = (
+        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
+        .groupBy(F.col("ts").alias("last_updated_ts"))
+        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
+        .withColumn("asset_id", F.lit("XLM"))
+    )
+    return liquidity_pool_value(pools, prices_xlm, prices_usd)
+
+
+Q73_SQL = """
+WITH pools AS (
+  SELECT 'LP' || CAST(i AS VARCHAR) AS liquidity_pool_id,
+         CASE WHEN i % 4 = 0 THEN 'native' ELSE 'credit_alphanum4' END AS asset_a_type,
+         CASE WHEN i % 4 = 0 THEN NULL ELSE 'AST' || CAST(i % 6 AS VARCHAR) END AS asset_a_code,
+         CASE WHEN i % 4 = 0 THEN NULL ELSE 'I' || CAST(i % 6 AS VARCHAR) END AS asset_a_issuer,
+         'AST' || CAST(i % 5 AS VARCHAR) AS asset_b_code,
+         'I' || CAST(i % 5 AS VARCHAR) AS asset_b_issuer,
+         100.0 + i * 7 AS asset_a_amount,
+         50.0 + i * 3 AS asset_b_amount,
+         (i % 6 = 0) AS deleted,
+         'AST' || CAST(i % 6 AS VARCHAR) || ':' || 'AST' || CAST(i % 5 AS VARCHAR) AS asset_pair
+  FROM range(24) t(i)
+),
+px AS (
+  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
+         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
+         ts AS p_ts,
+         min(1.0 + (event_id % 97) / 10.0) AS price_in_xlm
+  FROM events WHERE event_type = 'view' AND event_id % 10 = 0
+  GROUP BY 1, 2, 3
+),
+latest AS (
+  SELECT p_code, p_issuer, price_in_xlm FROM (
+    SELECT p_code, p_issuer, price_in_xlm,
+           rank() OVER (PARTITION BY p_code, p_issuer ORDER BY p_ts DESC) AS rnk
+    FROM px
+  ) WHERE rnk = 1
+),
+pu AS (
+  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS price_in_usd
+  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
+  GROUP BY 1
+),
+xlm AS (
+  SELECT price_in_usd AS xlm_price_usd FROM (
+    SELECT price_in_usd, row_number() OVER (ORDER BY x_ts DESC) AS rn FROM pu
+  ) WHERE rn = 1
+),
+vals AS (
+  SELECT p.liquidity_pool_id, p.asset_pair,
+         CASE WHEN p.asset_a_type = 'native' THEN p.asset_a_amount
+              ELSE p.asset_a_amount * coalesce(pa.price_in_xlm, 0) END AS asset_a_value_xlm,
+         p.asset_b_amount * coalesce(pb.price_in_xlm, 0) AS asset_b_value_xlm
+  FROM pools p
+  LEFT JOIN latest pa ON p.asset_a_code = pa.p_code AND p.asset_a_issuer = pa.p_issuer
+  LEFT JOIN latest pb ON p.asset_b_code = pb.p_code AND p.asset_b_issuer = pb.p_issuer
+  WHERE NOT p.deleted
+)
+SELECT liquidity_pool_id, asset_pair, asset_a_value_xlm, asset_b_value_xlm,
+       x.xlm_price_usd,
+       asset_a_value_xlm * x.xlm_price_usd AS asset_a_usd_value,
+       asset_b_value_xlm * x.xlm_price_usd AS asset_b_usd_value,
+       asset_a_value_xlm * x.xlm_price_usd + asset_b_value_xlm * x.xlm_price_usd
+         AS total_value_locked
+FROM vals CROSS JOIN xlm x
+"""
+
+SPECS["q73_liquidity_pool_value"] = QuerySpec(
+    q73_liquidity_pool_value,
+    Q73_SQL,
+    "v_liquidity_pool_value TVL: latest-price rank()=1 valuation, native face value, XLM/USD cross join",
+)
+
+
+# ---------------------------------------------------------------------------
+# q74 — the v_relevant_asset_trades mart through the REAL view code
+# (views/marts.py::relevant_asset_trades): both legs must be meaningful
+# (broadcast semi via left-join + IS NOT NULL) or native, three as-of
+# joins USD-value each leg, AMM/DEX tag from the pool id (:6-27,75).
+# Derived trades include junk-asset legs (dropped), native legs, and
+# NULL pools so every branch executes. Oracle uses ASOF LEFT JOINs
+# (see Q71_SQL's note on the DuckDB IE-join wedge).
+# ---------------------------------------------------------------------------
+
+
+def q74_relevant_asset_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..views.marts import relevant_asset_trades
+
+    (ev,) = tables(spark, sf_dir, "events")
+    sell_native = F.col("user_id") % 4 == 0
+    buy_native = F.col("event_id") % 2 == 0
+    amm = F.col("event_id") % 3 != 0
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("history_operation_id"),
+        (F.col("event_id") % 3).alias("order"),
+        F.col("ts").alias("ledger_closed_at"),
+        F.concat(F.lit("S"), F.col("user_id").cast("string")).alias("selling_account_address"),
+        F.when(sell_native, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("AST"), (F.col("user_id") % 6).cast("string")))
+        .alias("selling_asset_code"),
+        F.when(sell_native, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("I"), (F.col("user_id") % 6).cast("string")))
+        .alias("selling_asset_issuer"),
+        F.when(sell_native, F.lit("native")).otherwise(F.lit("credit_alphanum4")).alias(
+            "selling_asset_type"
+        ),
+        (F.col("value") * 2).alias("selling_amount"),
+        F.concat(F.lit("B"), F.col("user_id").cast("string")).alias("buying_account_address"),
+        F.when(buy_native, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("AST"), (F.col("event_id") % 5).cast("string")))
+        .alias("buying_asset_code"),
+        F.when(buy_native, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("I"), (F.col("event_id") % 5).cast("string")))
+        .alias("buying_asset_issuer"),
+        F.when(buy_native, F.lit("native")).otherwise(F.lit("credit_alphanum4")).alias(
+            "buying_asset_type"
+        ),
+        F.col("value").alias("buying_amount"),
+        (F.lit(1) + F.col("event_id") % 7).alias("price_n"),
+        (F.lit(1) + F.col("event_id") % 5).alias("price_d"),
+        F.when(amm, F.concat(F.lit("LP"), (F.col("user_id") % 8).cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("selling_liquidity_pool_id"),
+        F.when(amm, F.lit(30).cast("long")).otherwise(F.lit(None).cast("long")).alias(
+            "liquidity_pool_fee"
+        ),
+    )
+    meaningful = spark.range(4).select(
+        F.concat(F.lit("AST"), F.col("id").cast("string")).alias("code"),
+        F.concat(F.lit("I"), F.col("id").cast("string")).alias("issuer"),
+    )
+    prices_xlm = (
+        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 10 == 0))
+        .groupBy(
+            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
+            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
+            F.col("ts").alias("last_updated_ts"),
+        )
+        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
+    )
+    prices_usd = (
+        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
+        .groupBy(F.col("ts").alias("last_updated_ts"))
+        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
+        .withColumn("asset_id", F.lit("XLM"))
+    )
+    return relevant_asset_trades(trades, meaningful, prices_xlm, prices_usd)
+
+
+Q74_SQL = """
+WITH trades AS (
+  SELECT event_id AS history_operation_id,
+         event_id % 3 AS "order",
+         ts AS ledger_closed_at,
+         'S' || CAST(user_id AS VARCHAR) AS selling_account_address,
+         CASE WHEN user_id % 4 = 0 THEN NULL
+              ELSE 'AST' || CAST(user_id % 6 AS VARCHAR) END AS selling_asset_code,
+         CASE WHEN user_id % 4 = 0 THEN NULL
+              ELSE 'I' || CAST(user_id % 6 AS VARCHAR) END AS selling_asset_issuer,
+         CASE WHEN user_id % 4 = 0 THEN 'native' ELSE 'credit_alphanum4' END AS selling_asset_type,
+         value * 2 AS selling_amount,
+         'B' || CAST(user_id AS VARCHAR) AS buying_account_address,
+         CASE WHEN event_id % 2 = 0 THEN NULL
+              ELSE 'AST' || CAST(event_id % 5 AS VARCHAR) END AS buying_asset_code,
+         CASE WHEN event_id % 2 = 0 THEN NULL
+              ELSE 'I' || CAST(event_id % 5 AS VARCHAR) END AS buying_asset_issuer,
+         CASE WHEN event_id % 2 = 0 THEN 'native' ELSE 'credit_alphanum4' END AS buying_asset_type,
+         value AS buying_amount,
+         1 + event_id % 7 AS price_n,
+         1 + event_id % 5 AS price_d,
+         CASE WHEN event_id % 3 <> 0 THEN 'LP' || CAST(user_id % 8 AS VARCHAR)
+              ELSE NULL END AS selling_liquidity_pool_id,
+         CASE WHEN event_id % 3 <> 0 THEN CAST(30 AS BIGINT)
+              ELSE NULL END AS liquidity_pool_fee
+  FROM events WHERE event_type = 'purchase'
+),
+meaningful AS (
+  SELECT 'AST' || CAST(i AS VARCHAR) AS m_code, 'I' || CAST(i AS VARCHAR) AS m_issuer
+  FROM range(4) t(i)
+),
+kept AS (
+  SELECT t.* FROM trades t
+  WHERE (t.selling_asset_type = 'native' OR EXISTS (
+           SELECT 1 FROM meaningful m
+           WHERE t.selling_asset_code = m.m_code AND t.selling_asset_issuer = m.m_issuer))
+    AND (t.buying_asset_type = 'native' OR EXISTS (
+           SELECT 1 FROM meaningful m
+           WHERE t.buying_asset_code = m.m_code AND t.buying_asset_issuer = m.m_issuer))
+),
+px AS (
+  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
+         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
+         ts AS p_ts,
+         min(1.0 + (event_id % 97) / 10.0) AS price
+  FROM events WHERE event_type = 'view' AND event_id % 10 = 0
+  GROUP BY 1, 2, 3
+),
+pu AS (
+  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS x_price
+  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
+  GROUP BY 1
+),
+j1 AS (
+  SELECT k.*, c.price AS c_price
+  FROM kept k ASOF LEFT JOIN px c
+    ON k.selling_asset_code = c.p_code AND k.selling_asset_issuer = c.p_issuer
+   AND k.ledger_closed_at >= c.p_ts
+),
+j2 AS (
+  SELECT j1.*, d.price AS d_price
+  FROM j1 ASOF LEFT JOIN px d
+    ON j1.buying_asset_code = d.p_code AND j1.buying_asset_issuer = d.p_issuer
+   AND j1.ledger_closed_at >= d.p_ts
+),
+j AS (
+  SELECT j2.*, x.x_price
+  FROM j2 ASOF LEFT JOIN pu x ON j2.ledger_closed_at >= x.x_ts
+)
+SELECT ledger_closed_at, selling_account_address, selling_asset_code,
+       selling_asset_issuer, selling_asset_type, selling_amount,
+       CASE WHEN selling_asset_type = 'native'
+            THEN selling_amount * coalesce(x_price, 0)
+            ELSE selling_amount * coalesce(x_price, 0) * coalesce(c_price, 0)
+       END AS selling_amount_usd,
+       buying_account_address, buying_asset_code, buying_asset_issuer,
+       buying_asset_type, buying_amount,
+       CASE WHEN buying_asset_type = 'native'
+            THEN buying_amount * coalesce(x_price, 0)
+            ELSE buying_amount * coalesce(x_price, 0) * coalesce(d_price, 0)
+       END AS buying_amount_usd,
+       price_n, price_d, selling_liquidity_pool_id, liquidity_pool_fee,
+       CASE WHEN selling_liquidity_pool_id IS NOT NULL THEN 'AMM' ELSE 'DEX' END AS trade_type
+FROM j
+"""
+
+SPECS["q74_relevant_asset_trades"] = QuerySpec(
+    q74_relevant_asset_trades,
+    Q74_SQL,
+    "v_relevant_asset_trades: dual semi-gates, three as-of USD valuations, AMM/DEX tag",
+)
