@@ -28,19 +28,21 @@ QUERIES.update(connectors.SPECS)
 
 # Deliberate iteration order for the external correctness driver, which
 # walks queries() in dict order and checks the first ~50 entries per
-# round (the corpus is 150 entries as of round 12 — q66-q70 new —
-# larger than the window; r11's driver pass checked 50).
+# round (the corpus is 154 entries as of round 13 — q71-q74 new —
+# larger than the window; r12's driver pass checked 50).
 #
 # ROTATION INVARIANT (VERDICT r6 ask #2, bound restated per VERDICT r9
 # ask #3): each round fronts (a) any entry that has NEVER had a green
 # driver row, then (b) the STALEST entries first (latest green row
 # oldest round), ordered within a staleness class so entries touched by
 # this round's code changes come first. ATTAINABLE FRESHNESS BOUND:
-# with a ~48-50-entry window over a 145-entry corpus, full refresh
-# takes ceil(145/48) = 3 rounds — "no entry staler than 3 rounds" is
-# the invariant the rotation can actually keep, and in-repo oracle
-# parity (test_oracle_parity.py, every pytest run) covers the stale
-# tail between driver rows.
+# the bound follows the corpus size — ceil(corpus / window) rounds. At
+# 145 entries that was 3 rounds; corpus growth (150 at r12, 154 at
+# r13) moves it to ceil(154/50) = 4, so the invariant the rotation can
+# actually keep from r13 on is "no entry staler than 4 rounds" (review
+# r13: the old comment kept quoting the 145-entry arithmetic). In-repo
+# oracle parity (test_oracle_parity.py, every pytest run) covers the
+# stale tail between driver rows either way.
 #
 # Round 13 window, honoring VERDICT r12 ask #2 exactly: (a) the two
 # RED entries first (s11/s13 — the filterPushdown session-self-

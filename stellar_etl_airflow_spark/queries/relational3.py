@@ -1072,6 +1072,58 @@ SPECS["q70_sql_script"] = QuerySpec(
 # ---------------------------------------------------------------------------
 
 
+def _price_inputs(ev):
+    """Shared derived price series for the mart entries (q71/q73/q74):
+    sparse per-(asset_code, asset_issuer) XLM price updates and an
+    XLM/USD series, deduped per (key, ts) so every window/rank order is
+    total in both engines. ``event_id % 5`` (NOT % 10 — review r13:
+    an even-only modulus priced only AST0/AST2 while the odd-parity
+    trades carried AST1/AST3, leaving q71's asset-price as-of join
+    structurally dead and the oracle vacuously green) spans both
+    parities, so all of AST0..AST3 carry prices. One definition here +
+    one SQL CTE string (_PRICE_CTES) keeps the three entries and their
+    oracles from desynchronizing."""
+    prices_xlm = (
+        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 5 == 0))
+        .groupBy(
+            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
+            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
+            F.col("ts").alias("last_updated_ts"),
+        )
+        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
+    )
+    prices_usd = (
+        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
+        .groupBy(F.col("ts").alias("last_updated_ts"))
+        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
+        .withColumn("asset_id", F.lit("XLM"))
+    )
+    return prices_xlm, prices_usd
+
+
+# the same two series as DuckDB CTEs (px keyed by (p_code, p_issuer,
+# p_ts) -> price; pu keyed by x_ts -> x_price)
+_PRICE_CTES = """
+px AS (
+  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
+         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
+         ts AS p_ts,
+         min(1.0 + (event_id % 97) / 10.0) AS price
+  FROM events WHERE event_type = 'view' AND event_id % 5 = 0
+  GROUP BY 1, 2, 3
+),
+pu AS (
+  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS x_price
+  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
+  GROUP BY 1
+)"""
+
+# the same block without the WITH-list comma handling: spliced into the
+# entries' oracle CTE lists via f-string
+_PRICE_CTES_INNER = _PRICE_CTES.strip()
+
+
+
 def _q71_inputs(spark: SparkSession, sf_dir: str):
     (ev,) = tables(spark, sf_dir, "events")
     native = F.col("event_id") % 2 == 0
@@ -1111,21 +1163,7 @@ def _q71_inputs(spark: SparkSession, sf_dir: str):
     )
     # sparse price updates; groupBy de-dups any (key, ts) collision so
     # the LEAD window order is total in BOTH engines
-    prices_xlm = (
-        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 10 == 0))
-        .groupBy(
-            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
-            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
-            F.col("ts").alias("last_updated_ts"),
-        )
-        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
-    )
-    prices_usd = (
-        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
-        .groupBy(F.col("ts").alias("last_updated_ts"))
-        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
-        .withColumn("asset_id", F.lit("XLM"))
-    )
+    prices_xlm, prices_usd = _price_inputs(ev)
     return trades, pools, prices_xlm, prices_usd
 
 
@@ -1136,7 +1174,7 @@ def q71_trade_volume_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return liquidity_pool_trade_volume(trades, pools, prices_xlm, prices_usd)
 
 
-Q71_SQL = """
+Q71_SQL = f"""
 WITH trades AS (
   SELECT ts AS ledger_closed_at,
          'LP' || CAST(user_id % 8 AS VARCHAR) AS selling_liquidity_pool_id,
@@ -1170,19 +1208,7 @@ pools AS (
 -- PURPOSE: DuckDB 1.0.0 wedges (>10 min, plan looks fine, count(*) is
 -- instant) when projecting payload columns through this particular
 -- CTE + double-inequality LEFT JOIN shape — see SCALE.md r13.
-px AS (
-  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
-         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
-         ts AS p_ts,
-         min(1.0 + (event_id % 97) / 10.0) AS price
-  FROM events WHERE event_type = 'view' AND event_id % 10 = 0
-  GROUP BY 1, 2, 3
-),
-pu AS (
-  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS xlm_price
-  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
-  GROUP BY 1
-),
+{_PRICE_CTES_INNER},
 tv AS (
   SELECT t.*, pl.asset_a_code, pl.asset_a_issuer, pl.asset_b_code, pl.asset_b_issuer,
          pl.asset_pair, 1 + liquidity_pool_fee / 10000 AS fee_multiplier
@@ -1195,7 +1221,7 @@ j1 AS (
    AND tv.ledger_closed_at >= p.p_ts
 ),
 j AS (
-  SELECT j1.*, x.xlm_price
+  SELECT j1.*, x.x_price AS xlm_price
   FROM j1 ASOF LEFT JOIN pu x ON j1.ledger_closed_at >= x.x_ts
 )
 SELECT ledger_closed_at, selling_liquidity_pool_id,
@@ -1349,25 +1375,11 @@ def q73_liquidity_pool_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("AST"), (i % 6).cast("string"), F.lit(":"), F.lit("AST"), (i % 5).cast("string")
         ).alias("asset_pair"),
     )
-    prices_xlm = (
-        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 10 == 0))
-        .groupBy(
-            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
-            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
-            F.col("ts").alias("last_updated_ts"),
-        )
-        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
-    )
-    prices_usd = (
-        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
-        .groupBy(F.col("ts").alias("last_updated_ts"))
-        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
-        .withColumn("asset_id", F.lit("XLM"))
-    )
+    prices_xlm, prices_usd = _price_inputs(ev)
     return liquidity_pool_value(pools, prices_xlm, prices_usd)
 
 
-Q73_SQL = """
+Q73_SQL = f"""
 WITH pools AS (
   SELECT 'LP' || CAST(i AS VARCHAR) AS liquidity_pool_id,
          CASE WHEN i % 4 = 0 THEN 'native' ELSE 'credit_alphanum4' END AS asset_a_type,
@@ -1381,29 +1393,17 @@ WITH pools AS (
          'AST' || CAST(i % 6 AS VARCHAR) || ':' || 'AST' || CAST(i % 5 AS VARCHAR) AS asset_pair
   FROM range(24) t(i)
 ),
-px AS (
-  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
-         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
-         ts AS p_ts,
-         min(1.0 + (event_id % 97) / 10.0) AS price_in_xlm
-  FROM events WHERE event_type = 'view' AND event_id % 10 = 0
-  GROUP BY 1, 2, 3
-),
+{_PRICE_CTES_INNER},
 latest AS (
-  SELECT p_code, p_issuer, price_in_xlm FROM (
-    SELECT p_code, p_issuer, price_in_xlm,
+  SELECT p_code, p_issuer, price AS price_in_xlm FROM (
+    SELECT p_code, p_issuer, price,
            rank() OVER (PARTITION BY p_code, p_issuer ORDER BY p_ts DESC) AS rnk
     FROM px
   ) WHERE rnk = 1
 ),
-pu AS (
-  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS price_in_usd
-  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
-  GROUP BY 1
-),
 xlm AS (
-  SELECT price_in_usd AS xlm_price_usd FROM (
-    SELECT price_in_usd, row_number() OVER (ORDER BY x_ts DESC) AS rn FROM pu
+  SELECT x_price AS xlm_price_usd FROM (
+    SELECT x_price, row_number() OVER (ORDER BY x_ts DESC) AS rn FROM pu
   ) WHERE rn = 1
 ),
 vals AS (
@@ -1489,25 +1489,11 @@ def q74_relevant_asset_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("AST"), F.col("id").cast("string")).alias("code"),
         F.concat(F.lit("I"), F.col("id").cast("string")).alias("issuer"),
     )
-    prices_xlm = (
-        ev.filter((F.col("event_type") == "view") & (F.col("event_id") % 10 == 0))
-        .groupBy(
-            F.concat(F.lit("AST"), (F.col("event_id") % 4).cast("string")).alias("asset_code"),
-            F.concat(F.lit("I"), (F.col("event_id") % 4).cast("string")).alias("asset_issuer"),
-            F.col("ts").alias("last_updated_ts"),
-        )
-        .agg(F.min(F.lit(1.0) + (F.col("event_id") % 97) / 10.0).alias("price_in_xlm"))
-    )
-    prices_usd = (
-        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
-        .groupBy(F.col("ts").alias("last_updated_ts"))
-        .agg(F.min(F.lit(0.05) + (F.col("event_id") % 13) / 100.0).alias("price_in_usd"))
-        .withColumn("asset_id", F.lit("XLM"))
-    )
+    prices_xlm, prices_usd = _price_inputs(ev)
     return relevant_asset_trades(trades, meaningful, prices_xlm, prices_usd)
 
 
-Q74_SQL = """
+Q74_SQL = f"""
 WITH trades AS (
   SELECT event_id AS history_operation_id,
          event_id % 3 AS "order",
@@ -1547,19 +1533,7 @@ kept AS (
            SELECT 1 FROM meaningful m
            WHERE t.buying_asset_code = m.m_code AND t.buying_asset_issuer = m.m_issuer))
 ),
-px AS (
-  SELECT 'AST' || CAST(event_id % 4 AS VARCHAR) AS p_code,
-         'I' || CAST(event_id % 4 AS VARCHAR) AS p_issuer,
-         ts AS p_ts,
-         min(1.0 + (event_id % 97) / 10.0) AS price
-  FROM events WHERE event_type = 'view' AND event_id % 10 = 0
-  GROUP BY 1, 2, 3
-),
-pu AS (
-  SELECT ts AS x_ts, min(0.05 + (event_id % 13) / 100.0) AS x_price
-  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
-  GROUP BY 1
-),
+{_PRICE_CTES_INNER},
 j1 AS (
   SELECT k.*, c.price AS c_price
   FROM kept k ASOF LEFT JOIN px c

@@ -10,8 +10,9 @@ with NULL-filled new columns).
 
 Protocol per K: build a bucketed state table from K x sf0.1 events
 (id-offset replication, 64 buckets), then apply ONE fixed-size change
-batch (the base replica's ``event_id % 31 == 0`` slice, ~3% of keys,
-carrying a NEW ``segment`` column) with evolution on. Report: merge
+batch (the base replica's ``user_id % 100 == 0`` slice — ~1% of KEYS,
+so the batch hashes to a strict bucket subset — carrying a NEW
+``segment`` column) with evolution on. Report: merge
 wall, files rewritten (manifest diff) vs total files, and a read-back
 aggregate over old+new rows to prove the mixed-schema table plans.
 
@@ -41,21 +42,14 @@ N_BUCKETS = 64
 
 
 def _events_k(spark: SparkSession, k: int):
+    from probe_lib import k_replicas
+
     (ev,) = tables(spark, SF_DIR, "events")
-    parts = []
-    for r in range(k):
-        parts.append(
-            ev.select(
-                (F.col("user_id").cast("long") + F.lit(r).cast("long") * F.lit(10**9)).alias("user_id"),
-                "ts",
-                (F.col("event_id").cast("long") + F.lit(r).cast("long") * F.lit(10**12)).alias("event_id"),
-                "value",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return k_replicas(
+        ev.select("user_id", "ts", "event_id", "value"),
+        k,
+        {"user_id": 10**9, "event_id": 10**12},
+    )
 
 
 def run(spark: SparkSession, k: int) -> dict:

@@ -41,15 +41,10 @@ def _replicate(spark: SparkSession, table: str, id_col: str, k: int) -> str:
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
+    from probe_lib import k_replicas
+
     (df,) = tables(spark, SF_DIR, table)
-    parts = [
-        df.withColumn(id_col, F.col(id_col).cast("long") + F.lit(r).cast("long") * F.lit(10**12))
-        for r in range(k)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionAll(p)
-    u.write.mode("overwrite").parquet(out)
+    k_replicas(df, k, {id_col: 10**12}).write.mode("overwrite").parquet(out)
     open(os.path.join(out, "_DONE"), "w").close()
     return out
 

@@ -46,22 +46,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _docs(spark: SparkSession, k: int):
-    """K-replicated q66 documents (id-offset replication keeps every
-    replica's rows distinct but the same shape/cardinality profile)."""
+    """K-replicated q66 documents (probe_lib.k_replicas: distinct rows
+    per replica, same shape/cardinality profile)."""
+    from probe_lib import k_replicas
+
     (ev,) = tables(spark, SF_DIR, "events")
-    parts = []
-    for r in range(k):
-        parts.append(
-            ev.select(
-                (F.col("event_id").cast("long") + F.lit(r).cast("long") * F.lit(10**12)).alias("event_id"),
-                "event_type",
-                (F.col("user_id").cast("long") + F.lit(r).cast("long") * F.lit(10**9).cast("long")).alias("user_id"),
-                "props",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
+    out = k_replicas(
+        ev.select("event_id", "event_type", "user_id", "props"),
+        k,
+        {"event_id": 10**12, "user_id": 10**9},
+    )
     return out.select(
         F.to_json(
             F.struct(
