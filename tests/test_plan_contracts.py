@@ -600,3 +600,26 @@ def test_sql_udf_inlines_to_codegen(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     for bad in ("Python", "BatchEval", "SQLFunction", "Invoke"):
         assert bad not in plan, bad
+
+
+def test_mart_entries_fact_side_broadcast_only(spark):
+    """q71/q74 (r13): the mart pipelines must stream the trade fact side
+    through BROADCAST joins only — no sort-merge join (which would
+    shuffle 100 TB of trades by join key), no cartesian product, and
+    exactly ONE nested-loop operator: the keyless XLM-window broadcast
+    (the intentional q07/q08 pattern — tiny build side, range-only
+    condition). q73 additionally must compile its rank()=1 latest-price
+    window to WindowGroupLimit (top-1 below the shuffle), not a full
+    window sort."""
+    from stellar_etl_airflow_spark.queries import QUERIES
+
+    for name, min_bhj in (("q71_trade_volume_mart", 2), ("q74_relevant_asset_trades", 5)):
+        plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert len(re.findall(r"BroadcastHashJoin", plan)) >= min_bhj, name
+        assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1, name
+
+    plan = _physical(QUERIES["q73_liquidity_pool_value"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan  # rank()=1 pruned below the exchange
