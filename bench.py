@@ -213,41 +213,84 @@ class _LoadProbe:
 _HISTORY = "bench_history.jsonl"
 
 
+def _git_state() -> tuple[str | None, bool]:
+    """(HEAD sha, tree-dirty?) — None/True on any git failure."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here,
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip() or None
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", "stellar_etl_airflow_spark", "bench.py"],
+            cwd=here, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip())
+        return sha, dirty
+    except Exception:  # noqa: BLE001 - history stamping must never break the bench
+        return None, True
+
+
 def _record_history(timings: dict, sf: float | None) -> None:
     """Append this run's full per-query map to bench_history.jsonl —
     the driver's BENCH_r*.json keeps only a HEAD-TRUNCATED stdout tail
     (the per-query line loses its front half), so the A/B stamp needs a
-    committed full-map history to compare against."""
+    committed full-map history to compare against. Each row records the
+    ENGINE-TREE commit it ran on (r13, the judge's r12 candidate): the
+    A/B must not adjudicate against a same-tree row, and the worktree
+    checkout must target the row's actual code, not whichever commit
+    last happened to touch the history file."""
     here = os.path.dirname(os.path.abspath(__file__))
+    sha, dirty = _git_state()
     try:
         with open(os.path.join(here, _HISTORY), "a") as fh:
-            fh.write(json.dumps({"ts": time.time(), "sf": sf, "queries": timings}) + "\n")
+            fh.write(json.dumps({
+                "ts": time.time(), "sf": sf, "commit": sha, "dirty": dirty,
+                "queries": timings,
+            }) + "\n")
     except OSError:
         pass
 
 
-def _prior_bench(sf: float | None) -> tuple[str, dict, float | None] | None:
-    """Newest prior per-query map AT THE SAME SF: (source, map, sf).
-    Prefers the committed bench_history.jsonl (full map; scanned newest
-    first for a matching-sf record — local sf0.001 verify runs must not
-    shadow the recorded sf0.1 prior); falls back to recovering pairs
-    from the newest BENCH_r*.json's head-truncated tail with a regex
-    (only the alphabetic tail of the corpus survives there)."""
+def _prior_bench(sf: float | None) -> tuple[str, dict, float | None, str | None] | None:
+    """Newest prior per-query map AT THE SAME SF: (source, map, sf,
+    recorded_commit|None). Prefers the committed bench_history.jsonl
+    (full map; scanned newest first for a matching-sf record — local
+    sf0.001 verify runs must not shadow the recorded sf0.1 prior), and
+    SKIPS rows recorded on the CURRENT tree's HEAD when an older
+    different-tree row exists (r13, the judge's r12 candidate: two
+    same-day same-sf rows — one from this tree, one from the prior
+    round — made the A/B adjudicate cur-vs-cur, which can only ever
+    conclude "host drift"). Falls back to recovering pairs from the
+    newest BENCH_r*.json's head-truncated tail with a regex (only the
+    alphabetic tail of the corpus survives there)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     override = os.environ.get("SPARK_GRAFT_BENCH_PREV")
     if not override:
+        head, _ = _git_state()
         try:
             with open(os.path.join(here, _HISTORY)) as fh:
                 lines = [l for l in fh.read().splitlines() if l.strip()]
+            same_tree = None
             for line in reversed(lines):
                 try:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("queries") and rec.get("sf") == sf:
-                    return _HISTORY, rec["queries"], rec.get("sf")
+                if not (rec.get("queries") and rec.get("sf") == sf):
+                    continue
+                if head and rec.get("commit") == head:
+                    # same tree as the run being adjudicated: keep as a
+                    # last resort, keep scanning for a true prior
+                    same_tree = same_tree or (_HISTORY, rec["queries"], rec.get("sf"), rec.get("commit"))
+                    continue
+                return _HISTORY, rec["queries"], rec.get("sf"), rec.get("commit")
+            if same_tree is not None:
+                return same_tree
         except (OSError, ValueError):
             pass
     candidates = (
@@ -268,7 +311,7 @@ def _prior_bench(sf: float | None) -> tuple[str, dict, float | None] | None:
             except ValueError:
                 obj = None
             if obj and obj.get("metric") == "per_query_sec" and obj.get("queries"):
-                return path, obj["queries"], obj.get("sf")
+                return path, obj["queries"], obj.get("sf"), None
         # truncated-tail recovery: the per-query line is cut at the FRONT,
         # so parse name/value pairs out of whatever survived
         pairs = dict(
@@ -276,7 +319,7 @@ def _prior_bench(sf: float | None) -> tuple[str, dict, float | None] | None:
         ) if tail.splitlines() else {}
         if len(pairs) >= 10:
             msf = re.search(r'"sf": ([0-9.]+)', tail)
-            return path, pairs, float(msf.group(1)) if msf else rec.get("sf")
+            return path, pairs, float(msf.group(1)) if msf else rec.get("sf"), None
     return None
 
 
@@ -298,7 +341,7 @@ def _ab_stamp(timings: dict[str, float], sf_dir: str, sf: float | None) -> dict:
     if prior is None:
         out["ab_skipped"] = "no prior BENCH_r*.json with a per-query line"
         return out
-    prev_file, prev_q, prev_sf = prior
+    prev_file, prev_q, prev_sf, prev_commit = prior
     if prev_sf != sf:
         out["ab_skipped"] = f"prior bench at sf={prev_sf}, current sf={sf}"
         return out
@@ -319,7 +362,10 @@ def _ab_stamp(timings: dict[str, float], sf_dir: str, sf: float | None) -> dict:
         return out
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        sha = subprocess.run(
+        # prefer the commit the prior row RECORDED (r13): git-log on the
+        # history file maps an uncommitted row to whatever commit last
+        # touched the file, which can be the current tree
+        sha = prev_commit or subprocess.run(
             ["git", "log", "-n1", "--format=%H", "--", os.path.basename(prev_file)],
             cwd=here, capture_output=True, text=True, timeout=60, check=True,
         ).stdout.strip()

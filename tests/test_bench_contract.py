@@ -125,8 +125,43 @@ def test_record_history_not_gated_on_ab_env(tmp_path, monkeypatch):
     # the join, so both write and read land in tmp_path
     monkeypatch.setattr(bench, "_HISTORY", str(tmp_path / "hist.jsonl"))
     bench._record_history({"q01": 1.0}, 0.1)
-    src, qmap, sf = bench._prior_bench(0.1)
+    src, qmap, sf, commit = bench._prior_bench(0.1)
     assert qmap and sf == 0.1
+
+
+def test_history_rows_record_commit(tmp_path, monkeypatch):
+    """r13 (judge's r12 candidate): each history row must stamp the
+    engine-tree commit so the A/B can (a) refuse to adjudicate against a
+    same-tree row and (b) check out the row's ACTUAL code."""
+    monkeypatch.setattr(bench, "_HISTORY", str(tmp_path / "hist.jsonl"))
+    bench._record_history({"q01": 1.0}, 0.1)
+    rec = json.loads(open(tmp_path / "hist.jsonl").read().strip())
+    head, _dirty = bench._git_state()
+    assert rec["commit"] == head and head
+
+
+def test_prior_bench_skips_same_tree_rows(tmp_path, monkeypatch):
+    """Two same-sf rows — older from a prior tree, newer from THIS tree
+    (the same-day double-run shape): the prior must be the OLDER,
+    different-tree row, else the A/B compares cur vs cur and can only
+    ever conclude host drift. With ONLY same-tree rows, fall back to the
+    newest one rather than skipping the A/B entirely."""
+    monkeypatch.setattr(bench, "_HISTORY", str(tmp_path / "hist.jsonl"))
+    head, _ = bench._git_state()
+    rows = [
+        {"ts": 1.0, "sf": 0.1, "commit": "priorsha000", "queries": {"q01": 2.0}},
+        {"ts": 2.0, "sf": 0.1, "commit": head, "queries": {"q01": 1.0}},
+    ]
+    with open(tmp_path / "hist.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    src, qmap, sf, commit = bench._prior_bench(0.1)
+    assert commit == "priorsha000" and qmap == {"q01": 2.0}
+    # only same-tree rows -> newest survives as last resort
+    with open(tmp_path / "hist.jsonl", "w") as fh:
+        fh.write(json.dumps(rows[1]) + "\n")
+    src, qmap, sf, commit = bench._prior_bench(0.1)
+    assert commit == head and qmap == {"q01": 1.0}
 
 
 def test_emit_output_order_and_final_line(capsys):
