@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 from pyspark.sql.window import Window
+from ..session import local_df
 
 _SIDE, _ATS = "_asof_side", "_asof_ts"
 
@@ -284,7 +285,7 @@ def asof_join_pandas(
         hot_rows = hot.collect()
         if hot_rows:
             spark = left.sparkSession
-            hotk = spark.createDataFrame(hot_rows, hot.schema)
+            hotk = local_df(spark, hot_rows, hot.schema)
             l_cold = left.join(F.broadcast(hotk), keys, "left_anti")
             r_cold = rsel.join(F.broadcast(hotk), keys, "left_anti")
 

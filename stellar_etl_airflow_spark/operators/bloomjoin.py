@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 
 _BW = "_bloom_words"
 
@@ -113,7 +114,7 @@ def bloom_prefilter(
     a ~125 MB bitset without changes.
     """
     words = build_bloom_words(values, values_col or col, m_bits, k)
-    bw = df.sparkSession.createDataFrame([(words,)], f"{_BW} array<bigint>")
+    bw = local_df(df.sparkSession, [(words,)], f"{_BW} array<bigint>")
     return (
         df.crossJoin(F.broadcast(bw))
         .filter(bloom_probe_predicate(col, m_bits, k))

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from ..sinks import writer
 from ..sources.ndjson import read_ndjson, stamp_batch_columns
 from .batch import BatchWindow
+from ..session import local_df
 
 BATCH_RUNS_SCHEMA = T.StructType(
     [
@@ -79,7 +80,7 @@ def record_batch_stats(
     spark: SparkSession, wh: Warehouse, window: BatchWindow, table: str, batch_start: datetime
 ) -> None:
     row = [(window.batch_id, window.batch_run_date, window.start_ledger, window.end_ledger, table, batch_start)]
-    spark.createDataFrame(row, BATCH_RUNS_SCHEMA).write.mode("append").parquet(wh.meta_path())
+    local_df(spark, row, BATCH_RUNS_SCHEMA).write.mode("append").parquet(wh.meta_path())
 
 
 def record_ingest_counters(

@@ -49,6 +49,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..session import empty_df
 
 
 def latest_changes(
@@ -142,7 +143,7 @@ def merge_upsert_scoped(
         # basePath keeps the _p column; align column order with changes
         tgt = tgt.select(*ch.columns)
     else:
-        tgt = spark.createDataFrame([], ch.schema)
+        tgt = empty_df(spark, ch.schema)
     merged = merge_upsert(tgt, ch, keys, deleted_col, order_cols)
 
     # one job writes every touched bucket into a dot-prefixed sibling stage
@@ -630,7 +631,7 @@ def _merge_versioned_once(
                         "allow_schema_evolution=True"
                     )
                 empty_drift = True
-        tgt = spark.createDataFrame([], ch.schema)
+        tgt = empty_df(spark, ch.schema)
     merged = combine(tgt, ch)
 
     stage = os.path.abspath(os.path.join(path, f"_stage-{uuid.uuid4().hex[:8]}"))

@@ -30,6 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df
 from .base import QuerySpec, tables
 
 
@@ -92,7 +93,7 @@ def q55_snapshot_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = sel.collect(), sel.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q55_SQL = """
@@ -139,7 +140,7 @@ def s10_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 S10_SQL = """
@@ -234,7 +235,7 @@ def q56_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q56_SQL = """
@@ -321,7 +322,7 @@ def s11_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = back.collect(), back.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 S11_SQL = """
@@ -443,7 +444,7 @@ def s12_stream_cdf_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def s13_snapshot_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,7 +493,7 @@ def s13_snapshot_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         for d in (src, dst, ckpt):
             shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 S13_SQL = """
@@ -554,7 +555,7 @@ def q58_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = sel.collect(), sel.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q58_SQL = """
@@ -600,7 +601,7 @@ def q59_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = sel.collect(), sel.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q59_SQL = """
@@ -667,7 +668,7 @@ def q60_state_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = sel.collect(), sel.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q60_SQL = """
@@ -799,7 +800,7 @@ def q61_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = sel.collect(), sel.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q61_SQL = """
@@ -868,7 +869,7 @@ def q62_transactional_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q62_SQL = """
@@ -934,7 +935,7 @@ def q63_additive_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def S_latest(path):
@@ -1011,7 +1012,7 @@ def q64_ingest_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q64_SQL = """
@@ -1072,7 +1073,7 @@ def q67_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q67_SQL = """

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import local_df
 from .base import QuerySpec, dsum, dsum_sql, tables
 
 # ---------------------------------------------------------------------------
@@ -932,7 +933,7 @@ def q68_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema  # detach before cleanup
     finally:
         _shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 SPECS["q68_variant_storage"] = QuerySpec(

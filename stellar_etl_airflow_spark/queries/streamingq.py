@@ -21,7 +21,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_nanos
+from ..session import normalize_nanos, local_df
 from . import relational
 from .base import QuerySpec, dsum, dsum_sql, tables
 from .relational3 import Q34_SQL
@@ -407,7 +407,7 @@ def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # detach the result from the per-run scratch dirs before removing
         # them (state size = distinct users — bounded, not corpus-sized)
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 S06_SQL = """
@@ -535,7 +535,7 @@ def s08_stream_crash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # detach the result from the per-run scratch dirs before removing
         # them (state size = distinct users — bounded, not corpus-sized)
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def s09_stream_additive_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,7 +615,7 @@ def s09_stream_additive_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
         )
         # detach from scratch before cleanup (mart size = distinct users)
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 S09_SQL = """
@@ -672,7 +672,7 @@ def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q51_SQL = """
@@ -815,7 +815,7 @@ def q54_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 Q54_SQL = """
@@ -1042,7 +1042,7 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.compact_small_files(spark, idx_dir)
         out = S.read_snapshot(spark, acc_dir)
         rows, schema = out.collect(), out.schema  # detach before cleanup
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def _s14_sql() -> str:
@@ -1193,7 +1193,7 @@ def s15_stream_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.compact_small_files(spark, acc_dir)
         out = S.read_snapshot(spark, acc_dir)
         rows, schema = out.collect(), out.schema  # detach before cleanup
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def _s15_sql() -> str:
@@ -1348,7 +1348,7 @@ def s16_stream_mor_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # detach from scratch before cleanup (mart size = distinct users)
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 S16_SQL = """

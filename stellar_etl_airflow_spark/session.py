@@ -66,6 +66,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
     )
+    # Preloaded worker daemon (guide §4.5 at the process level): forked
+    # Python workers inherit pyarrow/pandas/connector imports via
+    # copy-on-write instead of paying 0.3-0.6 s of imports per fresh
+    # worker (measured r13 — the dominant cost of every Python-exchanging
+    # stage on a cold pool). Guarded: only when the module is importable
+    # from here (local mode / repo checkout); cluster deployments ship it
+    # with --py-files and set the conf themselves.
+    if os.environ.get("SPARK_GRAFT_PRELOAD_DAEMON", "1") != "0":
+        import importlib.util
+
+        if importlib.util.find_spec("stellar_etl_airflow_spark.pydaemon") is not None:
+            builder = builder.config(
+                "spark.python.daemon.module", "stellar_etl_airflow_spark.pydaemon"
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -250,3 +264,29 @@ def register_python_source(spark, source_cls, attr: str) -> None:
             return
         spark.dataSource.register(source_cls)
         setattr(spark, attr, True)
+
+
+def local_df(spark: SparkSession, rows, schema, slices: int = 1):
+    """Driver-metadata DataFrame with a BOUNDED slice count.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` pickled slices — on local[32] that is 32
+    Python worker round-trips (~0.3-0.6 s each on a cold pool, measured
+    r13) to materialize a handful of driver rows, and the same 32-way
+    fan-out shows up at cluster scale as 32 scheduled tasks per tiny
+    metadata frame. Guide §5: the driver's metadata should not become
+    distributed work. One slice keeps the identical createDataFrame
+    semantics (same verification/conversion path) at one task.
+    """
+    n = max(1, min(slices, len(rows))) if rows else 1
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
+def empty_df(spark: SparkSession, schema):
+    """Zero-row DataFrame with ``schema``, built WITHOUT any Python
+    task: ``createDataFrame([], schema)`` still plans defaultParallelism
+    empty pickled partitions (32 Python worker rounds for zero rows —
+    the r13 q56 stage-49 stall). An ``emptyRDD`` with the explicit
+    schema keeps the exact schema (names, types, nullability) at zero
+    partitions — no Python task is ever launched."""
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)

@@ -27,6 +27,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import local_df
 
 
 def avro_export_dir(root: str, table: str, run_ts: datetime) -> str:
@@ -167,7 +168,7 @@ def read_export(spark: SparkSession, fmt: str, path: str) -> DataFrame:
                 rows = [AW.decode_logicals(avsc, r) for r in raw]
                 yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
-    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
+    fdf = local_df(spark, [(f,) for f in files], "path string").repartition(len(files))
     return fdf.mapInArrow(read_part, schema)
 
 

@@ -52,6 +52,7 @@ import uuid
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import local_df
 
 _SNAPDIR = "_snapshots"
 
@@ -376,8 +377,8 @@ def compute_blooms(
             }
         )
 
-    mdf = spark.createDataFrame(
-        [(f, m) for f, m in file_m.items()], "_fp string, _m long"
+    mdf = local_df(
+        spark, [(f, m) for f, m in file_m.items()], "_fp string, _m long"
     )
     # enforce the docstring's type contract (ADVICE r7): a float/timestamp
     # bloom column would record hashes of Spark's CAST AS STRING, which
@@ -885,7 +886,8 @@ def append_versioned_rows(
     staged_fields = set(arrow_schema.names)
 
     def frame():
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 tuple(
                     _decimal.Decimal(v) if isinstance(t, pa.Decimal128Type) and v is not None
@@ -1238,7 +1240,7 @@ def _apply_dv(spark: SparkSession, df_with_meta: DataFrame, dv: dict) -> DataFra
     scan's ``_dv_file`` is always absolute — normalize here so a table
     opened via a relative path still masks (review finding r7)."""
     rows = [(os.path.abspath(f), int(i)) for f, ids in dv.items() for i in ids]
-    dv_df = spark.createDataFrame(rows, "_dv_file string, _dv_idx long")
+    dv_df = local_df(spark, rows, "_dv_file string, _dv_idx long")
     return df_with_meta.join(
         F.broadcast(dv_df), ["_dv_file", "_dv_idx"], "left_anti"
     ).drop("_dv_file", "_dv_idx")
@@ -2056,7 +2058,8 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
             )
         )
         prev = files
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "version int, ts double, n_files int, total_bytes long, "
         "n_added int, n_removed int, is_current boolean, "
@@ -2076,7 +2079,7 @@ def snapshot_files(spark: SparkSession, path: str, version: int | None = None) -
             rows.append((f, st.st_size, float(st.st_mtime)))
         except OSError:
             rows.append((f, -1, None))
-    return spark.createDataFrame(rows, "file string, size_bytes long, mtime double")
+    return local_df(spark, rows, "file string, size_bytes long, mtime double")
 
 
 def compact_snapshot(
@@ -2539,7 +2542,8 @@ def delete_where_dv(
     if existing:  # rows already masked are not deleted again
         hits_df = hits_df.join(
             F.broadcast(
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     [(os.path.abspath(f), int(i)) for f, ids in existing.items() for i in ids],
                     "_dv_file string, _dv_idx long",
                 )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import empty_df
 
 PART_COL = "_p"
 _FMT = {"month": "yyyy-MM", "day": "yyyy-MM-dd"}
@@ -65,4 +66,4 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 def truncate_like(spark: SparkSession, df_schema, path: str) -> None:
     """TRUNCATE (dataset-reset, build_delete_data_for_reset_task.py:8-30):
     overwrite with an empty frame of the same schema."""
-    spark.createDataFrame([], df_schema).write.mode("overwrite").parquet(path)
+    empty_df(spark, df_schema).write.mode("overwrite").parquet(path)

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from ..sinks import writer
 from ..sources.ndjson import stamp_batch_columns
 from .csvsrc import read_partner_csv  # noqa: F401  (same family, re-exported)
+from ..session import local_df
 
 
 def get_secret(name: str, default: str | None = None) -> str:
@@ -41,7 +42,7 @@ def fetch_to_dataframe(
 ) -> DataFrame:
     """Driver-side fetch -> schema-pinned DataFrame."""
     rows = fetcher()
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema, slices=4)
 
 
 def ingest_external(

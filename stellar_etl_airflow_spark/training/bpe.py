@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import words_col
+from ..session import local_df
 
 #: end-of-word sentinel, kept out of the corpus alphabet by construction
 EOW = "▁"
@@ -273,8 +274,8 @@ def bpe_merges_df(df: DataFrame, num_merges: int, text_col: str = "text") -> Dat
     spark = df.sparkSession
     merges = bpe_learn(df, num_merges, text_col)
     rows = [(i, a, b, n) for i, (a, b, n) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, pair_freq long"
+    return local_df(
+        spark, rows, "rank int, left string, right string, pair_freq long"
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 
 # Portable 60-bit hash shared with the oracle side (queries/base.py).
 PH = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
@@ -662,7 +663,7 @@ def rebalance_sources(
     counts = {r["s"]: r["c"] for r in df.groupBy(F.col(source_col).alias("s")).agg(F.count(F.lit(1)).alias("c")).collect()}
     m = min(counts.get(s, 0) / p for s, p in targets.items() if p > 0)
     rates = [(s, min(1.0, (p * m) / counts[s])) for s, p in targets.items() if counts.get(s)]
-    rates_df = sess.createDataFrame(rates, f"{source_col} string, keep_rate double")
+    rates_df = local_df(sess, rates, f"{source_col} string, keep_rate double")
     gate = F.expr(PH.format(x=f"cast({id_col} as string)")) % 1_000_000
     return (
         df.join(F.broadcast(rates_df), source_col)
