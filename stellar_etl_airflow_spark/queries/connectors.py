@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import local_df
+from ..session import detach_result, local_df
 from .base import QuerySpec, tables
 
 
@@ -90,10 +90,10 @@ def q55_snapshot_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"snapshot pushdown pruned nothing: {survivors}/{n_files} files planned"
             )
-        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+        sel = detach_result(sel)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return sel
 
 
 Q55_SQL = """
@@ -137,10 +137,10 @@ def s10_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_changes(spark, path, from_version=v1, to_version=v2).select(
             "user_id", CHANGE_TYPE_COL, "ts", "event_id", "value"
         )
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 S10_SQL = """
@@ -232,10 +232,10 @@ def q56_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ch = read_changes(spark, path, v1, v2).select(*cols, CHANGE_TYPE_COL)
         out = scd2_apply_cdf(snap, ch, ("user_id",), ts2)
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 Q56_SQL = """
@@ -319,10 +319,10 @@ def s11_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not any(k.startswith("snapshot_stream:") for k in m.get("txns", {})):
             raise AssertionError("stream sink published without a ledger entry")
         back = spark.read.format(snapshot_source.FORMAT_NAME).option("path", path).load()
-        rows, schema = back.collect(), back.schema  # detach before cleanup
+        back = detach_result(back)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return back
 
 
 S11_SQL = """
@@ -424,7 +424,7 @@ def s12_stream_cdf_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not rows:
                 return
             holder["snap"] = scd2_apply_cdf(
-                holder["snap"], spark.createDataFrame(rows, ch.schema),
+                holder["snap"], local_df(spark, rows, ch.schema, slices=4),
                 ("user_id",), ts2,
             ).localCheckpoint(eager=True)
 
@@ -439,12 +439,11 @@ def s12_stream_cdf_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
             .awaitTermination()
         )
-        out = holder["snap"]
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = holder["snap"]  # already localCheckpoint-detached above
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 def s13_snapshot_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,11 +488,11 @@ def s13_snapshot_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         if not any(k.startswith("snapshot_stream:") for k in m.get("txns", {})):
             raise AssertionError("stream sink published without a ledger entry")
         back = spark.read.format(snapshot_source.FORMAT_NAME).option("path", dst).load()
-        rows, schema = back.collect(), back.schema  # detach before cleanup
+        back = detach_result(back)  # JVM-side detach before cleanup
     finally:
         for d in (src, dst, ckpt):
             shutil.rmtree(d, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return back
 
 
 S13_SQL = """
@@ -552,10 +551,10 @@ def q58_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = S.scan_snapshot(spark, path, [("p_partkey", "<=", thr)]).select(
             "p_partkey", "p_name", "price", "p_size"
         )
-        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+        sel = detach_result(sel)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return sel
 
 
 Q58_SQL = """
@@ -598,10 +597,10 @@ def q59_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         if S.read_snapshot(spark, path, 1).count() != n0:
             raise AssertionError("time travel must still see pre-delete rows")
         sel = S.read_snapshot(spark, path)
-        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+        sel = detach_result(sel)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return sel
 
 
 Q59_SQL = """
@@ -665,10 +664,10 @@ def q60_state_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = S.read_snapshot(spark, path).select(
             "c_custkey", "acct_balance", "c_mktsegment"
         )
-        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+        sel = detach_result(sel)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return sel
 
 
 Q60_SQL = """
@@ -797,10 +796,10 @@ def q61_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"zorder pruned nothing: {survivors}/{n_files} files survive"
             )
         sel = S.scan_snapshot(spark, path, where)
-        rows, schema = sel.collect(), sel.schema  # detach before cleanup
+        sel = detach_result(sel)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return sel
 
 
 Q61_SQL = """
@@ -866,10 +865,10 @@ def q62_transactional_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_price"),
             )
         )
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 Q62_SQL = """
@@ -932,10 +931,10 @@ def q63_additive_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = AM.read_additive(spark, path).withColumn(
             "total_price", F.col("total_price").cast("double")
         )
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 def S_latest(path):
@@ -1009,10 +1008,10 @@ def q64_ingest_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # REDELIVERY of the first batch: ledger rode through the fold
             record_ingest_counters(spark, wh, w, s, counts.get((s, 0), 0))
         out = read_ingest_counters(spark, wh)
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 Q64_SQL = """
@@ -1070,10 +1069,10 @@ def q67_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = S.read_snapshot(spark, path).select(
             "user_id", "ts", "event_id", "value", "segment"
         )
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 Q67_SQL = """

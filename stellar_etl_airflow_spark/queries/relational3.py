@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..session import local_df
+from ..session import detach_result
 from .base import QuerySpec, dsum, dsum_sql, tables
 
 # ---------------------------------------------------------------------------
@@ -930,10 +930,10 @@ def q68_variant_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("missing").alias("n_missing_nonnull"),
             )
         )
-        rows, schema = out.collect(), out.schema  # detach before cleanup
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         _shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 SPECS["q68_variant_storage"] = QuerySpec(

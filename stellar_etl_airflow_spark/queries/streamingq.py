@@ -21,7 +21,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import normalize_nanos, local_df
+from ..session import normalize_nanos, detach_result
 from . import relational
 from .base import QuerySpec, dsum, dsum_sql, tables
 from .relational3 import Q34_SQL
@@ -406,8 +406,8 @@ def s06_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_snapshot(sub, state_dir).select("user_id", "ts", "event_id", "value")
         # detach the result from the per-run scratch dirs before removing
         # them (state size = distinct users — bounded, not corpus-sized)
-        rows, schema = out.collect(), out.schema
-    return local_df(spark, rows, schema)
+        out = detach_result(out)  # JVM-side detach before cleanup
+    return out
 
 
 S06_SQL = """
@@ -534,8 +534,8 @@ def s08_stream_crash_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_snapshot(sub, state_dir).select("user_id", "ts", "event_id", "value")
         # detach the result from the per-run scratch dirs before removing
         # them (state size = distinct users — bounded, not corpus-sized)
-        rows, schema = out.collect(), out.schema
-    return local_df(spark, rows, schema)
+        out = detach_result(out)  # JVM-side detach before cleanup
+    return out
 
 
 def s09_stream_additive_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,8 +614,8 @@ def s09_stream_additive_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("total").cast("double").alias("total"),
         )
         # detach from scratch before cleanup (mart size = distinct users)
-        rows, schema = out.collect(), out.schema
-    return local_df(spark, rows, schema)
+        out = detach_result(out)  # JVM-side detach before cleanup
+    return out
 
 
 S09_SQL = """
@@ -669,10 +669,10 @@ def q51_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # detach from the per-run scratch dir before removing it (mart size =
         # users x days — bounded)
-        rows, schema = out.collect(), out.schema
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 Q51_SQL = """
@@ -812,10 +812,10 @@ def q54_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = read_snapshot(spark, path).select("user_id", "ts", "event_id", "value", "src")
         # detach from the per-run scratch dir before removing it
-        rows, schema = out.collect(), out.schema
+        out = detach_result(out)  # JVM-side detach before cleanup
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return local_df(spark, rows, schema)
+    return out
 
 
 Q54_SQL = """
@@ -1041,8 +1041,8 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the per-batch small files; ledger-carrying, content-preserving
         S.compact_small_files(spark, idx_dir)
         out = S.read_snapshot(spark, acc_dir)
-        rows, schema = out.collect(), out.schema  # detach before cleanup
-    return local_df(spark, rows, schema)
+        out = detach_result(out)  # JVM-side detach before cleanup
+    return out
 
 
 def _s14_sql() -> str:
@@ -1192,8 +1192,8 @@ def s15_stream_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         S.compact_small_files(spark, acc_dir)
         out = S.read_snapshot(spark, acc_dir)
-        rows, schema = out.collect(), out.schema  # detach before cleanup
-    return local_df(spark, rows, schema)
+        out = detach_result(out)  # JVM-side detach before cleanup
+    return out
 
 
 def _s15_sql() -> str:
@@ -1347,8 +1347,8 @@ def s16_stream_mor_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("double").alias("total"),  # dsum discipline
         )
         # detach from scratch before cleanup (mart size = distinct users)
-        rows, schema = out.collect(), out.schema
-    return local_df(spark, rows, schema)
+        out = detach_result(out)  # JVM-side detach before cleanup
+    return out
 
 
 S16_SQL = """

@@ -270,28 +270,36 @@ def _bloom_m_for(n_rows: int) -> int:
     return m
 
 
-def _bloom_position_sets(spark, files, c, mdf, k):
-    """Distinct (_f, _m, _p) bit positions for one bloom column: a scan
-    pruned to just ``c``, k md5-slice positions mod the file's m (tiny
-    broadcast (file, m) map), deduped map-side by ``distinct``."""
+def _bloom_position_sets(spark, files, cols, mdf, k):
+    """Distinct (_f, _m, _col, _p) bit positions for ALL bloom columns in
+    ONE column-pruned scan: ``stack`` emits a (column-name, md5) row per
+    column per input row (nulls dropped — per-column isNotNull semantics),
+    k md5-slice positions mod the file's m (tiny broadcast (file, m)
+    map), deduped map-side by ``distinct``. One scan + one job however
+    many bloom columns the table declares (guide §1/§5 — the previous
+    per-column loop re-scanned the files and paid one action per
+    column)."""
     from pyspark.sql import functions as F
 
-    h = F.md5(F.col(c).cast("string"))
+    pairs = []
+    for c in cols:
+        pairs.extend([F.lit(c), F.md5(F.col(c).cast("string"))])
     scan = (
         spark.read.parquet(*files)
-        .where(F.col(c).isNotNull())
         .select(
             # input_file_name is a URI; normalize to the os path the
             # manifest records so the m-lookup join and output match
             F.url_decode(F.regexp_replace(F.input_file_name(), "^file://", ""))
             .alias("_f"),
-            h.alias("_h"),
+            F.stack(F.lit(len(cols)), *pairs).alias("_col", "_h"),
         )
+        .where(F.col("_h").isNotNull())
         .join(F.broadcast(mdf), F.col("_f") == F.col("_fp"))
     )
     return scan.select(
         "_f",
         "_m",
+        "_col",
         F.explode(
             F.array(
                 *[
@@ -328,15 +336,17 @@ def compute_blooms(
     cols,
     k: int = _BLOOM_K,
 ) -> dict:
-    """{file: {col: {"m", "k", "b64"}}} via ONE distributed pass per
-    column. m is sized per file from the parquet footer row count
-    (driver-local footer reads, the ``_file_stats`` pattern), then a
-    column-pruned scan of just (input_file_name, col) computes k
+    """{file: {col: {"m", "k", "b64"}}} via ONE distributed pass for ALL
+    columns (r13: previously one scan+job per column). m is sized per
+    file from the parquet footer row count (driver-local footer reads,
+    the ``_file_stats`` pattern), then a single column-pruned scan of
+    (input_file_name, *cols) stacks per-column md5s, computes k
     md5-slice positions mod that file's m, dedups them map-side
-    (``distinct`` on (file, position) — bounded by m entries per file
-    regardless of row count), and PACKS THE BITSET EXECUTOR-SIDE via
-    ``applyInPandas``: the driver receives only (file, b64) rows of
-    m/8 bytes each, never position sets and never values.
+    (``distinct`` on (file, col, position) — bounded by m entries per
+    file-column regardless of row count), and PACKS THE BITSET
+    EXECUTOR-SIDE via ``applyInPandas``: the driver receives only
+    (file, col, b64) rows of m/8 bytes each, never position sets and
+    never values.
 
     Columns must cast to string identically in Spark and Python: use
     string / integral / boolean columns (the natural merge-key types);
@@ -373,6 +383,7 @@ def compute_blooms(
             {
                 "_f": [pdf["_f"].iloc[0]],
                 "_m": [m],
+                "_col": [pdf["_col"].iloc[0]],
                 "_b64": [base64.b64encode(bits.tobytes()).decode("ascii")],
             }
         )
@@ -406,20 +417,19 @@ def compute_blooms(
     # list — abspath keys would silently drop every bloom (review r8)
     orig_by_abs = {os.path.abspath(f): f for f in files}
     out: dict[str, dict] = {}
-    for c in cols:
-        rows = (
-            _bloom_position_sets(spark, files, c, mdf, k)
-            .groupBy("_f", "_m")
-            .applyInPandas(_pack, "_f string, _m long, _b64 string")
-            .collect()
-        )
-        for r in rows:
-            key = orig_by_abs.get(os.path.abspath(r["_f"]), r["_f"])
-            out.setdefault(key, {})[c] = {
-                "m": int(r["_m"]),
-                "k": k,
-                "b64": r["_b64"],
-            }
+    rows = (
+        _bloom_position_sets(spark, files, list(cols), mdf, k)
+        .groupBy("_f", "_m", "_col")
+        .applyInPandas(_pack, "_f string, _m long, _col string, _b64 string")
+        .collect()
+    )
+    for r in rows:
+        key = orig_by_abs.get(os.path.abspath(r["_f"]), r["_f"])
+        out.setdefault(key, {})[r["_col"]] = {
+            "m": int(r["_m"]),
+            "k": k,
+            "b64": r["_b64"],
+        }
     return out
 
 

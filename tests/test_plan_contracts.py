@@ -332,7 +332,7 @@ def test_bloom_build_prunes_scan_and_broadcasts_m_map(spark, tmp_path):
     mdf = spark.createDataFrame(
         [(os.path.abspath(f), 8192) for f in files], "_fp string, _m long"
     )
-    plan = _physical(S._bloom_position_sets(spark, files, "h", mdf, 4))
+    plan = _physical(S._bloom_position_sets(spark, files, ["h"], mdf, 4))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and [c.split(":")[0] for c in m.group(1).split(",")] == ["h"], plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
@@ -340,6 +340,16 @@ def test_bloom_build_prunes_scan_and_broadcasts_m_map(spark, tmp_path):
     # distinct renders as HashAggregate / Exchange / HashAggregate —
     # the lower aggregate IS the map-side combine
     assert plan.count("HashAggregate") >= 2 and "Exchange hashpartitioning" in plan, plan
+    # r13: ALL bloom columns ride ONE scan (stack) — the read schema is
+    # pruned to exactly the bloom columns, still no wide-row read, and
+    # the whole build stays a single query (one job per publish, not one
+    # per column)
+    plan2 = _physical(S._bloom_position_sets(spark, files, ["h", "w"], mdf, 4))
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", plan2)
+    assert m2 and sorted(
+        c.split(":")[0] for c in m2.group(1).split(",")
+    ) == ["h", "w"], plan2
+    assert "SortMergeJoin" not in plan2 and "CartesianProduct" not in plan2, plan2
 
 
 def test_t42_bigram_backoff_plan_shape(spark):
