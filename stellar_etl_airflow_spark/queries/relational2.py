@@ -342,11 +342,22 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 def q29_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = tables(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    # One percentile buffer per COLUMN, not per percentage point: three
+    # scalar percentile() calls on l_extendedprice each build their own
+    # 600k-entry counts hashmap per partition (plan: 4 partial_percentile
+    # buffers); the array form builds one and reads it at three points —
+    # same counts map, same interpolation, bit-identical results
+    # (optimization r13, guide §1.2: measured 2.91 s -> 1.06 s at sf0.1).
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.25, 0.9))").alias("pp"),
         F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("pp")[0].alias("p50_price"),
+        F.col("pp")[1].alias("p25_price"),
+        F.col("pp")[2].alias("p90_price"),
+        "p50_qty",
     )
 
 
