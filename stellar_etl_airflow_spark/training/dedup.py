@@ -234,6 +234,35 @@ def minhash_lsh_pairs(
     )
 
 
+def _minhash_sig_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(doc, sig) BEFORE the checkpoint — split out so the plan contract
+    can assert where the shingle fold executes.
+
+    Gates empty-gram docs on the CHEAP word count, not size(grams):
+    filter(size(grams) > 0) inlines the whole shingling fold and Catalyst
+    pushes it below spread()'s round-robin exchange into the scan's
+    DataFilters — the fold then runs over every document on the ONE scan
+    split's core (guide §4.4's duplicated-evaluation problem,
+    JVM-expression flavored; measured 2.35 s single-task stage at sf0.1,
+    the dominant term of t03/t50/s14 walls), and AGAIN post-exchange for
+    the projection. size(grams) > 0 is exactly "at least n words" (the
+    fold appends its first gram at word n; n=1 short-circuits to distinct
+    words), so the equivalent word-count gate is pushdown-SAFE: splitting
+    is cheap scan-side, the fold evaluates once, after the exchange, on
+    every core (optimization r13)."""
+    min_words = n if n >= 2 else 1
+    word_gate = (
+        f"size(filter(split(lower({text_col}), '\\\\s+'), x -> x != '')) >= {min_words}"
+    )
+    grams = with_word_ngrams(df.filter(F.expr(word_gate)), text_col, n)
+    return grams.select(
+        F.col(id_col).alias("doc"),
+        F.expr(minhash_signature_expr("grams", num_hashes)).alias("sig"),
+    )
+
+
 def _minhash_bands(
     df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, bands: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -242,14 +271,8 @@ def _minhash_bands(
     Signatures are checkpoint-pinned (see minhash_lsh_pairs: projection
     collapse would recompute the K-hash fold per band reference)."""
     rows = num_hashes // bands
-    grams = with_word_ngrams(df, text_col, n)
-    sig = (
-        grams.filter(F.size("grams") > 0)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.expr(minhash_signature_expr("grams", num_hashes)).alias("sig"),
-        )
-        .localCheckpoint(eager=True)
+    sig = _minhash_sig_frame(df, text_col, id_col, n, num_hashes).localCheckpoint(
+        eager=True
     )
     band_digest = (
         f"transform(sequence(0, {bands - 1}), "

@@ -132,6 +132,23 @@ def test_percentile_one_buffer_per_column(spark):
     assert plan.count("partial_approx_percentile(l_extendedprice") == 1
 
 
+def test_minhash_fold_stays_above_the_spread_exchange(spark):
+    # optimization r13: filter(size(grams) > 0) inlined the shingle fold
+    # and Catalyst pushed it below spread()'s round-robin exchange into
+    # the scan's DataFilters — the whole fold then ran on the ONE scan
+    # split's core (2.35 s single-task stage at sf0.1 inside t03/t50/s14)
+    # and again post-exchange. The word-count gate keeps the scan-side
+    # filter cheap; the fold (an `aggregate(` lambda) must not appear in
+    # the scan's pushed filters.
+    from stellar_etl_airflow_spark.training.dedup import _minhash_sig_frame
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _physical(_minhash_sig_frame(docs, "text", "doc_id", 3, 32))
+    scan_section = plan.split("FileScan")[1]
+    pushed = scan_section.split("ReadSchema")[0]
+    assert "aggregate(" not in pushed, "shingle fold pushed into the scan"
+
+
 def test_simhash_scorer_input_not_hash_shuffled(spark):
     # the simhash mapInPandas scorer reads its input in place (round-robin
     # spread of a tiny local scan allowed; no hash exchange below it)
