@@ -38,6 +38,16 @@ from ..session import spread
 PH = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
+def words_sql(text_col: str) -> str:
+    """THE tokenizer, as a SQL fragment: lower-cased whitespace-split
+    words, empties dropped. Shared by the shingling fold
+    (:func:`with_word_ngrams`) and the pushdown-safe word-count gate
+    (:func:`_minhash_sig_frame`) — the gate is only equivalent to
+    ``size(grams) > 0`` while both tokenize identically, so there must
+    be exactly one definition (ADVICE r13)."""
+    return f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+
+
 def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "grams") -> DataFrame:
     """Distinct lower-cased word n-gram shingles as an array column.
 
@@ -54,12 +64,12 @@ def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3, out_col:
         raise ValueError(f"with_word_ngrams: n must be >= 1, got {n}")
     df = spread(df)  # the fold is CPU-bound; never leave it on one scan split
     if n == 1:
-        words = f"array_distinct(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''))"
+        words = f"array_distinct({words_sql(text_col)})"
         return df.withColumn(out_col, F.expr(words))
     empty = "cast(array() as array<string>)"
     fold = (
         f"array_distinct(aggregate("
-        f"filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"{words_sql(text_col)}, "
         f"named_struct('win', {empty}, 'gs', {empty}), "
         f"(acc, w) -> named_struct("
         f"'win', CASE WHEN size(acc.win) = {n - 1} THEN concat(slice(acc.win, 2, {n - 2}), array(w)) "
@@ -253,9 +263,7 @@ def _minhash_sig_frame(
     is cheap scan-side, the fold evaluates once, after the exchange, on
     every core (optimization r13)."""
     min_words = n if n >= 2 else 1
-    word_gate = (
-        f"size(filter(split(lower({text_col}), '\\\\s+'), x -> x != '')) >= {min_words}"
-    )
+    word_gate = f"size({words_sql(text_col)}) >= {min_words}"
     grams = with_word_ngrams(df.filter(F.expr(word_gate)), text_col, n)
     return grams.select(
         F.col(id_col).alias("doc"),

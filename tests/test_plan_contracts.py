@@ -129,7 +129,10 @@ def test_percentile_one_buffer_per_column(spark):
     for name in ("q29_percentiles", "q40_sketch_aggregates"):
         plan = _physical(QUERIES[name].fn(spark, SF_SMOKE))
         assert plan.count("partial_percentile(l_extendedprice") == 1, name
-    assert plan.count("partial_approx_percentile(l_extendedprice") == 1
+        if name == "q40_sketch_aggregates":
+            # the approx pair lives only in q40; assert it on q40's own
+            # plan rather than the loop-leaked variable (ADVICE r13)
+            assert plan.count("partial_approx_percentile(l_extendedprice") == 1
 
 
 def test_minhash_fold_stays_above_the_spread_exchange(spark):
