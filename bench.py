@@ -7,8 +7,17 @@ metric LAST (the driver keeps the last complete line; _print_final
 asserts it stays under 4 KB):
 
   {"metric": "per_query_sec", "queries": {"q01_...": sec, ...}, "par": 1, "sf": 0.1}
-  {"metric": "bench_ab", "ab_walls": {...}, "sf": 0.1}
-  {"metric": "corpus_wall_sec", "value": N, "unit": "sec", "par": 8, "sf": 0.1}
+  {"metric": "bench_ab", "ab_walls": {...}, "rep_load": [...], "sf": 0.1}
+  {"metric": "corpus_wall_sec", "value": N, "unit": "sec", "par": 8,
+   "queries": {top entries by cost, as many as fit the byte bound}, "sf": 0.1}
+
+The driver's tail window is 2000 BYTES (measured across every BENCH_r*
+artifact, r14) and it parses the last complete JSON line inside it, so
+the final line carries the headline value plus as much of the per-query
+map as fits, most expensive first (~55 of 154 entries; the full map is
+line 1 and bench_history.jsonl). PERF_r13 ran with no "queries" in the
+parsed line at all — n_common 0, bench_ok false — because the full map
+only lived on the head-truncated first line.
 
 Each query is executed to completion via ``df.write.format("noop")`` so
 results are fully materialized without driver transfer, matching how a
@@ -502,14 +511,45 @@ print("AB_RESULT " + json.dumps(res))
     return out
 
 
-_FINAL_LINE_BYTES = 4096  # conservative vs the driver's tail window
+# The driver keeps a 2000-byte stdout TAIL and parses the last complete
+# JSON line inside it (measured r14: every BENCH_r*.json artifact stores
+# exactly 2000 tail bytes, and the two rounds whose final line outgrew it
+# — r02, r11 — parsed as nothing). 4096 was NOT conservative; 1900 is.
+_FINAL_LINE_BYTES = 1900
 
 
-def _print_final(headline: dict) -> None:
+def _pack_queries(doc: dict, queries: dict[str, float]) -> dict:
+    """Fit as many per-query seconds into ``doc['queries']`` as the byte
+    bound allows, most expensive first (optimization r14): the driver's
+    per-query and core-scaling analysis reads the FINAL line only —
+    PERF_r13 shows ``n_common: 0`` / ``bench_ok: false`` because the
+    headline carried no queries and the full map on line 1 is
+    head-truncated out of the 2000-byte tail. All 154 names cannot fit
+    (~4.5 KB); the expensive entries are the informative ones, and the
+    full map stays on stdout line 1 and in bench_history.jsonl."""
+    doc = dict(doc)
+    doc["queries_total"] = len(queries)
+    doc["queries"] = {}
+    base = len(json.dumps(doc).encode())
+    budget = _FINAL_LINE_BYTES - base - 2
+    packed: dict[str, float] = {}
+    used = 0
+    for name in sorted(queries, key=lambda n: (-queries[n], n)):
+        entry = len(json.dumps({name: round(queries[name], 2)}).encode())
+        if used + entry > budget:
+            break
+        packed[name] = round(queries[name], 2)
+        used += entry
+    doc["queries"] = packed
+    return doc
+
+
+def _print_final(headline: dict, queries: dict[str, float] | None = None) -> None:
     """Emit the LAST stdout line — the one the driver parses. Self-check
     the byte bound (VERDICT r11 #1): if optional diagnostic payloads ever
     bloat it, shed them (stamps first, then walls) rather than ship a
-    line the driver head-truncates into nothing."""
+    line the driver head-truncates into nothing. ``queries`` (contract:
+    the driver's per-query map) is packed into whatever room remains."""
     # CUMULATIVE shed ladder (ADVICE r12: the third rung previously
     # re-included the stamps the second dropped, so stamps+walls both
     # oversized could never fit and fell through to the minimal fallback)
@@ -519,6 +559,8 @@ def _print_final(headline: dict) -> None:
         doc = {k: v for k, v in headline.items() if k not in shed}
         if shed:
             doc["shed_for_size"] = shed  # added BEFORE the size check
+        if queries and len(json.dumps(doc).encode()) < _FINAL_LINE_BYTES:
+            doc = _pack_queries(doc, queries)
         line = json.dumps(doc)
         if len(line.encode()) < _FINAL_LINE_BYTES:
             print(line)
@@ -526,18 +568,25 @@ def _print_final(headline: dict) -> None:
     print(json.dumps({k: headline.get(k) for k in ("metric", "value", "unit", "par", "sf")}))
 
 
-def _emit_output(per_query: dict, ab: dict, headline: dict, sf) -> None:
+def _emit_output(
+    per_query: dict, ab: dict, headline: dict, sf, queries: dict | None = None
+) -> None:
     """THE artifact contract (VERDICT r11 #1: splicing the ab payload
     into the final line bloated it past the driver's bounded stdout
     tail and BENCH_r11.json parsed as nothing). The driver keeps the
-    LAST complete JSON line, so exactly this order, nothing after:
-    per-query map first, the A/B record on its own sacrificial line,
-    then the headline — kept under the byte bound by _print_final.
-    Unit-tested without Spark in tests/test_bench_contract.py."""
+    LAST complete JSON line within a 2000-byte tail, so exactly this
+    order, nothing after: per-query map first, the A/B + load-stamp
+    record on its own sacrificial line, then the headline — kept under
+    the byte bound by _print_final, with the per-query ``queries`` dict
+    packed in, most expensive entries first (optimization r14: the
+    driver's per-query analysis reads the final line only; the load
+    stamps moved to the sacrificial line to make room — they also land
+    in bench_history.jsonl). Unit-tested without Spark in
+    tests/test_bench_contract.py."""
     print(json.dumps(per_query))
     if ab:
         print(json.dumps({"metric": "bench_ab", **ab, "sf": sf}))
-    _print_final(headline)
+    _print_final(headline, queries)
 
 
 def main() -> None:
@@ -628,10 +677,18 @@ def main() -> None:
     # pass 2: pooled corpus wall (the throughput headline)
     pass_hygiene()
     ordered = sorted(QUERIES.items())
-    if par > 1:
-        # longest-first keeps the big iterative jobs (merge protocols,
-        # streaming drains, LSH) from landing last and serializing the
-        # tail; descending by measured r7 full-corpus time (min-of-2, sf0.1)
+    if par > 1 and timings:
+        # longest-first keeps the big entries (merge protocols, streaming
+        # drains, LSH) from landing last and serializing the tail —
+        # ordered by THIS run's own uncontended sweep (optimization r14:
+        # the static r7-measured list below had gone stale; today's
+        # 3-7 s entries t37/t39/t45/t47/t55 were absent from it and
+        # straggled the pooled tail). Name tiebreak keeps it
+        # deterministic.
+        ordered = sorted(QUERIES.items(), key=lambda kv: (-timings.get(kv[0], 0.0), kv[0]))
+    elif par > 1:
+        # fast mode has no sweep: fall back to the static longest-first
+        # list (descending by measured r7 full-corpus time, min-of-2)
         heavy = [
             "q51_incremental_mart",
             "s14_stream_incremental_dedup",
@@ -759,6 +816,12 @@ def main() -> None:
         # the pooled par stamp and would poison sweep-vs-sweep priors.
         _record_history(timings, sf)
 
+    # per-rep load stamps ride the SACRIFICIAL line (optimization r14):
+    # the final line's bytes belong to the per-query contract dict; the
+    # stamps stay on stdout for attribution and in bench_history.jsonl
+    ab = dict(ab)
+    ab["rep_load"] = rep_load
+    ab["e2e_load"] = e2e_load
     _emit_output(
         per_query={
             "metric": "per_query_sec",
@@ -776,16 +839,15 @@ def main() -> None:
             "par": par,
             "reps": reps,
             "walls": walls,
-            "rep_load": rep_load,
             "e2e_batch_sec": e2e_sec,
             "e2e_walls": e2e_walls or None,
             "e2e_stages_sec": e2e_stages,
-            "e2e_load": e2e_load,
             "e2e_ref_budget_sec": 400,
             "ab_suspect_count": len(ab.get("ab_suspects") or {}) if ab else None,
             "sf": sf,
         },
         sf=sf,
+        queries=timings,
     )
     spark.stop()
 

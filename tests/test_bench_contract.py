@@ -47,6 +47,41 @@ def test_print_final_small_headline_untouched(capsys):
     assert json.loads(capsys.readouterr().out.strip()) == hl
 
 
+def test_print_final_packs_expensive_queries_first(capsys):
+    """optimization r14: the driver parses ONLY the last complete JSON
+    line inside a 2000-byte stdout tail, and its per-query/scaling
+    analysis needs a "queries" dict THERE (PERF_r13: n_common 0,
+    bench_ok false without it). All 154 names don't fit, so the packer
+    takes the most expensive first and the line must stay under the
+    bound."""
+    queries = {f"q{i:03d}_some_entry_name_{i}": float(i) / 10 for i in range(154)}
+    hl = {"metric": "corpus_wall_sec", "value": 60.0, "unit": "sec", "par": 8,
+          "reps": 3, "walls": [60.0, 61.0, 62.0], "e2e_batch_sec": 8.0,
+          "e2e_ref_budget_sec": 400, "sf": 0.1}
+    bench._print_final(hl, queries)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line.encode()) < 2000  # the driver's REAL tail window
+    doc = json.loads(line)
+    assert doc["value"] == 60.0 and doc["queries_total"] == 154
+    got = doc["queries"]
+    assert 30 < len(got) < 154
+    # most expensive first: everything packed must cost >= everything not
+    floor = min(got.values())
+    dropped_max = max(v for n, v in queries.items() if n not in got)
+    assert floor >= dropped_max
+    # headline diagnostics survived alongside the packed queries
+    assert doc["walls"] == [60.0, 61.0, 62.0]
+
+
+def test_print_final_packing_never_overflows_with_huge_names(capsys):
+    queries = {f"q{i:03d}_{'x' * 300}": 9.9 for i in range(80)}
+    hl = {"metric": "corpus_wall_sec", "value": 1.0, "unit": "sec", "par": 8, "sf": 0.1}
+    bench._print_final(hl, queries)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line.encode()) < 2000
+    assert json.loads(line)["value"] == 1.0
+
+
 def test_load_probe_nonnegative_when_descendant_orphans():
     """Reproduce the r11 A/B shape: a child process whose OWN child has
     accumulated CPU inside the probe window exits, orphaning the
@@ -174,11 +209,13 @@ def test_emit_output_order_and_final_line(capsys):
         "ab_suspects": {f"q{i:02d}_x": {"cur_sweep": 9.9} for i in range(40)},
         "ab_load": {"x": "y" * 2000},
     }
+    full_map = {f"q{i:03d}_entry_named_like_ours_{i}": 0.5 + i / 100 for i in range(154)}
     bench._emit_output(
-        per_query={"metric": "per_query_sec", "queries": {f"q{i}": 0.5 for i in range(150)}},
+        per_query={"metric": "per_query_sec", "queries": full_map},
         ab=big_ab,
         headline={"metric": "corpus_wall_sec", "value": 3.14, "unit": "sec", "par": 8, "sf": 0.1},
         sf=0.1,
+        queries=full_map,
     )
     out = capsys.readouterr().out
     lines = [l for l in out.splitlines() if l.strip()]
@@ -187,8 +224,9 @@ def test_emit_output_order_and_final_line(capsys):
         "bench_ab",
         "corpus_wall_sec",
     ]
-    # driver-style bounded tail: last 4 KB of stdout
-    tail = out.encode()[-4096:].decode(errors="ignore")
+    # driver-style bounded tail: last 2000 BYTES of stdout (the real
+    # window, measured across every BENCH_r* artifact — r14)
+    tail = out.encode()[-2000:].decode(errors="ignore")
     last_complete = None
     for line in tail.splitlines():
         try:
@@ -197,3 +235,5 @@ def test_emit_output_order_and_final_line(capsys):
             continue
     assert last_complete and last_complete["metric"] == "corpus_wall_sec"
     assert last_complete["value"] == 3.14
+    # the per-query contract dict survived INSIDE the bounded tail
+    assert last_complete["queries"] and last_complete["queries_total"] == 154
