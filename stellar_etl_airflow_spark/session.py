@@ -65,6 +65,19 @@ def get_spark(
         # (container budget 128 GiB); real clusters size executors instead
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
+        # The JVM-global generated-class cache holds 100 entries by
+        # default — a 154-query corpus emits ~1-1.5k distinct
+        # whole-stage-codegen units per pass, so the cache thrashes and
+        # EVERY pass re-Janino-compiles and re-JITs the entire corpus's
+        # generated code (optimization r14, tools/burst_probe.py: warm
+        # pooled rep 52-90 s wall / 764-1405 s CPU with the default vs
+        # 33 s / 485 s with the cache sized to the workload; the JIT
+        # storm is also r13's "cross-entry CPU burst" anomaly, which
+        # charged 60-330 s bursts to whichever entry was running). 4096
+        # bounds the LRU at ~3x the corpus's working set; entries are
+        # compiled classes (kB each), not data. Static conf: must be set
+        # before the JVM session exists, hence here and not per-entry.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     # Preloaded worker daemon (guide §4.5 at the process level): forked
     # Python workers inherit pyarrow/pandas/connector imports via
@@ -80,6 +93,24 @@ def get_spark(
             builder = builder.config(
                 "spark.python.daemon.module", "stellar_etl_airflow_spark.pydaemon"
             )
+    # Local-FS permission shim (optimization r14, guide §1.2 "per-task
+    # work"): without libhadoop.so, Hadoop's RawLocalFileSystem forks a
+    # `chmod` for EVERY file/dir a checkpoint, state store or stage
+    # writer creates (~300-600 execs per streaming/protocol entry,
+    # measured r13/r14 via /proc/stat `processes`). The bundled jar
+    # (tools/fastfs, ~60 lines of Java) reimplements setPermission with
+    # java.nio setPosixFilePermissions — identical checksummed-FS
+    # semantics, no fork. Driver classpath confs only take effect at JVM
+    # launch, so this works for the session that starts the JVM (bench,
+    # driver, tests) and is a no-op conf on an already-running JVM.
+    # Local-mode-only concern: on HDFS/S3 the code path does not exist.
+    _jar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jars", "fastlocalfs.jar")
+    if os.environ.get("SPARK_GRAFT_FASTFS", "1") != "0" and os.path.exists(_jar):
+        builder = (
+            builder.config("spark.driver.extraClassPath", _jar)
+            .config("spark.hadoop.fs.file.impl", "fastlocalfs.FastLocalFileSystem")
+            .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "fastlocalfs.FastLocalFs")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
